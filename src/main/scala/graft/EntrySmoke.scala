@@ -1,0 +1,16 @@
+package graft
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.entry(spark)
+    println("ENTRY ROWS: " + df.count())
+    df.select("prompt").collect().foreach(r => println(r.getString(0).take(600)))
+    spark.stop()
+  }
+}

@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by ingest, dedup, and analysis operators.
+  *
+  * Hash derivations are built on `md5` hex strings rather than engine-native
+  * hash functions: md5 produces identical lowercase hex in every engine
+  * (Spark, DuckDB, Postgres, ...), which keeps these operators
+  * oracle-checkable and portable, while still being codegen'd expressions.
+  */
+object TextFunctions {
+
+  /** replace("\n"," ").strip() — reference `basic_cleaning` app/main.py:379-380. */
+  def cleanText(text: Column): Column = trim(regexp_replace(text, "\n", " "))
+
+  /** Whitespace tokenization; empty/blank text yields an empty array
+    * (Spark's split("") returns [""], which we drop — matches the
+    * reference's zero-chunks-for-empty-doc behavior app/embedding_gen.py:390-394). */
+  def tokens(text: Column): Column = {
+    val t = cleanText(text)
+    when(length(t) === 0, array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
+
+  /** Value of a single lowercase-hex character as an int (0-15). The
+    * DuckDB oracle mirrors this with strpos('0123456789abcdef', c) - 1. */
+  def hexCharVal(c: Column): Column = conv(c, 16, 10).cast("int")
+
+  /** First two hex digits of md5(s) as an int in [0, 256). */
+  def md5Byte(s: Column): Column = conv(substring(md5(s), 1, 2), 16, 10).cast("int")
+
+  /** Hash bucket in [0, nBuckets) from md5 — portable across engines. */
+  def md5Bucket(s: Column, nBuckets: Int): Column = pmod(md5Byte(s), lit(nBuckets))
+
+  /** Sign (+1/-1) derived from md5 — the hashing-trick sign bit. */
+  def md5Sign(s: Column): Column =
+    when(pmod(hexCharVal(substring(md5(s), 3, 1)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...] over the token array.
+    * Shorter-than-n documents shingle to the whole document. */
+  def shingles(toks: Column, n: Int): Column = {
+    val count = greatest(size(toks) - (n - 1), lit(1))
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), count), i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** Distinct shingle set (for Jaccard / MinHash). */
+  def shingleSet(toks: Column, n: Int): Column = array_distinct(shingles(toks, n))
+}

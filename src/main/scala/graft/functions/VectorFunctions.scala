@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dense-vector scalar functions as pure Catalyst column expressions.
+  *
+  * Everything here stays inside whole-stage codegen (no UDFs): `zip_with`,
+  * `aggregate`, `transform` lower to codegen'd higher-order functions, so a
+  * cosine scan over 100 TB of embeddings is a single embarrassingly-parallel
+  * projection — no shuffle, no serialization boundary.
+  *
+  * Semantics pinned by the reference:
+  *  - cosine(a,b) = dot/(|a||b|), 0.0 if either norm is 0 (app/main.py:59-64)
+  *  - l2normalize(v) = v / (|v| + 1e-9)                    (app/main.py:315-316)
+  *
+  * All arithmetic is promoted to Double before accumulation: float32 partial
+  * sums would diverge between engines (and between partitionings); doubles
+  * folded left in array order are bitwise-deterministic.
+  */
+object VectorFunctions {
+
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Left-fold dot product in array order — deterministic across runs. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity with the reference's zero-norm guard (0.0, not NaN). */
+  def cosine(a: Column, b: Column): Column = {
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na === lit(0.0) || nb === lit(0.0), lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Normalize against a precomputed norm column (norm is loop-invariant;
+    * passing it in keeps the transform O(d) instead of O(d²) per row). */
+  def l2NormalizeWith(v: Column, norm: Column): Column =
+    transform(asDouble(v), x => x / (norm + lit(1e-9)))
+
+  /** One-shot convenience; prefer [[withL2Normalized]] on the hot path. */
+  def l2Normalize(v: Column): Column = l2NormalizeWith(v, l2Norm(v))
+
+  /** DataFrame-level normalize that materializes the norm once per row. */
+  def withL2Normalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("_l2norm", l2Norm(col(vecCol)))
+      .withColumn(outCol, l2NormalizeWith(col(vecCol), col("_l2norm")))
+      .drop("_l2norm")
+
+  /** Hamming distance between two equal-length bit arrays (ints 0/1). */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x =!= y, 1).otherwise(0)), lit(0), (s, x) => s + x)
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate nearest-neighbor search over an embedding column — the
+  * Spark-native analog of the reference's OpenSearch HNSW index
+  * (app/main.py:262-283: hnsw, m=64, ef_construction=500, cosinesimil).
+  *
+  * HNSW is a pointer-chasing in-memory graph — the wrong shape for a
+  * shared-nothing scan engine. The Spark-idiomatic scale path is
+  * partition-pruned candidate generation:
+  *
+  *  - IVF: k-means-style coarse cells; write the index
+  *    `partitionBy(cell_id)` so a query reading `nprobe` cells scans
+  *    nprobe/ncells of the data (partition pruning does the work).
+  *  - Sign-random-projection LSH: bucket = sign bits of dot(v, hyperplane);
+  *    same-bucket candidates only. Both turn the 100 TB scan into a
+  *    small-fraction scan, then re-rank exactly with the codegen'd cosine.
+  *
+  * Centroids/hyperplanes are taken from the data deterministically (first
+  * rows by id) rather than sampled — keeps every result oracle-checkable.
+  */
+object Ann {
+
+  /** Brute-force exact top-k (the baseline every ANN is judged against).
+    * TakeOrderedAndProject: per-partition heap, k-row merge — no shuffle. */
+  def bruteForceTopK(index: DataFrame, idCol: String, vecCol: String,
+                     queryVec: Seq[Double], k: Int): DataFrame =
+    index
+      .withColumn("sim", cosine(col(vecCol), lit(queryVec.toArray)))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+
+  /** Assign each vector to its nearest centroid (max cosine, ties → lowest
+    * centroid id). Centroids are broadcast; assignment is map-only. */
+  def assignCells(index: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame, cIdCol: String, cVecCol: String): DataFrame = {
+    val scored = index.crossJoin(broadcast(centroids.select(col(cIdCol).as("_cid"), col(cVecCol).as("_cvec"))))
+      .withColumn("_csim", cosine(col(vecCol), col("_cvec")))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("_csim"), col("_cid"))
+    scored
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_cvec")
+      .withColumnRenamed("_cid", "cell_id")
+      .withColumnRenamed("_csim", "cell_sim")
+  }
+
+  /** IVF search: rank centroids vs the query, keep the nprobe nearest
+    * cells, exact top-k within those cells only. On a partitioned index
+    * the cell filter becomes partition pruning. */
+  def ivfSearch(assigned: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, cIdCol: String, cVecCol: String,
+                queryVec: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val q = lit(queryVec.toArray)
+    val probeCells = centroids
+      .withColumn("_qsim", cosine(col(cVecCol), q))
+      .orderBy(desc("_qsim"), col(cIdCol))
+      .limit(nprobe)
+      .select(col(cIdCol).as("cell_id"))
+    assigned
+      .join(broadcast(probeCells), "cell_id")
+      .withColumn("sim", cosine(col(vecCol), q))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** Sign-random-projection bucket id: bit i = (dot(v, plane_i) > 0).
+    * `planes` is a small broadcast list of hyperplane vectors. */
+  def lshBucket(vecCol: org.apache.spark.sql.Column,
+                planes: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+      acc + when(dot(vecCol, lit(p.toArray)) > 0, math.pow(2, i).toLong).otherwise(0L)
+    }
+
+  /** LSH search: exact top-k restricted to the query's bucket. */
+  def lshSearch(index: DataFrame, idCol: String, vecCol: String,
+                planes: Seq[Seq[Double]], queryVec: Seq[Double], k: Int): DataFrame = {
+    val qBucket = {
+      // bucket of the query vector, computed with the same expression
+      planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+        val d = p.zip(queryVec).map { case (a, b) => a * b }.foldLeft(0.0)(_ + _)
+        acc + (if (d > 0) math.pow(2, i).toLong else 0L)
+      }
+    }
+    index
+      .withColumn("bucket", lshBucket(col(vecCol), planes))
+      .filter(col("bucket") === qBucket)
+      .withColumn("sim", cosine(col(vecCol), lit(queryVec.toArray)))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic "training-free" centroids: the first n vectors by id.
+    * (A k-means refinement would go here; seeding from data keeps the
+    * operator reproducible and oracle-checkable.) */
+  def headCentroids(index: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame =
+    index.orderBy(col(idCol)).limit(n)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+}

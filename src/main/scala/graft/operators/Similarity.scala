@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** k-NN similarity retrieval (SURVEY.md §2 O-11, O-12, O-18, O-19).
+  *
+  * Reference: OpenSearch HNSW cosine k-NN (`search` app/main.py:347-373,
+  * k=3 default app/main.py:467).
+  *
+  * Spark-first shapes:
+  *  - Single query: score every row with a codegen'd cosine expression and
+  *    `orderBy(desc).limit(k)` — Catalyst plans TakeOrderedAndProject, i.e.
+  *    a per-partition top-k heap + a k-row merge on the driver. No full
+  *    sort, no full shuffle: at 100 TB this moves k rows per partition.
+  *  - Many queries: broadcast the (small) query side, score the cross
+  *    product map-side, then per-query window rank ≤ k. The only shuffle is
+  *    the rank's hash-partition by query_id.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for one query vector (broadcast as a literal). */
+  def topK(index: DataFrame, vecCol: String, queryVec: Seq[Double], k: Int,
+           simCol: String = "sim"): DataFrame = {
+    val q = lit(queryVec.toArray)
+    index
+      .withColumn(simCol, cosine(col(vecCol), q))
+      .orderBy(desc(simCol), col(index.columns.head)) // stable tie-break
+      .limit(k)
+  }
+
+  /** Batch k-NN: every row of `queries` against every row of `index`,
+    * top-k per query. `queries` must be small enough to broadcast (it is
+    * the per-request side; the index is the 100 TB side). */
+  def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+              index: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val scored = index.crossJoin(broadcast(queries))
+      .withColumn("sim", cosine(col(vecCol), col(qVecCol)))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(desc("sim"), col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Semantic-cache lookup (O-12): linear scan, argmax cosine, hit iff
+    * best ≥ threshold (inclusive — app/main.py:89). Returns 0 or 1 rows. */
+  def cacheLookup(cache: DataFrame, vecCol: String, queryVec: Seq[Double],
+                  threshold: Double = graft.Schemas.CacheThreshold): DataFrame = {
+    val q = lit(queryVec.toArray)
+    cache
+      .withColumn("sim", cosine(col(vecCol), q))
+      .orderBy(desc("sim"), col(cache.columns.head))
+      .limit(1)
+      .filter(col("sim") >= threshold)
+  }
+
+  /** All pairs within a blocking key whose cosine ≥ threshold — the
+    * embedding-cosine near-dup primitive. Blocking bounds the quadratic
+    * term to within-block pairs; at scale the block key comes from an LSH
+    * bucket (see Ann.scala) rather than a natural column. */
+  def similarPairs(vecs: DataFrame, idCol: String, vecCol: String, blockCol: String,
+                   threshold: Double): DataFrame = {
+    val a = vecs.select(col(blockCol).as("_blk"), col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = vecs.select(col(blockCol).as("_blk"), col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.join(b, Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("_va"), col("_vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("_blk").as(blockCol), col("id_a"), col("id_b"), col("sim"))
+  }
+}

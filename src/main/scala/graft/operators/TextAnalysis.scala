@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star surface; BASELINE.json `north_star`): language ID, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * All pure per-row column expressions — map-only, codegen'd, no shuffle —
+  * so each scales linearly to 100 TB. Hash-derived values use md5 hex
+  * arithmetic (portable across engines → DuckDB-oracle-checkable).
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram/stopword language heuristic. */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "es", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ein", "eine", "ist", "von"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs, digit runs, and single symbols.
+    * (Regex kept RE2-compatible so the oracle runs the same pattern.) */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Language ID: argmax of stopword-profile hit counts; ties and
+    * zero-evidence fall back to "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = StopwordProfiles.map { case (lang, words) => (lang, stopwordHits(toks, words)) }
+    val best = greatest(scored.map(_._2): _*)
+    scored.foldLeft(when(best <= 0, lit("und"))) { case (acc, (lang, score)) =>
+      acc.when(score === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Quality heuristics: length, mean token length, punctuation ratio,
+    * stopword ratio, composite score in [0,1]. All double arithmetic,
+    * rounded by the caller for oracle stability. */
+  def punctRatio(text: Column): Column = {
+    val t = cleanText(text)
+    when(length(t) === 0, 0.0)
+      .otherwise(length(regexp_replace(t, "[a-zA-Z0-9\\s]", "")).cast("double") / length(t))
+  }
+
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0.0), (s, t) => s + length(t)) / size(toks))
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val all = StopwordProfiles.flatMap(_._2).distinct
+    when(size(toks) === 0, 0.0)
+      .otherwise(stopwordHits(toks, all).cast("double") / size(toks))
+  }
+
+  /** Composite quality score: rewards mid-length docs and word-like
+    * tokens, penalizes punctuation soup. Deterministic, engine-portable. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
+    val wordShape = least(meanTokenLen(text) / 8.0, lit(1.0))
+    round((lenScore * 0.4 + punctPenalty * 0.3 + wordShape * 0.3), 6)
+  }
+
+  /** Exact content fingerprint: md5 of the cleaned text. */
+  def contentFingerprint(text: Column): Column = md5(cleanText(text))
+
+  /** Rolling-shingle fingerprint: the minimum md5 over word 4-grams —
+    * stable under small edits away from the minimal shingle (the
+    * winnowing/MinHash primitive with k=1). */
+  def shingleFingerprint(text: Column, n: Int = 4): Column = {
+    val sh = shingleSet(tokens(lower(text)), n)
+    when(size(sh) === 0, md5(lit(""))).otherwise(array_min(transform(sh, s => md5(s))))
+  }
+}
