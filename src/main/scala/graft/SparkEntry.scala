@@ -69,7 +69,12 @@ object SparkEntry {
   // Queries                                                          //
   // ---------------------------------------------------------------- //
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ pipelineQueries
+
+  def oracleSql: Map[String, String] = coreOracles ++ pipelineOracles
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // O-7/O-8: clean + 32-word chunking of the documents corpus.
     "q_chunk" -> ((s, dir) => {
@@ -94,7 +99,7 @@ object SparkEntry {
       val qv = e.filter(col("vec_id") === 0).select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0)
       Similarity.topK(e.select("vec_id", "embedding"), "embedding", qv, 10)
-        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
     }),
 
     // O-11 batch shape: 5 query vectors × all index rows, top-3 each.
@@ -104,7 +109,7 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.knnJoin(queries, "query_id", "qvec", e.select("vec_id", "embedding"), "vec_id", "embedding", 3)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
-          round(col("sim"), 6).as("sim"))
+          stableRound(col("sim")).as("sim"))
         .orderBy("query_id", "rank")
     }),
 
@@ -113,8 +118,8 @@ object SparkEntry {
       withL2Normalized(t(s, dir, "embeddings"), "embedding", "nvec")
         .select(
           col("vec_id"),
-          round(l2Norm(col("embedding")), 6).as("norm"),
-          round(element_at(col("nvec"), 1), 6).as("first_elem"))
+          stableRound(l2Norm(col("embedding"))).as("norm"),
+          stableRound(element_at(col("nvec"), 1)).as("first_elem"))
         .orderBy("vec_id")
     }),
 
@@ -218,7 +223,7 @@ object SparkEntry {
   // DuckDB oracles                                                   //
   // ---------------------------------------------------------------- //
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracles: Map[String, String] = Map(
 
     "q_chunk" ->
       s"""WITH t AS (
@@ -244,7 +249,7 @@ object SparkEntry {
          |  SELECT e.vec_id, ${dCosine("e.embedding", "q.qv")} AS sim
          |  FROM embeddings e, q
          |)
-         |SELECT vec_id, round(sim, 6) AS sim
+         |SELECT vec_id, round(sim + 1.2345e-9, 6) AS sim
          |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_knn_batch" ->
@@ -257,13 +262,13 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
          |  FROM s
          |)
-         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 6) AS sim
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(sim + 1.2345e-9, 6) AS sim
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q_l2_normalize" ->
       s"""SELECT vec_id,
-         |       round(${dNorm("embedding")}, 6) AS norm,
-         |       round(CAST(embedding[1] AS DOUBLE) / (${dNorm("embedding")} + 1e-9), 6) AS first_elem
+         |       round(${dNorm("embedding")} + 1.2345e-9, 6) AS norm,
+         |       round(CAST(embedding[1] AS DOUBLE) / (${dNorm("embedding")} + 1e-9) + 1.2345e-9, 6) AS first_elem
          |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q1_pricing" ->
@@ -326,4 +331,434 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin)
+
+  // ---------------------------------------------------------------- //
+  // Pipeline operators: dedup, ANN, cache, text analysis, multimodal //
+  // ---------------------------------------------------------------- //
+
+  private def collectVec(df: DataFrame, id: Long): Seq[Double] =
+    df.filter(col("vec_id") === id).select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+
+  /** Cache table stand-in built from the embeddings table. */
+  private def cacheTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") > 0)
+      .select(col("vec_id").as("entry_id"), col("embedding"),
+        concat(lit("resp_"), col("vec_id")).as("response"), col("label").as("freq"))
+
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.F north star: exact dedup by content fingerprint.
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fingerprint")
+    }),
+
+    // MinHash signatures (8 md5-derived permutations over 3-gram shingles).
+    "q_minhash_sig" -> ((s, dir) => {
+      Dedup.withMinhashSignature(t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", shingleN = 3, numHashes = 8)
+        .select((col("doc_id") +: (0 until 8).map(k => col(s"sig_$k"))): _*)
+        .orderBy("doc_id")
+    }),
+
+    // MinHash LSH banding candidates (8 bands × 1 row).
+    "q_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashCandidates(t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", shingleN = 3, numHashes = 8, bands = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Pairwise 3-gram Jaccard within a source block, τ = 0.05.
+    "q_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", "source",
+          shingleN = 3, threshold = 0.05)
+        .orderBy("source", "id_a", "id_b")
+    }),
+
+    // 16-bit SimHash per document.
+    "q_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // Embedding-cosine near-dup: top-1 neighbor per vector within label.
+    "q_embedding_neighbors" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("_va"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("_vb"))
+      val w = Window.partitionBy("id_a").orderBy(desc("sim"), col("id_b"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") =!= col("id_b"))
+        .withColumn("sim", cosine(col("_va"), col("_vb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id_a"), col("id_b").as("neighbor_id"), stableRound(col("sim")).as("sim"))
+        .orderBy("id_a")
+    }),
+
+    // IVF ANN: 8 head centroids, probe 2 cells, top-5.
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = Ann.headCentroids(e, "vec_id", "embedding", 8)
+      val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+      Ann.ivfSearch(assigned, "vec_id", "embedding", cents, "centroid_id", "centroid_vec",
+          collectVec(t(s, dir, "embeddings"), 0), k = 5, nprobe = 2)
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+    }),
+
+    // Sign-random-projection LSH ANN: 4 planes → bucket, top-5 in-bucket.
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val planes = e.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0)).toSeq
+      Ann.lshSearch(e.select("vec_id", "embedding"), "vec_id", "embedding",
+          planes, collectVec(e, 0), k = 5)
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+    }),
+
+    // O-12: semantic cache lookup — best entry, hit iff sim ≥ τ (τ=0.3
+    // for the synthetic vectors; the reference's 0.96 applies to real
+    // embedding spaces, app/main.py:44).
+    "q_cache_lookup" -> ((s, dir) => {
+      Similarity.cacheLookup(cacheTable(s, dir), "embedding",
+          collectVec(t(s, dir, "embeddings"), 0), threshold = 0.3)
+        .select(col("entry_id"), stableRound(col("sim")).as("sim"))
+    }),
+
+    // O-12+O-16: lookup with freq bump on the hit row.
+    "q_cache_touch" -> ((s, dir) => {
+      CacheLfu.touch(cacheTable(s, dir), collectVec(t(s, dir, "embeddings"), 0), 0.3)
+        .select(col("entry_id"), col("freq").cast("long").as("freq"))
+        .orderBy("entry_id")
+    }),
+
+    // O-15: LFU eviction victim — first-seen minimum frequency.
+    "q_lfu_evict" -> ((s, dir) => {
+      CacheLfu.evictionVictim(cacheTable(s, dir))
+        .select(col("entry_id"), col("freq").cast("long").as("freq"))
+    }),
+
+    // O-14: ordered context assembly over ranked hits, grouped by lang.
+    "q_context_assembly" -> ((s, dir) => {
+      val w = Window.orderBy(desc("n_chars"), col("doc_id"))
+      val hits = t(s, dir, "documents")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+      Retrieval.assembleContext(hits, "lang", "rank", "text")
+        .select(col("lang"), col("best_rank").cast("long").as("best_rank"), col("context_text"))
+        .orderBy("lang")
+    }),
+
+    // F-3: deterministic hashed-BoW embedding (norm + first dims).
+    "q_embed_doc" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("_raw", Embed.embedText(col("text")))
+        .withColumn("_norm", l2Norm(col("_raw")))
+        .withColumn("_n", l2NormalizeWith(col("_raw"), col("_norm")))
+        .select(col("doc_id"), stableRound(col("_norm")).as("norm"),
+          stableRound(element_at(col("_n"), 1)).as("e0"),
+          stableRound(element_at(col("_n"), 2)).as("e1"),
+          stableRound(element_at(col("_n"), 3)).as("e2"),
+          stableRound(element_at(col("_n"), 4)).as("e3"))
+        .orderBy("doc_id")
+    }),
+
+    // North star: language ID + quality scoring heuristics.
+    "q_lang_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          stableRound(TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
+          stableRound(TextAnalysis.stopwordRatio(col("text"))).as("stopword_ratio"),
+          stableRound(TextAnalysis.meanTokenLen(col("text"))).as("mean_token_len"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // North star: content + min-shingle fingerprints.
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
+          TextAnalysis.shingleFingerprint(col("text"), 4).as("shingle_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal: binary payload metadata (real plumbing; decode stubbed).
+    "q_multimodal_meta" -> ((s, dir) => {
+      val bin = col("text").cast("binary")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(bin).cast("long").as("n_bytes"),
+          sha2(bin, 256).as("sha256"),
+          lower(hex(substring(bin, 1, 4))).as("magic"),
+          Multimodal.sniffFormat(bin).as("format"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.F: set difference for corpus versioning.
+    "q_corpus_except" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      d.except(d.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+        .orderBy("doc_id")
+    }),
+
+    // §2.F: union + distinct.
+    "q_union_distinct" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "lang")
+      d.unionByName(d).distinct().orderBy("doc_id")
+    }))
+
+  // ---------------------------------------------------------------- //
+  // Pipeline oracles                                                 //
+  // ---------------------------------------------------------------- //
+
+  /** DuckDB: hex char value (mirror of TextFunctions.hexCharVal). */
+  private def dHexVal(c: String) = s"(strpos('0123456789abcdef', $c) - 1)"
+
+  /** DuckDB: md5-derived bucket/sign (mirror of TextFunctions). */
+  private def dMd5Bucket(e: String, n: Int) =
+    s"((${dHexVal(s"substr(md5($e), 1, 1)")} * 16 + ${dHexVal(s"substr(md5($e), 2, 1)")}) % $n)"
+  private def dMd5Sign(e: String) =
+    s"(CASE WHEN ${dHexVal(s"substr(md5($e), 3, 1)")} % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+
+  /** DuckDB: distinct word n-gram shingle set over a token list. */
+  private def dShingleSet(words: String, n: Int) =
+    s"list_distinct(list_transform(range(1, greatest(len($words) - ${n - 1}, 1) + 1), " +
+      s"i -> array_to_string(list_slice($words, i, i + ${n - 1}), ' ')))"
+
+  private def dStopHits(words: String, list: Seq[String]) =
+    s"len(list_filter($words, w -> list_contains([${list.map(w => s"'$w'").mkString(", ")}], w)))"
+
+  private def pipelineOracles: Map[String, String] = {
+    val W = dTokens("lower(text)")
+
+    Map(
+      "q_dedup_exact" ->
+        """SELECT md5(trim(replace(text, chr(10), ' '))) AS fingerprint,
+          |       min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+      "q_minhash_sig" -> {
+        val sigCols = (0 until 8)
+          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS sig_$k")
+          .mkString(",\n       ")
+        s"""WITH t AS (SELECT doc_id, ${dShingleSet(W, 3)} AS sh FROM documents)
+           |SELECT doc_id,
+           |       $sigCols
+           |FROM t WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin
+      },
+
+      "q_minhash_pairs" -> {
+        val sigCols = (0 until 8)
+          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS sig_$k")
+          .mkString(", ")
+        val bandRows = (0 until 8)
+          .map(k => s"SELECT doc_id, $k AS band_id, md5(sig_$k) AS bucket FROM sigs")
+          .mkString("\n  UNION ALL ")
+        s"""WITH t AS (SELECT doc_id, ${dShingleSet(W, 3)} AS sh FROM documents),
+           |sigs AS (SELECT doc_id, $sigCols FROM t WHERE len(sh) > 0),
+           |bands AS (
+           |  $bandRows
+           |)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket
+           |WHERE a.doc_id < b.doc_id
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      "q_jaccard_pairs" ->
+        s"""WITH d AS (SELECT doc_id, source, ${dShingleSet(W, 3)} AS sh FROM documents),
+           |e AS (SELECT doc_id, source, unnest(sh) AS s FROM d WHERE len(sh) > 0),
+           |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           |  FROM e a JOIN e b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2, 3
+           |)
+           |SELECT i.source, i.id_a, i.id_b,
+           |       round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) + 1.2345e-9, 6) AS jaccard
+           |FROM inter i JOIN sz sa ON i.id_a = sa.doc_id JOIN sz sb ON i.id_b = sb.doc_id
+           |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.05
+           |ORDER BY source, id_a, id_b""".stripMargin,
+
+      "q_simhash" ->
+        s"""WITH t AS (SELECT doc_id, $W AS w FROM documents)
+           |SELECT doc_id,
+           |  CAST(list_sum(list_transform(range(0, 16), j ->
+           |    CASE WHEN list_sum(list_transform(w, x ->
+           |      2 * (CAST(floor(${dHexVal("substr(md5(x), CAST(j // 4 AS INT) + 1, 1)")} / pow(2, 3 - (j % 4))) AS INT) % 2) - 1
+           |    )) > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
+           |  )) AS BIGINT) AS simhash
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "q_embedding_neighbors" ->
+        s"""WITH s AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |         ${dCosine("a.embedding", "b.embedding")} AS sim
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.label = b.label AND a.vec_id <> b.vec_id
+           |), r AS (
+           |  SELECT id_a, id_b, sim,
+           |         row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rn
+           |  FROM s
+           |)
+           |SELECT id_a, id_b AS neighbor_id, round(sim + 1.2345e-9, 6) AS sim
+           |FROM r WHERE rn = 1 ORDER BY id_a""".stripMargin,
+
+      "q_ann_ivf" ->
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |asg AS (
+           |  SELECT vec_id, embedding, cid,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+           |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+           |               ${dCosine("e.embedding", "c.cv")} AS csim
+           |        FROM embeddings e, c)
+           |),
+           |cells AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1),
+           |probe AS (
+           |  SELECT cid FROM c, q ORDER BY ${dCosine("c.cv", "q.qv")} DESC, cid LIMIT 2
+           |),
+           |scored AS (
+           |  SELECT cells.vec_id, ${dCosine("cells.embedding", "q.qv")} AS sim
+           |  FROM cells, q WHERE cells.cell_id IN (SELECT cid FROM probe)
+           |)
+           |SELECT vec_id, round(sim + 1.2345e-9, 6) AS sim
+           |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+      "q_ann_lsh" ->
+        s"""WITH p AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings WHERE vec_id < 4),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |b AS (
+           |  SELECT e.vec_id, e.embedding,
+           |         CAST(sum(CASE WHEN ${dDot("e.embedding", "p.pv")} > 0
+           |                       THEN CAST(pow(2, p.pid) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM embeddings e, p GROUP BY e.vec_id, e.embedding
+           |),
+           |scored AS (
+           |  SELECT b.vec_id, ${dCosine("b.embedding", "q.qv")} AS sim
+           |  FROM b, q WHERE b.bucket = (SELECT bucket FROM b WHERE vec_id = 0)
+           |)
+           |SELECT vec_id, round(sim + 1.2345e-9, 6) AS sim
+           |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+      "q_cache_lookup" ->
+        s"""WITH cache AS (SELECT vec_id AS entry_id, embedding FROM embeddings WHERE vec_id > 0),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |best AS (
+           |  SELECT entry_id, ${dCosine("cache.embedding", "q.qv")} AS sim
+           |  FROM cache, q ORDER BY sim DESC, entry_id LIMIT 1
+           |)
+           |SELECT entry_id, round(sim + 1.2345e-9, 6) AS sim FROM best WHERE sim >= 0.3""".stripMargin,
+
+      "q_cache_touch" ->
+        s"""WITH cache AS (SELECT vec_id AS entry_id, embedding, label AS freq FROM embeddings WHERE vec_id > 0),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |scored AS (
+           |  SELECT entry_id, freq, ${dCosine("cache.embedding", "q.qv")} AS sim
+           |  FROM cache, q
+           |),
+           |best AS (
+           |  SELECT entry_id FROM (SELECT * FROM scored ORDER BY sim DESC, entry_id LIMIT 1)
+           |  WHERE sim >= 0.3
+           |)
+           |SELECT s.entry_id,
+           |       CAST(s.freq + CASE WHEN b.entry_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS freq
+           |FROM scored s LEFT JOIN best b ON s.entry_id = b.entry_id
+           |ORDER BY s.entry_id""".stripMargin,
+
+      "q_lfu_evict" ->
+        """SELECT vec_id AS entry_id, CAST(label AS BIGINT) AS freq
+          |FROM embeddings WHERE vec_id > 0
+          |ORDER BY label, vec_id LIMIT 1""".stripMargin,
+
+      "q_context_assembly" ->
+        """WITH r AS (
+          |  SELECT lang, text, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+          |  FROM documents
+          |)
+          |SELECT lang, CAST(min(rank) AS BIGINT) AS best_rank,
+          |       string_agg(text, chr(10) ORDER BY rank) AS context_text
+          |FROM r WHERE rank <= 20 GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q_embed_doc" ->
+        s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+           |p AS (SELECT doc_id, list_transform(w, x ->
+           |        struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
+           |                    s := ${dMd5Sign("x")})) AS pr FROM t),
+           |v AS (SELECT doc_id, list_transform(range(0, ${Schemas.EmbeddingDim}), j ->
+           |        list_sum(list_transform(pr, e -> CASE WHEN e.b = j THEN e.s ELSE 0.0 END))) AS vec
+           |      FROM p),
+           |n AS (SELECT doc_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v)
+           |SELECT doc_id, round(nrm + 1.2345e-9, 6) AS norm,
+           |       round(vec[1] / (nrm + 1e-9) + 1.2345e-9, 6) AS e0,
+           |       round(vec[2] / (nrm + 1e-9) + 1.2345e-9, 6) AS e1,
+           |       round(vec[3] / (nrm + 1e-9) + 1.2345e-9, 6) AS e2,
+           |       round(vec[4] / (nrm + 1e-9) + 1.2345e-9, 6) AS e3
+           |FROM n ORDER BY doc_id""".stripMargin,
+
+      "q_lang_quality" -> {
+        val hits = TextAnalysis.StopwordProfiles
+          .map { case (lang, words) => s"${dStopHits("w", words)} AS h_$lang" }
+          .mkString(",\n         ")
+        val langs = TextAnalysis.StopwordProfiles.map(_._1)
+        val caseChain = langs.map(l => s"WHEN h_$l = best THEN '$l'").mkString(" ")
+        val allStops = TextAnalysis.StopwordProfiles.flatMap(_._2).distinct
+        s"""WITH t AS (SELECT doc_id, text, trim(replace(text, chr(10), ' ')) AS tc, $W AS w FROM documents),
+           |s AS (
+           |  SELECT doc_id, text, tc, w,
+           |         ${hits},
+           |         greatest(${langs.map(l => s"${dStopHits("w", TextAnalysis.StopwordProfiles.toMap.apply(l))}").mkString(", ")}) AS best
+           |  FROM t
+           |)
+           |SELECT doc_id,
+           |       CASE WHEN best <= 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred,
+           |       round(CASE WHEN length(tc) = 0 THEN 0.0
+           |             ELSE CAST(length(regexp_replace(tc, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(tc) END + 1.2345e-9, 6) AS punct_ratio,
+           |       round(CASE WHEN len(w) = 0 THEN 0.0
+           |             ELSE CAST(${dStopHits("w", allStops)} AS DOUBLE) / len(w) END + 1.2345e-9, 6) AS stopword_ratio,
+           |       round(CASE WHEN len(w) = 0 THEN 0.0
+           |             ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) END + 1.2345e-9, 6) AS mean_token_len,
+           |       round(
+           |         least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+           |         greatest(1.0 - (CASE WHEN length(tc) = 0 THEN 0.0
+           |                         ELSE CAST(length(regexp_replace(tc, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(tc) END) * 5.0, 0.0) * 0.3 +
+           |         least((CASE WHEN len(w) = 0 THEN 0.0
+           |                ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) END) / 8.0, 1.0) * 0.3 + 1.2345e-9, 6) AS quality
+           |FROM s ORDER BY doc_id""".stripMargin
+      },
+
+      "q_fingerprint" ->
+        s"""WITH t AS (SELECT doc_id, text, ${dShingleSet(W, 4)} AS sh FROM documents)
+           |SELECT doc_id,
+           |       md5(trim(replace(text, chr(10), ' '))) AS content_fp,
+           |       CASE WHEN len(sh) = 0 THEN md5('')
+           |            ELSE list_min(list_transform(sh, x -> md5(x))) END AS shingle_fp
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "q_multimodal_meta" ->
+        """SELECT doc_id,
+          |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |       sha256(text) AS sha256,
+          |       lower(hex(encode(substr(text, 1, 4)))) AS magic,
+          |       'unknown' AS format
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_corpus_except" ->
+        """SELECT doc_id, text FROM documents
+          |EXCEPT
+          |SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_union_distinct" ->
+        """SELECT DISTINCT doc_id, lang FROM (
+          |  SELECT doc_id, lang FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, lang FROM documents
+          |) ORDER BY doc_id""".stripMargin)
+  }
 }

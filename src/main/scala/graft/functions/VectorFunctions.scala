@@ -49,6 +49,15 @@ object VectorFunctions {
       .withColumn(outCol, l2NormalizeWith(col(vecCol), col("_l2norm")))
       .drop("_l2norm")
 
+  /** Round a derived double for cross-engine comparison. Derived ratios of
+    * small integers can land exactly on a decimal rounding tie (e.g.
+    * 0.5186875), where Spark (HALF_UP on the shortest decimal repr) and
+    * other engines (nearest on the exact binary value) disagree; a fixed
+    * sub-1e-8 nudge moves ties off the boundary identically everywhere
+    * while leaving all non-tie values untouched at 6 decimals. */
+  val RoundNudge = 1.2345e-9
+  def stableRound(c: Column, scale: Int = 6): Column = round(c + lit(RoundNudge), scale)
+
   /** Hamming distance between two equal-length bit arrays (ints 0/1). */
   def hammingDistance(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => when(x =!= y, 1).otherwise(0)), lit(0), (s, x) => s + x)

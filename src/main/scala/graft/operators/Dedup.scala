@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.stableRound
 
 /** Deduplication operators for training-data pipelines (north-star
   * surface): exact, n-gram Jaccard, MinHash+LSH, SimHash.
@@ -87,7 +88,7 @@ object Dedup {
         size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
           size(array_union(col("_sa"), col("_sb"))))
       .filter(col("jaccard") >= threshold)
-      .select(col("_blk").as(blockCol), col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("_blk").as(blockCol), col("id_a"), col("id_b"), stableRound(col("jaccard")).as("jaccard"))
   }
 
   /** SimHash over tokens: bit j is set iff the majority of tokens have md5

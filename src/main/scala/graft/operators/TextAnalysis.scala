@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.stableRound
 
 /** Text-analysis operators for large-scale training-data pipelines
   * (north-star surface; BASELINE.json `north_star`): language ID, quality
@@ -72,7 +73,7 @@ object TextAnalysis {
     val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
     val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
     val wordShape = least(meanTokenLen(text) / 8.0, lit(1.0))
-    round((lenScore * 0.4 + punctPenalty * 0.3 + wordShape * 0.3), 6)
+    stableRound(lenScore * 0.4 + punctPenalty * 0.3 + wordShape * 0.3)
   }
 
   /** Exact content fingerprint: md5 of the cleaned text. */

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ChatTurn
+
+/** Per-chat conversation memory as keyed streaming state (SURVEY.md §2.H
+  * S-2; reference `ConversationBufferMemory` keyed by chat_id,
+  * app/main.py:483-489,543-544).
+  *
+  * The reference's buffer is unbounded (and `memory_store` is never
+  * initialized — a crash we deliberately do not replicate, SURVEY §7.5);
+  * we bound state to `maxTurns` per chat so state size stays O(chats ×
+  * maxTurns) under RocksDB at scale.
+  */
+object SessionState {
+
+  case class ChatMessage(chat_id: String, input: String, output: String)
+  case class ChatState(turns: Seq[ChatTurn])
+  case class ChatHistory(chat_id: String, history: String, n_turns: Int)
+
+  val DefaultMaxTurns = 50
+
+  /** Fold new turns into per-chat state; emit the rendered history string
+    * the prompt builder prepends (app/main.py:515-516 shape). */
+  def updateChat(maxTurns: Int)(
+      chatId: String,
+      messages: Iterator[ChatMessage],
+      state: GroupState[ChatState]): ChatHistory = {
+    val prior = state.getOption.map(_.turns).getOrElse(Seq.empty)
+    val start = prior.size
+    val appended = prior ++ messages.zipWithIndex.map { case (m, i) =>
+      ChatTurn(chatId, m.input, m.output, start + i)
+    }
+    val bounded = appended.takeRight(maxTurns)
+    state.update(ChatState(bounded))
+    val rendered = bounded
+      .map(t => s"Human: ${t.input}\nAI: ${t.output}")
+      .mkString("\n")
+    ChatHistory(chatId, rendered, bounded.size)
+  }
+
+  /** Wire the state function over a (streaming or batch) Dataset. */
+  def chatMemory(messages: Dataset[ChatMessage],
+                 maxTurns: Int = DefaultMaxTurns): Dataset[ChatHistory] = {
+    implicit val stateEnc = Encoders.product[ChatState]
+    implicit val histEnc = Encoders.product[ChatHistory]
+    messages
+      .groupByKey(_.chat_id)(Encoders.STRING)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateChat(maxTurns))
+  }
+}

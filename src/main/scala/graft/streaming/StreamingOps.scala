@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY.md §2.H S-1, S-3).
+  *
+  * The reference's streaming is incremental ingest (uploads appended to a
+  * live index at any time, app/embedding_gen.py:315-409) and LLM-token
+  * egress (app/main.py:616-647). Here:
+  *  - incremental ingest = file-source readStream → clean/chunk/embed →
+  *    foreachBatch append to partitioned parquet (exactly-once via
+  *    checkpoint);
+  *  - event-time analytics = watermark + tumbling/sliding windows over the
+  *    events stream (the batch twin is SparkEntry q_events_tumbling, so
+  *    stream and batch results can be cross-checked).
+  *
+  * Scale notes: state is bounded by the watermark; sinks append
+  * partitioned parquet so downstream readers prune; `maxFilesPerTrigger`
+  * caps per-micro-batch work under backlog.
+  */
+object StreamingOps {
+
+  /** File-source text stream of a landing directory (S-3 upload source). */
+  def readDocumentStream(spark: SparkSession, landingDir: String,
+                         maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("wholetext", "true")
+      .text(landingDir)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("doc_id"),
+        col("value").as("text"))
+
+  /** Incremental ingest: stream → chunk → embed → append to the index
+    * store. Returns the started writer (caller manages lifecycle). */
+  def incrementalIngest(docs: DataFrame, indexDir: String, checkpointDir: String,
+                        chunkSize: Int = graft.Schemas.ChunkSize): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val chunked = graft.operators.Ingest.chunk(
+      docs.filter(graft.operators.Ingest.nonBlank(col("text"))), "text", chunkSize)
+    val embedded = graft.operators.Embed.withEmbedding(
+      chunked.select("doc_id", "chunk_idx", "chunk_text"), "chunk_text", "embedding")
+    embedded.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(indexDir)
+      }
+  }
+
+  /** Event stream with schema + watermark applied. */
+  def readEventStream(spark: SparkSession, dir: String, schema: StructType,
+                      watermark: String = "10 minutes"): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", watermark)
+
+  /** Tumbling-window counts/sums — the streaming twin of q_events_tumbling. */
+  def tumblingCounts(events: DataFrame, width: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding windows (width, slide) over the same stream. */
+  def slidingCounts(events: DataFrame, width: String = "10 minutes",
+                    slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely different content about spark execution engines here"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps lowest id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("exact dedup ignores whitespace-only differences (clean first)") {
+    val d = Seq((1L, "a b"), (2L, "a\nb")).toDF("doc_id", "text")
+    // \n -> ' ' makes them identical
+    assert(Dedup.exact(d, "doc_id", "text").count() == 1)
+  }
+
+  test("minhash signatures: identical docs get identical signatures") {
+    val sigs = Dedup.withMinhashSignature(docs, "doc_id", "text", 3, 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(i => r.getString(i + 1)).toSeq).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    // near-dup shares most signature entries
+    val shared = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(shared >= 4, s"near-dup docs shared only $shared/8 minhashes")
+  }
+
+  test("minhash LSH candidates include the exact dup pair") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 8, 8)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("jaccard pairs: dup pair scores 1.0, near-dup high, disjoint absent") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val out = Dedup.jaccardPairs(blocked, "doc_id", "text", "blk", 3, 0.05)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) > 0.5)
+    assert(!out.contains((1L, 4L)))
+  }
+
+  test("simhash: identical docs equal, near-dups within small hamming distance") {
+    val h = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(3L)) <= 6, s"near-dup hamming ${hamming(h(1L), h(3L))}")
+    assert(h(1L) >= 0 && h(1L) <= 0xFFFFL)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Retrieval, Similarity}
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  test("assembleContext concatenates texts in rank order regardless of input order") {
+    val hits = Seq(
+      ("docA", 3, "third"),
+      ("docA", 1, "first"),
+      ("docB", 2, "second"))
+      .toDF("doc_id", "rank", "text")
+      .repartition(4) // scramble physical order
+    val out = Retrieval.assembleContext(hits, "doc_id", "rank", "text")
+      .select("doc_id", "best_rank", "context_text")
+      .as[(String, Int, String)].collect().sortBy(_._1)
+    assert(out(0) == (("docA", 1, "first\nthird")))
+    assert(out(1) == (("docB", 2, "second")))
+  }
+
+  test("topK returns k best by cosine with stable tie-break") {
+    val index = Seq(
+      (1L, Seq(1f, 0f)),
+      (2L, Seq(0f, 1f)),
+      (3L, Seq(1f, 1f)),
+      (4L, Seq(1f, 0f))) // tie with 1
+      .toDF("vec_id", "embedding")
+    val top = Similarity.topK(index, "embedding", Seq(1.0, 0.0), 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 4L, 3L)) // ties by vec_id, then diag, orthogonal excluded
+  }
+
+  test("ask end-to-end: prompt embeds query text and document blocks") {
+    val docs = Seq(
+      ("d1", "spark shuffle join performance tuning guide"),
+      ("d2", "cooking recipes for pasta and pizza dough"),
+      ("d3", "spark join strategies broadcast and sort merge"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.ask(spark, docs, "spark join", topK = 2, chunkSize = 16)
+    val row = out.collect()
+    assert(row.length == 1)
+    val prompt = row(0).getAs[String]("prompt")
+    assert(prompt.contains("User Query:\nspark join"))
+    assert(prompt.contains("--- Document ID: "))
+    assert(prompt.contains("Answer:"))
+  }
+
+  test("buildPrompt with history column prepends conversation") {
+    val df = Seq(("q", "ctx", "Human: hi\nAI: hello")).toDF("query", "context", "hist")
+    val p = Retrieval.buildPrompt(df, "query", "context", Some("hist"))
+      .select("prompt").as[String].head()
+    assert(p.contains("Conversation so far:\nHuman: hi\nAI: hello"))
+    assert(p.indexOf("Conversation so far") < p.indexOf("User Query"))
+  }
+}

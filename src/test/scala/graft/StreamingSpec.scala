@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{SessionState, StreamingOps}
+import graft.streaming.SessionState.ChatMessage
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  test("incremental ingest: streamed files land in the index, exactly once") {
+    val landing = Files.createTempDirectory("graft_landing").toFile
+    val index = Files.createTempDirectory("graft_index").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString + "/ck"
+    Files.writeString(new java.io.File(landing, "doc1.txt").toPath,
+      Seq.fill(40)("alpha beta gamma delta").mkString(" "))
+    Files.writeString(new java.io.File(landing, "doc2.txt").toPath, "tiny doc")
+
+    val docs = StreamingOps.readDocumentStream(spark, landing.getAbsolutePath)
+    val q = StreamingOps.incrementalIngest(docs, index, ckpt, chunkSize = 64).start()
+    q.awaitTermination(60000)
+
+    val out = spark.read.parquet(index)
+    assert(out.select("doc_id").distinct().count() == 2)
+    // 160 words at chunk 64 -> 3 chunks; tiny doc -> 1 chunk
+    assert(out.count() == 4)
+    assert(out.schema.fieldNames.contains("embedding"))
+
+    // restart with same checkpoint: no new input -> no duplicate rows
+    val q2 = StreamingOps.incrementalIngest(
+      StreamingOps.readDocumentStream(spark, landing.getAbsolutePath), index, ckpt, 64).start()
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(index).count() == 4)
+  }
+
+  test("tumbling windows over a stream equal the batch computation") {
+    val dir = "/root/testdata/sf0.001"
+    val batchRaw = spark.read.parquet(s"$dir/events.parquet")
+    val batch = batchRaw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val schema = batch.schema
+    // stage the converted events as a streamable parquet dir
+    val staged = Files.createTempDirectory("graft_events").toString + "/ev"
+    batch.write.parquet(staged)
+
+    val stream = StreamingOps.readEventStream(spark, staged, schema)
+    val agg = StreamingOps.tumblingCounts(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .select("window_start", "event_type", "n_events")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val expected = StreamingOps.tumblingCounts(batch)
+      .select("window_start", "event_type", "n_events")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
+  test("chat memory state: history accumulates per chat and is bounded") {
+    val batch1 = Seq(
+      ChatMessage("c1", "hi", "hello"),
+      ChatMessage("c2", "what is ghrelin", "a hormone")).toDS()
+    val out1 = SessionState.chatMemory(batch1).collect().map(h => h.chat_id -> h).toMap
+    assert(out1("c1").history == "Human: hi\nAI: hello")
+    assert(out1("c2").n_turns == 1)
+
+    // bounded state: maxTurns 2 keeps only the latest 2 turns
+    val many = (1 to 5).map(i => ChatMessage("c1", s"q$i", s"a$i")).toDS()
+    val bounded = SessionState.chatMemory(many, maxTurns = 2).collect().head
+    assert(bounded.n_turns == 2)
+    assert(bounded.history == "Human: q4\nAI: a4\nHuman: q5\nAI: a5")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+
+/** Cosine / normalize semantics pinned to the reference:
+  * 0-norm → 0.0 (app/main.py:62-63), epsilon 1e-9 (app/main.py:316). */
+class VectorSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  private def cos(a: Seq[Double], b: Seq[Double]): Double =
+    Seq((a, b)).toDF("a", "b").select(cosine(col("a"), col("b"))).head().getDouble(0)
+
+  test("cosine of identical non-zero vectors is 1") {
+    assert(math.abs(cos(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)) - 1.0) < 1e-12)
+  }
+
+  test("cosine of orthogonal vectors is 0") {
+    assert(math.abs(cos(Seq(1.0, 0.0), Seq(0.0, 1.0))) < 1e-12)
+  }
+
+  test("cosine of opposite vectors is -1") {
+    assert(math.abs(cos(Seq(1.0, 1.0), Seq(-1.0, -1.0)) + 1.0) < 1e-12)
+  }
+
+  test("zero-norm guard returns 0.0, not NaN (reference app/main.py:62-63)") {
+    assert(cos(Seq(0.0, 0.0), Seq(1.0, 2.0)) == 0.0)
+    assert(cos(Seq(1.0, 2.0), Seq(0.0, 0.0)) == 0.0)
+    assert(cos(Seq(0.0, 0.0), Seq(0.0, 0.0)) == 0.0)
+  }
+
+  test("cosine stays in [-1, 1] on seeded random vectors") {
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(200)((Seq.fill(16)(rng.nextGaussian()), Seq.fill(16)(rng.nextGaussian())))
+    val sims = rows.toDF("a", "b").select(cosine(col("a"), col("b"))).as[Double].collect()
+    assert(sims.forall(s => s >= -1.0 - 1e-12 && s <= 1.0 + 1e-12))
+  }
+
+  test("l2 normalize: unit norm after, idempotent-within-epsilon, zero vector stays zero") {
+    val rows = Seq(Seq(3.0, 4.0), Seq(0.0, 0.0), Seq(1e-12, 0.0))
+    val out = rows.toDF("v")
+      .select(l2Normalize(col("v")).as("n"))
+      .select(l2Norm(col("n")))
+      .as[Double].collect()
+    assert(math.abs(out(0) - 1.0) < 1e-6)
+    assert(out(1) == 0.0)
+    // tiny vector: epsilon dominates -> norm << 1 (matches reference's v/(|v|+1e-9))
+    assert(out(2) < 1.0)
+  }
+
+  test("hamming distance over bit arrays") {
+    val d = Seq((Seq(1, 0, 1, 1), Seq(1, 1, 0, 1))).toDF("a", "b")
+      .select(hammingDistance(col("a"), col("b"))).head().getInt(0)
+    assert(d == 2)
+  }
+}
