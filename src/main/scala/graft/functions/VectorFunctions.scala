@@ -22,18 +22,25 @@ object VectorFunctions {
 
   private def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Left-fold dot product in array order — deterministic across runs. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (s, x) => s + x)
+  /** Left-fold dot product in array order — deterministic across runs.
+    * Backed by the codegen'd [[DotProduct]] expression; bitwise equal to
+    * the composable aggregate(zip_with(...)) form. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(DotProduct(expression(asDouble(a)), expression(asDouble(b))))
+  }
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity with the reference's zero-norm guard (0.0, not NaN). */
-  def cosine(a: Column, b: Column): Column = {
-    val na = l2Norm(a)
-    val nb = l2Norm(b)
+  def cosine(a: Column, b: Column): Column =
+    cosineGiven(a, b, l2Norm(a), l2Norm(b))
+
+  /** Cosine with precomputed norms. Pair-scoring operators materialize
+    * each side's norm once (a column) instead of recomputing the O(d)
+    * norm per candidate pair — same doubles, ~3× less array work. */
+  def cosineGiven(a: Column, b: Column, na: Column, nb: Column): Column =
     when(na === lit(0.0) || nb === lit(0.0), lit(0.0)).otherwise(dot(a, b) / (na * nb))
-  }
 
   /** Normalize against a precomputed norm column (norm is loop-invariant;
     * passing it in keeps the transform O(d) instead of O(d²) per row). */

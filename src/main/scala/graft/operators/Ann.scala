@@ -38,13 +38,16 @@ object Ann {
     * centroid id). Centroids are broadcast; assignment is map-only. */
   def assignCells(index: DataFrame, idCol: String, vecCol: String,
                   centroids: DataFrame, cIdCol: String, cVecCol: String): DataFrame = {
-    val scored = index.crossJoin(broadcast(centroids.select(col(cIdCol).as("_cid"), col(cVecCol).as("_cvec"))))
-      .withColumn("_csim", cosine(col(vecCol), col("_cvec")))
+    val cents = centroids.select(col(cIdCol).as("_cid"), col(cVecCol).as("_cvec"),
+      l2Norm(col(cVecCol)).as("_cnorm"))
+    val scored = index.withColumn("_vnorm", l2Norm(col(vecCol)))
+      .crossJoin(broadcast(cents))
+      .withColumn("_csim", cosineGiven(col(vecCol), col("_cvec"), col("_vnorm"), col("_cnorm")))
     val w = Window.partitionBy(col(idCol)).orderBy(desc("_csim"), col("_cid"))
     scored
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rn", "_cvec")
+      .drop("_rn", "_cvec", "_vnorm", "_cnorm")
       .withColumnRenamed("_cid", "cell_id")
       .withColumnRenamed("_csim", "cell_sim")
   }

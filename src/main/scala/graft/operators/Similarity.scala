@@ -36,12 +36,16 @@ object Similarity {
     * the per-request side; the index is the 100 TB side). */
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
               index: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val scored = index.crossJoin(broadcast(queries))
-      .withColumn("sim", cosine(col(vecCol), col(qVecCol)))
+    // materialize each side's norm once; per-pair work is then one dot
+    val q = queries.withColumn("_qnorm", l2Norm(col(qVecCol)))
+    val i = index.withColumn("_inorm", l2Norm(col(vecCol)))
+    val scored = i.crossJoin(broadcast(q))
+      .withColumn("sim", cosineGiven(col(vecCol), col(qVecCol), col("_inorm"), col("_qnorm")))
     val w = Window.partitionBy(col(qIdCol)).orderBy(desc("sim"), col(idCol))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .drop("_inorm", "_qnorm")
   }
 
   /** Semantic-cache lookup (O-12): linear scan, argmax cosine, hit iff
@@ -62,11 +66,14 @@ object Similarity {
     * bucket (see Ann.scala) rather than a natural column. */
   def similarPairs(vecs: DataFrame, idCol: String, vecCol: String, blockCol: String,
                    threshold: Double): DataFrame = {
-    val a = vecs.select(col(blockCol).as("_blk"), col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val b = vecs.select(col(blockCol).as("_blk"), col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    val withNorm = vecs.withColumn("_nrm", l2Norm(col(vecCol)))
+    val a = withNorm.select(col(blockCol).as("_blk"), col(idCol).as("id_a"),
+      col(vecCol).as("_va"), col("_nrm").as("_na"))
+    val b = withNorm.select(col(blockCol).as("_blk"), col(idCol).as("id_b"),
+      col(vecCol).as("_vb"), col("_nrm").as("_nb"))
     a.join(b, Seq("_blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("_va"), col("_vb")))
+      .withColumn("sim", cosineGiven(col("_va"), col("_vb"), col("_na"), col("_nb")))
       .filter(col("sim") >= threshold)
       .select(col("_blk").as(blockCol), col("id_a"), col("id_b"), col("sim"))
   }

@@ -30,7 +30,8 @@ class DedupSpec extends AnyFunSuite {
 
   test("minhash signatures: identical docs get identical signatures") {
     val sigs = Dedup.withMinhashSignature(docs, "doc_id", "text", 3, 8)
-      .collect().map(r => r.getLong(0) -> (1 to 8).map(i => r.getString(i + 1)).toSeq).toMap
+      .select((col("doc_id") +: (0 until 8).map(k => col(s"sig_$k"))): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString).toSeq).toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(4L))
     // near-dup shares most signature entries
