@@ -41,7 +41,9 @@ object SparkEntry {
   private def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div`, NOT `/`: long/long promotes to double, which has
+      // only 52 mantissa bits — epoch-microsecond values round off by ±1
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 
@@ -523,7 +525,57 @@ object SparkEntry {
     "q_union_distinct" -> ((s, dir) => {
       val d = t(s, dir, "documents").select("doc_id", "lang")
       d.unionByName(d).distinct().orderBy("doc_id")
+    }),
+
+    // S-3: sliding event-time windows (10 min width, 5 min slide).
+    "q_events_sliding" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"), col("n_events"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // S-3: session windows (native session_window, 30-minute gap).
+    "q_events_session" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // O-13: the reference's auth gate — broadcast semi-join against users
+    // with non-blank id+email (users table derived from customer).
+    "q_auth_semi" -> ((s, dir) => {
+      val users = t(s, dir, "customer").select(
+        col("c_custkey").cast("string").as("id"),
+        when(pmod(col("c_custkey"), lit(20)) === 0, lit(" ")).otherwise(col("c_name")).as("email"))
+      val requests = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").cast("string").as("user_id"))
+      graft.sources.IndexStore.authorized(requests, users)
+        .select("o_orderkey", "user_id")
+        .orderBy("o_orderkey")
+    }),
+
+    // §3.1 end-to-end retrieval core: chunk → embed → normalize → cosine
+    // vs the embedded query → top-5 — the ask() spine, oracle-checked.
+    "q_rag_topk" -> ((s, dir) => {
+      val chunks = Ingest.chunk(wide(s, dir, "documents").select("doc_id", "text"), "text", 32)
+        .select("doc_id", "chunk_idx", "chunk_text")
+      val embedded = Embed.withEmbedding(chunks, "chunk_text", "embedding")
+      val qv = Embed.embedQuery(s, RagQueryText)
+      embedded
+        .withColumn("sim", cosine(col("embedding"), lit(qv)))
+        .orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))
+        .limit(5)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          stableRound(col("sim")).as("sim"))
     }))
+
+  private val RagQueryText = "fast table scan merge join"
 
   // ---------------------------------------------------------------- //
   // Pipeline oracles                                                 //
@@ -772,6 +824,73 @@ object SparkEntry {
           |  SELECT doc_id, lang FROM documents
           |  UNION ALL
           |  SELECT doc_id, lang FROM documents
-          |) ORDER BY doc_id""".stripMargin)
+          |) ORDER BY doc_id""".stripMargin,
+
+      "q_events_sliding" ->
+        """WITH x AS (
+          |  SELECT event_type,
+          |         unnest([CAST(floor(epoch(ts) / 300) AS BIGINT) * 300,
+          |                 CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300]) AS window_start
+          |  FROM events
+          |)
+          |SELECT window_start, event_type, count(*) AS n_events
+          |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+      "q_events_session" ->
+        """WITH o AS (
+          |  SELECT user_id, epoch_us(ts) AS tus,
+          |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+          |  FROM events
+          |), m AS (
+          |  SELECT user_id, tus,
+          |         sum(CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END)
+          |           OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM o
+          |)
+          |SELECT user_id, min(tus) AS session_start, count(*) AS n_events
+          |FROM m GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+      "q_auth_semi" ->
+        """SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS user_id
+          |FROM orders
+          |WHERE EXISTS (
+          |  SELECT 1 FROM customer
+          |  WHERE CAST(c_custkey AS VARCHAR) = CAST(o_custkey AS VARCHAR)
+          |    AND trim(CAST(c_custkey AS VARCHAR)) <> ''
+          |    AND trim(CASE WHEN c_custkey % 20 = 0 THEN ' ' ELSE c_name END) <> '')
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "q_rag_topk" -> {
+        val embedVec =
+          s"""list_transform(range(0, ${Schemas.EmbeddingDim}), j ->
+             |        list_sum(list_transform(pr, e -> CASE WHEN e.b = j THEN e.s ELSE 0.0 END)))""".stripMargin
+        s"""WITH t AS (SELECT doc_id, ${dTokens("text")} AS words FROM documents),
+           |c AS (SELECT doc_id, words,
+           |        unnest(range(0, CAST(ceil(len(words) / 32.0) AS BIGINT))) AS chunk_idx
+           |      FROM t),
+           |ct AS (SELECT doc_id, chunk_idx,
+           |         list_transform(list_slice(words, chunk_idx * 32 + 1, chunk_idx * 32 + 32),
+           |                        x -> lower(x)) AS ctoks
+           |       FROM c),
+           |cp AS (SELECT doc_id, chunk_idx, list_transform(ctoks, x ->
+           |         struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
+           |                     s := ${dMd5Sign("x")})) AS pr FROM ct),
+           |cv AS (SELECT doc_id, chunk_idx, $embedVec AS vec FROM cp),
+           |cn AS (SELECT doc_id, chunk_idx,
+           |         list_transform(vec, x -> x / (sqrt(list_sum(list_transform(vec, y -> y * y))) + 1e-9)) AS nv
+           |       FROM cv),
+           |qt AS (SELECT ${dTokens(s"lower('$RagQueryText')")} AS toks),
+           |qp AS (SELECT list_transform(toks, x ->
+           |         struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
+           |                     s := ${dMd5Sign("x")})) AS pr FROM qt),
+           |qv AS (SELECT $embedVec AS vec FROM qp),
+           |qn AS (SELECT list_transform(vec, x -> x / (sqrt(list_sum(list_transform(vec, y -> y * y))) + 1e-9)) AS nv
+           |       FROM qv),
+           |s AS (SELECT cn.doc_id, cn.chunk_idx, ${dCosine("cn.nv", "q.nv")} AS sim
+           |      FROM cn, qn q)
+           |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           |       round(sim + 1.2345e-9, 6) AS sim
+           |FROM s ORDER BY sim DESC, doc_id, chunk_idx LIMIT 5""".stripMargin
+      })
   }
 }

@@ -103,4 +103,53 @@ object Ann {
   def headCentroids(index: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame =
     index.orderBy(col(idCol)).limit(n)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+
+  // ------------------------------------------------------------------ //
+  // MLlib scale path — the library algorithms behind the same API      //
+  // ------------------------------------------------------------------ //
+
+  /** Fit MLlib's random-projection LSH (the built-in analog of the
+    * reference's HNSW for Euclidean/cosine-on-normalized spaces). The
+    * input array column is converted with ml.functions.array_to_vector;
+    * seed fixed for reproducibility. */
+  def fitBrpLsh(index: DataFrame, vecCol: String, numHashTables: Int = 4,
+                bucketLength: Double = 2.0, seed: Long = 42L)
+      : (org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel, DataFrame) = {
+    val withVec = index.withColumn("_mlvec",
+      org.apache.spark.ml.functions.array_to_vector(col(vecCol).cast("array<double>")))
+    val lsh = new org.apache.spark.ml.feature.BucketedRandomProjectionLSH()
+      .setInputCol("_mlvec").setOutputCol("_hashes")
+      .setNumHashTables(numHashTables).setBucketLength(bucketLength).setSeed(seed)
+    val model = lsh.fit(withVec)
+    (model, model.transform(withVec))
+  }
+
+  /** Approx nearest neighbors via the fitted model. On L2-normalized
+    * vectors, Euclidean ANN ⇔ cosine ANN (d² = 2 − 2·cos). */
+  def brpApproxNeighbors(model: org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel,
+                         transformed: DataFrame, queryVec: Seq[Double], k: Int): DataFrame =
+    model.approxNearestNeighbors(transformed,
+      org.apache.spark.ml.linalg.Vectors.dense(queryVec.toArray), k).toDF()
+
+  /** MinHashLSH near-dup join over shingle sets: HashingTF turns each
+    * doc's shingles into a sparse binary vector, MinHashLSH buckets them,
+    * approxSimilarityJoin emits candidate pairs under a Jaccard-distance
+    * threshold — MLlib's version of Dedup.minhashCandidates. */
+  def mlMinHashJoin(docs: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 3, numHashTables: Int = 8,
+                    maxJaccardDistance: Double = 0.8, seed: Long = 42L): DataFrame = {
+    import graft.functions.TextFunctions._
+    val sh = docs.select(col(idCol).as("id"),
+      shingleSet(tokens(lower(cleanText(col(textCol)))), shingleN).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("_sh").setOutputCol("_tf").setNumFeatures(1 << 18).setBinary(true)
+    val vecs = tf.transform(sh)
+    val mh = new org.apache.spark.ml.feature.MinHashLSH()
+      .setInputCol("_tf").setOutputCol("_hashes").setNumHashTables(numHashTables).setSeed(seed)
+    val model = mh.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, maxJaccardDistance, "jaccard_dist")
+      .selectExpr("datasetA.id AS id_a", "datasetB.id AS id_b", "jaccard_dist")
+      .filter(col("id_a") < col("id_b"))
+  }
 }

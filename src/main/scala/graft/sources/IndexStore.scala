@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The vector-index store (SURVEY.md §2 O-4, O-5, O-13).
+  *
+  * The reference's "index" is an OpenSearch index per tenant
+  * (`f"{BASE}-{user_id}"`, app/embedding_gen.py:91, created lazily
+  * :83-122, bulk-upserted in 64-action batches :237-257). The Spark-native
+  * equivalent is a parquet table partitioned by user_id:
+  *
+  *  - per-tenant isolation  → `partitionBy("user_id")` directory layout;
+  *  - lazy index creation   → partition dirs appear on first append;
+  *  - tenant routing        → Catalyst partition pruning: a query filtered
+  *    on user_id reads ONLY that tenant's files (`PartitionFilters` in the
+  *    scan node) — at 100 TB this is the difference between scanning one
+  *    tenant's GBs and the whole corpus;
+  *  - 64-action bulk batches → an artifact of the HTTP API; Spark's file
+  *    sink batches by partition natively.
+  */
+object IndexStore {
+
+  /** Append embedded chunks to the tenant-partitioned index. */
+  def appendToIndex(embedded: DataFrame, indexDir: String): Unit =
+    embedded.write.mode("append").partitionBy("user_id").parquet(indexDir)
+
+  /** Read one tenant's slice — partition-pruned scan. */
+  def readTenant(spark: SparkSession, indexDir: String, userId: String): DataFrame =
+    spark.read.parquet(indexDir).filter(col("user_id") === userId)
+
+  /** Index emptiness probe (O-5): the reference's has_any_data gate
+    * (app/main.py:300-307) — used to skip re-ingest. */
+  def hasAnyData(spark: SparkSession, indexDir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && !spark.read.parquet(indexDir).isEmpty
+  }
+
+  /** Auth gate (O-13): keep only requests whose user exists with non-blank
+    * id + email (app/embedding_gen.py:296-301) — a broadcast left-semi
+    * join, the distributed form of the reference's per-request SQL probe. */
+  def authorized(requests: DataFrame, users: DataFrame): DataFrame = {
+    val valid = users.filter(
+      col("id").isNotNull && length(trim(col("id"))) > 0 &&
+        col("email").isNotNull && length(trim(col("email"))) > 0)
+    requests.join(broadcast(valid.select(col("id").as("user_id"))), Seq("user_id"), "left_semi")
+  }
+}

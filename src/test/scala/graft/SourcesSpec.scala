@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{CorpusSource, IndexStore}
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  test("charset fallback: strict utf-8, latin-1 for invalid byte streams") {
+    val dir = Files.createTempDirectory("graft_corpus").toFile
+    Files.write(new java.io.File(dir, "PMC_utf8.txt").toPath,
+      "café text".getBytes("UTF-8"))
+    // 0xE9 alone is invalid UTF-8 but is 'é' in latin-1
+    Files.write(new java.io.File(dir, "PMC_latin1.txt").toPath,
+      Array[Byte]('c', 'a', 'f', 0xE9.toByte))
+    val docs = CorpusSource.scanWithCharsetFallback(spark, dir.getAbsolutePath, "PMC*.txt")
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(docs("PMC_utf8.txt").text == "café text")
+    assert(docs("PMC_utf8.txt").charset == "utf-8")
+    assert(docs("PMC_latin1.txt").text == "café")
+    assert(docs("PMC_latin1.txt").charset == "latin-1")
+  }
+
+  test("corpus scan: whole file per row, filename as doc_id, glob filter") {
+    val dir = Files.createTempDirectory("graft_corpus2").toFile
+    Files.writeString(new java.io.File(dir, "PMC1.txt").toPath, "line1\nline2")
+    Files.writeString(new java.io.File(dir, "skip.csv").toPath, "nope")
+    val docs = CorpusSource.scan(spark, dir.getAbsolutePath, "PMC*.txt")
+      .as[(String, String)].collect().toMap
+    assert(docs == Map("PMC1.txt" -> "line1\nline2"))
+  }
+
+  test("tenant index: partitionBy(user_id) layout and partition-pruned read") {
+    val idx = Files.createTempDirectory("graft_idx").toString + "/index"
+    val rows = Seq(
+      ("d1", 0, "text a", Seq(1f, 0f), "alice"),
+      ("d2", 0, "text b", Seq(0f, 1f), "bob"))
+      .toDF("doc_id", "chunk_idx", "text", "embedding", "user_id")
+    IndexStore.appendToIndex(rows, idx)
+    // directory layout is the tenant partition scheme
+    assert(new java.io.File(s"$idx/user_id=alice").isDirectory)
+    val alice = IndexStore.readTenant(spark, idx, "alice")
+    assert(alice.select("doc_id").as[String].collect().toSeq == Seq("d1"))
+    // the pruned scan must carry a partition filter, not a post-scan filter
+    val plan = alice.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("user_id"),
+      s"expected partition pruning in:\n$plan")
+    // idempotent append keeps tenants isolated
+    IndexStore.appendToIndex(
+      Seq(("d3", 0, "text c", Seq(1f, 1f), "alice"))
+        .toDF("doc_id", "chunk_idx", "text", "embedding", "user_id"), idx)
+    assert(IndexStore.readTenant(spark, idx, "alice").count() == 2)
+    assert(IndexStore.readTenant(spark, idx, "bob").count() == 1)
+  }
+
+  test("hasAnyData gate: false for missing/empty, true after append") {
+    val idx = Files.createTempDirectory("graft_idx2").toString + "/index"
+    assert(!IndexStore.hasAnyData(spark, idx))
+    IndexStore.appendToIndex(
+      Seq(("d1", 0, "t", Seq(1f), "u")).toDF("doc_id", "chunk_idx", "text", "embedding", "user_id"),
+      idx)
+    assert(IndexStore.hasAnyData(spark, idx))
+  }
+
+  test("auth gate: blank id or email rejects the request (reference semantics)") {
+    val users = Seq(("u1", "a@x.com"), ("u2", "  "), ("", "c@x.com"), ("u4", null))
+      .toDF("id", "email")
+    val requests = Seq("u1", "u2", "u3", "u4", "").toDF("user_id")
+    val ok = IndexStore.authorized(requests, users).as[String].collect().toSeq
+    assert(ok == Seq("u1"))
+  }
+}

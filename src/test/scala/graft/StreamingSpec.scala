@@ -40,7 +40,7 @@ class StreamingSpec extends AnyFunSuite {
   test("tumbling windows over a stream equal the batch computation") {
     val dir = "/root/testdata/sf0.001"
     val batchRaw = spark.read.parquet(s"$dir/events.parquet")
-    val batch = batchRaw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val batch = batchRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val schema = batch.schema
     // stage the converted events as a streamable parquet dir
     val staged = Files.createTempDirectory("graft_events").toString + "/ev"
