@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AskPipeline, Embed, Ingest}
+
+/** End-to-end ask lifecycle (SURVEY §3.1): retrieval answer, cache
+  * round-trip with threshold-inclusive hit + freq bump, LFU eviction. */
+class AskPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  private lazy val index = {
+    val docs = Seq(
+      ("d1", "spark shuffle join performance tuning for large tables"),
+      ("d2", "pasta recipes and pizza dough for the home cook"),
+      ("d3", "broadcast join strategies in distributed query engines"))
+      .toDF("doc_id", "text")
+    val chunks = Ingest.chunk(docs, "text", 16).select("doc_id", "chunk_idx", "chunk_text")
+    Embed.withEmbedding(chunks, "chunk_text", "embedding")
+  }
+
+  private def emptyCache = Seq.empty[(Long, Seq[Float], String, Int)]
+    .toDF("entry_id", "embedding", "response", "freq")
+
+  test("miss -> retrieval answer, prompt carries context, cache gains the entry") {
+    val (res, cache1) = AskPipeline.ask(spark, index, emptyCache, "spark join tuning")
+    assert(!res.fromCache)
+    assert(res.answer.nonEmpty && res.answer != "No relevant context found.")
+    assert(res.prompt.contains("User Query:\nspark join tuning"))
+    assert(cache1.count() == 1)
+    assert(cache1.select("freq").as[Int].head() == 1)
+  }
+
+  test("identical repeat ask hits the cache and bumps freq") {
+    val (_, cache1) = AskPipeline.ask(spark, index, emptyCache, "spark join tuning")
+    val (res2, cache2) = AskPipeline.ask(spark, index, cache1, "spark join tuning")
+    assert(res2.fromCache)
+    assert(cache2.count() == 1)
+    assert(cache2.select("freq").as[Int].head() == 2)
+    // cached answer equals the originally generated one
+    val (res1again, _) = AskPipeline.ask(spark, index, emptyCache, "spark join tuning")
+    assert(res2.answer == res1again.answer)
+  }
+
+  test("insert at capacity evicts the first-seen min-freq entry") {
+    val (_, c1) = AskPipeline.ask(spark, index, emptyCache, "spark join tuning")
+    val (_, c2) = AskPipeline.ask(spark, index, c1, "pizza dough recipe", capacity = 2)
+    assert(c2.count() == 2)
+    // third distinct ask at capacity 2: entry_id 1 (freq 1, first seen) evicted
+    val (_, c3) = AskPipeline.ask(spark, index, c2, "broadcast strategies", capacity = 2)
+    val ids = c3.select("entry_id").as[Long].collect().toSet
+    assert(c3.count() == 2)
+    assert(!ids.contains(1L), s"expected first-seen min-freq eviction, cache has $ids")
+  }
+
+  test("history is prepended when provided") {
+    val (res, _) = AskPipeline.ask(spark, index, emptyCache, "and what about sort merge",
+      history = Some("Human: spark joins?\nAI: use broadcast for small sides"))
+    assert(res.prompt.contains("Conversation so far:"))
+    assert(res.prompt.indexOf("Conversation so far") < res.prompt.indexOf("User Query"))
+  }
+}

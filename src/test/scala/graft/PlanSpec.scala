@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ingest, Similarity}
+
+/** Physical-plan assertions — the "would this survive 100×" audit as
+  * regression tests. These pin the plan shapes the engine's scale story
+  * depends on: filter/column pushdown into the parquet scan, broadcast
+  * joins for small dims, TakeOrderedAndProject for top-k (per-partition
+  * heaps, no global sort), and shuffle-free map-only chunking. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q1 filter is pushed into the parquet scan") {
+    val p = plan(SparkEntry.queries("q1_pricing")(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"expected l_shipdate in PushedFilters:\n$p")
+  }
+
+  test("projection is pruned to referenced columns at the scan") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("n"))
+    val p = plan(df)
+    assert(p.contains("ReadSchema") && !p.contains("source"),
+      s"scan should not read unused columns:\n$p")
+  }
+
+  test("small dimension tables broadcast in the join pipeline") {
+    val p = plan(SparkEntry.queries("q_join_revenue")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("semi/anti joins stay joins (no materialized distinct subquery)") {
+    assert(plan(SparkEntry.queries("q_semi_join")(spark, sf)).contains("LeftSemi"))
+    assert(plan(SparkEntry.queries("q_anti_join")(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val qv = Seq.fill(Schemas.EmbeddingDim)(0.1)
+    val p = plan(Similarity.topK(e, "embedding", qv, 10))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("chunking is map-only: no exchange below the generate") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val p = plan(Ingest.chunk(docs, "text", 32))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected posexplode generate:\n$p")
+  }
+
+  test("codegen dot product participates in whole-stage codegen") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = e.select(graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
+    val p = plan(df)
+    // the *(n) prefix marks operators fused into a whole-stage-codegen stage
+    assert(p.contains("*(1) Project") && p.contains("graft_dot"),
+      s"expected graft_dot inside a codegen stage:\n$p")
+  }
+
+  test("knnJoin broadcasts the query side, not the index side") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val p = plan(Similarity.knnJoin(q, "query_id", "qvec", e, "vec_id", "embedding", 3))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n$p")
+  }
+}

@@ -67,6 +67,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(IndexStore.hasAnyData(spark, idx))
   }
 
+  test("upload doc_id derivation: stem_unixtime with injected timestamp") {
+    val out = Seq(("uploads/alice/paper.final.txt", 1700000000L), ("note", 1700000001L))
+      .toDF("file", "ts")
+      .select(graft.operators.Ingest.uploadDocId(col("file"), col("ts")).as("doc_id"))
+      .as[String].collect().toSeq
+    assert(out == Seq("paper.final_1700000000", "note_1700000001"))
+  }
+
   test("auth gate: blank id or email rejects the request (reference semantics)") {
     val users = Seq(("u1", "a@x.com"), ("u2", "  "), ("", "c@x.com"), ("u4", null))
       .toDF("id", "email")
