@@ -27,7 +27,10 @@ object AskPipeline {
   /** Deterministic stand-in for the LLM call (app/main.py:537-541):
     * extract the first sentence-ish span of the top-ranked context. */
   def generateStub(contextText: String, maxWords: Int = 30): String = {
-    val words = contextText.split("\\s+").filter(_.nonEmpty).take(maxWords)
+    val body = contextText.linesIterator
+      .filterNot(_.startsWith("--- Document ID:"))
+      .mkString(" ")
+    val words = body.split("\\s+").filter(_.nonEmpty).take(maxWords)
     if (words.isEmpty) "No relevant context found."
     else words.mkString(" ") + " …"
   }
