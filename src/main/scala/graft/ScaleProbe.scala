@@ -1,0 +1,25 @@
+package graft
+import org.apache.spark.sql.functions._
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def stack(n: Int) = (0 until n).map(i =>
+      base.select((col("doc_id") + lit(i * 1000000)).as("doc_id"), col("text"), col("source")))
+      .reduce(_ unionByName _).repartition(32)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+    }
+    for (n <- Seq(1, 4, 10)) {
+      val docs = stack(n)
+      time(s"minhash_candidates x$n")(operators.Dedup.minhashCandidates(docs, "doc_id", "text", 3, 8, 4).count())
+      time(s"jaccard_pairs x$n")(operators.Dedup.jaccardPairs(docs, "doc_id", "text", "source", 3, 0.05).count())
+      time(s"exact_dedup x$n")(operators.Dedup.exact(docs, "doc_id", "text").count())
+    }
+    spark.stop()
+  }
+}

@@ -38,13 +38,38 @@ object Embed {
         (acc, p) => acc + when(p.getField("b") === j, p.getField("s")).otherwise(lit(0.0))))
   }
 
-  /** text column → L2-normalized embedding column, norm materialized once. */
+  /** text column → L2-normalized embedding column.
+    *
+    * Scale shape: explode tokens → hash once per token → partial-agg the
+    * ±1 signs per (row, bucket) → assemble the dense vector from a map.
+    * This is O(tokens + dim) per row with md5 inside codegen, vs the
+    * per-row expression form's O(dim × tokens) interpreted lambdas — at
+    * the reference's dim=1024 the difference is ~30×. Bucket sums are
+    * exact ±1 integer sums, so results are bitwise identical to
+    * [[embedText]] regardless of aggregation order.
+    *
+    * Rows whose text has no tokens keep the zero vector (reference's
+    * blank-embed sentinel, app/embedding_gen.py:147-148). */
   def withEmbedding(df: DataFrame, textCol: String, outCol: String,
                     dim: Int = graft.Schemas.EmbeddingDim): DataFrame = {
-    val raw = df.withColumn("_rawvec", embedText(col(textCol), dim))
-    raw.withColumn("_l2norm", l2Norm(col("_rawvec")))
+    // freeze row ids so both join branches see the same assignment
+    val withId = df.withColumn("_rowid", monotonically_increasing_id()).localCheckpoint(false)
+    val toks = withId.select(col("_rowid"),
+      explode(tokens(lower(col(textCol)))).as("_t"))
+    val vecs = toks
+      .select(col("_rowid"), md5Bucket(col("_t"), dim).as("_b"), md5Sign(col("_t")).as("_s"))
+      .groupBy("_rowid", "_b").agg(sum("_s").as("_v"))
+      .groupBy("_rowid")
+      .agg(map_from_entries(collect_list(struct(col("_b"), col("_v")))).as("_m"))
+      .select(col("_rowid"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at(col("_m"), j), lit(0.0))).as("_rawvec"))
+    withId.join(vecs, Seq("_rowid"), "left")
+      .withColumn("_rawvec",
+        coalesce(col("_rawvec"), array_repeat(lit(0.0), lit(dim))))
+      .withColumn("_l2norm", l2Norm(col("_rawvec")))
       .withColumn(outCol, l2NormalizeWith(col("_rawvec"), col("_l2norm")))
-      .drop("_rawvec", "_l2norm")
+      .drop("_rowid", "_rawvec", "_l2norm")
   }
 
   /** Embed a literal query string on the driver — mirrors the reference's

@@ -38,16 +38,19 @@ object StreamingOps {
     * store. Returns the started writer (caller manages lifecycle). */
   def incrementalIngest(docs: DataFrame, indexDir: String, checkpointDir: String,
                         chunkSize: Int = graft.Schemas.ChunkSize): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // chunking is a stateless streaming transform; embedding runs inside
+    // foreachBatch (its agg/join shape — incl. localCheckpoint — needs a
+    // batch DataFrame, and per-micro-batch is exactly the right batching)
     val chunked = graft.operators.Ingest.chunk(
       docs.filter(graft.operators.Ingest.nonBlank(col("text"))), "text", chunkSize)
-    val embedded = graft.operators.Embed.withEmbedding(
-      chunked.select("doc_id", "chunk_idx", "chunk_text"), "chunk_text", "embedding")
-    embedded.writeStream
+      .select("doc_id", "chunk_idx", "chunk_text")
+    chunked.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(indexDir)
+        graft.operators.Embed.withEmbedding(batch, "chunk_text", "embedding")
+          .write.mode("append").parquet(indexDir)
       }
   }
 
@@ -64,6 +67,41 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** The WS-ask analog (SURVEY §3.2): a stream of queries answered per
+    * micro-batch. Each batch of (query_id, query) rows is embedded,
+    * broadcast against the index, top-k'd per query, and reduced to an
+    * assembled answer — the batch twin of the reference's per-message
+    * WebSocket loop (token-level egress is out of scope for a batch
+    * engine; answers arrive assembled, app/main.py:724-727 semantics). */
+  def answerBatch(queryBatch: DataFrame, index: DataFrame,
+                  topK: Int = graft.Schemas.DefaultTopK): DataFrame = {
+    val embedded = graft.operators.Embed.withEmbedding(queryBatch, "query", "qvec")
+    val hits = graft.operators.Similarity.knnJoin(
+      embedded, "query_id", "qvec", index, "doc_id", "embedding", topK)
+    hits
+      .groupBy(col("query_id"), col("query"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("rank").as("r"), col("chunk_text").as("t")))),
+          s => s.getField("t")),
+        " ").as("context"))
+      .withColumn("answer",
+        concat(substring(col("context"), 1, 160), lit(" …")))
+      .select("query_id", "query", "answer")
+  }
+
+  /** Wire answerBatch over a streaming query source via foreachBatch. */
+  def askStream(queries: DataFrame, index: DataFrame, checkpointDir: String,
+                sink: DataFrame => Unit,
+                topK: Int = graft.Schemas.DefaultTopK): DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) sink(answerBatch(batch, index, topK))
+      }
 
   /** Sliding windows (width, slide) over the same stream. */
   def slidingCounts(events: DataFrame, width: String = "10 minutes",

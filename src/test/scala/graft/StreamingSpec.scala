@@ -63,6 +63,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("ask stream: queries stream in, assembled answers stream out") {
+    val docs = Seq(
+      ("d1", "spark shuffle join performance tuning for large tables"),
+      ("d2", "pasta recipes and pizza dough for the home cook"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Embed.withEmbedding(
+      graft.operators.Ingest.chunk(docs, "text", 16)
+        .select("doc_id", "chunk_idx", "chunk_text"),
+      "chunk_text", "embedding")
+
+    val qDir = Files.createTempDirectory("graft_q").toString + "/q"
+    val ckpt = Files.createTempDirectory("graft_qck").toString + "/ck"
+    Seq((1L, "spark join tuning"), (2L, "pizza dough"))
+      .toDF("query_id", "query").write.parquet(qDir)
+
+    val qStream = spark.readStream
+      .schema("query_id LONG, query STRING").parquet(qDir)
+    var answers = Map.empty[Long, String]
+    val sq = StreamingOps.askStream(qStream, index, ckpt, batch => {
+      answers = answers ++ batch.select("query_id", "answer")
+        .as[(Long, String)].collect().toMap
+    }).start()
+    sq.awaitTermination(60000)
+
+    assert(answers.keySet == Set(1L, 2L))
+    assert(answers(1L).contains("spark"))
+    assert(answers(2L).contains("pizza"))
+  }
+
   test("chat memory state: history accumulates per chat and is bounded") {
     val batch1 = Seq(
       ChatMessage("c1", "hi", "hello"),
