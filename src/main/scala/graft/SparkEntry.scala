@@ -398,7 +398,7 @@ object SparkEntry {
 
     // Embedding-cosine near-dup: top-1 neighbor per vector within label.
     "q_embedding_neighbors" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").withColumn("_nrm", l2Norm(col("embedding")))
+      val e = wide(s, dir, "embeddings").withColumn("_nrm", l2Norm(col("embedding")))
       val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("_va"),
         col("_nrm").as("_na"))
       val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("_vb"),

@@ -54,6 +54,19 @@ class AskPipelineSpec extends AnyFunSuite {
     assert(!ids.contains(1L), s"expected first-seen min-freq eviction, cache has $ids")
   }
 
+  test("chat memory feeds the next ask's history (S-2 + §3.1 integration)") {
+    import graft.streaming.SessionState
+    import graft.streaming.SessionState.ChatMessage
+    val (r1, c1) = AskPipeline.ask(spark, index, emptyCache, "spark join tuning")
+    val mem = SessionState.chatMemory(
+      Seq(ChatMessage("chat-1", "spark join tuning", r1.answer)).toDS())
+      .collect().head
+    val (r2, _) = AskPipeline.ask(spark, index, c1, "what about sort merge",
+      history = Some(mem.history))
+    assert(r2.prompt.contains(s"Human: spark join tuning\nAI: ${r1.answer}"))
+    assert(r2.prompt.indexOf("Conversation so far") < r2.prompt.indexOf("User Query"))
+  }
+
   test("history is prepended when provided") {
     val (res, _) = AskPipeline.ask(spark, index, emptyCache, "and what about sort merge",
       history = Some("Human: spark joins?\nAI: use broadcast for small sides"))
