@@ -221,6 +221,33 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // Statistical aggregates (engine completeness; §2.J).
+    "q_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          stableRound(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          stableRound(var_samp(col("l_quantity"))).as("var_qty"),
+          stableRound(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+          stableRound(expr("percentile(l_quantity, 0.5D)")).as("median_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Window frames: running decimal sum + lag over a total order (§2.J).
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 100)
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("decimal(38,6)"))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_total"), col("prev_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // F-5: JSON decode of the event props payload.
     "q_json_extract" -> ((s, dir) => {
       events(s, dir)
@@ -340,7 +367,25 @@ object SparkEntry {
 
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_stats" ->
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity) + 1.2345e-9, 6) AS sd_qty,
+        |       round(var_samp(l_quantity) + 1.2345e-9, 6) AS var_qty,
+        |       round(corr(l_quantity, l_extendedprice) + 1.2345e-9, 6) AS corr_qty_price,
+        |       round(quantile_cont(l_quantity, 0.5) + 1.2345e-9, 6) AS median_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS running_total,
+        |       lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders WHERE o_custkey <= 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
 
   // ---------------------------------------------------------------- //
   // Pipeline operators: dedup, ANN, cache, text analysis, multimodal //

@@ -92,6 +92,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(answers(2L).contains("pizza"))
   }
 
+  test("watermark drops data later than the threshold (append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+    val agg = StreamingOps.tumblingCounts(events)
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wm_out").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 02:$min%02d:00")
+    // batch 1: events at 02:05, 02:31 -> watermark advances to 02:21
+    input.addData((ts(5), "a", 1.0), (ts(31), "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event at 02:07 (before watermark) + on-time 02:35
+    input.addData((ts(7), "a", 1.0), (ts(35), "a", 1.0))
+    q.processAllAvailable()
+    // batch 3: push watermark far forward so all open windows emit
+    input.addData((ts(59), "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("wm_out")
+      .select(col("window_start").cast("string"), col("n_events"))
+      .as[(String, Long)].collect().toMap
+    // the 02:00 window emitted WITHOUT the late 02:07 event
+    assert(counts("2024-01-01 02:00:00") == 1L)
+    // the on-time 02:30 window counted both its events
+    assert(counts("2024-01-01 02:30:00") == 2L)
+  }
+
+  test("chat memory runs as a real stream on the RocksDB state store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.SessionState.ChatMessage
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s2.sqlContext
+    import s2.implicits._
+    val input = MemoryStream[ChatMessage]
+    val out = graft.streaming.SessionState.chatMemory(input.toDS())
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("rocks_chat").start()
+    input.addData(ChatMessage("c1", "hi", "hello"))
+    q.processAllAvailable()
+    input.addData(ChatMessage("c1", "more", "sure"))
+    q.processAllAvailable()
+    q.stop()
+    val last = s2.table("rocks_chat")
+      .filter(col("chat_id") === "c1").orderBy(desc("n_turns")).head()
+    // state persisted across micro-batches under RocksDB
+    assert(last.getAs[Int]("n_turns") == 2)
+    assert(last.getAs[String]("history") ==
+      "Human: hi\nAI: hello\nHuman: more\nAI: sure")
+  }
+
   test("chat memory state: history accumulates per chat and is bounded") {
     val batch1 = Seq(
       ChatMessage("c1", "hi", "hello"),
