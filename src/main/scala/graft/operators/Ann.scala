@@ -104,6 +104,32 @@ object Ann {
     index.orderBy(col(idCol)).limit(n)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
 
+  /** Lloyd refinement of IVF centroids: `iters` rounds of assign →
+    * per-cell elementwise mean. The mean is computed by exploding
+    * dimensions and aggregating (map-side partial avg) — one shuffle of
+    * (cell, dim, sum) triples per round, never of raw vectors. Cells
+    * that lose all members drop out (their id disappears), mirroring
+    * standard k-means behavior. Deterministic given the inputs up to
+    * floating-point summation order — centroids are internal state, not
+    * oracle-compared output. */
+  def kmeansRefine(index: DataFrame, idCol: String, vecCol: String,
+                   initial: DataFrame, dim: Int, iters: Int = 2): DataFrame = {
+    var cents = initial
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(index, idCol, vecCol, cents, "centroid_id", "centroid_vec")
+      cents = assigned
+        .select(col("cell_id"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("_dim", "_x")))
+        .groupBy("cell_id", "_dim").agg(avg("_x").as("_m"))
+        .groupBy("cell_id")
+        .agg(map_from_entries(collect_list(struct(col("_dim"), col("_m")))).as("_mm"))
+        .select(col("cell_id").as("centroid_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => coalesce(element_at(col("_mm"), j), lit(0.0))).as("centroid_vec"))
+    }
+    cents
+  }
+
   // ------------------------------------------------------------------ //
   // MLlib scale path — the library algorithms behind the same API      //
   // ------------------------------------------------------------------ //

@@ -42,6 +42,29 @@ class AnnSpec extends AnyFunSuite {
     assert(ivf2.contains(0L))
   }
 
+  test("k-means refinement tightens cells (mean assignment sim does not degrade)") {
+    val e = embeddings.select("vec_id", "embedding")
+    val init = Ann.headCentroids(e, "vec_id", "embedding", 8)
+    def meanSim(cents: org.apache.spark.sql.DataFrame): Double =
+      Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+        .agg(avg("cell_sim")).head().getDouble(0)
+    val before = meanSim(init)
+    val refined = Ann.kmeansRefine(e, "vec_id", "embedding", init, Schemas.EmbeddingDim, iters = 2)
+    val after = meanSim(refined)
+    assert(refined.count() <= 8)
+    assert(refined.select("centroid_vec").head().getSeq[Double](0).length == Schemas.EmbeddingDim)
+    assert(after >= before - 1e-9, s"refinement degraded assignment: $before -> $after")
+    // refined centroids still support exact-recall search at full probe
+    val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", queryVec, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val assigned = Ann.assignCells(e, "vec_id", "embedding", refined, "centroid_id", "centroid_vec")
+    val nCells = refined.count().toInt
+    val full = Ann.ivfSearch(assigned, "vec_id", "embedding", refined,
+      "centroid_id", "centroid_vec", queryVec, k = 5, nprobe = nCells)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == exact)
+  }
+
   test("sign-LSH search: query bucket contains the query row itself") {
     val e = embeddings.select("vec_id", "embedding")
     val planes = e.filter(col("vec_id") < 4).orderBy("vec_id")
