@@ -20,6 +20,17 @@ object ScaleProbe {
       time(s"jaccard_pairs x$n")(operators.Dedup.jaccardPairs(docs, "doc_id", "text", "source", 3, 0.05).count())
       time(s"exact_dedup x$n")(operators.Dedup.exact(docs, "doc_id", "text").count())
     }
+    // vector-scan throughput: exact top-k over 1M replicated vectors
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val big = e.crossJoin(spark.range(500).select(col("id").as("_rep")))
+      .select((col("vec_id") + col("_rep") * 100000L).as("vec_id"), col("embedding"))
+      .repartition(32).persist()
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    time("materialize 1M vectors")(big.count())
+    time("exact top-10 over 1M")(operators.Similarity.topK(big, "embedding", qv, 10).count())
+    time("exact top-10 over 1M (warm)")(operators.Similarity.topK(big, "embedding", qv, 10).count())
+    big.unpersist()
     spark.stop()
   }
 }

@@ -605,6 +605,12 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // O-1/O-10: corpus scan with charset fallback (rows-only check).
+    "q_corpus_scan" -> (qCorpusScan _),
+
+    // O-4/O-5: tenant-partitioned index write + pruned read-back.
+    "q_index_roundtrip" -> (qIndexRoundtrip _),
+
     // §3.1 end-to-end retrieval core: chunk → embed → normalize → cosine
     // vs the embedded query → top-5 — the ask() spine, oracle-checked.
     "q_rag_topk" -> ((s, dir) => {
@@ -621,6 +627,46 @@ object SparkEntry {
     }))
 
   private val RagQueryText = "fast table scan merge join"
+
+  // ---------------------------------------------------------------- //
+  // File-surface operators (O-1/O-2/O-4/O-5): these materialize real //
+  // files under java.io.tmpdir (idempotent overwrite) so the scan /  //
+  // sink code paths run under the driver gate.                       //
+  // ---------------------------------------------------------------- //
+
+  /** O-1/O-10 + charset fallback: scan a generated corpus dir. No SQL
+    * oracle (DuckDB can't see the temp files) → rows-only check. */
+  private def qCorpusScan(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_corpus_demo")
+    tmp.mkdirs()
+    java.nio.file.Files.write(new java.io.File(tmp, "PMC_a.txt").toPath,
+      "alpha beta gamma delta".getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(tmp, "PMC_b.txt").toPath,
+      Array[Byte]('c', 'a', 'f', 0xE9.toByte, ' ', 'x'))
+    java.nio.file.Files.write(new java.io.File(tmp, "skip.csv").toPath,
+      "not scanned".getBytes("UTF-8"))
+    graft.sources.CorpusSource.scanWithCharsetFallback(s, tmp.getAbsolutePath, "PMC*.txt")
+      .toDF()
+      .select(col("doc_id"), col("charset"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** O-4/O-5: tenant-partitioned index write + read-back; the files are
+    * a pass-through so per-tenant counts ARE oracle-checkable. */
+  private def qIndexRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_idx_rt$safe").getAbsolutePath
+    val embedded = t(s, dir, "embeddings").select(
+      col("vec_id").as("doc_id"), lit(0).as("chunk_idx"),
+      col("embedding"),
+      concat(lit("user"), pmod(col("label"), lit(3))).as("user_id"))
+    embedded.write.mode("overwrite").partitionBy("user_id").parquet(idx)
+    s.read.parquet(idx)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_chunks"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("user_id")
+  }
 
   // ---------------------------------------------------------------- //
   // Pipeline oracles                                                 //
@@ -894,6 +940,11 @@ object SparkEntry {
           |)
           |SELECT user_id, min(tus) AS session_start, count(*) AS n_events
           |FROM m GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+      "q_index_roundtrip" ->
+        """SELECT 'user' || CAST(label % 3 AS VARCHAR) AS user_id,
+          |       count(*) AS n_chunks, count(DISTINCT vec_id) AS n_docs
+          |FROM embeddings GROUP BY 1 ORDER BY user_id""".stripMargin,
 
       "q_auth_semi" ->
         """SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS user_id
