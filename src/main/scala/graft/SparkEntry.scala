@@ -108,8 +108,10 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 0).select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0)
-      Similarity.topK(e.select("vec_id", "embedding"), "embedding", qv, 10)
-        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+      e.select(col("vec_id"), cosine(col("embedding"), lit(qv.toArray)).as("_raw"))
+        .select(col("vec_id"), stableRound(col("_raw")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(10)
     }),
 
     // O-11 batch shape: 5 query vectors × all index rows, top-3 each.
@@ -619,11 +621,11 @@ object SparkEntry {
       val embedded = Embed.withEmbedding(chunks, "chunk_text", "embedding")
       val qv = Embed.embedQuery(s, RagQueryText)
       embedded
-        .withColumn("sim", cosine(col("embedding"), lit(qv)))
+        .withColumn("_raw", cosine(col("embedding"), lit(qv)))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          stableRound(col("_raw")).as("sim"))
         .orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))
         .limit(5)
-        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-          stableRound(col("sim")).as("sim"))
     }))
 
   private val RagQueryText = "fast table scan merge join"

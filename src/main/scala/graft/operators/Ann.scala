@@ -57,7 +57,16 @@ object Ann {
     * the cell filter becomes partition pruning. */
   def ivfSearch(assigned: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, cIdCol: String, cVecCol: String,
-                queryVec: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+                queryVec: Seq[Double], k: Int, nprobe: Int): DataFrame =
+    ivfCandidates(assigned, vecCol, centroids, cIdCol, cVecCol, queryVec, nprobe)
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+
+  /** The scored (unlimited, unordered) IVF candidate set — callers pick
+    * their own top-k / ordering semantics. */
+  def ivfCandidates(assigned: DataFrame, vecCol: String,
+                    centroids: DataFrame, cIdCol: String, cVecCol: String,
+                    queryVec: Seq[Double], nprobe: Int): DataFrame = {
     val q = lit(queryVec.toArray)
     val probeCells = centroids
       .withColumn("_qsim", cosine(col(cVecCol), q))
@@ -67,8 +76,6 @@ object Ann {
     assigned
       .join(broadcast(probeCells), "cell_id")
       .withColumn("sim", cosine(col(vecCol), q))
-      .orderBy(desc("sim"), col(idCol))
-      .limit(k)
   }
 
   /** Sign-random-projection bucket id: bit i = (dot(v, plane_i) > 0).
@@ -81,9 +88,16 @@ object Ann {
 
   /** LSH search: exact top-k restricted to the query's bucket. */
   def lshSearch(index: DataFrame, idCol: String, vecCol: String,
-                planes: Seq[Seq[Double]], queryVec: Seq[Double], k: Int): DataFrame = {
+                planes: Seq[Seq[Double]], queryVec: Seq[Double], k: Int): DataFrame =
+    lshCandidates(index, vecCol, planes, queryVec)
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+
+  /** Scored same-bucket candidates (unlimited, unordered). */
+  def lshCandidates(index: DataFrame, vecCol: String,
+                    planes: Seq[Seq[Double]], queryVec: Seq[Double]): DataFrame = {
     val qBucket = {
-      // bucket of the query vector, computed with the same expression
+      // bucket of the query vector, computed with the same arithmetic
       planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
         val d = p.zip(queryVec).map { case (a, b) => a * b }.foldLeft(0.0)(_ + _)
         acc + (if (d > 0) math.pow(2, i).toLong else 0L)
@@ -93,8 +107,6 @@ object Ann {
       .withColumn("bucket", lshBucket(col(vecCol), planes))
       .filter(col("bucket") === qBucket)
       .withColumn("sim", cosine(col(vecCol), lit(queryVec.toArray)))
-      .orderBy(desc("sim"), col(idCol))
-      .limit(k)
   }
 
   /** Deterministic "training-free" centroids: the first n vectors by id.
