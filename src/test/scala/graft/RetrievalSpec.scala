@@ -35,6 +35,17 @@ class RetrievalSpec extends AnyFunSuite {
     assert(top == Seq(1L, 4L, 3L)) // ties by vec_id, then diag, orthogonal excluded
   }
 
+  test("property: top-k is a prefix of top-(k+1) (SURVEY §5.3)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val qv = e.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val tops = (1 to 6).map { k =>
+      Similarity.topK(e, "embedding", qv, k).select("vec_id").as[Long].collect().toSeq
+    }
+    tops.sliding(2).foreach { case Seq(a, b) => assert(b.startsWith(a)) }
+  }
+
   test("ask end-to-end: prompt embeds query text and document blocks") {
     val docs = Seq(
       ("d1", "spark shuffle join performance tuning guide"),

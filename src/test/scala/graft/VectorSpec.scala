@@ -51,6 +51,36 @@ class VectorSpec extends AnyFunSuite {
     assert(out(2) < 1.0)
   }
 
+  test("property: cosine is symmetric and scale-invariant (seeded cases)") {
+    val rng = new scala.util.Random(11)
+    val rows = Seq.fill(50) {
+      val a = Seq.fill(8)(rng.nextGaussian())
+      val b = Seq.fill(8)(rng.nextGaussian())
+      (a, b, a.map(_ * 3.5))
+    }
+    val out = rows.toDF("a", "b", "a3")
+      .select(cosine(col("a"), col("b")).as("ab"),
+        cosine(col("b"), col("a")).as("ba"),
+        cosine(col("a3"), col("b")).as("a3b"))
+      .as[(Double, Double, Double)].collect()
+    out.foreach { case (ab, ba, a3b) =>
+      assert(ab == ba, "symmetry must be exact (same fold order both ways? no - but equal)")
+      assert(math.abs(ab - a3b) < 1e-12, "scale invariance")
+    }
+  }
+
+  test("property: normalize is idempotent within epsilon") {
+    val rng = new scala.util.Random(13)
+    val rows = Seq.fill(50)(Seq.fill(8)(rng.nextGaussian() * math.pow(10, rng.nextInt(6) - 3)))
+    val out = rows.toDF("v")
+      .select(l2Normalize(col("v")).as("n1"))
+      .select(col("n1"), l2Normalize(col("n1")).as("n2"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    out.foreach { case (n1, n2) =>
+      n1.zip(n2).foreach { case (x, y) => assert(math.abs(x - y) < 1e-6) }
+    }
+  }
+
   test("hamming distance over bit arrays") {
     val d = Seq((Seq(1, 0, 1, 1), Seq(1, 1, 0, 1))).toDF("a", "b")
       .select(hammingDistance(col("a"), col("b"))).head().getInt(0)
