@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end demo on the reference's real corpus: scan the 3,027 PMC
+  * articles, chunk at the reference's 512 words, embed, and answer the
+  * README's own example query ("What is Ghrelin?", README.md:108-123)
+  * through the full ask pipeline. Read-only on /root/reference. */
+object PmcDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t0 = System.nanoTime()
+
+    val docs = sources.CorpusSource.scanWithCharsetFallback(
+      spark, "/root/reference/PMC", "PMC*.txt").toDF()
+    val chunks = operators.Ingest.chunk(
+        docs.filter(operators.Ingest.nonBlank(col("text"))), "text", Schemas.ChunkSize)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+    val (embedded, dfreq, nDocs2) = operators.Embed.withTfIdfEmbedding(chunks, "chunk_text", "embedding", dim = 1024)
+    val index = embedded.persist()
+    val nDocs = docs.count()
+    val nChunks = index.count()
+    val tIngest = (System.nanoTime() - t0) / 1e9
+    println(f"INGEST docs=$nDocs chunks=$nChunks in $tIngest%.1f s")
+
+    import spark.implicits._
+    val emptyCache = Seq.empty[(Long, Seq[Float], String, Int)]
+      .toDF("entry_id", "embedding", "response", "freq")
+    val query = "What is Ghrelin?"
+    val qv = operators.Embed.embedQueryTfIdf(spark, query, dfreq, nDocs2, dim = 1024)
+    val t1 = System.nanoTime()
+    val (res, cache1) = operators.AskPipeline.ask(spark, index, emptyCache, query, queryVec = Some(qv))
+    println(f"ASK1 fromCache=${res.fromCache} in ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    println("ANSWER: " + res.answer.take(300))
+    val t2 = System.nanoTime()
+    val (res2, _) = operators.AskPipeline.ask(spark, index, cache1, query, queryVec = Some(qv))
+    println(f"ASK2 fromCache=${res2.fromCache} in ${(System.nanoTime() - t2) / 1e9}%.1f s")
+    spark.stop()
+  }
+}

@@ -30,8 +30,16 @@ object TextFunctions {
   /** First two hex digits of md5(s) as an int in [0, 256). */
   def md5Byte(s: Column): Column = conv(substring(md5(s), 1, 2), 16, 10).cast("int")
 
-  /** Hash bucket in [0, nBuckets) from md5 — portable across engines. */
+  /** Hash bucket in [0, nBuckets) from md5 — portable across engines.
+    * One md5 byte (256 values) — enough for the oracle-pinned dim-64
+    * embedder; use [[md5Bucket16]] for larger spaces. */
   def md5Bucket(s: Column, nBuckets: Int): Column = pmod(md5Byte(s), lit(nBuckets))
+
+  /** 16-bit md5 bucket (first 4 hex chars) for dims up to 65536. */
+  def md5Bucket16(s: Column, nBuckets: Int): Column = {
+    require(nBuckets <= 65536, "md5Bucket16 supports up to 65536 buckets")
+    pmod(conv(substring(md5(s), 1, 4), 16, 10).cast("int"), lit(nBuckets))
+  }
 
   /** Sign (+1/-1) derived from md5 — the hashing-trick sign bit. */
   def md5Sign(s: Column): Column =

@@ -45,8 +45,11 @@ object AskPipeline {
           history: Option[String] = None, topK: Int = Schemas.DefaultTopK,
           threshold: Double = Schemas.CacheThreshold,
           capacity: Int = Schemas.CacheCapacity,
-          dim: Int = Schemas.EmbeddingDim): (AskResult, DataFrame) = {
-    val qVec = Embed.embedQuery(spark, query, dim)
+          dim: Int = Schemas.EmbeddingDim,
+          queryVec: Option[Array[Double]] = None): (AskResult, DataFrame) = {
+    // queryVec overrides the default embedder — e.g. a TF-IDF-space vector
+    // from Embed.embedQueryTfIdf when the index was built in that space
+    val qVec = queryVec.getOrElse(Embed.embedQuery(spark, query, dim))
 
     val hit = Similarity.cacheLookup(cache, "embedding", qVec.toSeq, threshold)
       .select("entry_id", "response").collect().headOption

@@ -72,6 +72,69 @@ object Embed {
       .drop("_rowid", "_rawvec", "_l2norm")
   }
 
+  /** Alphanumeric-only token stream for the TF-IDF variant (strips the
+    * punctuation that dominates hash collisions on real corpora). */
+  private def alnumTokens(text: Column): Column =
+    filter(transform(tokens(lower(text)), t => regexp_replace(t, "[^a-z0-9]", "")),
+      t => length(t) > 0)
+
+  /** TF-IDF-weighted hashed embedding over a corpus: bucket contributions
+    * are tf × ln(1 + N/df) instead of raw ±1 counts, which stops
+    * high-frequency tokens (and hash collisions with them) from drowning
+    * the informative terms — the difference between noise and usable
+    * retrieval on a real 100k-term vocabulary.
+    *
+    * Returns (embedded df, document-frequency table, corpus size); feed
+    * the latter two to [[embedQueryTfIdf]] so queries live in the same
+    * weighted space. All stats are computed with exact integer counts —
+    * deterministic for a given corpus. Two aggregates + two joins, all
+    * on (row, token) keys: scales linearly, never shuffles documents. */
+  def withTfIdfEmbedding(df: DataFrame, textCol: String, outCol: String,
+                         dim: Int = graft.Schemas.EmbeddingDim): (DataFrame, DataFrame, Long) = {
+    val withId = df.withColumn("_rowid", monotonically_increasing_id()).localCheckpoint(false)
+    val nDocs = withId.count()
+    val toks = withId.select(col("_rowid"), explode(alnumTokens(col(textCol))).as("_t"))
+    val tf = toks.groupBy("_rowid", "_t").agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy("_t").agg(count(lit(1)).as("_df")).localCheckpoint(false)
+    val weighted = tf.join(dfreq, "_t")
+      .select(col("_rowid"), md5Bucket16(col("_t"), dim).as("_b"),
+        (md5Sign(col("_t")) * col("_tf") *
+          log(lit(1.0) + lit(nDocs.toDouble) / col("_df"))).as("_w"))
+    val vecs = weighted
+      .groupBy("_rowid", "_b").agg(sum("_w").as("_v"))
+      .groupBy("_rowid")
+      .agg(map_from_entries(collect_list(struct(col("_b"), col("_v")))).as("_m"))
+      .select(col("_rowid"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at(col("_m"), j), lit(0.0))).as("_rawvec"))
+    val out = withId.join(vecs, Seq("_rowid"), "left")
+      .withColumn("_rawvec", coalesce(col("_rawvec"), array_repeat(lit(0.0), lit(dim))))
+      .withColumn("_l2norm", l2Norm(col("_rawvec")))
+      .withColumn(outCol, l2NormalizeWith(col("_rawvec"), col("_l2norm")))
+      .drop("_rowid", "_rawvec", "_l2norm")
+    (out, dfreq, nDocs)
+  }
+
+  /** Embed a query in the TF-IDF space of a corpus (unseen tokens get the
+    * maximum IDF, df=1). */
+  def embedQueryTfIdf(spark: org.apache.spark.sql.SparkSession, query: String,
+                      dfreq: DataFrame, nDocs: Long,
+                      dim: Int = graft.Schemas.EmbeddingDim): Array[Double] = {
+    import spark.implicits._
+    val toks = Seq(query).toDF("q")
+      .select(explode(alnumTokens(col("q"))).as("_t"))
+      .groupBy("_t").agg(count(lit(1)).as("_tf"))
+    val weighted = toks.join(dfreq, Seq("_t"), "left")
+      .select(md5Bucket16(col("_t"), dim).as("_b"),
+        (md5Sign(col("_t")) * col("_tf") *
+          log(lit(1.0) + lit(nDocs.toDouble) / coalesce(col("_df"), lit(1L)))).as("_w"))
+    val entries = weighted.groupBy("_b").agg(sum("_w").as("_v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val raw = Array.tabulate(dim)(j => entries.getOrElse(j, 0.0))
+    val norm = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(_ / (norm + 1e-9))
+  }
+
   /** Embed a literal query string on the driver — mirrors the reference's
     * single-query embed path (app/main.py:172-180) without a remote call. */
   def embedQuery(spark: org.apache.spark.sql.SparkSession, query: String,

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Embed, Similarity}
+
+/** TF-IDF-weighted hashed embeddings: rare shared terms must outrank
+  * common shared terms (the property plain ±1 hashing lacks). */
+class TfIdfSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the patient cohort showed elevated ghrelin levels after fasting"),
+    (2L, "the the the the study study study is is is about about nothing"),
+    (3L, "the committee is about the study of the patient cohort"),
+    (4L, "completely unrelated words regarding engines and turbines"))
+    .toDF("doc_id", "text")
+
+  test("query with a rare term retrieves the doc containing it first") {
+    val (embedded, dfreq, n) = Embed.withTfIdfEmbedding(docs, "text", "embedding", dim = 256)
+    val qv = Embed.embedQueryTfIdf(spark, "what is ghrelin", dfreq, n, dim = 256)
+    val top = Similarity.topK(embedded.select("doc_id", "embedding"), "embedding", qv.toSeq, 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top.head == 1L, s"expected ghrelin doc first, got $top")
+  }
+
+  test("common-term query does not dominate via term frequency alone") {
+    val (embedded, dfreq, n) = Embed.withTfIdfEmbedding(docs, "text", "embedding", dim = 256)
+    // 'patient cohort' appears in docs 1 and 3; doc 2's repeated common
+    // words must not outrank them
+    val qv = Embed.embedQueryTfIdf(spark, "patient cohort", dfreq, n, dim = 256)
+    val top = Similarity.topK(embedded.select("doc_id", "embedding"), "embedding", qv.toSeq, 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top == Set(1L, 3L), s"expected patient-cohort docs, got $top")
+  }
+
+  test("deterministic across recomputation") {
+    val (e1, d1, n1) = Embed.withTfIdfEmbedding(docs, "text", "embedding", dim = 64)
+    val (e2, _, _) = Embed.withTfIdfEmbedding(docs, "text", "embedding", dim = 64)
+    val v1 = e1.orderBy("doc_id").select("embedding").as[Seq[Double]].collect().toSeq
+    val v2 = e2.orderBy("doc_id").select("embedding").as[Seq[Double]].collect().toSeq
+    assert(v1 == v2)
+    assert(n1 == 4)
+    assert(d1.filter(col("_t") === "the").select("_df").as[Long].head() == 3)
+  }
+}
