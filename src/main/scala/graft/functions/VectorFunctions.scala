@@ -65,6 +65,13 @@ object VectorFunctions {
   val RoundNudge = 1.2345e-9
   def stableRound(c: Column, scale: Int = 6): Column = round(c + lit(RoundNudge), scale)
 
+  /** Dense vector from a sparse (int -> double) bucket map — codegen'd,
+    * O(dim + nnz); null map yields the zero vector. */
+  def denseFromMap(m: Column, dim: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(DenseFromMap(expression(m), dim))
+  }
+
   /** Hamming distance between two equal-length bit arrays (ints 0/1). */
   def hammingDistance(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => when(x =!= y, 1).otherwise(0)), lit(0), (s, x) => s + x)

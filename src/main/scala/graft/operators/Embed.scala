@@ -61,9 +61,7 @@ object Embed {
       .groupBy("_rowid", "_b").agg(sum("_s").as("_v"))
       .groupBy("_rowid")
       .agg(map_from_entries(collect_list(struct(col("_b"), col("_v")))).as("_m"))
-      .select(col("_rowid"),
-        transform(sequence(lit(0), lit(dim - 1)),
-          j => coalesce(element_at(col("_m"), j), lit(0.0))).as("_rawvec"))
+      .select(col("_rowid"), denseFromMap(col("_m"), dim).as("_rawvec"))
     withId.join(vecs, Seq("_rowid"), "left")
       .withColumn("_rawvec",
         coalesce(col("_rawvec"), array_repeat(lit(0.0), lit(dim))))
@@ -104,9 +102,7 @@ object Embed {
       .groupBy("_rowid", "_b").agg(sum("_w").as("_v"))
       .groupBy("_rowid")
       .agg(map_from_entries(collect_list(struct(col("_b"), col("_v")))).as("_m"))
-      .select(col("_rowid"),
-        transform(sequence(lit(0), lit(dim - 1)),
-          j => coalesce(element_at(col("_m"), j), lit(0.0))).as("_rawvec"))
+      .select(col("_rowid"), denseFromMap(col("_m"), dim).as("_rawvec"))
     val out = withId.join(vecs, Seq("_rowid"), "left")
       .withColumn("_rawvec", coalesce(col("_rawvec"), array_repeat(lit(0.0), lit(dim))))
       .withColumn("_l2norm", l2Norm(col("_rawvec")))
