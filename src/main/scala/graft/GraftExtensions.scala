@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.cosineFunction)
   }
 }
 
@@ -39,12 +40,32 @@ object GraftExtensions {
       DotProduct(castDouble(children.head), castDouble(children(1)))
     })
 
+  /** graft_cosine(a, b): the full cosine (0-norm guard included) built
+    * as a resolved Catalyst tree over the codegen dot — the registry
+    * builder must return resolved expressions (a Column round-trip would
+    * leave UnresolvedFunction nodes the analyzer never visits). */
+  val cosineFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_cosine(a, b) takes exactly 2 arguments")
+      import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Divide, EqualTo, Literal, Multiply, Or, Sqrt}
+      val a = castDouble(children.head)
+      val b = castDouble(children(1))
+      val na = Sqrt(DotProduct(a, a))
+      val nb = Sqrt(DotProduct(b, b))
+      val zero = Literal(0.0)
+      CaseWhen(
+        Seq((Or(EqualTo(na, zero), EqualTo(nb, zero)), zero)),
+        Some(Divide(DotProduct(a, b), Multiply(na, nb))))
+    })
+
   /** Register on an existing session (useful when the session was built
     * without extensions — e.g. notebook / driver-provided sessions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (_, info, builder) = dotFunction
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", builder, "scala_udf")
-    val _ = info // ExpressionInfo used only on the extensions path
+    Seq(dotFunction, cosineFunction).foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "scala_udf")
+    }
   }
 }

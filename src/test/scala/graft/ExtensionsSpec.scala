@@ -20,6 +20,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_dot(a, b) FROM v").as[Double].head() == 1.0)
   }
 
+  test("graft_cosine from SQL: value + zero-norm guard") {
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D))")
+      .as[Double].head() == 1.0)
+    assert(spark.sql("SELECT graft_cosine(array(0.0D, 0.0D), array(1.0D, 2.0D))")
+      .as[Double].head() == 0.0)
+  }
+
   test("withExtensions session exposes graft_dot") {
     val s2 = SparkSession.builder()
       .master("local[2]")
