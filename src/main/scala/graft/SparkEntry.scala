@@ -211,6 +211,55 @@ object SparkEntry {
         .orderBy("returnflag", "linestatus")
     }),
 
+    // Grouping sets: full CUBE over two dims (§2.J).
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,6)").as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")
+    }),
+
+    // Date arithmetic: monthly revenue (date_trunc-style bucketing).
+    "q_month_revenue" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,6)").as("revenue"))
+        .orderBy("month")
+    }),
+
+    // Pivot: returnflag quantities spread into columns.
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,6)"))
+        .select(col("l_linestatus"),
+          coalesce(col("A"), lit(0).cast("decimal(38,6)")).as("qty_a"),
+          coalesce(col("N"), lit(0).cast("decimal(38,6)")).as("qty_n"),
+          coalesce(col("R"), lit(0).cast("decimal(38,6)")).as("qty_r"))
+        .orderBy("l_linestatus")
+    }),
+
+    // The SQL surface end-to-end: spark.sql over registered views.
+    "q_sql_surface" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT p.p_brand AS brand,
+               count(*) AS n_items,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS total_price
+        FROM v_lineitem l JOIN v_part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size <= 25
+        GROUP BY p.p_brand
+        ORDER BY brand""")
+    }),
+
     // S-3 batch shape: tumbling 10-minute event-time windows.
     "q_events_tumbling" -> ((s, dir) => {
       events(s, dir)
@@ -358,6 +407,37 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_month_revenue" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |       CAST(coalesce(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(38,6)) AS qty_a,
+        |       CAST(coalesce(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(38,6)) AS qty_n,
+        |       CAST(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(38,6)) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_sql_surface" ->
+      """SELECT p.p_brand AS brand,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS total_price
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size <= 25
+        |GROUP BY p.p_brand
+        |ORDER BY brand""".stripMargin,
 
     "q_events_tumbling" ->
       """SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 AS window_start,
