@@ -523,6 +523,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SimHash near-dup pairs: hamming ≤ 3 within a source block.
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(wide(s, dir, "documents"), "doc_id", "text", "source",
+          bits = 16, maxHamming = 3)
+        .orderBy("source", "id_a", "id_b")
+    }),
+
     // Embedding-cosine near-dup: top-1 neighbor per vector within label.
     "q_embedding_neighbors" -> ((s, dir) => {
       val e = wide(s, dir, "embeddings").withColumn("_nrm", l2Norm(col("embedding")))
@@ -832,6 +839,22 @@ object SparkEntry {
            |    )) > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
            |  )) AS BIGINT) AS simhash
            |FROM t ORDER BY doc_id""".stripMargin,
+
+      "q_simhash_pairs" -> {
+        val simhashExpr =
+          s"""CAST(list_sum(list_transform(range(0, 16), j ->
+             |    CASE WHEN list_sum(list_transform(w, x ->
+             |      2 * (CAST(floor(${dHexVal("substr(md5(x), CAST(j // 4 AS INT) + 1, 1)")} / pow(2, 3 - (j % 4))) AS INT) % 2) - 1
+             |    )) > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
+             |  )) AS BIGINT)""".stripMargin
+        s"""WITH t AS (SELECT doc_id, source, $W AS w FROM documents),
+           |h AS (SELECT doc_id, source, $simhashExpr AS sh FROM t)
+           |SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+           |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+           |FROM h a JOIN h b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+           |ORDER BY a.source, id_a, id_b""".stripMargin
+      },
 
       "q_embedding_neighbors" ->
         s"""WITH s AS (

@@ -120,6 +120,24 @@ object Dedup {
       .select(col("_blk").as(blockCol), col("id_a"), col("id_b"), stableRound(col("jaccard")).as("jaccard"))
   }
 
+  /** SimHash near-dup pairs: within a blocking key, pairs whose simhash
+    * values differ in at most `maxHamming` bits. The simhash itself is a
+    * per-row expression; pair generation is a block-keyed self-join on
+    * the (small) per-doc hash rows — documents never join. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+                   bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val hashed = docs.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
+      simhash(col(textCol), bits).as("_h"))
+      .localCheckpoint(false)
+    val a = hashed.select(col("_blk"), col("_id").as("id_a"), col("_h").as("_ha"))
+    val b = hashed.select(col("_blk"), col("_id").as("id_b"), col("_h").as("_hb"))
+    a.join(b, Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(_ha ^ _hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("_blk").as(blockCol), col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** SimHash over tokens: bit j is set iff the majority of tokens have md5
     * bit j set (strictly positive vote sum). `bits` ≤ 32 (one hex digit
     * carries 4 bits; bit j reads digit j/4, weight 2^(3-j%4)). */

@@ -56,6 +56,16 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.contains((1L, 4L)))
   }
 
+  test("simhash pairs: exact dup at hamming 0, disjoint docs excluded") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val pairs = Dedup.simhashPairs(blocked, "doc_id", "text", "blk", bits = 16, maxHamming = 6)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
   test("simhash: identical docs equal, near-dups within small hamming distance") {
     val h = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("h"))
       .as[(Long, Long)].collect().toMap
