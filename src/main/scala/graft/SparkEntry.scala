@@ -59,9 +59,13 @@ object SparkEntry {
   // Shared SQL fragments for the DuckDB oracles                      //
   // ---------------------------------------------------------------- //
 
-  /** DuckDB: tokens of cleaned text (mirror of TextFunctions.tokens). */
+  /** DuckDB: tokens of cleaned text (mirror of TextFunctions.tokens,
+    * INCLUDING the blank-text guard: Spark's tokens() returns an empty
+    * array for whitespace-only text, but string_split_regex('') would
+    * return [''] — one phantom token). */
   private def dTokens(texpr: String) =
-    s"string_split_regex(trim(replace($texpr, chr(10), ' ')), '\\s+')"
+    s"(CASE WHEN trim(replace($texpr, chr(10), ' ')) = '' THEN CAST([] AS VARCHAR[]) " +
+      s"ELSE string_split_regex(trim(replace($texpr, chr(10), ' ')), '\\s+') END)"
 
   /** DuckDB: dot product of two float lists in Double, left fold order. */
   private def dDot(a: String, b: String, dim: Int = Schemas.EmbeddingDim) =

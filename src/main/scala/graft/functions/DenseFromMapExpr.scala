@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, MapType}
 
 /** Assemble a dense double[dim] vector from a sparse (int bucket →
   * double value) map — the final step of the aggregate-shaped embedders.
@@ -24,6 +25,12 @@ case class DenseFromMap(child: Expression, dim: Int) extends UnaryExpression {
   override def prettyName: String = "graft_dense_from_map"
 
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case MapType(IntegerType, DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_dense_from_map requires map<int,double>, got ${other.simpleString}")
+  }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val arr = new Array[Double](dim)

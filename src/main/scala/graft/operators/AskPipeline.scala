@@ -57,11 +57,13 @@ object AskPipeline {
     hit match {
       case Some(row) =>
         // cache hit: return cached answer, bump the hit entry's freq
-        val updated = CacheLfu.touch(cache, qVec.toSeq, threshold)
+        // (by id — the lookup above already paid for the cosine scan)
+        val updated = CacheLfu.touchById(cache, row.getLong(0))
         (AskResult(query, row.getString(1), fromCache = true, prompt = ""), updated)
 
       case None =>
-        val hits = Similarity.topK(index, "embedding", qVec.toSeq, topK)
+        val hits = Similarity.topK(index, "embedding", qVec.toSeq, topK,
+          tieBreak = Seq("doc_id", "chunk_idx"))
           .withColumn("rank", row_number().over(
             org.apache.spark.sql.expressions.Window
               .orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))))

@@ -33,6 +33,12 @@ object CacheLfu {
       .drop("_hit_id")
   }
 
+  /** Bump one known entry's freq — for callers that already resolved the
+    * hit (avoids re-running the cosine scan `touch` performs). */
+  def touchById(cache: DataFrame, entryId: Long): DataFrame =
+    cache.withColumn("freq",
+      when(col("entry_id") === entryId, col("freq") + 1).otherwise(col("freq")))
+
   /** The entry the LFU policy would evict: first-seen (lowest entry_id)
     * among the minimum-freq rows. */
   def evictionVictim(cache: DataFrame): DataFrame =

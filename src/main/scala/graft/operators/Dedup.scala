@@ -104,7 +104,9 @@ object Dedup {
       col(blockCol).as("_blk"), col(idCol).as("_id"),
       explode(shingleSet(tokens(lower(cleanText(col(textCol)))), shingleN)).as("_s"))
       .localCheckpoint(false)
-    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    // sizes are per (block, id): a doc_id appearing under two blocks (or
+    // duplicated input rows) must not inflate |A| and deflate jaccard
+    val sizes = sh.groupBy(col("_blk"), col("_id")).agg(count(lit(1)).as("_n"))
     val inter = sh.alias("a")
       .join(sh.alias("b"),
         col("a._blk") === col("b._blk") && col("a._s") === col("b._s") &&
@@ -113,8 +115,8 @@ object Dedup {
       .groupBy("_blk", "id_a", "id_b")
       .agg(count(lit(1)).as("_i"))
     inter
-      .join(sizes.select(col("_id").as("id_a"), col("_n").as("_na")), "id_a")
-      .join(sizes.select(col("_id").as("id_b"), col("_n").as("_nb")), "id_b")
+      .join(sizes.select(col("_blk"), col("_id").as("id_a"), col("_n").as("_na")), Seq("_blk", "id_a"))
+      .join(sizes.select(col("_blk"), col("_id").as("id_b"), col("_n").as("_nb")), Seq("_blk", "id_b"))
       .withColumn("jaccard", col("_i").cast("double") / (col("_na") + col("_nb") - col("_i")))
       .filter(col("jaccard") >= threshold)
       .select(col("_blk").as(blockCol), col("id_a"), col("id_b"), stableRound(col("jaccard")).as("jaccard"))

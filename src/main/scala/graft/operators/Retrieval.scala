@@ -63,7 +63,8 @@ object Retrieval {
       .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
     val embedded = Embed.withEmbedding(chunks, "chunk_text", "embedding", dim)
     val qVec = Embed.embedQuery(spark, query, dim)
-    val hits = Similarity.topK(embedded, "embedding", qVec.toSeq, topK)
+    val hits = Similarity.topK(embedded, "embedding", qVec.toSeq, topK,
+      tieBreak = Seq("doc_id", "chunk_idx"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))))
     val ctx = renderContext(assembleContext(hits, "doc_id", "rank", "chunk_text"), "doc_id")

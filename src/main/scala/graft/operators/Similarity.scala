@@ -21,13 +21,17 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** Exact top-k by cosine for one query vector (broadcast as a literal). */
+  /** Exact top-k by cosine for one query vector (broadcast as a literal).
+    * `tieBreak` must identify rows uniquely for deterministic results at
+    * the k boundary (defaults to the first column — fine for unique-id
+    * indexes; chunked indexes should pass e.g. Seq(doc_id, chunk_idx)). */
   def topK(index: DataFrame, vecCol: String, queryVec: Seq[Double], k: Int,
-           simCol: String = "sim"): DataFrame = {
+           simCol: String = "sim", tieBreak: Seq[String] = Seq.empty): DataFrame = {
     val q = lit(queryVec.toArray)
+    val ties = (if (tieBreak.nonEmpty) tieBreak else Seq(index.columns.head)).map(col)
     index
       .withColumn(simCol, cosine(col(vecCol), q))
-      .orderBy(desc(simCol), col(index.columns.head)) // stable tie-break
+      .orderBy(desc(simCol) +: ties: _*)
       .limit(k)
   }
 
@@ -35,13 +39,15 @@ object Similarity {
     * top-k per query. `queries` must be small enough to broadcast (it is
     * the per-request side; the index is the 100 TB side). */
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
-              index: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+              index: DataFrame, idCol: String, vecCol: String, k: Int,
+              tieBreak: Seq[String] = Seq.empty): DataFrame = {
     // materialize each side's norm once; per-pair work is then one dot
     val q = queries.withColumn("_qnorm", l2Norm(col(qVecCol)))
     val i = index.withColumn("_inorm", l2Norm(col(vecCol)))
     val scored = i.crossJoin(broadcast(q))
       .withColumn("sim", cosineGiven(col(vecCol), col(qVecCol), col("_inorm"), col("_qnorm")))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(desc("sim"), col(idCol))
+    val ties = (if (tieBreak.nonEmpty) tieBreak else Seq(idCol)).map(col)
+    val w = Window.partitionBy(col(qIdCol)).orderBy(desc("sim") +: ties: _*)
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

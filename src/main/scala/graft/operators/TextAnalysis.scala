@@ -34,8 +34,10 @@ object TextAnalysis {
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
 
-  /** Language ID: argmax of stopword-profile hit counts; ties and
-    * zero-evidence fall back to "und" (undetermined). */
+  /** Language ID: argmax of stopword-profile hit counts; ties resolve to
+    * the FIRST matching profile in declaration order (en, es, fr, de) —
+    * mirrored exactly by the oracle's CASE chain; zero evidence falls
+    * back to "und" (undetermined). */
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
     val scored = StopwordProfiles.map { case (lang, words) => (lang, stopwordHits(toks, words)) }

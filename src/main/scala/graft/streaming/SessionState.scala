@@ -29,7 +29,9 @@ object SessionState {
       messages: Iterator[ChatMessage],
       state: GroupState[ChatState]): ChatHistory = {
     val prior = state.getOption.map(_.turns).getOrElse(Seq.empty)
-    val start = prior.size
+    // number from the last retained turn, NOT prior.size — once bounding
+    // truncates, size would restart and collide with retained turn ids
+    val start = prior.lastOption.map(_.turn + 1).getOrElse(0)
     val appended = prior ++ messages.zipWithIndex.map { case (m, i) =>
       ChatTurn(chatId, m.input, m.output, start + i)
     }

@@ -35,7 +35,7 @@ object StreamingOps {
         col("value").as("text"))
 
   /** Incremental ingest: stream → chunk → embed → append to the index
-    * store. Returns the started writer (caller manages lifecycle). */
+    * store. Returns the configured writer; the caller calls .start(). */
   def incrementalIngest(docs: DataFrame, indexDir: String, checkpointDir: String,
                         chunkSize: Int = graft.Schemas.ChunkSize): DataStreamWriter[org.apache.spark.sql.Row] = {
     // chunking is a stateless streaming transform; embedding runs inside
@@ -78,7 +78,8 @@ object StreamingOps {
                   topK: Int = graft.Schemas.DefaultTopK): DataFrame = {
     val embedded = graft.operators.Embed.withEmbedding(queryBatch, "query", "qvec")
     val hits = graft.operators.Similarity.knnJoin(
-      embedded, "query_id", "qvec", index, "doc_id", "embedding", topK)
+      embedded, "query_id", "qvec", index, "doc_id", "embedding", topK,
+      tieBreak = Seq("doc_id", "chunk_idx"))
     hits
       .groupBy(col("query_id"), col("query"))
       .agg(array_join(

@@ -148,6 +148,25 @@ class StreamingSpec extends AnyFunSuite {
       "Human: hi\nAI: hello\nHuman: more\nAI: sure")
   }
 
+  test("turn numbering continues after bounding (no turn-id collisions)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.SessionState.{ChatMessage, ChatState}
+    import org.apache.spark.api.java.Optional
+    val s0 = TestGroupState.create[ChatState](
+      Optional.empty[ChatState](), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[Long](), hasTimedOut = false)
+    SessionState.updateChat(2)("c",
+      Iterator(ChatMessage("c", "q1", "a1"), ChatMessage("c", "q2", "a2"),
+        ChatMessage("c", "q3", "a3")), s0)
+    assert(s0.get.turns.map(_.turn) == Seq(1, 2)) // bounded to last 2
+    val s1 = TestGroupState.create[ChatState](
+      Optional.of(s0.get), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[Long](), hasTimedOut = false)
+    SessionState.updateChat(2)("c", Iterator(ChatMessage("c", "q4", "a4")), s1)
+    // next turn numbers from the last retained turn (2) + 1, not size (2)
+    assert(s1.get.turns.map(_.turn) == Seq(2, 3))
+  }
+
   test("chat memory state: history accumulates per chat and is bounded") {
     val batch1 = Seq(
       ChatMessage("c1", "hi", "hello"),
