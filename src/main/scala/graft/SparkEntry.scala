@@ -821,18 +821,20 @@ object SparkEntry {
 
       "q_jaccard_pairs" ->
         s"""WITH d AS (SELECT doc_id, source, ${dShingleSet(W, 3)} AS sh FROM documents),
-           |e AS (SELECT doc_id, source, unnest(sh) AS s FROM d WHERE len(sh) > 0),
-           |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+           |e AS (SELECT DISTINCT source, doc_id, unnest(sh) AS s FROM d WHERE len(sh) > 0),
+           |sz AS (SELECT source, doc_id, count(*) AS n FROM e GROUP BY source, doc_id),
            |inter AS (
            |  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
            |  FROM e a JOIN e b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2, 3
            |)
-           |SELECT i.source, i.id_a, i.id_b,
+           |SELECT i.source AS source, i.id_a, i.id_b,
            |       round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) + 1.2345e-9, 6) AS jaccard
-           |FROM inter i JOIN sz sa ON i.id_a = sa.doc_id JOIN sz sb ON i.id_b = sb.doc_id
+           |FROM inter i
+           |JOIN sz sa ON i.source = sa.source AND i.id_a = sa.doc_id
+           |JOIN sz sb ON i.source = sb.source AND i.id_b = sb.doc_id
            |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.05
-           |ORDER BY source, id_a, id_b""".stripMargin,
+           |ORDER BY i.source, id_a, id_b""".stripMargin,
 
       "q_simhash" ->
         s"""WITH t AS (SELECT doc_id, $W AS w FROM documents)

@@ -42,7 +42,7 @@ case class DenseFromMap(child: Expression, dim: Int) extends UnaryExpression {
         var i = 0
         while (i < m.numElements()) {
           val k = keys.getInt(i)
-          if (k >= 0 && k < dim) arr(k) = values.getDouble(i)
+          if (k >= 0 && k < dim && !values.isNullAt(i)) arr(k) = values.getDouble(i)
           i += 1
         }
     }
@@ -67,7 +67,7 @@ case class DenseFromMap(child: Expression, dim: Int) extends UnaryExpression {
           org.apache.spark.sql.catalyst.util.ArrayData $values = ${childGen.value}.valueArray();
           for (int $i = 0; $i < ${childGen.value}.numElements(); $i++) {
             int $k = $keys.getInt($i);
-            if ($k >= 0 && $k < $dim) $arr[$k] = $values.getDouble($i);
+            if ($k >= 0 && $k < $dim && !$values.isNullAt($i)) $arr[$k] = $values.getDouble($i);
           }
         }
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =

@@ -100,12 +100,16 @@ object Dedup {
     require(threshold > 0.0, "inverted-index jaccard never emits disjoint pairs; threshold must be > 0")
     // three consumers (both join sides + sizes): materialize the exploded
     // shingles once rather than recomputing the text pipeline per branch
+    // distinct() guards duplicated input rows: a doc ingested twice under
+    // the same block would otherwise double both sizes AND intersection
+    // counts, producing jaccard > 1
     val sh = docs.select(
       col(blockCol).as("_blk"), col(idCol).as("_id"),
       explode(shingleSet(tokens(lower(cleanText(col(textCol)))), shingleN)).as("_s"))
+      .distinct()
       .localCheckpoint(false)
-    // sizes are per (block, id): a doc_id appearing under two blocks (or
-    // duplicated input rows) must not inflate |A| and deflate jaccard
+    // sizes are per (block, id): a doc_id appearing under two blocks must
+    // not inflate |A| and deflate jaccard
     val sizes = sh.groupBy(col("_blk"), col("_id")).agg(count(lit(1)).as("_n"))
     val inter = sh.alias("a")
       .join(sh.alias("b"),
