@@ -303,6 +303,45 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // As-of lookup: for every event, the most recent PRIOR error event's
+    // timestamp for the same user (composed from window built-ins — the
+    // preferred shape before any custom as-of operator).
+    "q_asof_error" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .withColumn("last_error_ts",
+          last(when(col("event_type") === "error", unix_micros(col("ts"))), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("last_error_ts"))
+        .orderBy("event_id")
+    }),
+
+    // Ranking function suite over a total order (§2.J breadth).
+    "q_rank_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 50)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          stableRound(percent_rank().over(w)).as("prnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+
+    // String function suite (F-4 library breadth).
+    "q_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 5).as("prefix"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          regexp_replace(col("p_type"), "[aeiou]", "_").as("devoweled"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+          length(col("p_name")).cast("long").as("name_len"))
+        .orderBy("p_partkey")
+    }),
+
     // F-5: JSON decode of the event props payload.
     "q_json_extract" -> ((s, dir) => {
       events(s, dir)
@@ -454,6 +493,33 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_asof_error" ->
+      """SELECT event_id,
+        |       last_value(CASE WHEN event_type = 'error' THEN epoch_us(ts) END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_ts
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_rank_funcs" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |       round(percent_rank() OVER w + 1.2345e-9, 6) AS prnk,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |       upper(p_name) AS uname,
+        |       substring(p_name, 1, 5) AS prefix,
+        |       lpad(p_brand, 12, '*') AS padded,
+        |       regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,
+        |       concat_ws('|', p_brand, p_type) AS joined,
+        |       CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_stats" ->
       """SELECT l_returnflag,
