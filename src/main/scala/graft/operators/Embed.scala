@@ -131,6 +131,26 @@ object Embed {
     raw.map(_ / (norm + 1e-9))
   }
 
+  /** MLlib Word2Vec upgrade path (SURVEY §2 F-3): a learned embedding
+    * that replaces the hashed stand-in when semantic quality matters and
+    * determinism-by-construction is relaxed to determinism-by-seed.
+    * Returns (model, docs + outCol) with the embedding as array<double>
+    * for drop-in use with the Similarity operators. */
+  def fitWord2Vec(docs: DataFrame, textCol: String, outCol: String,
+                  dim: Int = graft.Schemas.EmbeddingDim, seed: Long = 42L,
+                  minCount: Int = 1)
+      : (org.apache.spark.ml.feature.Word2VecModel, DataFrame) = {
+    val withToks = docs.withColumn("_toks", tokens(lower(col(textCol))))
+    val w2v = new org.apache.spark.ml.feature.Word2Vec()
+      .setInputCol("_toks").setOutputCol("_w2v")
+      .setVectorSize(dim).setSeed(seed).setMinCount(minCount)
+    val model = w2v.fit(withToks)
+    val out = model.transform(withToks)
+      .withColumn(outCol, org.apache.spark.ml.functions.vector_to_array(col("_w2v")))
+      .drop("_toks", "_w2v")
+    (model, out)
+  }
+
   /** Embed a literal query string on the driver — mirrors the reference's
     * single-query embed path (app/main.py:172-180) without a remote call. */
   def embedQuery(spark: org.apache.spark.sql.SparkSession, query: String,

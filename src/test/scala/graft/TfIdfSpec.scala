@@ -36,6 +36,21 @@ class TfIdfSpec extends AnyFunSuite {
     assert(top == Set(1L, 3L), s"expected patient-cohort docs, got $top")
   }
 
+  test("Word2Vec upgrade path: seeded determinism and drop-in vector shape") {
+    val (m1, out1) = Embed.fitWord2Vec(docs, "text", "embedding", dim = 16)
+    val (m2, out2) = Embed.fitWord2Vec(docs, "text", "embedding", dim = 16)
+    val v1 = out1.orderBy("doc_id").select("embedding").as[Seq[Double]].collect().toSeq
+    val v2 = out2.orderBy("doc_id").select("embedding").as[Seq[Double]].collect().toSeq
+    assert(v1 == v2, "same seed must give identical embeddings")
+    assert(v1.head.length == 16)
+    // drop-in with Similarity: self-similarity is maximal
+    val qv = v1.head
+    val top = Similarity.topK(out1.select("doc_id", "embedding"), "embedding", qv, 1)
+      .select("doc_id").as[Long].head()
+    assert(top == 1L)
+    assert(m1.getVectors.count() == m2.getVectors.count())
+  }
+
   test("deterministic across recomputation") {
     val (e1, d1, n1) = Embed.withTfIdfEmbedding(docs, "text", "embedding", dim = 64)
     val (e2, _, _) = Embed.withTfIdfEmbedding(docs, "text", "embedding", dim = 64)
