@@ -697,6 +697,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // North star: PII redaction (scrubbing pass over text + synthesized
+    // identifiers, so the replacement paths actually fire).
+    "q_redact_pii" -> ((s, dir) => {
+      wide(s, dir, "documents")
+        .withColumn("_aug", concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com or 555-123-4567 from 10.0.0.1")))
+        .select(col("doc_id"), TextAnalysis.redactPii(col("_aug")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // North star: Gopher-style repetition filtering signal.
+    "q_repetition" -> ((s, dir) => {
+      val ratio = TextAnalysis.repetitionRatio(col("text"), 3)
+      wide(s, dir, "documents")
+        .select(col("doc_id"),
+          stableRound(ratio).as("rep_ratio"),
+          (ratio > 0.2).as("gopher_flag"))
+        .orderBy("doc_id")
+    }),
+
     // North star: content + min-shingle fingerprints.
     "q_fingerprint" -> ((s, dir) => {
       wide(s, dir, "documents")
@@ -1063,6 +1083,33 @@ object SparkEntry {
            |         least((CASE WHEN len(w) = 0 THEN 0.0
            |                ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) END) / 8.0, 1.0) * 0.3 + 1.2345e-9, 6) AS quality
            |FROM s ORDER BY doc_id""".stripMargin
+      },
+
+      "q_redact_pii" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+          |         '@example.com or 555-123-4567 from 10.0.0.1' AS aug
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |       regexp_replace(
+          |         regexp_replace(
+          |           regexp_replace(
+          |             regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+          |           '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+          |         '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+          |FROM t ORDER BY doc_id""".stripMargin,
+
+      "q_repetition" -> {
+        val allSh = s"list_transform(range(1, greatest(len($W) - 2, 1) + 1), " +
+          s"i -> array_to_string(list_slice($W, i, i + 2), ' '))"
+        s"""WITH t AS (SELECT doc_id, $allSh AS sh FROM documents)
+           |SELECT doc_id,
+           |       round(CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) + 1.2345e-9, 6) AS rep_ratio,
+           |       (CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh)) > 0.2 AS gopher_flag
+           |FROM t ORDER BY doc_id""".stripMargin
       },
 
       "q_fingerprint" ->

@@ -78,6 +78,27 @@ object TextAnalysis {
     stableRound(lenScore * 0.4 + punctPenalty * 0.3 + wordShape * 0.3)
   }
 
+  /** PII redaction: mask common identifier shapes with typed sentinels
+    * (training-data scrubbing). Map-only regexp_replace chain; patterns
+    * kept RE2-compatible so the same regexes run in oracle engines.
+    * Order matters: ssn before phone (both are digit runs). */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ssn = regexp_replace(email, "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>")
+    val phone = regexp_replace(ssn, "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "<PHONE>")
+    regexp_replace(phone, "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>")
+  }
+
+  /** Gopher-style repetition signal: the fraction of word n-gram
+    * instances that are duplicates of an earlier instance in the doc
+    * (0 = no repetition). High values flag boilerplate/spam for
+    * training-data filtering. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val all = shingles(tokens(lower(text)), n)
+    when(size(all) === 0, 0.0)
+      .otherwise((size(all) - size(array_distinct(all))).cast("double") / size(all))
+  }
+
   /** Exact content fingerprint: md5 of the cleaned text. */
   def contentFingerprint(text: Column): Column = md5(cleanText(text))
 

@@ -51,6 +51,30 @@ class TfIdfSpec extends AnyFunSuite {
     assert(m1.getVectors.count() == m2.getVectors.count())
   }
 
+  test("PII redaction masks email/ssn/phone/ip and leaves prose alone") {
+    import graft.operators.TextAnalysis
+    val out = Seq(
+      "mail me at jane.doe+x@corp.example.org today",
+      "ssn 123-45-6789 phone 555-867-5309 host 192.168.1.200",
+      "no identifiers here at all")
+      .toDF("t").select(TextAnalysis.redactPii(col("t"))).as[String].collect()
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "ssn <SSN> phone <PHONE> host <IP>")
+    assert(out(2) == "no identifiers here at all")
+  }
+
+  test("repetition ratio: 0 for unique text, high for boilerplate") {
+    import graft.operators.TextAnalysis
+    val out = Seq(
+      ("unique", "one two three four five six seven eight"),
+      ("loop", Seq.fill(20)("buy now click here").mkString(" ")))
+      .toDF("k", "t")
+      .select(col("k"), TextAnalysis.repetitionRatio(col("t"), 3).as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(out("unique") == 0.0)
+    assert(out("loop") > 0.8)
+  }
+
   test("deterministic across recomputation") {
     val (e1, d1, n1) = Embed.withTfIdfEmbedding(docs, "text", "embedding", dim = 64)
     val (e2, _, _) = Embed.withTfIdfEmbedding(docs, "text", "embedding", dim = 64)
