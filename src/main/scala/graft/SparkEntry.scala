@@ -110,8 +110,7 @@ object SparkEntry {
     // F-1/O-11/O-18: exact top-10 cosine retrieval for one query vector.
     "q_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val qv = e.filter(col("vec_id") === 0).select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0)
+      val qv = collectVec(e, 0)
       e.select(col("vec_id"), cosine(col("embedding"), lit(qv.toArray)).as("_raw"))
         .select(col("vec_id"), stableRound(col("_raw")).as("sim"))
         .orderBy(desc("sim"), col("vec_id"))
@@ -620,11 +619,16 @@ object SparkEntry {
     // IVF ANN: 8 head centroids, probe 2 cells, top-5.
     "q_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val cents = Ann.headCentroids(e, "vec_id", "embedding", 8)
+      // same predicate as the oracle (vec_id < 8), not head-N, so the two
+      // sides cannot diverge if ids ever have gaps
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
       val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
-      Ann.ivfSearch(assigned, "vec_id", "embedding", cents, "centroid_id", "centroid_vec",
-          collectVec(t(s, dir, "embeddings"), 0), k = 5, nprobe = 2)
+      Ann.ivfCandidates(assigned, "embedding", cents, "centroid_id", "centroid_vec",
+          collectVec(e, 0), nprobe = 2)
         .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")) // rounded order = oracle's alias order
+        .limit(5)
     }),
 
     // Sign-random-projection LSH ANN: 4 planes → bucket, top-5 in-bucket.
@@ -633,9 +637,11 @@ object SparkEntry {
       val planes = e.filter(col("vec_id") < 4).orderBy("vec_id")
         .select(col("embedding").cast("array<double>")).collect()
         .map(_.getSeq[Double](0)).toSeq
-      Ann.lshSearch(e.select("vec_id", "embedding"), "vec_id", "embedding",
-          planes, collectVec(e, 0), k = 5)
+      Ann.lshCandidates(e.select("vec_id", "embedding"), "embedding",
+          planes, collectVec(e, 0))
         .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")) // rounded order = oracle's alias order
+        .limit(5)
     }),
 
     // O-12: semantic cache lookup — best entry, hit iff sim ≥ τ (τ=0.3
@@ -643,7 +649,7 @@ object SparkEntry {
     // embedding spaces, app/main.py:44).
     "q_cache_lookup" -> ((s, dir) => {
       Similarity.cacheLookup(cacheTable(s, dir), "embedding",
-          collectVec(t(s, dir, "embeddings"), 0), threshold = 0.3)
+          collectVec(t(s, dir, "embeddings").select("vec_id", "embedding"), 0), threshold = 0.3)
         .select(col("entry_id"), stableRound(col("sim")).as("sim"))
     }),
 
@@ -861,9 +867,13 @@ object SparkEntry {
     s"(CASE WHEN ${dHexVal(s"substr(md5($e), 3, 1)")} % 2 = 0 THEN 1.0 ELSE -1.0 END)"
 
   /** DuckDB: distinct word n-gram shingle set over a token list. */
+  /** Mirrors TextFunctions.shingleSet INCLUDING the empty-token guard:
+    * without it, list_transform over greatest(...,1) yields [NULL] for a
+    * blank doc where Spark yields []. */
   private def dShingleSet(words: String, n: Int) =
-    s"list_distinct(list_transform(range(1, greatest(len($words) - ${n - 1}, 1) + 1), " +
-      s"i -> array_to_string(list_slice($words, i, i + ${n - 1}), ' ')))"
+    s"(CASE WHEN len($words) = 0 THEN CAST([] AS VARCHAR[]) " +
+      s"ELSE list_distinct(list_transform(range(1, greatest(len($words) - ${n - 1}, 1) + 1), " +
+      s"i -> array_to_string(list_slice($words, i, i + ${n - 1}), ' '))) END)"
 
   private def dStopHits(words: String, list: Seq[String]) =
     s"len(list_filter($words, w -> list_contains([${list.map(w => s"'$w'").mkString(", ")}], w)))"
@@ -1044,7 +1054,7 @@ object SparkEntry {
            |        struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
            |                    s := ${dMd5Sign("x")})) AS pr FROM t),
            |v AS (SELECT doc_id, list_transform(range(0, ${Schemas.EmbeddingDim}), j ->
-           |        list_sum(list_transform(pr, e -> CASE WHEN e.b = j THEN e.s ELSE 0.0 END))) AS vec
+           |        coalesce(list_sum(list_transform(pr, e -> CASE WHEN e.b = j THEN e.s ELSE 0.0 END)), 0.0)) AS vec
            |      FROM p),
            |n AS (SELECT doc_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v)
            |SELECT doc_id, round(nrm + 1.2345e-9, 6) AS norm,
@@ -1183,7 +1193,7 @@ object SparkEntry {
       "q_rag_topk" -> {
         val embedVec =
           s"""list_transform(range(0, ${Schemas.EmbeddingDim}), j ->
-             |        list_sum(list_transform(pr, e -> CASE WHEN e.b = j THEN e.s ELSE 0.0 END)))""".stripMargin
+             |        coalesce(list_sum(list_transform(pr, e -> CASE WHEN e.b = j THEN e.s ELSE 0.0 END)), 0.0))""".stripMargin
         s"""WITH t AS (SELECT doc_id, ${dTokens("text")} AS words FROM documents),
            |c AS (SELECT doc_id, words,
            |        unnest(range(0, CAST(ceil(len(words) / 32.0) AS BIGINT))) AS chunk_idx
