@@ -37,6 +37,19 @@ object IndexStore {
     fs.exists(path) && !spark.read.parquet(indexDir).isEmpty
   }
 
+  /** Write a table bucketed (and sorted) by join key. Two tables bucketed
+    * the same way join WITHOUT a shuffle — at 100 TB, pre-bucketing the
+    * chunk index and its metadata tables turns every index-maintenance
+    * join into a local zip of co-located buckets. Requires a catalog
+    * table (bucket metadata lives in the catalog, not the files). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+
   /** Auth gate (O-13): keep only requests whose user exists with non-blank
     * id + email (app/embedding_gen.py:296-301) — a broadcast left-semi
     * join, the distributed form of the reference's per-request SQL probe. */

@@ -64,6 +64,29 @@ class PlanSpec extends AnyFunSuite {
       s"expected graft_dot inside a codegen stage:\n$p")
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    graft.sources.IndexStore.writeBucketed(li, "b_lineitem", "l_orderkey", 4)
+    graft.sources.IndexStore.writeBucketed(o, "b_orders", "o_orderkey", 4)
+    // force a non-broadcast join so the assertion actually proves that
+    // bucketing (not a broadcast) eliminated the exchanges
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$p")
+      assert(joined.count() == li.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("knnJoin broadcasts the query side, not the index side") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
     val q = e.filter(col("vec_id") < 3)
