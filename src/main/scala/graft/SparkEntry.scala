@@ -17,8 +17,12 @@ import graft.operators._
   *  - integer outputs are cast to BIGINT on both sides;
   *  - derived floats are computed in Double on both sides (same fold
   *    order) and rounded to 6 places; raw doubles pass through untouched;
-  *  - money aggregates go through DECIMAL (exact, order-independent),
-  *    cast to DECIMAL(38,6) on both sides;
+  *  - money aggregates go through DECIMAL internally (exact,
+  *    order-independent summation), then the FINAL output column is cast
+  *    to DOUBLE on both sides: the identical exact decimal converts to
+  *    the identical nearest double in both engines, whereas serialized
+  *    decimal representations hash differently between Spark parquet and
+  *    DuckDB even when values are equal (round-1 driver-gate finding);
   *  - hash-derived values use md5 hex (identical text in both engines).
   */
 object SparkEntry {
@@ -144,11 +148,11 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1999-12-31 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,6)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,6)").as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(38,6)").as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -166,7 +170,7 @@ object SparkEntry {
         .agg(
           sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(38,6)").as("revenue"),
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
@@ -205,7 +209,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,6)").as("sum_qty"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n_rows"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
@@ -219,7 +223,7 @@ object SparkEntry {
       t(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,6)").as("total"))
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -232,7 +236,7 @@ object SparkEntry {
       t(s, dir, "orders")
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,6)").as("revenue"))
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
         .orderBy("month")
     }),
 
@@ -241,11 +245,11 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy("l_linestatus")
         .pivot("l_returnflag", Seq("A", "N", "R"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,6)"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")))
         .select(col("l_linestatus"),
-          coalesce(col("A"), lit(0).cast("decimal(38,6)")).as("qty_a"),
-          coalesce(col("N"), lit(0).cast("decimal(38,6)")).as("qty_n"),
-          coalesce(col("R"), lit(0).cast("decimal(38,6)")).as("qty_r"))
+          coalesce(col("A").cast("double"), lit(0.0)).as("qty_a"),
+          coalesce(col("N").cast("double"), lit(0.0)).as("qty_n"),
+          coalesce(col("R").cast("double"), lit(0.0)).as("qty_r"))
         .orderBy("l_linestatus")
     }),
 
@@ -256,7 +260,7 @@ object SparkEntry {
       s.sql("""
         SELECT p.p_brand AS brand,
                count(*) AS n_items,
-               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS total_price
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         FROM v_lineitem l JOIN v_part p ON l.l_partkey = p.p_partkey
         WHERE p.p_size <= 25
         GROUP BY p.p_brand
@@ -269,7 +273,7 @@ object SparkEntry {
         .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,6)").as("sum_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .select(unix_timestamp(col("w.start")).as("window_start"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("window_start", "event_type")
@@ -296,7 +300,7 @@ object SparkEntry {
         .withColumn("running_total",
           sum(col("o_totalprice").cast("decimal(18,2)"))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("decimal(38,6)"))
+            .cast("double"))
         .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
         .select(col("o_custkey"), col("o_orderkey"), col("running_total"), col("prev_price"))
         .orderBy("o_custkey", "o_orderkey")
@@ -403,9 +407,9 @@ object SparkEntry {
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_base_price,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_disc_price,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
@@ -414,7 +418,7 @@ object SparkEntry {
 
     "q_join_revenue" ->
       """SELECT n_name,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS revenue,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -444,7 +448,7 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |       coalesce(l_linestatus, 'ALL') AS linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_qty,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |       count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -454,7 +458,7 @@ object SparkEntry {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
         |       count(*) AS n,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS total
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
@@ -462,20 +466,20 @@ object SparkEntry {
     "q_month_revenue" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |       count(*) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS revenue
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_linestatus,
-        |       CAST(coalesce(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(38,6)) AS qty_a,
-        |       CAST(coalesce(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(38,6)) AS qty_n,
-        |       CAST(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(38,6)) AS qty_r
+        |       coalesce(CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_a,
+        |       coalesce(CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_n,
+        |       coalesce(CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_r
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q_sql_surface" ->
       """SELECT p.p_brand AS brand,
         |       count(*) AS n_items,
-        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS total_price
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE p.p_size <= 25
         |GROUP BY p.p_brand
@@ -485,7 +489,7 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 AS window_start,
         |       event_type,
         |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
@@ -533,7 +537,7 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |                    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS running_total,
+        |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
         |       lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
         |FROM orders WHERE o_custkey <= 100
         |ORDER BY o_custkey, o_orderkey""".stripMargin)

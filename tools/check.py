@@ -15,11 +15,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
-    if isinstance(v, float):
-        return round(v, 9)
+    """Strict, serialization-faithful form of a value.
+
+    The driver gate hashes a SERIALIZED representation of each row, so
+    Python cross-type equality (Decimal(5) == 5.0) is too lenient: round 1
+    shipped 9 queries whose values matched but whose decimal serializations
+    hashed differently.  repr() keeps the type visible (Decimal('5.00') vs
+    5.0) and floats exact (no rounding), matching the driver's behavior.
+    """
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
-    return v
+    return repr(v)
 
 
 def main(sf_dir, out_dir):
