@@ -671,11 +671,17 @@ object SparkEntry {
     }),
 
     // O-14: ordered context assembly over ranked hits, grouped by lang.
+    // Limit-then-rank: orderBy+limit plans TakeOrderedAndProject (per-
+    // partition top-k heap + k-row driver merge), so the unpartitioned
+    // row_number window only ever sees the 20 survivors — ranking the
+    // whole table through a single-partition window was the round-1
+    // scale-killer.
     "q_context_assembly" -> ((s, dir) => {
-      val w = Window.orderBy(desc("n_chars"), col("doc_id"))
       val hits = t(s, dir, "documents")
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 20)
+        .orderBy(desc("n_chars"), col("doc_id"))
+        .limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("n_chars"), col("doc_id"))))
       Retrieval.assembleContext(hits, "lang", "rank", "text")
         .select(col("lang"), col("best_rank").cast("long").as("best_rank"), col("context_text"))
         .orderBy("lang")

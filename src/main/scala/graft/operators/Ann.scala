@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
@@ -35,21 +34,38 @@ object Ann {
       .limit(k)
 
   /** Assign each vector to its nearest centroid (max cosine, ties → lowest
-    * centroid id). Centroids are broadcast; assignment is map-only. */
+    * centroid id). Centroids are small by contract (the coarse-quantizer
+    * codebook — at most thousands of rows); collecting them folds the whole
+    * argmax into ONE map-side projection with zero shuffle. The previous
+    * crossJoin + row_number window form shuffled |index| × |centroids|
+    * scored rows through an Exchange on id — at 100 TB × 1024 cells that
+    * is 1024× the index through the shuffle for an argmax that every
+    * executor can compute locally. */
   def assignCells(index: DataFrame, idCol: String, vecCol: String,
                   centroids: DataFrame, cIdCol: String, cVecCol: String): DataFrame = {
-    val cents = centroids.select(col(cIdCol).as("_cid"), col(cVecCol).as("_cvec"),
-      l2Norm(col(cVecCol)).as("_cnorm"))
-    val scored = index.withColumn("_vnorm", l2Norm(col(vecCol)))
-      .crossJoin(broadcast(cents))
-      .withColumn("_csim", cosineGiven(col(vecCol), col("_cvec"), col("_vnorm"), col("_cnorm")))
-    val w = Window.partitionBy(col(idCol)).orderBy(desc("_csim"), col("_cid"))
-    scored
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_cvec", "_vnorm", "_cnorm")
-      .withColumnRenamed("_cid", "cell_id")
-      .withColumnRenamed("_csim", "cell_sim")
+    val cents = centroids
+      .select(col(cIdCol), col(cVecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, "assignCells: empty centroid set")
+    // Negated sim, so the lexicographic struct MIN is (max sim, tie →
+    // lowest centroid id) — same semantics as the old desc(sim), asc(cid).
+    val candidates = cents.map { case (cid, cvec) =>
+      // same ascending left fold as the codegen DotProduct → the literal
+      // norm is bitwise equal to what l2Norm(cvec) would compute
+      var s = 0.0; var i = 0
+      while (i < cvec.length) { s += cvec(i) * cvec(i); i += 1 }
+      val cnorm = math.sqrt(s)
+      struct(
+        (-cosineGiven(col(vecCol), lit(cvec), col("_vnorm"), lit(cnorm))).as("nsim"),
+        lit(cid).as("cid"))
+    }
+    index
+      .withColumn("_vnorm", l2Norm(col(vecCol)))
+      .withColumn("_best", array_min(array(candidates.toIndexedSeq: _*)))
+      .withColumn("cell_id", col("_best.cid"))
+      .withColumn("cell_sim", -col("_best.nsim"))
+      .drop("_best", "_vnorm")
   }
 
   /** IVF search: rank centroids vs the query, keep the nprobe nearest

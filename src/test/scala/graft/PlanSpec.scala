@@ -87,6 +87,25 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("context assembly limits before ranking (no full-table single-partition window)") {
+    val p = plan(SparkEntry.queries("q_context_assembly")(spark, sf))
+    // limit-then-rank: the top-20 selection must be a TakeOrderedAndProject
+    // (per-partition heaps) feeding the window, never a global sort of the
+    // whole table into one partition
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject below the ranking window:\n$p")
+  }
+
+  test("IVF cell assignment is map-only: no exchange anywhere in the plan") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val p = plan(graft.operators.Ann.assignCells(e, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec"))
+    assert(!p.contains("Exchange"), s"cell assignment must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"cell assignment must not use a window:\n$p")
+  }
+
   test("knnJoin broadcasts the query side, not the index side") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
     val q = e.filter(col("vec_id") < 3)
