@@ -20,6 +20,17 @@ object ScaleProbe {
       time(s"jaccard_pairs x$n")(operators.Dedup.jaccardPairs(docs, "doc_id", "text", "source", 3, 0.05).count())
       time(s"exact_dedup x$n")(operators.Dedup.exact(docs, "doc_id", "text").count())
     }
+    // hot-shingle skew bomb: plant one ubiquitous trigram in EVERY doc of
+    // one block. Uncapped, that single shingle emits |block|²/2 join rows;
+    // with the df-cap it is dropped and runtime stays output-bound.
+    {
+      val planted = stack(10).select(col("doc_id"),
+        concat(lit("omnipresent hot shingle "), col("text")).as("text"), col("source"))
+      time("jaccard planted-hot UNCAPPED")(
+        operators.Dedup.jaccardPairs(planted, "doc_id", "text", "source", 3, 0.05).count())
+      time("jaccard planted-hot maxDf100")(
+        operators.Dedup.jaccardPairs(planted, "doc_id", "text", "source", 3, 0.05, maxDf = 100L).count())
+    }
     // vector-scan throughput: exact top-k over 1M replicated vectors
     val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val big = e.crossJoin(spark.range(500).select(col("id").as("_rep")))

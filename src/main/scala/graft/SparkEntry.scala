@@ -582,10 +582,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // Pairwise 3-gram Jaccard within a source block, τ = 0.05.
+    // Pairwise 3-gram Jaccard within a source block, τ = 0.05, with the
+    // hot-shingle df-cap engaged (maxDf=100; testdata df tops out at ~6,
+    // so the cap changes nothing here — it guards the scale path and the
+    // oracle mirrors it exactly).
     "q_jaccard_pairs" -> ((s, dir) => {
       Dedup.jaccardPairs(wide(s, dir, "documents"), "doc_id", "text", "source",
-          shingleN = 3, threshold = 0.05)
+          shingleN = 3, threshold = 0.05, maxDf = 100L)
         .orderBy("source", "id_a", "id_b")
     }),
 
@@ -927,7 +930,10 @@ object SparkEntry {
 
       "q_jaccard_pairs" ->
         s"""WITH d AS (SELECT doc_id, source, ${dShingleSet(W, 3)} AS sh FROM documents),
-           |e AS (SELECT DISTINCT source, doc_id, unnest(sh) AS s FROM d WHERE len(sh) > 0),
+           |e0 AS (SELECT DISTINCT source, doc_id, unnest(sh) AS s FROM d WHERE len(sh) > 0),
+           |e AS (SELECT e0.source, e0.doc_id, e0.s FROM e0
+           |      JOIN (SELECT source, s FROM e0 GROUP BY source, s HAVING count(*) <= 100) k
+           |        ON e0.source = k.source AND e0.s = k.s),
            |sz AS (SELECT source, doc_id, count(*) AS n FROM e GROUP BY source, doc_id),
            |inter AS (
            |  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i

