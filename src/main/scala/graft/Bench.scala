@@ -25,11 +25,18 @@ object Bench {
 
     // two timed executions per query, report the min: the first run of a
     // query shape pays one-time codegen compilation (hundreds of ms to
-    // seconds), which is noise for steady-state throughput comparison
+    // seconds), which is noise for steady-state throughput comparison.
+    // The action is a noop-format write, NOT count(): count() lets
+    // Catalyst prune every projection it doesn't need, so map-heavy
+    // queries would be measured as little more than a parquet row count.
+    // The noop sink evaluates every output column and discards the rows.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0 // a failed query must not report as a near-zero (fast) time

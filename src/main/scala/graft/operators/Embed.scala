@@ -14,60 +14,39 @@ import graft.functions.VectorFunctions._
   * then L2-normalized with the reference's 1e-9 epsilon (app/main.py:316).
   *
   * Design notes for scale:
-  *  - It is a pure per-row expression (no explode→groupBy→pivot shuffle):
-  *    embedding a corpus is map-only, so it parallelizes trivially and
-  *    pipelines into the downstream normalize + index write.
-  *  - It is deterministic across JVMs and engines (md5 hex arithmetic, no
+  *  - It is a pure per-row codegen expression ([[graft.functions.HashedBow]]:
+  *    one md5 + bucket-accumulate loop, O(tokens + dim) per row). Embedding
+  *    a corpus is map-only — no explode, no shuffle, no join-back — so it
+  *    parallelizes trivially and pipelines into the index write.
+  *  - It is deterministic across JVMs and engines (md5 arithmetic, no
   *    engine-native hash, no RNG) — required for the DuckDB oracle and for
-  *    re-ingestion idempotency.
-  *  - Cost is O(dim × tokens) per row from the transform×aggregate nesting;
-  *    fine for dim 64. For large dims switch to the explode/agg form or a
-  *    custom TypedImperativeAggregate.
+  *    re-ingestion idempotency. ±1 bucket sums are exact integers in
+  *    double, so results are independent of token accumulation order.
   */
 object Embed {
 
-  /** Hashed bag-of-words embedding of a text column → array<double>[dim].
-    * md5 is computed once per token (the (bucket, sign) pair array), then
-    * the dim × tokens accumulation is pure arithmetic. */
+  /** Hashed bag-of-words embedding of a text column → raw (unnormalized)
+    * array<double>[dim]. Blank text → zero vector. */
   def embedText(text: Column, dim: Int = graft.Schemas.EmbeddingDim): Column = {
-    val toks = tokens(lower(text))
-    val pairs = transform(toks, t => struct(md5Bucket(t, dim).as("b"), md5Sign(t).as("s")))
-    transform(
-      sequence(lit(0), lit(dim - 1)),
-      j => aggregate(pairs, lit(0.0),
-        (acc, p) => acc + when(p.getField("b") === j, p.getField("s")).otherwise(lit(0.0))))
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(graft.functions.HashedBow(expression(tokens(lower(text))), dim))
   }
 
-  /** text column → L2-normalized embedding column.
-    *
-    * Scale shape: explode tokens → hash once per token → partial-agg the
-    * ±1 signs per (row, bucket) → assemble the dense vector from a map.
-    * This is O(tokens + dim) per row with md5 inside codegen, vs the
-    * per-row expression form's O(dim × tokens) interpreted lambdas — at
-    * the reference's dim=1024 the difference is ~30×. Bucket sums are
-    * exact ±1 integer sums, so results are bitwise identical to
-    * [[embedText]] regardless of aggregation order.
+  /** text column → L2-normalized embedding column (map-only projection).
     *
     * Rows whose text has no tokens keep the zero vector (reference's
-    * blank-embed sentinel, app/embedding_gen.py:147-148). */
+    * blank-embed sentinel, app/embedding_gen.py:147-148). Pass `normCol`
+    * to also retain the pre-normalization L2 norm. */
   def withEmbedding(df: DataFrame, textCol: String, outCol: String,
-                    dim: Int = graft.Schemas.EmbeddingDim): DataFrame = {
-    // freeze row ids so both join branches see the same assignment
-    val withId = df.withColumn("_rowid", monotonically_increasing_id()).localCheckpoint(false)
-    val toks = withId.select(col("_rowid"),
-      explode(tokens(lower(col(textCol)))).as("_t"))
-    val vecs = toks
-      .select(col("_rowid"), md5Bucket(col("_t"), dim).as("_b"), md5Sign(col("_t")).as("_s"))
-      .groupBy("_rowid", "_b").agg(sum("_s").as("_v"))
-      .groupBy("_rowid")
-      .agg(map_from_entries(collect_list(struct(col("_b"), col("_v")))).as("_m"))
-      .select(col("_rowid"), denseFromMap(col("_m"), dim).as("_rawvec"))
-    withId.join(vecs, Seq("_rowid"), "left")
-      .withColumn("_rawvec",
-        coalesce(col("_rawvec"), array_repeat(lit(0.0), lit(dim))))
+                    dim: Int = graft.Schemas.EmbeddingDim,
+                    normCol: Option[String] = None): DataFrame = {
+    val out = df
+      .withColumn("_rawvec", embedText(col(textCol), dim))
       .withColumn("_l2norm", l2Norm(col("_rawvec")))
       .withColumn(outCol, l2NormalizeWith(col("_rawvec"), col("_l2norm")))
-      .drop("_rowid", "_rawvec", "_l2norm")
+    normCol.map(n => out.withColumn(n, col("_l2norm")))
+      .getOrElse(out)
+      .drop("_rawvec", "_l2norm")
   }
 
   /** Alphanumeric-only token stream for the TF-IDF variant (strips the
