@@ -1030,7 +1030,7 @@ object SparkEntry {
            |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
            |best AS (
            |  SELECT entry_id, ${dCosine("cache.embedding", "q.qv")} AS sim
-           |  FROM cache, q ORDER BY sim DESC, entry_id LIMIT 1
+           |  FROM cache, q ORDER BY sim DESC, entry_id DESC LIMIT 1
            |)
            |SELECT entry_id, round(sim + 1.2345e-9, 6) AS sim FROM best WHERE sim >= 0.3""".stripMargin,
 
@@ -1042,7 +1042,7 @@ object SparkEntry {
            |  FROM cache, q
            |),
            |best AS (
-           |  SELECT entry_id FROM (SELECT * FROM scored ORDER BY sim DESC, entry_id LIMIT 1)
+           |  SELECT entry_id FROM (SELECT * FROM scored ORDER BY sim DESC, entry_id DESC LIMIT 1)
            |  WHERE sim >= 0.3
            |)
            |SELECT s.entry_id,
@@ -1053,7 +1053,7 @@ object SparkEntry {
       "q_lfu_evict" ->
         """SELECT vec_id AS entry_id, CAST(label AS BIGINT) AS freq
           |FROM embeddings WHERE vec_id > 0
-          |ORDER BY label, vec_id LIMIT 1""".stripMargin,
+          |ORDER BY label, vec_id DESC LIMIT 1""".stripMargin,
 
       "q_context_assembly" ->
         """WITH r AS (

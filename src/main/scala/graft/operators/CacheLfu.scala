@@ -12,9 +12,13 @@ import graft.functions.VectorFunctions._
   * reference:
   *  - lookup hit iff best cosine ≥ threshold, INCLUSIVE (app/main.py:89)
   *  - hit bumps freq += 1 in place                      (app/main.py:92-96)
-  *  - insert when full evicts the FIRST-seen minimum-freq entry
-  *    (linear scan keeps the first strict minimum, app/main.py:107-114) —
-  *    we pin "first-seen" to lowest entry_id.
+  *  - insert when full evicts the minimum-freq entry; ties break to the
+  *    MOST RECENTLY inserted one: Redis LPUSH stores newest entries at
+  *    index 0, and the reference's linear scan keeps the first strict
+  *    minimum in list order (app/main.py:107-114), i.e. the newest.
+  *    With insertion-ordered entry_ids that is the HIGHEST entry_id.
+  *    The argmax lookup scan (app/main.py:78-87) tie-breaks the same
+  *    way (first strict max in newest-first order).
   *
   * The cache is capacity-bounded (1000 rows) so every op here is
   * driver-cheap no matter how large the corpus is; at scale it would live
@@ -39,10 +43,11 @@ object CacheLfu {
     cache.withColumn("freq",
       when(col("entry_id") === entryId, col("freq") + 1).otherwise(col("freq")))
 
-  /** The entry the LFU policy would evict: first-seen (lowest entry_id)
-    * among the minimum-freq rows. */
+  /** The entry the LFU policy would evict: the most recently inserted
+    * (highest entry_id) among the minimum-freq rows — the reference's
+    * newest-first list scan (see object scaladoc). */
   def evictionVictim(cache: DataFrame): DataFrame =
-    cache.orderBy(col("freq").asc, col("entry_id").asc).limit(1)
+    cache.orderBy(col("freq").asc, col("entry_id").desc).limit(1)
 
   /** Insert an entry; evicts the LFU victim first when at capacity. */
   def put(cache: DataFrame, entry: DataFrame,

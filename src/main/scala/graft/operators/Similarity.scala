@@ -55,13 +55,16 @@ object Similarity {
   }
 
   /** Semantic-cache lookup (O-12): linear scan, argmax cosine, hit iff
-    * best ≥ threshold (inclusive — app/main.py:89). Returns 0 or 1 rows. */
+    * best ≥ threshold (inclusive — app/main.py:89). Returns 0 or 1 rows.
+    * Sim ties break to the HIGHEST id: the reference scans the Redis list
+    * newest-first (LPUSH order) keeping the first strict max
+    * (app/main.py:78-87), so the most recent entry wins. */
   def cacheLookup(cache: DataFrame, vecCol: String, queryVec: Seq[Double],
                   threshold: Double = graft.Schemas.CacheThreshold): DataFrame = {
     val q = lit(queryVec.toArray)
     cache
       .withColumn("sim", cosine(col(vecCol), q))
-      .orderBy(desc("sim"), col(cache.columns.head))
+      .orderBy(desc("sim"), col(cache.columns.head).desc)
       .limit(1)
       .filter(col("sim") >= threshold)
   }

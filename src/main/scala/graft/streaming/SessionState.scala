@@ -16,7 +16,12 @@ import graft.ChatTurn
   */
 object SessionState {
 
-  case class ChatMessage(chat_id: String, input: String, output: String)
+  /** `seq` orders messages within a micro-batch: the Iterator order that
+    * mapGroupsWithState hands a group is not guaranteed chronological, so
+    * callers stamp an event sequence (or timestamp) and updateChat sorts
+    * by it. The default 0 keeps single-message batches unaffected (the
+    * sort is stable). */
+  case class ChatMessage(chat_id: String, input: String, output: String, seq: Long = 0L)
   case class ChatState(turns: Seq[ChatTurn])
   case class ChatHistory(chat_id: String, history: String, n_turns: Int)
 
@@ -32,7 +37,10 @@ object SessionState {
     // number from the last retained turn, NOT prior.size — once bounding
     // truncates, size would restart and collide with retained turn ids
     val start = prior.lastOption.map(_.turn + 1).getOrElse(0)
-    val appended = prior ++ messages.zipWithIndex.map { case (m, i) =>
+    // stable sort by seq: deterministic chronological fold even when one
+    // micro-batch delivers several messages for the same chat
+    val ordered = messages.toIndexedSeq.sortBy(_.seq)
+    val appended = prior ++ ordered.zipWithIndex.map { case (m, i) =>
       ChatTurn(chatId, m.input, m.output, start + i)
     }
     val bounded = appended.takeRight(maxTurns)

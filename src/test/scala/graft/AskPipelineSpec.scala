@@ -43,15 +43,17 @@ class AskPipelineSpec extends AnyFunSuite {
     assert(res2.answer == res1again.answer)
   }
 
-  test("insert at capacity evicts the first-seen min-freq entry") {
+  test("insert at capacity evicts the newest min-freq entry (reference tie-break)") {
     val (_, c1) = AskPipeline.ask(spark, index, emptyCache, "spark join tuning")
     val (_, c2) = AskPipeline.ask(spark, index, c1, "pizza dough recipe", capacity = 2)
     assert(c2.count() == 2)
-    // third distinct ask at capacity 2: entry_id 1 (freq 1, first seen) evicted
+    // third distinct ask at capacity 2: both entries have freq 1, so the
+    // reference's newest-first list scan evicts the MOST RECENT one
+    // (app/main.py:107-114 over LPUSH order) — entry_id 2, not 1
     val (_, c3) = AskPipeline.ask(spark, index, c2, "broadcast strategies", capacity = 2)
     val ids = c3.select("entry_id").as[Long].collect().toSet
     assert(c3.count() == 2)
-    assert(!ids.contains(1L), s"expected first-seen min-freq eviction, cache has $ids")
+    assert(!ids.contains(2L), s"expected newest min-freq eviction, cache has $ids")
   }
 
   test("chat memory feeds the next ask's history (S-2 + §3.1 integration)") {

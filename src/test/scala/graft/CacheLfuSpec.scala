@@ -6,8 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{CacheLfu, Similarity}
 
 /** LFU cache semantics pinned to the reference (app/main.py:67-128):
-  * threshold-inclusive hit (= 0.96 IS a hit, :89), first-seen min-freq
-  * eviction (:107-114), capacity bound (:124-126). */
+  * threshold-inclusive hit (= 0.96 IS a hit, :89), min-freq eviction with
+  * ties to the newest entry (LPUSH newest-first list scan, :107-114),
+  * capacity bound (:124-126). */
 class CacheLfuSpec extends AnyFunSuite {
   lazy val spark = SparkSessions.spark
   import spark.implicits._
@@ -37,12 +38,14 @@ class CacheLfuSpec extends AnyFunSuite {
     assert(best.select("entry_id").as[Long].head() == 1L)
   }
 
-  test("eviction victim is first-seen (lowest id) among min freq") {
+  test("eviction victim is the newest (highest id) among min freq") {
+    // mirrors the reference's newest-first Redis list scan: the first
+    // strict minimum it keeps is the most recently inserted one
     val c = cacheDf(
       (5L, Seq(1f, 0f), "a", 2),
       (2L, Seq(0f, 1f), "b", 1),
       (9L, Seq(1f, 1f), "c", 1))
-    assert(CacheLfu.evictionVictim(c).select("entry_id").as[Long].head() == 2L)
+    assert(CacheLfu.evictionVictim(c).select("entry_id").as[Long].head() == 9L)
   }
 
   test("put at capacity evicts exactly the victim") {

@@ -167,6 +167,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(s1.get.turns.map(_.turn) == Seq(2, 3))
   }
 
+  test("streaming LFU cache folds identically to the batch CacheLfu operators") {
+    import graft.streaming.LfuCacheState
+    import graft.streaming.LfuCacheState.CacheOp
+    import graft.operators.{CacheLfu, Similarity}
+    val τ = 0.9
+    val cap = 2
+    val ops = Seq(
+      CacheOp("c", 1, Seq(1.0, 0.0), "r1"), // miss -> id 0
+      CacheOp("c", 2, Seq(1.0, 0.0), "r2"), // hit id 0, freq 2
+      CacheOp("c", 3, Seq(0.0, 1.0), "r3"), // miss -> id 1
+      CacheOp("c", 4, Seq(0.6, 0.8), "r4"), // miss at capacity: evict id 1 (min freq), -> id 2
+      CacheOp("c", 5, Seq(0.6, 0.8), "r5"), // hit id 2, freq 2
+      CacheOp("c", 6, Seq(0.0, 1.0), "r6"), // miss at capacity: freq tie -> evict NEWEST (id 2), -> id 3
+      CacheOp("c", 7, Seq(0.0, 1.0), "r7")) // hit id 3, freq 2
+
+    // stream-shape fold (flatMapGroupsWithState over a batch Dataset)
+    val streamed = LfuCacheState.lfuCache(ops.toDS(), τ, cap)
+      .collect().sortBy(_.seq)
+      .map(o => (o.hit, o.entry_id, o.response, o.freq)).toSeq
+
+    // batch fold: the same op sequence through CacheLfu/Similarity
+    var cache = Seq.empty[(Long, Seq[Float], String, Int)]
+      .toDF("entry_id", "embedding", "response", "freq")
+    var nextId = 0L
+    val batched = ops.map { op =>
+      val hit = Similarity.cacheLookup(cache, "embedding", op.embedding, τ)
+        .select("entry_id", "response", "freq").collect().headOption
+      hit match {
+        case Some(r) =>
+          cache = CacheLfu.touchById(cache, r.getLong(0))
+          (true, r.getLong(0), r.getString(1), r.getInt(2) + 1L)
+        case None =>
+          val entry = Seq((nextId, op.embedding.map(_.toFloat), op.response, 1))
+            .toDF("entry_id", "embedding", "response", "freq")
+          cache = CacheLfu.put(cache, entry, cap)
+          nextId += 1
+          (false, nextId - 1, op.response, 1L)
+      }
+    }
+    assert(streamed == batched)
+    // the documented outcome sequence, including the newest-tie eviction
+    assert(streamed.map(t => (t._1, t._2)) ==
+      Seq((false, 0L), (true, 0L), (false, 1L), (false, 2L), (true, 2L), (false, 3L), (true, 3L)))
+    // final batch cache contents match the stream's replayed state
+    val finalCache = cache.select("entry_id", "freq")
+      .as[(Long, Int)].collect().toSet
+    assert(finalCache == Set((0L, 2), (3L, 2)))
+  }
+
+  test("streaming LFU cache keeps state across micro-batches (RocksDB)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.LfuCacheState
+    import graft.streaming.LfuCacheState.CacheOp
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s2.sqlContext
+    import s2.implicits._
+    val input = MemoryStream[CacheOp]
+    val out = LfuCacheState.lfuCache(input.toDS(), threshold = 0.9, capacity = 10)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("lfu_stream").start()
+    input.addData(CacheOp("c", 1, Seq(1.0, 0.0), "resp_a"))
+    q.processAllAvailable()
+    // second micro-batch hits the entry inserted by the first
+    input.addData(CacheOp("c", 2, Seq(1.0, 0.0), "ignored"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s2.table("lfu_stream")
+      .select("seq", "hit", "entry_id", "response", "freq")
+      .as[(Long, Boolean, Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, false, 0L, "resp_a", 1L), (2L, true, 0L, "resp_a", 2L)))
+  }
+
   test("chat memory state: history accumulates per chat and is bounded") {
     val batch1 = Seq(
       ChatMessage("c1", "hi", "hello"),
