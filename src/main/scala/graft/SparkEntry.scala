@@ -638,6 +638,25 @@ object SparkEntry {
         .limit(5)
     }),
 
+    // IVF over the cell-PARTITIONED store: same result as q_ann_ivf, but
+    // the candidate scan goes through partitionBy(cell_id) + partition
+    // pruning — the end-to-end exercise of the 100 TB IVF layout.
+    "q_ann_ivf_part" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivf$safe").getAbsolutePath
+      val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+      Ann.writeIvfIndex(assigned.select("vec_id", "embedding", "cell_id"), idx)
+      Ann.ivfCandidatesPartitioned(s, idx, cents, "centroid_id", "centroid_vec",
+          collectVec(e, 0), "embedding", nprobe = 2)
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(5)
+    }),
+
     // Sign-random-projection LSH ANN: 4 planes → bucket, top-5 in-bucket.
     "q_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -891,6 +910,29 @@ object SparkEntry {
   private def dStopHits(words: String, list: Seq[String]) =
     s"len(list_filter($words, w -> list_contains([${list.map(w => s"'$w'").mkString(", ")}], w)))"
 
+  /** Shared by q_ann_ivf and q_ann_ivf_part: the partitioned store
+    * changes only the physical layout, never the candidate set. */
+  private def annIvfOracle: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |asg AS (
+       |  SELECT vec_id, embedding, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+       |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+       |               ${dCosine("e.embedding", "c.cv")} AS csim
+       |        FROM embeddings e, c)
+       |),
+       |cells AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1),
+       |probe AS (
+       |  SELECT cid FROM c, q ORDER BY ${dCosine("c.cv", "q.qv")} DESC, cid LIMIT 2
+       |),
+       |scored AS (
+       |  SELECT cells.vec_id, ${dCosine("cells.embedding", "q.qv")} AS sim
+       |  FROM cells, q WHERE cells.cell_id IN (SELECT cid FROM probe)
+       |)
+       |SELECT vec_id, round(sim + 1.2345e-9, 6) AS sim
+       |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+
   private def pipelineOracles: Map[String, String] = {
     val W = dTokens("lower(text)")
 
@@ -988,26 +1030,11 @@ object SparkEntry {
            |SELECT id_a, id_b AS neighbor_id, round(sim + 1.2345e-9, 6) AS sim
            |FROM r WHERE rn = 1 ORDER BY id_a""".stripMargin,
 
-      "q_ann_ivf" ->
-        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
-           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-           |asg AS (
-           |  SELECT vec_id, embedding, cid,
-           |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-           |  FROM (SELECT e.vec_id, e.embedding, c.cid,
-           |               ${dCosine("e.embedding", "c.cv")} AS csim
-           |        FROM embeddings e, c)
-           |),
-           |cells AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1),
-           |probe AS (
-           |  SELECT cid FROM c, q ORDER BY ${dCosine("c.cv", "q.qv")} DESC, cid LIMIT 2
-           |),
-           |scored AS (
-           |  SELECT cells.vec_id, ${dCosine("cells.embedding", "q.qv")} AS sim
-           |  FROM cells, q WHERE cells.cell_id IN (SELECT cid FROM probe)
-           |)
-           |SELECT vec_id, round(sim + 1.2345e-9, 6) AS sim
-           |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+      "q_ann_ivf" -> annIvfOracle,
+
+      // identical result contract: the partitioned store changes the
+      // physical layout, never the candidate set
+      "q_ann_ivf_part" -> annIvfOracle,
 
       "q_ann_lsh" ->
         s"""WITH p AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings WHERE vec_id < 4),

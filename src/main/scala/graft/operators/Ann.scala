@@ -94,6 +94,34 @@ object Ann {
       .withColumn("sim", cosine(col(vecCol), q))
   }
 
+  /** Persist a cell-assigned index `partitionBy(cell_id)`: each coarse
+    * cell becomes a partition directory, so an nprobe query's cell filter
+    * is answered by Catalyst PARTITION PRUNING — only nprobe/ncells of
+    * the files are even opened. This is the claimed 100 TB IVF posture
+    * made concrete (PlanSpec pins the PartitionFilters in the scan). */
+  def writeIvfIndex(assigned: DataFrame, indexDir: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(indexDir)
+
+  /** Scored candidates from a partitioned IVF store: rank centroids vs
+    * the query on the driver (the codebook is small by contract), then
+    * scan ONLY the nprobe winning cell partitions. Same candidate set as
+    * [[ivfCandidates]] over the equivalent in-memory assignment. */
+  def ivfCandidatesPartitioned(spark: SparkSession, indexDir: String,
+                               centroids: DataFrame, cIdCol: String, cVecCol: String,
+                               queryVec: Seq[Double], vecCol: String,
+                               nprobe: Int): DataFrame = {
+    val q = lit(queryVec.toArray)
+    val probeCells = centroids
+      .withColumn("_qsim", cosine(col(cVecCol), q))
+      .orderBy(desc("_qsim"), col(cIdCol))
+      .limit(nprobe)
+      .select(col(cIdCol))
+      .collect().map(_.get(0))
+    spark.read.parquet(indexDir)
+      .filter(col("cell_id").isin(probeCells: _*))
+      .withColumn("sim", cosine(col(vecCol), q))
+  }
+
   /** Sign-random-projection bucket id: bit i = (dot(v, plane_i) > 0).
     * `planes` is a small broadcast list of hyperplane vectors. */
   def lshBucket(vecCol: org.apache.spark.sql.Column,

@@ -106,6 +106,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"cell assignment must not use a window:\n$p")
   }
 
+  test("IVF partitioned store: probe filter becomes partition pruning") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_plan").toString + "/idx"
+    val assigned = graft.operators.Ann.assignCells(e, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec")
+    graft.operators.Ann.writeIvfIndex(assigned.select("vec_id", "embedding", "cell_id"), idx)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val cand = graft.operators.Ann.ivfCandidatesPartitioned(spark, idx,
+      cents, "centroid_id", "centroid_vec", qv, "embedding", nprobe = 2)
+    val p = plan(cand)
+    assert(p.contains("PartitionFilters") && p.contains("cell_id"),
+      s"expected cell_id in PartitionFilters (pruned scan):\n$p")
+    // pruning is real: only the probed cells' rows are read
+    val cells = spark.read.parquet(idx).filter(col("cell_id").isin(
+      cand.select("cell_id").distinct().collect().map(_.get(0)).toSeq: _*))
+    assert(cand.count() == cells.count())
+    assert(cand.count() < spark.read.parquet(idx).count())
+  }
+
   test("knnJoin broadcasts the query side, not the index side") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
     val q = e.filter(col("vec_id") < 3)
