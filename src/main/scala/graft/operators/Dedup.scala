@@ -75,8 +75,9 @@ object Dedup {
                         shingleN: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
     val sigs = withMinhashSignature(docs, idCol, textCol, shingleN, numHashes)
     // both self-join branches read the banded rows; materialize them once
-    // (lazy local checkpoint) instead of re-running the signature pipeline
-    val b = lshBands(sigs, idCol, numHashes, bands).localCheckpoint(false)
+    // (Materialize: localCheckpoint locally, DISK_ONLY persist on cluster)
+    // instead of re-running the signature pipeline
+    val b = graft.Materialize(lshBands(sigs, idCol, numHashes, bands))
     val l = b.select(col("band_id"), col("bucket"), col(idCol).as("id_a"))
     val r = b.select(col("band_id"), col("bucket"), col(idCol).as("id_b"))
     l.join(r, Seq("band_id", "bucket"))
@@ -129,7 +130,7 @@ object Dedup {
           .select("_blk", "_s")
         exploded.join(keep, Seq("_blk", "_s"), "left_semi")
       }
-    val sh = capped.localCheckpoint(false)
+    val sh = graft.Materialize(capped)
     // sizes are per (block, id): a doc_id appearing under two blocks must
     // not inflate |A| and deflate jaccard
     val sizes = sh.groupBy(col("_blk"), col("_id")).agg(count(lit(1)).as("_n"))
@@ -154,9 +155,9 @@ object Dedup {
     * the (small) per-doc hash rows — documents never join. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, blockCol: String,
                    bits: Int = 16, maxHamming: Int = 3): DataFrame = {
-    val hashed = docs.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
-      simhash(col(textCol), bits).as("_h"))
-      .localCheckpoint(false)
+    val hashed = graft.Materialize(
+      docs.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
+        simhash(col(textCol), bits).as("_h")))
     val a = hashed.select(col("_blk"), col("_id").as("id_a"), col("_h").as("_ha"))
     val b = hashed.select(col("_blk"), col("_id").as("id_b"), col("_h").as("_hb"))
     a.join(b, Seq("_blk"))

@@ -49,6 +49,71 @@ object Embed {
       .drop("_rawvec", "_l2norm")
   }
 
+  /** External-embedder client contract: embed a batch of texts in one
+    * call. Implementations hold per-partition resources (HTTP pool,
+    * model session) created once by the factory in
+    * [[withEmbeddingBatched]] — the reference's connection-reuse +
+    * 64-batch shape (app/main.py:36,148-169). */
+  trait EmbedClient extends Serializable {
+    def embedBatch(texts: Seq[String], dim: Int): Seq[Array[Double]]
+  }
+
+  /** Deterministic stub transport: the hashed-BoW arithmetic of
+    * [[embedText]] computed client-side, so the batched path is testable
+    * for exact equality against the expression path. A real service
+    * client (HTTP, gRPC) drops in behind the same trait. */
+  class HashedBowStubClient extends EmbedClient {
+    def embedBatch(texts: Seq[String], dim: Int): Seq[Array[Double]] = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      texts.map { text =>
+        val vec = new Array[Double](dim)
+        // mirror tokens(lower(text)): newline→space, trim, \s+ split
+        val cleaned = text.toLowerCase.replaceAll("\n", " ").trim
+        if (cleaned.nonEmpty) cleaned.split("\\s+").foreach { tok =>
+          digest.reset()
+          val d = digest.digest(tok.getBytes("UTF-8"))
+          vec((d(0) & 0xFF) % dim) += (if (((d(1) & 0xF0) >>> 4) % 2 == 0) 1.0 else -1.0)
+        }
+        vec
+      }
+    }
+  }
+
+  /** F-3 external-service parity path: a batched `mapPartitions` embedder.
+    * Per-partition client setup (the factory runs once per partition, on
+    * the executor), `batchSize`-row batches per call — the reference's
+    * EMBED_BATCH=64 with connection reuse (app/main.py:148-169). Output
+    * is L2-normalized with the same ε=1e-9 left-fold arithmetic as
+    * [[withEmbedding]], so with the stub client the two paths are
+    * bitwise identical. */
+  def withEmbeddingBatched(df: DataFrame, textCol: String, outCol: String,
+                           dim: Int = graft.Schemas.EmbeddingDim,
+                           batchSize: Int = 64,
+                           clientFactory: () => EmbedClient = () => new HashedBowStubClient)
+      : DataFrame = {
+    val schema = df.schema
+      .add(outCol, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false)
+    val textIdx = df.schema.fieldIndex(textCol)
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val client = clientFactory() // per-partition setup, amortized over batches
+      rows.grouped(batchSize).flatMap { batch =>
+        val raw = client.embedBatch(batch.map(_.getString(textIdx)), dim)
+        batch.lazyZip(raw).map { (row, v) =>
+          // same ascending left fold as l2Norm → bitwise-equal normalize
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          val denom = math.sqrt(s) + 1e-9
+          val normed = new Array[Double](v.length)
+          i = 0
+          while (i < v.length) { normed(i) = v(i) / denom; i += 1 }
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ normed.toSeq)
+        }
+      }
+    }
+  }
+
   /** Alphanumeric-only token stream for the TF-IDF variant (strips the
     * punctuation that dominates hash collisions on real corpora). */
   private def alnumTokens(text: Column): Column =
@@ -68,11 +133,11 @@ object Embed {
     * on (row, token) keys: scales linearly, never shuffles documents. */
   def withTfIdfEmbedding(df: DataFrame, textCol: String, outCol: String,
                          dim: Int = graft.Schemas.EmbeddingDim): (DataFrame, DataFrame, Long) = {
-    val withId = df.withColumn("_rowid", monotonically_increasing_id()).localCheckpoint(false)
+    val withId = graft.Materialize(df.withColumn("_rowid", monotonically_increasing_id()))
     val nDocs = withId.count()
     val toks = withId.select(col("_rowid"), explode(alnumTokens(col(textCol))).as("_t"))
     val tf = toks.groupBy("_rowid", "_t").agg(count(lit(1)).as("_tf"))
-    val dfreq = tf.groupBy("_t").agg(count(lit(1)).as("_df")).localCheckpoint(false)
+    val dfreq = graft.Materialize(tf.groupBy("_t").agg(count(lit(1)).as("_df")))
     val weighted = tf.join(dfreq, "_t")
       .select(col("_rowid"), md5Bucket16(col("_t"), dim).as("_b"),
         (md5Sign(col("_t")) * col("_tf") *

@@ -87,6 +87,42 @@ class AnnSpec extends AnyFunSuite {
     assert(nn == nn2)
   }
 
+  test("MLlib BRP-LSH top-10 recall >= 0.7 vs brute force (sf0.01, seeded)") {
+    import graft.functions.VectorFunctions.withL2Normalized
+    // L2-normalize so Euclidean ANN == cosine ANN (d² = 2 − 2·cos) and the
+    // recall comparison against the cosine brute force is apples-to-apples
+    val e01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val normed = withL2Normalized(e01.select("vec_id", "embedding"), "embedding", "nvec")
+      .select(col("vec_id"), col("nvec").as("embedding"))
+    val qv = normed.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Double](0)
+    val exact = Ann.bruteForceTopK(normed, "vec_id", "embedding", qv, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val (model, transformed) = Ann.fitBrpLsh(normed, "embedding",
+      numHashTables = 4, bucketLength = 2.0, seed = 42L)
+    val approx = Ann.brpApproxNeighbors(model, transformed, qv, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"BRP-LSH top-10 recall $recall < 0.7 vs brute force")
+  }
+
+  test("MLlib MinHashLSH candidates cover the exact Jaccard pairs (sf0.001)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // exact pairs at τ=0.3 (block = source), recomputed over one block key
+    // so the MLlib join (which has no blocking) is comparable
+    val oneBlock = docs.withColumn("source", lit("all"))
+    val exact = graft.operators.Dedup.jaccardPairs(oneBlock, "doc_id", "text", "source",
+        shingleN = 3, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain at least one near-dup pair at τ=0.3")
+    // jaccard_dist <= 0.7  <=>  jaccard >= 0.3
+    val ml = Ann.mlMinHashJoin(docs, "doc_id", "text",
+        shingleN = 3, numHashTables = 8, maxJaccardDistance = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val covered = exact.intersect(ml).size.toDouble / exact.size
+    assert(covered >= 0.7, s"MinHashLSH covered only $covered of exact pairs")
+  }
+
   test("MLlib MinHashLSH join finds planted near-duplicates") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

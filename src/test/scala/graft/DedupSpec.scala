@@ -74,4 +74,19 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(h(1L), h(3L)) <= 6, s"near-dup hamming ${hamming(h(1L), h(3L))}")
     assert(h(1L) >= 0 && h(1L) <= 0xFFFFL)
   }
+
+  test("materialize strategies agree: persist(DISK_ONLY) == localCheckpoint results") {
+    val blocked = docs.withColumn("blk", lit(1))
+    def run(): (Set[(Long, Long)], Set[(Long, Long)]) = (
+      Dedup.minhashCandidates(docs, "doc_id", "text", 3, 8, 4)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet,
+      Dedup.jaccardPairs(blocked, "doc_id", "text", "blk", 3, 0.05, maxDf = 100L)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet)
+    val viaCheckpoint = run()
+    spark.conf.set(Materialize.ConfKey, "persist")
+    try {
+      val viaPersist = run()
+      assert(viaPersist == viaCheckpoint)
+    } finally spark.conf.unset(Materialize.ConfKey)
+  }
 }

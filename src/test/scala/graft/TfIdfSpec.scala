@@ -18,6 +18,21 @@ class TfIdfSpec extends AnyFunSuite {
     (4L, "completely unrelated words regarding engines and turbines"))
     .toDF("doc_id", "text")
 
+  test("batched mapPartitions embedder equals the expression embedder bitwise") {
+    val mixed = Seq(
+      ("d1", "Spark shuffle JOIN\nperformance TUNING"),
+      ("d2", ""), ("d3", "   "), ("d4", "one"),
+      ("d5", "repeated words repeated words repeated"))
+      .toDF("doc_id", "text").repartition(3)
+    val viaExpr = Embed.withEmbedding(mixed, "text", "emb")
+      .select("doc_id", "emb").as[(String, Seq[Double])].collect().toMap
+    val viaBatch = Embed.withEmbeddingBatched(mixed, "text", "emb", batchSize = 2)
+      .select("doc_id", "emb").as[(String, Seq[Double])].collect().toMap
+    assert(viaExpr.keySet == viaBatch.keySet)
+    viaExpr.foreach { case (k, v) =>
+      assert(v == viaBatch(k), s"embedding mismatch for $k") }
+  }
+
   test("query with a rare term retrieves the doc containing it first") {
     val (embedded, dfreq, n) = Embed.withTfIdfEmbedding(docs, "text", "embedding", dim = 256)
     val qv = Embed.embedQueryTfIdf(spark, "what is ghrelin", dfreq, n, dim = 256)
