@@ -1173,13 +1173,27 @@ object SparkEntry {
            |            ELSE list_min(list_transform(sh, x -> md5(x))) END AS shingle_fp
            |FROM t ORDER BY doc_id""".stripMargin,
 
+      // byte-based slicing (first 8 hex chars of the encoded BLOB ==
+      // Spark's binary substring(1,4)) and the full sniffFormat CASE — a
+      // char-based substr or hardcoded 'unknown' would diverge on
+      // multibyte-leading or magic-prefixed documents
       "q_multimodal_meta" ->
-        """SELECT doc_id,
-          |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        """WITH b AS (
+          |  SELECT doc_id, text, encode(text) AS bin,
+          |         upper(left(hex(encode(text)), 8)) AS magic_uc
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |       CAST(octet_length(bin) AS BIGINT) AS n_bytes,
           |       sha256(text) AS sha256,
-          |       lower(hex(encode(substr(text, 1, 4)))) AS magic,
-          |       'unknown' AS format
-          |FROM documents ORDER BY doc_id""".stripMargin,
+          |       lower(magic_uc) AS magic,
+          |       CASE WHEN magic_uc LIKE 'FFD8FF%'   THEN 'jpeg'
+          |            WHEN magic_uc LIKE '89504E47%' THEN 'png'
+          |            WHEN magic_uc LIKE '47494638%' THEN 'gif'
+          |            WHEN magic_uc LIKE '52494646%' THEN 'riff'
+          |            WHEN magic_uc LIKE '25504446%' THEN 'pdf'
+          |            ELSE 'unknown' END AS format
+          |FROM b ORDER BY doc_id""".stripMargin,
 
       "q_corpus_except" ->
         """SELECT doc_id, text FROM documents

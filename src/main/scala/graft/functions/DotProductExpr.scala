@@ -19,9 +19,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * BITWISE identical to the composable form (and to the DuckDB oracle's
   * list_sum mirror) — swapping implementations never changes results.
   *
-  * Null handling: a null array yields null (BinaryExpression default);
-  * mismatched lengths fold over the common prefix (callers use
-  * fixed-dim embeddings).
+  * Null handling: a null array yields null (BinaryExpression default).
+  * Mismatched lengths throw: every caller contracts fixed-dim
+  * embeddings, and silently folding the common prefix would turn a
+  * dimension bug (query embedded at a different dim than the index)
+  * into plausible-but-wrong similarities.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -34,7 +36,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = DotProduct.checkedLength(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -49,7 +51,8 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.DotProduct$$.MODULE$$.checkedLength(
+         |  $a.numElements(), $b.numElements());
          |double ${ev.value}_acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value}_acc += $a.getDouble($i) * $b.getDouble($i);
@@ -60,4 +63,13 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Dimension guard shared by interpreted eval and generated code. */
+  def checkedLength(a: Int, b: Int): Int = {
+    if (a != b) throw new IllegalArgumentException(
+      s"graft_dot: dimension mismatch ($a vs $b) — query and index must be embedded at the same dim")
+    a
+  }
 }

@@ -128,9 +128,14 @@ object Embed {
     *
     * Returns (embedded df, document-frequency table, corpus size); feed
     * the latter two to [[embedQueryTfIdf]] so queries live in the same
-    * weighted space. All stats are computed with exact integer counts —
-    * deterministic for a given corpus. Two aggregates + two joins, all
-    * on (row, token) keys: scales linearly, never shuffles documents. */
+    * weighted space. tf/df stats are exact integer counts; the per-bucket
+    * sum of tf×sign×log weights accumulates irrational doubles in
+    * partition-dependent order, so embeddings are deterministic only up
+    * to floating-point summation order (like kmeansRefine) — near-tie
+    * retrieval ranks can differ across partitionings, which is why the
+    * oracle-checked queries use the exact ±1 [[withEmbedding]] instead.
+    * Two aggregates + two joins, all on (row, token) keys: scales
+    * linearly, never shuffles documents. */
   def withTfIdfEmbedding(df: DataFrame, textCol: String, outCol: String,
                          dim: Int = graft.Schemas.EmbeddingDim): (DataFrame, DataFrame, Long) = {
     val withId = graft.Materialize(df.withColumn("_rowid", monotonically_increasing_id()))

@@ -81,6 +81,18 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("dot product throws on dimension mismatch instead of folding a prefix") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val ex = intercept[Throwable] {
+      df.select(dot(col("a"), col("b")).as("d")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("dimension mismatch")),
+      s"expected dimension-mismatch error, got: ${messages(ex)}")
+  }
+
   test("hamming distance over bit arrays") {
     val d = Seq((Seq(1, 0, 1, 1), Seq(1, 1, 0, 1))).toDF("a", "b")
       .select(hammingDistance(col("a"), col("b"))).head().getInt(0)
