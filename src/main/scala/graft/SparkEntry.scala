@@ -607,19 +607,25 @@ object SparkEntry {
     }),
 
     // Embedding-cosine near-dup: top-1 neighbor per vector within label.
+    // Argmax via max_by on (sim, −id_b): a partial-aggregatable hash agg
+    // — each map task reduces its pairs to one candidate per id_a before
+    // the shuffle, instead of pushing ALL scored pairs through an
+    // Exchange + sort for a row_number window. Ties (equal sim) break to
+    // the lowest id_b, matching the oracle's row_number ordering.
     "q_embedding_neighbors" -> ((s, dir) => {
       val e = wide(s, dir, "embeddings").withColumn("_nrm", l2Norm(col("embedding")))
       val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("_va"),
         col("_nrm").as("_na"))
       val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("_vb"),
         col("_nrm").as("_nb"))
-      val w = Window.partitionBy("id_a").orderBy(desc("sim"), col("id_b"))
       a.join(b, Seq("label"))
         .filter(col("id_a") =!= col("id_b"))
         .withColumn("sim", cosineGiven(col("_va"), col("_vb"), col("_na"), col("_nb")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("id_a"), col("id_b").as("neighbor_id"), stableRound(col("sim")).as("sim"))
+        .groupBy("id_a")
+        .agg(max_by(struct(col("id_b"), col("sim")),
+          struct(col("sim"), -col("id_b"))).as("_best"))
+        .select(col("id_a"), col("_best.id_b").as("neighbor_id"),
+          stableRound(col("_best.sim")).as("sim"))
         .orderBy("id_a")
     }),
 

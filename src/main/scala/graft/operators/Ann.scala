@@ -36,36 +36,31 @@ object Ann {
   /** Assign each vector to its nearest centroid (max cosine, ties → lowest
     * centroid id). Centroids are small by contract (the coarse-quantizer
     * codebook — at most thousands of rows); collecting them folds the whole
-    * argmax into ONE map-side projection with zero shuffle. The previous
+    * argmax into ONE codegen'd map-side projection
+    * ([[graft.functions.NearestCentroid]]) with zero shuffle. The round-1
     * crossJoin + row_number window form shuffled |index| × |centroids|
     * scored rows through an Exchange on id — at 100 TB × 1024 cells that
     * is 1024× the index through the shuffle for an argmax that every
     * executor can compute locally. */
   def assignCells(index: DataFrame, idCol: String, vecCol: String,
                   centroids: DataFrame, cIdCol: String, cVecCol: String): DataFrame = {
-    val cents = centroids
+    // sorted by centroid id, so the expression's lowest-index tie-break
+    // IS the lowest-centroid-id tie-break (matches the oracle's ordering)
+    val cents = centroids.orderBy(col(cIdCol))
       .select(col(cIdCol), col(cVecCol).cast("array<double>"))
       .collect()
       .map(r => (r.get(0), r.getSeq[Double](1).toArray))
     require(cents.nonEmpty, "assignCells: empty centroid set")
-    // Negated sim, so the lexicographic struct MIN is (max sim, tie →
-    // lowest centroid id) — same semantics as the old desc(sim), asc(cid).
-    val candidates = cents.map { case (cid, cvec) =>
-      // same ascending left fold as the codegen DotProduct → the literal
-      // norm is bitwise equal to what l2Norm(cvec) would compute
-      var s = 0.0; var i = 0
-      while (i < cvec.length) { s += cvec(i) * cvec(i); i += 1 }
-      val cnorm = math.sqrt(s)
-      struct(
-        (-cosineGiven(col(vecCol), lit(cvec), col("_vnorm"), lit(cnorm))).as("nsim"),
-        lit(cid).as("cid"))
-    }
+    import org.apache.spark.sql.GraftColumnBridge._
+    val best = column(graft.functions.NearestCentroid(
+      expression(col(vecCol).cast("array<double>")), cents.map(_._2)))
     index
-      .withColumn("_vnorm", l2Norm(col(vecCol)))
-      .withColumn("_best", array_min(array(candidates.toIndexedSeq: _*)))
-      .withColumn("cell_id", col("_best.cid"))
-      .withColumn("cell_sim", -col("_best.nsim"))
-      .drop("_best", "_vnorm")
+      .withColumn("_best", best)
+      // idx → original centroid id via a literal array lookup (1-based)
+      .withColumn("cell_id",
+        element_at(array(cents.toIndexedSeq.map(c => lit(c._1)): _*), col("_best.idx") + 1))
+      .withColumn("cell_sim", col("_best.sim"))
+      .drop("_best")
   }
 
   /** IVF search: rank centroids vs the query, keep the nprobe nearest

@@ -169,24 +169,12 @@ object Dedup {
 
   /** SimHash over tokens: bit j is set iff the majority of tokens have md5
     * bit j set (strictly positive vote sum). `bits` ≤ 32 (one hex digit
-    * carries 4 bits; bit j reads digit j/4, weight 2^(3-j%4)). */
+    * carries 4 bits; bit j reads digit j/4, weight 2^(3-j%4)). Backed by
+    * the codegen'd [[graft.functions.SimHash]] fused loop — one md5 per
+    * token instead of one per (token × bit). */
   def simhash(text: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 32, "bits in [1,32]")
-    val toks = tokens(lower(cleanText(text)))
-    // vote_j = sum over tokens of (2*bit_j - 1); simhash bit_j = vote_j > 0.
-    // bit_j of a token reads hex digit j/4 of its md5, weight 2^(3 - j%4).
-    val votes = transform(sequence(lit(0), lit(bits - 1)), j => {
-      val digitPos = floor(j.cast("double") / 4.0).cast("int") + 1
-      val weight = pow(lit(2.0), lit(3) - pmod(j, lit(4)))
-      aggregate(toks, lit(0), (s, t) => {
-        val digit = hexCharVal(md5(t).substr(digitPos, lit(1)))
-        val bit = pmod(floor(digit.cast("double") / weight).cast("int"), lit(2))
-        s + (bit * 2 - 1)
-      })
-    })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(bits - 1)), (v, j) =>
-        when(v > 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))),
-      lit(0L), (s, x) => s + x)
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(graft.functions.SimHash(
+      expression(tokens(lower(cleanText(text)))), bits))
   }
 }
