@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, HashedBow, SimHash, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use, so `spark.sql("SELECT graft_dot(a, b)")`
@@ -20,10 +20,8 @@ import graft.functions.DotProduct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotFunction)
-    ext.injectFunction(GraftExtensions.cosineFunction)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.allFunctions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -60,10 +58,56 @@ object GraftExtensions {
         Some(Divide(DotProduct(a, b), Multiply(na, nb))))
     })
 
+  /** Fold a literal argument down to an Int (dims, shingle n, bits —
+    * structural parameters that must be known at plan time). */
+  private def litInt(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: parameter must be a literal")
+    e.eval().asInstanceOf[Number].intValue
+  }
+
+  /** graft_shingles(tokens, n): word n-grams; graft_shingle_set dedups. */
+  val shinglesFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_shingles(tokens, n) takes exactly 2 arguments")
+      WordShingles(children.head, litInt(children(1), "graft_shingles"), distinct = false)
+    })
+
+  val shingleSetFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_shingle_set"),
+    new ExpressionInfo(classOf[WordShingles].getName, "graft_shingle_set"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_shingle_set(tokens, n) takes exactly 2 arguments")
+      WordShingles(children.head, litInt(children(1), "graft_shingle_set"), distinct = true)
+    })
+
+  /** graft_simhash(tokens, bits): majority-vote md5 SimHash. */
+  val simhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_simhash(tokens, bits) takes exactly 2 arguments")
+      SimHash(children.head, litInt(children(1), "graft_simhash"))
+    })
+
+  /** graft_hashed_bow(tokens, dim): raw hashed bag-of-words vector. */
+  val hashedBowFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hashed_bow"),
+    new ExpressionInfo(classOf[HashedBow].getName, "graft_hashed_bow"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_hashed_bow(tokens, dim) takes exactly 2 arguments")
+      HashedBow(children.head, litInt(children(1), "graft_hashed_bow"))
+    })
+
+  val allFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(dotFunction, cosineFunction, shinglesFunction, shingleSetFunction,
+      simhashFunction, hashedBowFunction)
+
   /** Register on an existing session (useful when the session was built
     * without extensions — e.g. notebook / driver-provided sessions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(dotFunction, cosineFunction).foreach { case (id, _, builder) =>
+    allFunctions.foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "scala_udf")
     }

@@ -28,6 +28,26 @@ class ExtensionsSpec extends AnyFunSuite {
       .as[Double].head() == 0.0)
   }
 
+  test("text expressions register and evaluate from pure SQL") {
+    GraftExtensions.register(spark)
+    val sh = spark.sql(
+      "SELECT graft_shingles(array('a','b','c','d'), 2) AS s").as[Seq[String]].head()
+    assert(sh == Seq("a b", "b c", "c d"))
+    val shSet = spark.sql(
+      "SELECT graft_shingle_set(array('a','b','a','b'), 2) AS s").as[Seq[String]].head()
+    assert(shSet == Seq("a b", "b a"))
+    // SQL simhash equals the column-API simhash on the same tokens
+    val viaSql = spark.sql(
+      "SELECT graft_simhash(array('alpha','beta','gamma'), 16) AS h").as[Long].head()
+    val viaCol = Seq("alpha beta gamma").toDF("t")
+      .select(graft.operators.Dedup.simhash(col("t"), 16).as("h")).as[Long].head()
+    assert(viaSql == viaCol)
+    // hashed BoW: dim-8 vector, total mass == token count in abs sum
+    val bow = spark.sql(
+      "SELECT graft_hashed_bow(array('x','y','z'), 8) AS v").as[Seq[Double]].head()
+    assert(bow.length == 8 && bow.map(math.abs).sum == 3.0)
+  }
+
   test("withExtensions session exposes graft_dot") {
     val s2 = SparkSession.builder()
       .master("local[2]")
