@@ -30,9 +30,13 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** Count of tokens that appear in `words`. */
-  def stopwordHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+  /** Count of tokens that appear in `words` — codegen'd hash-set
+    * membership loop ([[graft.functions.StopwordHits]]), O(tokens)
+    * instead of an interpreted O(tokens × |words|) filter lambda. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(graft.functions.StopwordHits(expression(toks), words))
+  }
 
   /** Language ID: argmax of stopword-profile hit counts; ties resolve to
     * the FIRST matching profile in declaration order (en, es, fr, de) —
@@ -56,10 +60,14 @@ object TextAnalysis {
       .otherwise(length(regexp_replace(t, "[a-zA-Z0-9\\s]", "")).cast("double") / length(t))
   }
 
+  /** Mean token length. Sum of token lengths == cleaned text minus its
+    * whitespace (tokens are exactly the non-whitespace runs), so this is
+    * pure codegen'd regexp/length arithmetic — no interpreted aggregate
+    * lambda. Integer char counts divide exactly as in the old fold. */
   def meanTokenLen(text: Column): Column = {
     val toks = tokens(text)
-    when(size(toks) === 0, 0.0)
-      .otherwise(aggregate(toks, lit(0.0), (s, t) => s + length(t)) / size(toks))
+    val charSum = length(regexp_replace(cleanText(text), "\\s+", "")).cast("double")
+    when(size(toks) === 0, 0.0).otherwise(charSum / size(toks))
   }
 
   def stopwordRatio(text: Column): Column = {
