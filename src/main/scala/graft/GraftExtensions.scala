@@ -20,8 +20,16 @@ import graft.functions.{DotProduct, HashedBow, SimHash, WordShingles}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.allFunctions.foreach(ext.injectFunction)
+    // ANN bucket-prune rewrite (opt-in via spark.graft.ann.rewrite).
+    // Post-hoc resolution: fires right after analysis, before column
+    // pruning can drop a bucket column the final select doesn't keep.
+    // Optimizer rule: covers plans that reach optimization without the
+    // resolution pass (e.g. cached logical plans). Both are idempotent.
+    ext.injectPostHocResolutionRule(_ => graft.plans.AnnBucketPrune)
+    ext.injectOptimizerRule(_ => graft.plans.AnnBucketPrune)
+  }
 }
 
 object GraftExtensions {
@@ -111,5 +119,18 @@ object GraftExtensions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "scala_udf")
     }
+    ensureAnnRewrite(spark)
+  }
+
+  /** Attach the ANN bucket-prune rule to a session built WITHOUT
+    * extensions, via the public experimental hook. This path runs after
+    * the main optimizer batches (so a bucket column must survive into
+    * the query's output to be seen); sessions built with
+    * `withExtensions(new GraftExtensions)` get the stronger post-hoc
+    * resolution placement instead. Idempotent. */
+  def ensureAnnRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.AnnBucketPrune))
+      spark.experimental.extraOptimizations = cur :+ graft.plans.AnnBucketPrune
   }
 }

@@ -663,6 +663,33 @@ object SparkEntry {
         .limit(5)
     }),
 
+    // LSH ANN via the OPTIMIZER REWRITE (graft.plans.AnnBucketPrune):
+    // the query below is written as the EXACT form — score everything,
+    // sort desc, limit — with no bucket filter anywhere; the opt-in rule
+    // recognizes the top-k-by-cosine shape over the plane-tagged bucket
+    // column and injects `lsh_bucket IN (query_bucket)` itself. Same
+    // result as q_ann_lsh's hand-written bucket filter; the oracle
+    // encodes the bucket-filtered (ANN) semantics.
+    "q_ann_rewrite" -> ((s, dir) => {
+      s.conf.set(graft.plans.AnnBucketPrune.EnabledConf, "true")
+      GraftExtensions.ensureAnnRewrite(s) // no-op under a withExtensions session
+      val e = t(s, dir, "embeddings")
+      val planes = e.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0)).toSeq
+      val qv = collectVec(e, 0)
+      Ann.withLshBucket(e.select("vec_id", "embedding"), "embedding", planes)
+        // rounded sim BEFORE the sort: rounded order == the oracle's
+        // alias order (same discipline as q_ann_lsh / q_ann_ivf)
+        .withColumn("sim", stableRound(cosine(col("embedding"), lit(qv.toArray))))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(5)
+        // keep lsh_bucket in the output: documents which bucket served
+        // the query, and keeps the column visible to the late (foreign-
+        // session) extraOptimizations placement of the rule
+        .select("vec_id", "lsh_bucket", "sim")
+    }),
+
     // Sign-random-projection LSH ANN: 4 planes → bucket, top-5 in-bucket.
     "q_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1056,6 +1083,25 @@ object SparkEntry {
            |  FROM b, q WHERE b.bucket = (SELECT bucket FROM b WHERE vec_id = 0)
            |)
            |SELECT vec_id, round(sim + 1.2345e-9, 6) AS sim
+           |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+      // Same ANN-bucket semantics as q_ann_lsh (the engine side reaches
+      // them via the AnnBucketPrune optimizer rewrite instead of an
+      // explicit filter); output additionally names the serving bucket.
+      "q_ann_rewrite" ->
+        s"""WITH p AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings WHERE vec_id < 4),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |b AS (
+           |  SELECT e.vec_id, e.embedding,
+           |         CAST(sum(CASE WHEN ${dDot("e.embedding", "p.pv")} > 0
+           |                       THEN CAST(pow(2, p.pid) AS BIGINT) ELSE 0 END) AS BIGINT) AS lsh_bucket
+           |  FROM embeddings e, p GROUP BY e.vec_id, e.embedding
+           |),
+           |scored AS (
+           |  SELECT b.vec_id, b.lsh_bucket, ${dCosine("b.embedding", "q.qv")} AS sim
+           |  FROM b, q WHERE b.lsh_bucket = (SELECT lsh_bucket FROM b WHERE vec_id = 0)
+           |)
+           |SELECT vec_id, lsh_bucket, round(sim + 1.2345e-9, 6) AS sim
            |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
 
       "q_cache_lookup" ->

@@ -148,6 +148,35 @@ object Ann {
       .withColumn("sim", cosine(col(vecCol), lit(queryVec.toArray)))
   }
 
+  /** Add the LSH bucket column WITH plane metadata on the column, making
+    * the table eligible for the [[graft.plans.AnnBucketPrune]] optimizer
+    * rewrite: a plain `orderBy(desc(cosine)).limit(k)` over this frame is
+    * rewritten (opt-in) into a bucket-pruned scan. The metadata rides the
+    * schema through parquet round-trips, so a written index stays
+    * rewrite-eligible when read back. */
+  def withLshBucket(index: DataFrame, vecCol: String,
+                    planes: Seq[Seq[Double]],
+                    bucketCol: String = "lsh_bucket"): DataFrame =
+    index
+      .withColumn(bucketCol, lshBucket(col(vecCol), planes))
+      .withMetadata(bucketCol, graft.plans.AnnBucketPrune.lshMetadata(planes))
+
+  /** Persist an LSH index `partitionBy(bucket)`: with the bucket-prune
+    * rewrite on, a top-k cosine query over [[readLshIndex]] opens only
+    * the probed buckets' files (Catalyst partition pruning). */
+  def writeLshIndex(withBuckets: DataFrame, indexDir: String,
+                    bucketCol: String = "lsh_bucket"): Unit =
+    withBuckets.write.mode("overwrite").partitionBy(bucketCol).parquet(indexDir)
+
+  /** Read a partitioned LSH index back, re-attaching plane metadata:
+    * parquet partition columns come from directory names and carry no
+    * schema metadata, so the reader must restore the rewrite eligibility. */
+  def readLshIndex(spark: SparkSession, indexDir: String,
+                   planes: Seq[Seq[Double]],
+                   bucketCol: String = "lsh_bucket"): DataFrame =
+    spark.read.parquet(indexDir)
+      .withMetadata(bucketCol, graft.plans.AnnBucketPrune.lshMetadata(planes))
+
   /** Deterministic "training-free" centroids: the first n vectors by id.
     * (A k-means refinement would go here; seeding from data keeps the
     * operator reproducible and oracle-checkable.) */
