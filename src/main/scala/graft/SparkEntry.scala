@@ -742,6 +742,42 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // F-8: prompt templating over assembled context — the full render
+    // path (context blocks + history + query), oracle-checked as plain
+    // string algebra. Same limit-then-rank hit set as q_context_assembly.
+    "q_prompt" -> ((s, dir) => {
+      val hits = t(s, dir, "documents")
+        .orderBy(desc("n_chars"), col("doc_id"))
+        .limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("n_chars"), col("doc_id"))))
+      val ctx = Retrieval.renderContext(
+          Retrieval.assembleContext(hits, "lang", "rank", "text"), "lang")
+        .withColumn("query", lit("What is Ghrelin?"))
+        .withColumn("history", concat(lit("turn 1: hello lang="), col("lang")))
+      Retrieval.buildPrompt(ctx, "query", "context_block", Some("history"))
+        .select(col("lang"), col("prompt"))
+        .orderBy("lang")
+    }),
+
+    // O-3 / F-6 / F-7: upload doc_id derivation (stem_unixtime) over
+    // synthesized paths covering the three stem shapes: simple extension,
+    // multi-dot name (stem keeps the inner dots), and no extension.
+    // Timestamp injected (F-6) so the id is deterministic.
+    "q_doc_id" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(3))
+      val ext = when(m === 0, lit(".txt"))
+        .when(m === 1, lit(".tar.gz"))
+        .otherwise(lit(""))
+      val fname = concat(lit("/uploads/u"), m.cast("string"),
+        lit("/doc_"), col("doc_id").cast("string"), ext)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          fname.as("file_name"),
+          Ingest.uploadDocId(fname, lit(1723400000L)).as("upload_id"))
+        .orderBy("doc_id")
+    }),
+
     // F-3: deterministic hashed-BoW embedding (norm + first dims).
     "q_embed_doc" -> ((s, dir) => {
       wide(s, dir, "documents")
@@ -1142,6 +1178,41 @@ object SparkEntry {
           |SELECT lang, CAST(min(rank) AS BIGINT) AS best_rank,
           |       string_agg(text, chr(10) ORDER BY rank) AS context_text
           |FROM r WHERE rank <= 20 GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // Prompt templating: identical hit set / grouping as
+      // q_context_assembly, then the render is pure string concatenation
+      // mirrored term-for-term (newlines via chr(10) on both sides).
+      "q_prompt" ->
+        """WITH r AS (
+          |  SELECT lang, text, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+          |  FROM documents
+          |),
+          |c AS (
+          |  SELECT lang, string_agg(text, chr(10) ORDER BY rank) AS context_text
+          |  FROM r WHERE rank <= 20 GROUP BY lang
+          |)
+          |SELECT lang,
+          |       concat('You are a helpful medical assistant. Use ONLY the provided context to answer.',
+          |              chr(10), chr(10),
+          |              'Conversation so far:', chr(10), 'turn 1: hello lang=', lang, chr(10), chr(10),
+          |              'User Query:', chr(10), 'What is Ghrelin?', chr(10), chr(10),
+          |              'Context:', chr(10),
+          |              '--- Document ID: ', lang, ' ---', chr(10), context_text,
+          |              chr(10), chr(10), 'Answer:') AS prompt
+          |FROM c ORDER BY lang""".stripMargin,
+
+      // stem_unixtime doc ids: the stem regex keeps inner dots and strips
+      // only the final .ext segment — same RE2 pattern both engines.
+      "q_doc_id" ->
+        """WITH f AS (
+          |  SELECT doc_id,
+          |         concat('/uploads/u', doc_id % 3, '/doc_', doc_id,
+          |                CASE doc_id % 3 WHEN 0 THEN '.txt' WHEN 1 THEN '.tar.gz' ELSE '' END) AS file_name
+          |  FROM documents
+          |)
+          |SELECT doc_id, file_name,
+          |       concat(regexp_extract(file_name, '([^/]+?)(\.[^./]*)?$', 1), '_', 1723400000) AS upload_id
+          |FROM f ORDER BY doc_id""".stripMargin,
 
       "q_embed_doc" ->
         s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
