@@ -558,6 +558,37 @@ object SparkEntry {
 
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // North star: the full corpus-curation pipeline every training-data
+    // job runs, chained as ONE declarative plan — quality gate → exact
+    // dedup (keep lowest id per fingerprint) → MinHash-banding near-dup
+    // removal (drop the higher id of each candidate pair) → per-language
+    // corpus stats. Each stage is an operator oracle-checked in
+    // isolation elsewhere; this checks the composition. Aggregates are
+    // order-independent (count / integer sum / min / max) so the output
+    // is stable under any partitioning.
+    "q_curation" -> ((s, dir) => {
+      val scored = wide(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.contentFingerprint(col("text")).as("fp"))
+      val gated = scored.filter(col("quality") >= 0.5 && col("n_tokens") >= 20)
+      val keep = gated.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      val exactDeduped = gated.join(keep, Seq("fp", "doc_id"))
+      val dropIds = Dedup.minhashCandidates(
+          exactDeduped.select("doc_id", "text"),
+          "doc_id", "text", shingleN = 3, numHashes = 8, bands = 4)
+        .select(col("id_b").as("doc_id")).distinct()
+      exactDeduped.join(dropIds, Seq("doc_id"), "left_anti")
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tokens").cast("long").as("total_tokens"),
+          min("quality").as("min_quality"),
+          max("quality").as("max_quality"))
+        .orderBy("lang_pred")
+    }),
+
     // §2.F north star: exact dedup by content fingerprint.
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(wide(s, dir, "documents"), "doc_id", "text")
@@ -1006,6 +1037,60 @@ object SparkEntry {
     val W = dTokens("lower(text)")
 
     Map(
+      // Curation pipeline: stage-by-stage CTE mirror of the engine's
+      // chained plan, reusing the exact scoring / fingerprint / banding
+      // fragments of q_lang_quality, q_dedup_exact and q_minhash_pairs.
+      "q_curation" -> {
+        val langs = TextAnalysis.StopwordProfiles.map(_._1)
+        val hits = TextAnalysis.StopwordProfiles
+          .map { case (lang, words) => s"${dStopHits("w", words)} AS h_$lang" }
+          .mkString(",\n              ")
+        val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+        val caseChain = langs.map(l => s"WHEN h_$l = best THEN '$l'").mkString(" ")
+        val punct = "(CASE WHEN length(tc) = 0 THEN 0.0 " +
+          "ELSE CAST(length(regexp_replace(tc, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(tc) END)"
+        val mtl = "(CASE WHEN len(w) = 0 THEN 0.0 " +
+          "ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) END)"
+        val quality = s"round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4 + " +
+          s"greatest(1.0 - $punct * 5.0, 0.0) * 0.3 + " +
+          s"least($mtl / 8.0, 1.0) * 0.3 + 1.2345e-9, 6)"
+        val sigCols = (0 until 8)
+          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS sig_$k")
+          .mkString(", ")
+        val bandRows = (0 until 4)
+          .map(b => s"SELECT doc_id, $b AS band_id, md5(sig_${2 * b} || '#' || sig_${2 * b + 1}) AS bucket FROM sigs")
+          .mkString("\n  UNION ALL ")
+        s"""WITH t AS (SELECT doc_id, text, trim(replace(text, chr(10), ' ')) AS tc, $W AS w FROM documents),
+           |s AS (
+           |  SELECT doc_id, w,
+           |         CASE WHEN best <= 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred,
+           |         $quality AS quality,
+           |         len(w) AS n_tokens,
+           |         md5(tc) AS fp
+           |  FROM (SELECT *,
+           |              $hits,
+           |              $best AS best
+           |        FROM t) x
+           |),
+           |g AS (SELECT * FROM s WHERE quality >= 0.5 AND n_tokens >= 20),
+           |k AS (SELECT fp, min(doc_id) AS doc_id FROM g GROUP BY fp),
+           |e AS (SELECT g.* FROM g JOIN k ON g.fp = k.fp AND g.doc_id = k.doc_id),
+           |d3 AS (SELECT doc_id, ${dShingleSet("w", 3)} AS sh FROM e),
+           |sigs AS (SELECT doc_id, $sigCols FROM d3 WHERE len(sh) > 0),
+           |bands AS (
+           |  $bandRows
+           |),
+           |drops AS (
+           |  SELECT DISTINCT b.doc_id FROM bands a
+           |  JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           |),
+           |surv AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+           |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |       min(quality) AS min_quality, max(quality) AS max_quality
+           |FROM surv GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+      },
+
       "q_dedup_exact" ->
         """SELECT md5(trim(replace(text, chr(10), ' '))) AS fingerprint,
           |       min(doc_id) AS keep_id, count(*) AS n_copies
