@@ -309,6 +309,47 @@ object SparkEntry {
     // As-of lookup: for every event, the most recent PRIOR error event's
     // timestamp for the same user (composed from window built-ins — the
     // preferred shape before any custom as-of operator).
+    // Two-table backward as-of join (purchases ← latest error per user):
+    // engine runs the single-shuffle union+window form (no join operator
+    // in the plan); the oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so
+    // the semantics pin against an independent reference implementation.
+    // Right side deduped per (user_id, ts) — keep highest event_id — so
+    // the at-or-before pick is well-defined on both engines.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("user_id", "ts").orderBy(desc("event_id"))))
+        .filter(col("_rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("err_id"), col("value").as("err_value"))
+      TemporalJoins.asofBackward(purchases, errors, Seq("user_id"), "ts",
+          Seq("err_id", "err_value"))
+        .select(col("event_id"), col("user_id"), col("err_id"), col("err_value"))
+        .orderBy("event_id")
+    }),
+
+    // Point-in-interval range join: every event landing inside the
+    // 5-minute window opened by each error, per user. Engine buckets
+    // intervals to 5-min bins → plain equi-join on (user_id, bin) +
+    // exact BETWEEN re-check (no per-key cartesian); oracle is the naive
+    // range-condition join. Integer-µs arithmetic both sides.
+    "q_range_join" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("u", unix_micros(col("ts")))
+      val points = ev.select(col("event_id"), col("user_id"), col("u"))
+      val intervals = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("u").as("s_us"),
+          (col("u") + lit(300000000L)).as("e_us"))
+      TemporalJoins.pointInInterval(points, intervals, Seq("user_id"),
+          "u", "s_us", "e_us", binSize = 300000000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          countDistinct("event_id").as("n_points"))
+        .orderBy("user_id")
+    }),
+
     "q_asof_error" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -503,6 +544,33 @@ object SparkEntry {
         |         OVER (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_ts
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN — an independent reference
+    // implementation of the backward-inclusive semantics the engine
+    // builds from union + window.
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, ts, event_id AS err_id, value AS err_value
+        |  FROM events WHERE event_type = 'error'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+        |)
+        |SELECT p.event_id, p.user_id, r.err_id, r.err_value
+        |FROM p ASOF LEFT JOIN r ON p.user_id = r.user_id AND p.ts >= r.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // Naive range-condition join as the oracle; the engine's bin-bucketed
+    // equi-join must produce the identical pair set.
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS u, event_type FROM events),
+        |i AS (SELECT user_id, u AS s_us, u + 300000000 AS e_us FROM e WHERE event_type = 'error'),
+        |j AS (
+        |  SELECT i.user_id, p.event_id FROM i
+        |  JOIN e p ON i.user_id = p.user_id AND p.u >= i.s_us AND p.u <= i.e_us
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(count(DISTINCT event_id) AS BIGINT) AS n_points
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_rank_funcs" ->
       """SELECT o_orderkey, o_orderstatus,
