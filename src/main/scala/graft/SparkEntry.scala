@@ -175,6 +175,21 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // Skew-salted join surface: salting is internal plumbing (salt the
+    // big side, replicate the small side over the salt range), so the
+    // result must equal — and is oracled against — a plain equi-join.
+    "q_skew_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_orderkey"), col("l_quantity"))
+      val small = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      SkewJoin.saltedJoin(big, small, "suppkey", saltSource = "l_orderkey", buckets = 8)
+        .groupBy(col("s_name"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("s_name")
+    }),
+
     // O-18 per-group: top-3 orders per customer by totalprice (window).
     "q_window_topn" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
@@ -466,6 +481,15 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation   ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // The salted join must be invisible in the result: oracle is the
+    // plain equi-join + aggregate.
+    "q_skew_join" ->
+      """SELECT s_name,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
 
     "q_window_topn" ->
       """WITH r AS (
@@ -884,6 +908,21 @@ object SparkEntry {
         .withColumn("_norm", l2Norm(col("_raw")))
         .withColumn("_n", l2NormalizeWith(col("_raw"), col("_norm")))
         .select(col("doc_id"), stableRound(col("_norm")).as("norm"),
+          stableRound(element_at(col("_n"), 1)).as("e0"),
+          stableRound(element_at(col("_n"), 2)).as("e1"),
+          stableRound(element_at(col("_n"), 3)).as("e2"),
+          stableRound(element_at(col("_n"), 4)).as("e3"))
+        .orderBy("doc_id")
+    }),
+
+    // F-3 external-service parity path: the batched mapPartitions
+    // embedder (per-partition client setup, 64-row batches) is bitwise
+    // identical to the expression path, so it shares q_embed_doc's
+    // oracle arithmetic.
+    "q_embed_batched" -> ((s, dir) => {
+      Embed.withEmbeddingBatched(
+          wide(s, dir, "documents").select("doc_id", "text"), "text", "_n")
+        .select(col("doc_id"),
           stableRound(element_at(col("_n"), 1)).as("e0"),
           stableRound(element_at(col("_n"), 2)).as("e1"),
           stableRound(element_at(col("_n"), 3)).as("e2"),
@@ -1377,6 +1416,24 @@ object SparkEntry {
            |      FROM p),
            |n AS (SELECT doc_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v)
            |SELECT doc_id, round(nrm + 1.2345e-9, 6) AS norm,
+           |       round(vec[1] / (nrm + 1e-9) + 1.2345e-9, 6) AS e0,
+           |       round(vec[2] / (nrm + 1e-9) + 1.2345e-9, 6) AS e1,
+           |       round(vec[3] / (nrm + 1e-9) + 1.2345e-9, 6) AS e2,
+           |       round(vec[4] / (nrm + 1e-9) + 1.2345e-9, 6) AS e3
+           |FROM n ORDER BY doc_id""".stripMargin,
+
+      // Batched mapPartitions embedder ≡ expression path bitwise, so the
+      // oracle is the same hashed-BoW arithmetic (minus the norm column).
+      "q_embed_batched" ->
+        s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+           |p AS (SELECT doc_id, list_transform(w, x ->
+           |        struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
+           |                    s := ${dMd5Sign("x")})) AS pr FROM t),
+           |v AS (SELECT doc_id, list_transform(range(0, ${Schemas.EmbeddingDim}), j ->
+           |        coalesce(list_sum(list_transform(pr, e -> CASE WHEN e.b = j THEN e.s ELSE 0.0 END)), 0.0)) AS vec
+           |      FROM p),
+           |n AS (SELECT doc_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v)
+           |SELECT doc_id,
            |       round(vec[1] / (nrm + 1e-9) + 1.2345e-9, 6) AS e0,
            |       round(vec[2] / (nrm + 1e-9) + 1.2345e-9, 6) AS e1,
            |       round(vec[3] / (nrm + 1e-9) + 1.2345e-9, 6) AS e2,
