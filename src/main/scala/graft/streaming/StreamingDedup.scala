@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.TextFunctions.cleanText
+
+/** Streaming deduplication for continuous corpus ingest (north-star: the
+  * dedup tier of a training-data pipeline run as a stream instead of a
+  * nightly batch; batch twins in `operators.Dedup`).
+  *
+  * Two tiers:
+  *  - EXACT: fingerprint = md5(cleaned text), deduplicated with
+  *    `dropDuplicatesWithinWatermark` — state holds only fingerprints
+  *    younger than the watermark, so at 100 TB/day the state store is
+  *    bounded by (ingest rate × watermark), never corpus size. The
+  *    trade-off is explicit: a duplicate arriving after the watermark
+  *    expires its original is re-admitted (batch dedup sweeps those up).
+  *  - NEAR-DUP (simhash): the per-row codegen simhash expression runs as
+  *    a stateless stream transform, then `flatMapGroupsWithState` keyed
+  *    by the blocking key compares each arrival against the hashes
+  *    already seen in its block — the streaming analogue of the batch
+  *    block-keyed self-join (`Dedup.simhashPairs`). State per block is a
+  *    newest-first (simhash, doc_id) list capped at `maxPerBlock`
+  *    (drop-oldest), so a hot block degrades to approximate (recent-only)
+  *    matching instead of unbounded state.
+  *
+  * Equivalence contract (pinned by StreamingDedupSpec): with arrival
+  * order = id order and `maxPerBlock` unhit, a doc is flagged dup iff it
+  * appears as `id_b` in `Dedup.simhashPairs` over the same docs, and
+  * (dup_of, doc_id, hamming) is one of its minimum-hamming batch pairs.
+  */
+object StreamingDedup {
+
+  /** Exact streaming dedup: first arrival of each fingerprint inside the
+    * watermark passes through; later copies are dropped. */
+  def exactDedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                       watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(cleanText(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** One document arriving at the near-dup filter (simhash precomputed by
+    * [[simhashDedup]]'s stateless prefix). `seq` orders arrivals within a
+    * micro-batch (iterator order is not guaranteed chronological). */
+  case class DocArrival(block: String, seq: Long, doc_id: Long, simhash: Long)
+
+  /** (simhash, doc_id) pairs, newest-first. */
+  case class BlockState(entries: List[(Long, Long)])
+
+  /** `dup_of` = kept doc this one duplicates (min hamming, tie → earliest
+    * seen); -1 and hamming -1 when unique. */
+  case class DedupOutcome(block: String, seq: Long, doc_id: Long,
+                          is_dup: Boolean, dup_of: Long, hamming: Long)
+
+  /** Pure transition: compare one arrival against the block's seen set. */
+  private[streaming] def applyDoc(state: BlockState, doc: DocArrival,
+                                  maxHamming: Int, maxPerBlock: Int)
+      : (BlockState, DedupOutcome) = {
+    // min-hamming scan; ties go to the smallest doc_id (= earliest seen,
+    // since state only ever grows in arrival order)
+    var bestId = -1L
+    var bestHam = Long.MaxValue
+    state.entries.foreach { case (h, id) =>
+      val ham = java.lang.Long.bitCount(h ^ doc.simhash).toLong
+      if (ham < bestHam || (ham == bestHam && id < bestId)) { bestHam = ham; bestId = id }
+    }
+    if (bestId >= 0 && bestHam <= maxHamming)
+      (state, DedupOutcome(doc.block, doc.seq, doc.doc_id, is_dup = true, bestId, bestHam))
+    else {
+      val kept = ((doc.simhash, doc.doc_id) :: state.entries).take(maxPerBlock)
+      (BlockState(kept),
+        DedupOutcome(doc.block, doc.seq, doc.doc_id, is_dup = false, -1L, -1L))
+    }
+  }
+
+  /** flatMapGroupsWithState update: fold this micro-batch's arrivals (in
+    * seq order) through the block state, one outcome per arrival. */
+  def update(maxHamming: Int, maxPerBlock: Int)(
+      block: String,
+      docs: Iterator[DocArrival],
+      state: GroupState[BlockState]): Iterator[DedupOutcome] = {
+    val sorted = docs.toIndexedSeq.sortBy(_.seq)
+    var st = state.getOption.getOrElse(BlockState(Nil))
+    val out = sorted.map { d =>
+      val (next, outcome) = applyDoc(st, d, maxHamming, maxPerBlock)
+      st = next
+      outcome
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Wire the near-dup filter over a (streaming or batch) docs frame:
+    * stateless simhash projection, then keyed state per block. */
+  def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, seqCol: String,
+                   bits: Int = 16, maxHamming: Int = 3,
+                   maxPerBlock: Int = 100000): Dataset[DedupOutcome] = {
+    implicit val inEnc = Encoders.product[DocArrival]
+    implicit val outEnc = Encoders.product[DedupOutcome]
+    implicit val stateEnc = Encoders.product[BlockState]
+    docs
+      .select(col(blockCol).cast("string").as("block"),
+        col(seqCol).cast("long").as("seq"),
+        col(idCol).cast("long").as("doc_id"),
+        graft.operators.Dedup.simhash(col(textCol), bits).as("simhash"))
+      .as[DocArrival]
+      .groupByKey(_.block)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        update(maxHamming, maxPerBlock))
+  }
+}

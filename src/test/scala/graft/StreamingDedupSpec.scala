@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.streaming.StreamingDedup
+
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  /** 20 docs in 2 blocks: 0-9 distinct (disjoint 24-word vocab slices, so
+    * their 32-bit simhashes are independent), 10-14 near-dups (one-word
+    * edits of 0-4), 15-19 exact copies of 5-9. */
+  private def corpus: Seq[(Long, String, String)] = {
+    def doc(i: Int): String = (0 until 24).map(j => s"w${i}_$j").mkString(" ")
+    val base = (0 until 10).map(i => (i.toLong, s"b${i % 2}", doc(i)))
+    val nearDups = (0 until 5).map(i =>
+      (10L + i, s"b${i % 2}", doc(i).replaceFirst("\\w+$", "edited")))
+    val exactDups = (0 until 5).map(i => (15L + i, s"b${(i + 5) % 2}", doc(i + 5)))
+    base ++ nearDups ++ exactDups
+  }
+
+  test("streaming simhash dedup flags exactly the docs batch simhashPairs pairs up") {
+    val docs = corpus.toDF("doc_id", "block", "text")
+    val out = StreamingDedup.simhashDedup(
+      docs.withColumn("seq", col("doc_id")),
+      "doc_id", "text", "block", "seq", bits = 32, maxHamming = 3)
+      .collect().sortBy(_.doc_id)
+
+    val batchPairs = Dedup.simhashPairs(docs, "doc_id", "text", "block",
+      bits = 32, maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+
+    // dup iff some earlier same-block doc is within maxHamming (id_b side)
+    val dupIds = batchPairs.map(_._2).toSet
+    assert(out.filter(_.is_dup).map(_.doc_id).toSet == dupIds)
+
+    // dup_of is a minimum-hamming batch partner (tie → smallest id)
+    out.filter(_.is_dup).foreach { o =>
+      val partners = batchPairs.filter(_._2 == o.doc_id)
+      val minHam = partners.map(_._3).min
+      assert(o.hamming == minHam)
+      assert(o.dup_of == partners.filter(_._3 == minHam).map(_._1).min)
+    }
+
+    // unique docs emit the sentinel
+    out.filterNot(_.is_dup).foreach(o => assert(o.dup_of == -1L && o.hamming == -1L))
+
+    // sanity on the planted structure: the 5 exact copies are dups
+    assert((15L to 19L).forall(dupIds.contains))
+  }
+
+  test("simhash dedup runs as a real stream, incremental across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val out = StreamingDedup.simhashDedup(
+      input.toDF().toDF("doc_id", "block", "text").withColumn("seq", col("doc_id")),
+      "doc_id", "text", "block", "seq", bits = 32, maxHamming = 3)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("sdedup_out").start()
+
+    val rows = corpus
+    // originals in batch 1; near/exact dups arrive in a LATER micro-batch
+    input.addData(rows.filter(_._1 < 10): _*)
+    q.processAllAvailable()
+    input.addData(rows.filter(_._1 >= 10): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sdedup_out")
+      .select("doc_id", "is_dup", "dup_of")
+      .as[(Long, Boolean, Long)].collect()
+      .map { case (id, d, of) => id -> ((d, of)) }.toMap
+    assert(streamed.size == 20)
+    // exact copies matched against state written by the PREVIOUS batch
+    (0 until 5).foreach(i => assert(streamed(15L + i) == (true, (5 + i).toLong)))
+    (0L to 9L).foreach(id => assert(!streamed(id)._1))
+  }
+
+  test("maxPerBlock caps state: overflow degrades to recent-only matching") {
+    val docs = corpus.filter(_._2 == "b0").toDF("doc_id", "block", "text")
+    val out = StreamingDedup.simhashDedup(
+      docs.withColumn("seq", col("doc_id")),
+      "doc_id", "text", "block", "seq", bits = 32, maxHamming = 3,
+      maxPerBlock = 1)
+      .collect().sortBy(_.doc_id)
+    // with only the newest hash retained, a dup is recognized only if its
+    // original was the immediately preceding unique arrival
+    val flagged = out.filter(_.is_dup).map(_.doc_id).toSet
+    val full = StreamingDedup.simhashDedup(
+      docs.withColumn("seq", col("doc_id")),
+      "doc_id", "text", "block", "seq", bits = 32, maxHamming = 3)
+      .collect().filter(_.is_dup).map(_.doc_id).toSet
+    assert(flagged.subsetOf(full))
+  }
+
+  test("exact streaming dedup: watermark-bounded fingerprint state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val deduped = StreamingDedup.exactDedupStream(docs, "text", "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("xdedup_out").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 03:$min%02d:00")
+    // batch 1: two distinct docs + an in-batch duplicate
+    input.addData((ts(0), 1L, "alpha beta"), (ts(1), 2L, "gamma delta"),
+      (ts(2), 3L, "alpha\nbeta "))
+    q.processAllAvailable()
+    // batch 2: duplicate INSIDE the watermark window → dropped
+    input.addData((ts(5), 4L, "alpha beta"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("xdedup_out").select("doc_id").as[Long].collect().toSet
+    // doc 3 differs only by newline/trailing space → cleanText → dup of 1
+    assert(kept == Set(1L, 2L))
+  }
+}
