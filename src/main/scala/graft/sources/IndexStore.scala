@@ -50,6 +50,22 @@ object IndexStore {
       .format("parquet")
       .saveAsTable(table) // managed table under spark.sql.warehouse.dir
 
+  /** Cluster a table for stats-based scan pruning: range-repartition on
+    * the cluster key (each output file covers a narrow, NON-OVERLAPPING
+    * key range), then sort within partitions (tight per-row-group min/max
+    * footer stats). A read filtered on the key pushes the predicate into
+    * the parquet reader, which then skips whole files and row groups
+    * whose stat range misses it — at 100 TB this cuts a key-range probe
+    * from a full-table scan to a handful of files, WITHOUT the directory
+    * explosion `partitionBy` would cause on a high-cardinality key.
+    * (Complementary to [[writeBucketed]], which optimizes the join side;
+    * this optimizes selective scans.) */
+  def writeClustered(df: DataFrame, dir: String, clusterCol: String,
+                     numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(dir)
+
   /** Auth gate (O-13): keep only requests whose user exists with non-blank
     * id + email (app/embedding_gen.py:296-301) — a broadcast left-semi
     * join, the distributed form of the reference's per-request SQL probe. */

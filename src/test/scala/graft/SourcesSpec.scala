@@ -58,6 +58,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(IndexStore.readTenant(spark, idx, "bob").count() == 1)
   }
 
+  test("clustered layout: disjoint per-file key ranges + pushed key filter") {
+    val dir = Files.createTempDirectory("graft_clustered").toString + "/tbl"
+    val rows = spark.range(0, 10000).toDF("k")
+      .withColumn("payload", md5(col("k").cast("string")))
+    IndexStore.writeClustered(rows, dir, "k", numFiles = 8)
+
+    // each parquet file covers a non-overlapping key range — that is the
+    // property parquet footer stats need to skip whole files/row groups
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length == 8)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("k"), max("k"))
+        .as[(Long, Long)].collect().head
+      r
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, s"overlapping file ranges: $hi >= $lo")
+      case _ =>
+    }
+
+    // a key-range probe pushes the predicate to the parquet reader
+    val probe = spark.read.parquet(dir).filter(col("k") >= 100 && col("k") < 110)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(k,100"),
+      s"expected pushed key filter in:\n$plan")
+    assert(probe.count() == 10)
+  }
+
   test("hasAnyData gate: false for missing/empty, true after append") {
     val idx = Files.createTempDirectory("graft_idx2").toString + "/index"
     assert(!IndexStore.hasAnyData(spark, idx))
