@@ -729,6 +729,40 @@ object SparkEntry {
         .orderBy("source", "id_a", "id_b")
     }),
 
+    // Streaming near-dup filter in batch mode (flatMapGroupsWithState
+    // runs identically over a batch Dataset): matchAll=true admits every
+    // arrival to state, so "dup" = within maxHamming of ANY earlier
+    // same-block doc — the form one SQL pass expresses. The streaming
+    // execution of the same operator is pinned by StreamingDedupSpec.
+    "q_stream_dedup" -> ((s, dir) => {
+      graft.streaming.StreamingDedup.simhashDedup(
+          wide(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("text"))
+            .withColumn("seq", col("doc_id")),
+          "doc_id", "text", "source", "seq", bits = 16, maxHamming = 3,
+          matchAll = true)
+        .toDF()
+        .select(col("block").as("source"), col("doc_id"), col("is_dup"),
+          col("dup_of"), col("hamming"))
+        .orderBy("source", "doc_id")
+    }),
+
+    // Dedup canonicalization: MinHash candidate pairs → connected
+    // components (min-label propagation) → one canonical doc per
+    // cluster. Docs with no candidate pair are their own cluster.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = wide(s, dir, "documents").select("doc_id", "text")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, bands = 4)
+      val cl = Dedup.clusters(pairs)
+      docs.select("doc_id")
+        .join(cl, docs("doc_id") === cl("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup: top-1 neighbor per vector within label.
     // Argmax via max_by on (sim, −id_b): a partial-aggregatable hash agg
     // — each map task reduces its pairs to one candidate per id_a before
@@ -928,6 +962,21 @@ object SparkEntry {
           stableRound(element_at(col("_n"), 3)).as("e2"),
           stableRound(element_at(col("_n"), 4)).as("e3"))
         .orderBy("doc_id")
+    }),
+
+    // North star: corpus vocabulary stats per source — exact distinct
+    // here (oracle-able); the 100 TB path swaps countDistinct for
+    // approx_count_distinct (HLL sketch, no exact-distinct shuffle of
+    // every token) — TfIdfSpec bounds the sketch's error vs this exact.
+    "q_vocab_stats" -> ((s, dir) => {
+      wide(s, dir, "documents")
+        .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+        .groupBy("source")
+        .agg(countDistinct(col("tok")).as("n_vocab"),
+          count(lit(1)).as("n_tokens"))
+        .withColumn("type_token_ratio",
+          stableRound(col("n_vocab").cast("double") / col("n_tokens")))
+        .orderBy("source")
     }),
 
     // North star: language ID + quality scoring heuristics.
@@ -1231,6 +1280,41 @@ object SparkEntry {
            |ORDER BY id_a, id_b""".stripMargin
       },
 
+      // Same candidate pairs as q_minhash_pairs, then connected
+      // components via a recursive transitive-closure CTE (fine at
+      // oracle scale; the engine side uses min-label propagation).
+      "q_dedup_clusters" -> {
+        val sigCols = (0 until 8)
+          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS sig_$k")
+          .mkString(", ")
+        val bandRows = (0 until 4)
+          .map(b => s"SELECT doc_id, $b AS band_id, md5(sig_${2 * b} || '#' || sig_${2 * b + 1}) AS bucket FROM sigs")
+          .mkString("\n  UNION ALL ")
+        s"""WITH RECURSIVE t AS (SELECT doc_id, ${dShingleSet(W, 3)} AS sh FROM documents),
+           |sigs AS (SELECT doc_id, $sigCols FROM t WHERE len(sh) > 0),
+           |bands AS (
+           |  $bandRows
+           |),
+           |pr AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket
+           |  WHERE a.doc_id < b.doc_id
+           |),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM pr
+           |      UNION SELECT id_b, id_a FROM pr),
+           |reach AS (
+           |  SELECT src, dst FROM e
+           |  UNION
+           |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+           |),
+           |cl AS (SELECT src AS doc_id, min(dst) AS mr FROM reach GROUP BY src)
+           |SELECT d.doc_id,
+           |       least(d.doc_id, coalesce(cl.mr, d.doc_id)) AS cluster_id,
+           |       (least(d.doc_id, coalesce(cl.mr, d.doc_id)) = d.doc_id) AS is_canonical
+           |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      },
+
       "q_jaccard_pairs" ->
         s"""WITH d AS (SELECT doc_id, source, ${dShingleSet(W, 3)} AS sh FROM documents),
            |e0 AS (SELECT DISTINCT source, doc_id, unnest(sh) AS s FROM d WHERE len(sh) > 0),
@@ -1275,6 +1359,36 @@ object SparkEntry {
            |FROM h a JOIN h b ON a.source = b.source AND a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.sh, b.sh)) <= 3
            |ORDER BY a.source, id_a, id_b""".stripMargin
+      },
+
+      // Arrival order = doc_id order, every arrival admitted to state
+      // (matchAll), so: dup iff ANY earlier same-block doc within
+      // maxHamming; dup_of = min-hamming partner, ties to smallest id.
+      "q_stream_dedup" -> {
+        val simhashExpr =
+          s"""CAST(list_sum(list_transform(range(0, 16), j ->
+             |    CASE WHEN list_sum(list_transform(w, x ->
+             |      2 * (CAST(floor(${dHexVal("substr(md5(x), CAST(j // 4 AS INT) + 1, 1)")} / pow(2, 3 - (j % 4))) AS INT) % 2) - 1
+             |    )) > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
+             |  )) AS BIGINT)""".stripMargin
+        s"""WITH t AS (SELECT doc_id, source, $W AS w FROM documents),
+           |h AS (SELECT doc_id, source, $simhashExpr AS sh FROM t),
+           |p AS (
+           |  SELECT b.doc_id, a.doc_id AS cand,
+           |         CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS ham
+           |  FROM h b JOIN h a ON a.source = b.source AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.sh, b.sh)) <= 3
+           |), best AS (
+           |  SELECT doc_id, cand, ham,
+           |         row_number() OVER (PARTITION BY doc_id ORDER BY ham, cand) AS rn
+           |  FROM p
+           |)
+           |SELECT h.source, h.doc_id,
+           |       (best.doc_id IS NOT NULL) AS is_dup,
+           |       coalesce(best.cand, CAST(-1 AS BIGINT)) AS dup_of,
+           |       coalesce(best.ham, CAST(-1 AS BIGINT)) AS hamming
+           |FROM h LEFT JOIN best ON h.doc_id = best.doc_id AND best.rn = 1
+           |ORDER BY h.source, h.doc_id""".stripMargin
       },
 
       "q_embedding_neighbors" ->
@@ -1421,6 +1535,14 @@ object SparkEntry {
            |       round(vec[3] / (nrm + 1e-9) + 1.2345e-9, 6) AS e2,
            |       round(vec[4] / (nrm + 1e-9) + 1.2345e-9, 6) AS e3
            |FROM n ORDER BY doc_id""".stripMargin,
+
+      "q_vocab_stats" ->
+        s"""WITH t AS (SELECT source, unnest($W) AS tok FROM documents)
+           |SELECT source,
+           |       count(DISTINCT tok) AS n_vocab,
+           |       count(*) AS n_tokens,
+           |       round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*) + 1.2345e-9, 6) AS type_token_ratio
+           |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
       // Batched mapPartitions embedder ≡ expression path bitwise, so the
       // oracle is the same hashed-BoW arithmetic (minus the norm column).

@@ -55,9 +55,15 @@ object StreamingDedup {
   case class DedupOutcome(block: String, seq: Long, doc_id: Long,
                           is_dup: Boolean, dup_of: Long, hamming: Long)
 
-  /** Pure transition: compare one arrival against the block's seen set. */
+  /** Pure transition: compare one arrival against the block's seen set.
+    * `matchAll` controls state admission: false (default) keeps only
+    * uniques — the greedy keep-one-canonical-per-cluster form; true adds
+    * every arrival, so "dup" means "within maxHamming of ANY earlier
+    * doc" — the form a single SQL pass (and the DuckDB oracle) can
+    * express. */
   private[streaming] def applyDoc(state: BlockState, doc: DocArrival,
-                                  maxHamming: Int, maxPerBlock: Int)
+                                  maxHamming: Int, maxPerBlock: Int,
+                                  matchAll: Boolean)
       : (BlockState, DedupOutcome) = {
     // min-hamming scan; ties go to the smallest doc_id (= earliest seen,
     // since state only ever grows in arrival order)
@@ -67,25 +73,27 @@ object StreamingDedup {
       val ham = java.lang.Long.bitCount(h ^ doc.simhash).toLong
       if (ham < bestHam || (ham == bestHam && id < bestId)) { bestHam = ham; bestId = id }
     }
-    if (bestId >= 0 && bestHam <= maxHamming)
-      (state, DedupOutcome(doc.block, doc.seq, doc.doc_id, is_dup = true, bestId, bestHam))
-    else {
-      val kept = ((doc.simhash, doc.doc_id) :: state.entries).take(maxPerBlock)
-      (BlockState(kept),
-        DedupOutcome(doc.block, doc.seq, doc.doc_id, is_dup = false, -1L, -1L))
-    }
+    val isDup = bestId >= 0 && bestHam <= maxHamming
+    val admit = !isDup || matchAll
+    val next =
+      if (admit) BlockState(((doc.simhash, doc.doc_id) :: state.entries).take(maxPerBlock))
+      else state
+    val outcome =
+      if (isDup) DedupOutcome(doc.block, doc.seq, doc.doc_id, is_dup = true, bestId, bestHam)
+      else DedupOutcome(doc.block, doc.seq, doc.doc_id, is_dup = false, -1L, -1L)
+    (next, outcome)
   }
 
   /** flatMapGroupsWithState update: fold this micro-batch's arrivals (in
     * seq order) through the block state, one outcome per arrival. */
-  def update(maxHamming: Int, maxPerBlock: Int)(
+  def update(maxHamming: Int, maxPerBlock: Int, matchAll: Boolean)(
       block: String,
       docs: Iterator[DocArrival],
       state: GroupState[BlockState]): Iterator[DedupOutcome] = {
     val sorted = docs.toIndexedSeq.sortBy(_.seq)
     var st = state.getOption.getOrElse(BlockState(Nil))
     val out = sorted.map { d =>
-      val (next, outcome) = applyDoc(st, d, maxHamming, maxPerBlock)
+      val (next, outcome) = applyDoc(st, d, maxHamming, maxPerBlock, matchAll)
       st = next
       outcome
     }
@@ -98,7 +106,8 @@ object StreamingDedup {
   def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    blockCol: String, seqCol: String,
                    bits: Int = 16, maxHamming: Int = 3,
-                   maxPerBlock: Int = 100000): Dataset[DedupOutcome] = {
+                   maxPerBlock: Int = 100000,
+                   matchAll: Boolean = false): Dataset[DedupOutcome] = {
     implicit val inEnc = Encoders.product[DocArrival]
     implicit val outEnc = Encoders.product[DedupOutcome]
     implicit val stateEnc = Encoders.product[BlockState]
@@ -110,6 +119,6 @@ object StreamingDedup {
       .as[DocArrival]
       .groupByKey(_.block)(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
-        update(maxHamming, maxPerBlock))
+        update(maxHamming, maxPerBlock, matchAll))
   }
 }
