@@ -149,6 +149,59 @@ object Dedup {
       .select(col("_blk").as(blockCol), col("id_a"), col("id_b"), stableRound(col("jaccard")).as("jaccard"))
   }
 
+  /** Connected components over an undirected candidate-pair graph:
+    * (id, cluster_id) for every id appearing in `pairs`, where
+    * cluster_id = the minimum id reachable through the pair edges. The
+    * canonicalization step of a dedup pipeline — candidate pairs
+    * (MinHash/SimHash/Jaccard) become clusters, and each cluster keeps
+    * exactly one canonical document (the min id).
+    *
+    * Algorithm: iterative min-label propagation. Each round joins labels
+    * to the (symmetrized) edge list, takes the min neighbor label per
+    * node (partial-agg combines map-side), and stops when no label
+    * changed — one count() action per round on a 2-column frame, never a
+    * collect of data. Rounds needed = graph diameter; dup clusters are
+    * dense and shallow (a near-dup cluster's diameter is small by
+    * construction — members are all similar to each other), so this
+    * converges in a handful of rounds where a path-doubling variant
+    * would only add complexity. `maxIter` bounds adversarial chains; the
+    * operator throws rather than return a half-converged labeling.
+    *
+    * Scale: every round shuffles only (id, label) longs keyed by id —
+    * at 100 TB the iteration cost is rounds × one hash-agg over the
+    * EDGE list (already confined by LSH banding), not the corpus. */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               maxIter: Int = 25): DataFrame = {
+    val edges = graft.Materialize(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .union(pairs.select(col(idB).as("src"), col(idA).as("dst"))))
+    var labels = graft.Materialize(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster_id", col("id")))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = graft.Materialize(
+        labels
+          .join(neighborMin, labels("id") === neighborMin("nid"), "left")
+          .select(col("id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id")))
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "_prev"), "id")
+        .filter(col("cluster_id") =!= col("_prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIter rounds")
+    labels
+  }
+
   /** SimHash near-dup pairs: within a blocking key, pairs whose simhash
     * values differ in at most `maxHamming` bits. The simhash itself is a
     * per-row expression; pair generation is a block-keyed self-join on

@@ -75,6 +75,22 @@ class DedupSpec extends AnyFunSuite {
     assert(h(1L) >= 0 && h(1L) <= 0xFFFFL)
   }
 
+  test("clusters: components resolve to min reachable id, chains converge") {
+    // components {1,2,3} (triangle-ish), {7,8}, and a 6-node CHAIN
+    // 20-21-22-23-24-25 — the chain forces multi-round propagation
+    // (diameter 5), not just the one-hop case
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (7L, 8L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(7L) == 7L && got(8L) == 7L)
+    (20L to 25L).foreach(id => assert(got(id) == 20L, s"chain node $id"))
+    assert(got.size == 11) // only ids that appear in pairs
+  }
+
   test("materialize strategies agree: persist(DISK_ONLY) == localCheckpoint results") {
     val blocked = docs.withColumn("blk", lit(1))
     def run(): (Set[(Long, Long)], Set[(Long, Long)]) = (
