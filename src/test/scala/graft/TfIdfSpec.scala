@@ -66,6 +66,22 @@ class TfIdfSpec extends AnyFunSuite {
     assert(m1.getVectors.count() == m2.getVectors.count())
   }
 
+  test("HLL vocab sketch tracks exact distinct within rsd bound (100 TB path)") {
+    import graft.functions.TextFunctions.tokens
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+    val both = toks.groupBy("source")
+      .agg(countDistinct(col("tok")).as("exact"),
+        approx_count_distinct(col("tok"), rsd = 0.02).as("approx"))
+      .as[(String, Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (src, exact, approx) =>
+      val err = math.abs(approx - exact).toDouble / exact
+      // 0.02 rsd ⇒ ~3σ at 6%; generous 10% bound keeps this deterministic-stable
+      assert(err <= 0.10, s"$src: approx $approx vs exact $exact (err $err)")
+    }
+  }
+
   test("PII redaction masks email/ssn/phone/ip and leaves prose alone") {
     import graft.operators.TextAnalysis
     val out = Seq(
