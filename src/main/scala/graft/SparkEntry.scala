@@ -763,6 +763,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Data mixing: per-source hash-sampling rates. The keep decision is
+    // an md5-derived uniform per doc id — reproducible across engines,
+    // partitionings and reruns (rand(seed) is none of those), which is
+    // why the oracle can replay it exactly.
+    "q_mix_sample" -> ((s, dir) => {
+      Sampling.stratifiedHashSample(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    }),
+
+    // Shard packing: greedy token-budget layout per source in doc_id
+    // order (shard = floor(tokens-before / budget)).
+    "q_pack_shards" -> ((s, dir) => {
+      val docs = wide(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.packShards(docs, "source", "doc_id", "n_tokens", 2000L)
+        .groupBy("source", "shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("source", "shard_id")
+    }),
+
     // Embedding-cosine near-dup: top-1 neighbor per vector within label.
     // Argmax via max_by on (sim, −id_b): a partial-aggregatable hash agg
     // — each map task reduces its pairs to one candidate per id_a before
@@ -1084,6 +1111,8 @@ object SparkEntry {
     // O-4/O-5: tenant-partitioned index write + pruned read-back.
     "q_index_roundtrip" -> (qIndexRoundtrip _),
 
+    "q_index_upsert" -> (qIndexUpsert _),
+
     // §3.1 end-to-end retrieval core: chunk → embed → normalize → cosine
     // vs the embedded query → top-5 — the ask() spine, oracle-checked.
     "q_rag_topk" -> ((s, dir) => {
@@ -1138,6 +1167,33 @@ object SparkEntry {
     s.read.parquet(idx)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_chunks"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("user_id")
+  }
+
+  /** O-4 upsert semantics (the reference's bulk `_id` upsert): build a
+    * two-tenant index where every doc has chunks {0,1}, then re-upload
+    * u0's docs < 10 with a SINGLE chunk_idx=9 chunk. The per-user
+    * (n_chunks, n_docs, sum_chunk_idx) signature proves replacement
+    * happened (not append) and that u1 was untouched — all derivable
+    * from the embeddings table, which is what the oracle does. */
+  private def qIndexUpsert(s: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_idx_up$safe").getAbsolutePath
+    val base = t(s, dir, "embeddings").filter(col("vec_id") < 40)
+      .select(col("vec_id").as("doc_id"),
+        concat(lit("u"), pmod(col("label"), lit(2))).as("user_id"))
+    // static overwrite = full table replace → idempotent initial state
+    base.select(col("doc_id"), explode(array(lit(0), lit(1))).as("chunk_idx"),
+        col("user_id"))
+      .write.mode("overwrite").partitionBy("user_id").parquet(idx)
+    val newDocs = base.filter(col("user_id") === "u0" && col("doc_id") < 10)
+      .select(col("doc_id"), lit(9).as("chunk_idx"))
+    graft.sources.IndexStore.upsertTenantDocs(s, idx, "u0", newDocs)
+    s.read.parquet(idx)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("chunk_idx")).cast("long").as("sum_chunk_idx"))
       .orderBy("user_id")
   }
 
@@ -1536,6 +1592,33 @@ object SparkEntry {
            |       round(vec[4] / (nrm + 1e-9) + 1.2345e-9, 6) AS e3
            |FROM n ORDER BY doc_id""".stripMargin,
 
+      // Mirrors Sampling.uniformByHash: value of the first 4 md5 hex
+      // chars / 65536 — the engine's md5-hex discipline, replayed in SQL.
+      "q_mix_sample" -> {
+        def h(i: Int) = dHexVal(s"substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)")
+        s"""WITH u AS (
+           |  SELECT doc_id, source,
+           |         (((${h(1)} * 16 + ${h(2)}) * 16 + ${h(3)}) * 16 + ${h(4)}) / 65536.0 AS u
+           |  FROM documents
+           |)
+           |SELECT source, count(*) AS n_kept
+           |FROM u
+           |WHERE u < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+           |                      WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+           |                      ELSE 0.0 END
+           |GROUP BY source ORDER BY source""".stripMargin
+      },
+
+      "q_pack_shards" ->
+        s"""WITH t AS (SELECT doc_id, source, len($W) AS n_tokens FROM documents),
+           |c AS (SELECT doc_id, source, n_tokens,
+           |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |      FROM t)
+           |SELECT source, CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id,
+           |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           |FROM c GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin,
+
       "q_vocab_stats" ->
         s"""WITH t AS (SELECT source, unnest($W) AS tok FROM documents)
            |SELECT source,
@@ -1691,6 +1774,21 @@ object SparkEntry {
         """SELECT 'user' || CAST(label % 3 AS VARCHAR) AS user_id,
           |       count(*) AS n_chunks, count(DISTINCT vec_id) AS n_docs
           |FROM embeddings GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+      // Post-upsert state derived straight from the embeddings table:
+      // u0 docs < 10 were replaced by one chunk_idx=9 chunk; everything
+      // else keeps chunks {0,1}.
+      "q_index_upsert" ->
+        """WITH b AS (SELECT vec_id AS doc_id, 'u' || CAST(label % 2 AS VARCHAR) AS user_id
+          |           FROM embeddings WHERE vec_id < 40),
+          |st AS (SELECT doc_id, user_id,
+          |          CASE WHEN user_id = 'u0' AND doc_id < 10 THEN 1 ELSE 2 END AS nch,
+          |          CASE WHEN user_id = 'u0' AND doc_id < 10 THEN 9 ELSE 1 END AS sci
+          |       FROM b)
+          |SELECT user_id, CAST(sum(nch) AS BIGINT) AS n_chunks,
+          |       count(DISTINCT doc_id) AS n_docs,
+          |       CAST(sum(sci) AS BIGINT) AS sum_chunk_idx
+          |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       "q_auth_semi" ->
         """SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS user_id

@@ -55,6 +55,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"expected posexplode generate:\n$p")
   }
 
+  test("hash sampling is a map-only predicate: no exchange, no window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "source")
+    val p = plan(graft.operators.Sampling.stratifiedHashSample(
+      docs, "doc_id", "source", Map("src0" -> 1.0, "src1" -> 0.5)))
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"sampling must not need a window:\n$p")
+  }
+
   test("codegen dot product participates in whole-stage codegen") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val df = e.select(graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  test("hash sample: deterministic, rate-accurate, append-stable") {
+    val ids = spark.range(0, 10000).toDF("id")
+    val kept = Sampling.hashSample(ids, "id", 0.25)
+      .as[Long].collect().toSet
+    // rate accuracy: md5 uniformity at n=10000 (±4σ ≈ ±173)
+    assert(math.abs(kept.size - 2500) < 200, s"kept ${kept.size}")
+    // deterministic: identical on recomputation
+    val again = Sampling.hashSample(ids, "id", 0.25).as[Long].collect().toSet
+    assert(again == kept)
+    // append-stable: sampling a prefix gives exactly the prefix's subset —
+    // growing the corpus never flips earlier keep/drop decisions
+    val prefix = Sampling.hashSample(spark.range(0, 5000).toDF("id"), "id", 0.25)
+      .as[Long].collect().toSet
+    assert(prefix == kept.filter(_ < 5000))
+  }
+
+  test("stratified rates apply per stratum; unlisted strata drop") {
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("s", concat(lit("s"), pmod(col("id"), lit(3))))
+    val out = Sampling.stratifiedHashSample(df, "id", "s",
+        Map("s0" -> 1.0, "s1" -> 0.2))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(out("s0") == 1000)              // rate 1.0 keeps everything
+    assert(out("s1") > 100 && out("s1") < 300) // ~200
+    assert(!out.contains("s2"))            // unlisted stratum dropped
+  }
+
+  test("packShards: greedy budget layout — contiguous, full, bounded overrun") {
+    val docs = spark.range(0, 500).toDF("id")
+      .withColumn("s", concat(lit("g"), pmod(col("id"), lit(2))))
+      // token sizes 50..449, deterministic
+      .withColumn("toks", (pmod(col("id") * 37, lit(400)) + 50).cast("long"))
+    val packed = Sampling.packShards(docs, "s", "id", "toks", budgetTokens = 1000L)
+      .select("s", "id", "toks", "shard_id")
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1)
+
+    packed.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // shard ids nondecreasing in id order
+      assert(ordered.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      val totals = ordered.groupBy(_._4).map { case (sh, rs) => sh -> rs.map(_._3).sum }
+      val last = totals.keys.max
+      val maxDoc = ordered.map(_._3).max
+      // a doc overrunning shard k consumes part of shard k+1's offset
+      // range, so a non-final shard can be under budget — but only by
+      // less than one document; same bound on the overrun side
+      totals.foreach { case (sh, tot) =>
+        if (sh != last) assert(tot > 1000 - maxDoc, s"non-final shard $sh underfull: $tot")
+        assert(tot < 1000 + maxDoc, s"shard $sh overran by more than one doc: $tot")
+      }
+    }
+  }
+}
