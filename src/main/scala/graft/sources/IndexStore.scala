@@ -50,6 +50,38 @@ object IndexStore {
       .format("parquet")
       .saveAsTable(table) // managed table under spark.sql.warehouse.dir
 
+  /** Upsert one tenant's documents — the reference's bulk `_id` upsert
+    * (re-uploading a document replaces its chunks, app/embedding_gen.py
+    * bulk actions): read ONLY that tenant's partition, drop the chunks
+    * of the doc ids being replaced, union the new chunks, and rewrite
+    * ONLY that tenant's partition via dynamic partition overwrite — the
+    * rest of the index (at 100 TB: every other tenant's files) is never
+    * read or written. Single-writer-per-tenant is assumed, as with any
+    * file-based overwrite.
+    *
+    * A write cannot overwrite the path it is reading, so the merged
+    * partition stages through an underscore-prefixed dir inside the
+    * index (underscore paths are invisible to parquet readers) and is
+    * re-read from there for the overwrite — fault-tolerant on a real
+    * cluster (both steps are plain retryable file writes), unlike an
+    * eager in-memory checkpoint of the survivors. */
+  def upsertTenantDocs(spark: SparkSession, indexDir: String, userId: String,
+                       newChunks: DataFrame): Unit = {
+    val replacedIds = newChunks.select("doc_id").distinct()
+    val survivors = readTenant(spark, indexDir, userId)
+      .join(broadcast(replacedIds), Seq("doc_id"), "left_anti")
+    val merged = survivors.unionByName(newChunks.withColumn("user_id", lit(userId)))
+    val staging = s"$indexDir/_upsert_staging"
+    merged.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("user_id")
+      .parquet(indexDir)
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+  }
+
   /** Cluster a table for stats-based scan pruning: range-repartition on
     * the cluster key (each output file covers a narrow, NON-OVERLAPPING
     * key range), then sort within partitions (tight per-row-group min/max

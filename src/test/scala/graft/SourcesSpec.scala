@@ -58,6 +58,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(IndexStore.readTenant(spark, idx, "bob").count() == 1)
   }
 
+  test("tenant upsert: replaced doc's chunks swap, other docs/tenants intact") {
+    val idx = Files.createTempDirectory("graft_upsert").toString + "/index"
+    IndexStore.appendToIndex(Seq(
+      ("d1", 0, "old d1 c0", Seq(1f, 0f), "alice"),
+      ("d1", 1, "old d1 c1", Seq(1f, 1f), "alice"),
+      ("d2", 0, "keep me", Seq(0f, 1f), "alice"),
+      ("d9", 0, "bob doc", Seq(0f, 0f), "bob"))
+      .toDF("doc_id", "chunk_idx", "text", "embedding", "user_id"), idx)
+
+    // re-upload d1 with ONE new chunk (the reference's _id upsert)
+    IndexStore.upsertTenantDocs(spark, idx, "alice",
+      Seq(("d1", 0, "new d1 c0", Seq(2f, 0f)))
+        .toDF("doc_id", "chunk_idx", "text", "embedding"))
+
+    val alice = IndexStore.readTenant(spark, idx, "alice")
+      .select("doc_id", "chunk_idx", "text").as[(String, Int, String)].collect().toSet
+    assert(alice == Set(("d1", 0, "new d1 c0"), ("d2", 0, "keep me")))
+    // other tenant untouched
+    assert(IndexStore.readTenant(spark, idx, "bob")
+      .select("text").as[String].collect().toSeq == Seq("bob doc"))
+    // staging dir cleaned up
+    assert(!new java.io.File(s"$idx/_upsert_staging").exists)
+  }
+
   test("clustered layout: disjoint per-file key ranges + pushed key filter") {
     val dir = Files.createTempDirectory("graft_clustered").toString + "/tbl"
     val rows = spark.range(0, 10000).toDF("k")
