@@ -67,6 +67,37 @@ object Multimodal {
     }
   }
 
+  /** Resize (stubbed decode): deterministic nearest-neighbor downsample
+    * of the fake pixel buffer to `targetW`×`targetH`. The mapPartitions
+    * batch shape, output schema and determinism are the real contract a
+    * codec-backed implementation drops into. */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(targetW > 0 && targetH > 0)
+    media.mapPartitions { rows =>
+      // per-partition setup would initialize the codec/scaler here
+      rows.map { r =>
+        val (w, h) = MediaCodecStub.decodeDims(r.bytes)
+        // fake "pixels": byte i of the payload stands for pixel (i%w, i/w)
+        val out = new Array[Byte](targetW * targetH)
+        var y = 0
+        while (y < targetH) {
+          var x = 0
+          while (x < targetW) {
+            val sx = x * w / targetW
+            val sy = y * h / targetH
+            val src = sy * w + sx
+            out(y * targetW + x) =
+              if (r.bytes.isEmpty) 0 else r.bytes(src % r.bytes.length)
+            x += 1
+          }
+          y += 1
+        }
+        (r.media_id, r.kind, targetW, targetH, out)
+      }
+    }.toDF("media_id", "kind", "width", "height", "pixels")
+  }
+
   /** Deterministic frame sampling stub: every `stride`-th fixed-size block
     * of the payload stands in for a decoded video frame. */
   def sampleFrames(media: Dataset[MediaRow], blockSize: Int = 1024,

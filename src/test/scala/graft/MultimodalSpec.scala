@@ -54,4 +54,18 @@ class MultimodalSpec extends AnyFunSuite {
     // 5 blocks (0..4), stride 2 -> frames 0, 2, 4
     assert(frames == Seq((7L, 0), (7L, 2), (7L, 4)))
   }
+
+  test("resize: exact target shape, deterministic, empty payload safe") {
+    val media = Seq(
+      MediaRow(1L, "image", Array.tabulate(3000)(_.toByte)),
+      MediaRow(2L, "image", Array.emptyByteArray)).toDS()
+    val out = Multimodal.resize(media, 8, 6)
+      .select("media_id", "width", "height", "pixels")
+      .as[(Long, Int, Int, Array[Byte])].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 8 && out(1L)._3 == 6 && out(1L)._4.length == 48)
+    assert(out(2L)._4.length == 48 && out(2L)._4.forall(_ == 0))
+    val again = Multimodal.resize(media, 8, 6)
+      .select("media_id", "pixels").as[(Long, Array[Byte])].collect().toMap
+    assert(again(1L).toSeq == out(1L)._4.toSeq)
+  }
 }
