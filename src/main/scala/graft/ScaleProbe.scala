@@ -31,6 +31,23 @@ object ScaleProbe {
       time("jaccard planted-hot maxDf100")(
         operators.Dedup.jaccardPairs(planted, "doc_id", "text", "source", 3, 0.05, maxDf = 100L).count())
     }
+    // connected-components scaling: synthetic pair graphs at growing
+    // size. Dense near-dup clusters (size 5) converge in ~2 rounds no
+    // matter the graph size — runtime grows with EDGES, not rounds; the
+    // 64-long chain shows the diameter-bound worst case on a tiny graph.
+    {
+      def clusterGraph(nClusters: Int) = { // cliques of 5: 10 edges each
+        val ids = spark.range(0, nClusters.toLong * 5)
+        ids.select((col("id") / 5).cast("long").as("c"), col("id").as("id_a"))
+          .join(ids.select((col("id") / 5).cast("long").as("c"), col("id").as("id_b")), "c")
+          .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+      }
+      for (n <- Seq(10000, 100000))
+        time(s"clusters ${n}x5-cliques")(operators.Dedup.clusters(clusterGraph(n)).count())
+      val chain = spark.range(0, 15).select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      time("clusters 16-node chain")(operators.Dedup.clusters(chain, maxIter = 100).count())
+    }
+
     // vector-scan throughput: exact top-k over 1M replicated vectors
     val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val big = e.crossJoin(spark.range(500).select(col("id").as("_rep")))
