@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the vector-compression scale path for ANN
+  * (complements IVF cell pruning and LSH bucketing in [[Ann]]).
+  *
+  * A d-dim vector is split into `m` subvectors; each subvector is
+  * replaced by the id of its nearest centroid in a per-subspace codebook
+  * of `k` entries. A 64-dim float64 vector (512 bytes) becomes m=8 byte
+  * codes — 64× smaller, which at 100 TB is the difference between an
+  * index that fits in cluster memory and one that doesn't.
+  *
+  * Scale shapes:
+  *  - TRAIN touches the corpus through joins/aggregates (k-means per
+  *    subspace, all m subspaces trained in ONE pass over exploded
+  *    subvectors) — at 100 TB you train on a sample; codebooks are
+  *    m×k×(d/m) doubles (KBs) regardless of corpus size.
+  *  - ENCODE is map-only: broadcast codebooks, one tight argmin loop per
+  *    row (`mapPartitions`, same shape as the batched embedder).
+  *  - SEARCH (ADC): the query builds an m×k lookup table of subspace dot
+  *    products; each encoded row's approximate score is m table reads +
+  *    adds — no vector arithmetic per row. Top candidates re-rank
+  *    exactly against the raw vectors (a k-row join).
+  *
+  * Everything is deterministic: seeds are the first `k` vectors by id
+  * (like [[Ann.headCentroids]]), ties break to the lowest centroid id.
+  */
+object Pq {
+
+  /** cents(sub)(cid) = centroid subvector; subDim = d / m. */
+  case class Codebooks(m: Int, k: Int, subDim: Int,
+                       cents: Array[Array[Array[Double]]]) extends Serializable
+
+  case class EncodedVec(id: Long, codes: Array[Byte])
+
+  private def subvecCol(vecCol: String, sub: Int, subDim: Int) =
+    slice(col(vecCol).cast("array<double>"), sub * subDim + 1, subDim)
+
+  /** Explode vectors into (id, sub, subvec) rows — one training pass
+    * covers every subspace. */
+  private def subvectors(index: DataFrame, idCol: String, vecCol: String,
+                         m: Int, subDim: Int): DataFrame = {
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub"), subvecCol(vecCol, s, subDim).as("subvec")))
+    index.select(col(idCol).cast("long").as("id"),
+      explode(array(subs: _*)).as("sv"))
+      .select(col("id"), col("sv.sub").as("sub"), col("sv.subvec").as("subvec"))
+  }
+
+  /** Train per-subspace codebooks with `iters` rounds of Lloyd k-means
+    * over the (id, sub, subvec) explosion. Seeds: the first k vectors by
+    * id. Assignment = broadcast codebook join + min_by(dist) — partial-
+    * aggregable; refinement = per-(sub, cid, dim) mean. */
+  def train(index: DataFrame, idCol: String, vecCol: String,
+            m: Int = 8, k: Int = 16, iters: Int = 2): Codebooks = {
+    val spark = index.sparkSession
+    val d = index.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val subDim = d / m
+    val sv = graft.Materialize(subvectors(index, idCol, vecCol, m, subDim))
+
+    // seed codebooks: subvectors of the first k vectors by id
+    val seedIds = index.select(col(idCol).cast("long").as("id"))
+      .orderBy("id").limit(k)
+    var cb: DataFrame = graft.Materialize(
+      sv.join(broadcast(seedIds), Seq("id"))
+        .withColumn("cid",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("sub").orderBy("id")) - 1)
+        .select(col("sub"), col("cid"), col("subvec").as("cvec")))
+
+    for (_ <- 0 until iters) {
+      val dist = expr(
+        "aggregate(zip_with(subvec, cvec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
+      val assigned = sv.join(broadcast(cb), Seq("sub"))
+        .withColumn("_d", dist)
+        .groupBy("id", "sub")
+        // min dist, ties to lowest cid: min_by over (dist, cid) struct
+        .agg(min(struct(col("_d"), col("cid"))).as("_best"))
+        .select(col("id"), col("sub"), col("_best.cid").as("cid"))
+      cb = graft.Materialize(
+        assigned.join(sv, Seq("id", "sub"))
+          .select(col("sub"), col("cid"),
+            posexplode(col("subvec")).as(Seq("_dim", "_x")))
+          .groupBy("sub", "cid", "_dim").agg(avg("_x").as("_mean"))
+          .groupBy("sub", "cid")
+          .agg(map_from_entries(collect_list(struct(col("_dim"), col("_mean")))).as("_mm"))
+          .select(col("sub"), col("cid"),
+            transform(sequence(lit(0), lit(subDim - 1)),
+              j => coalesce(element_at(col("_mm"), j), lit(0.0))).as("cvec")))
+    }
+
+    // codebooks are m×k×subDim — KBs; collecting them is the point
+    val cents = Array.fill(m, k)(Array.fill(subDim)(0.0))
+    cb.select("sub", "cid", "cvec").collect().foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    Codebooks(m, k, subDim, cents)
+  }
+
+  /** Map-only encode: each vector → m byte codes (nearest centroid per
+    * subspace, L2, ties to lowest cid). */
+  def encode(index: DataFrame, idCol: String, vecCol: String,
+             cb: Codebooks): Dataset[EncodedVec] = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val bcast = spark.sparkContext.broadcast(cb)
+    val rows = index.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    rows.mapPartitions { it =>
+      val b = bcast.value
+      it.map { r =>
+        val vec = r.getSeq[Double](1)
+        val codes = new Array[Byte](b.m)
+        var s = 0
+        while (s < b.m) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < b.k) {
+            val cent = b.cents(s)(c)
+            var dd = 0.0; var j = 0
+            while (j < b.subDim) {
+              val diff = vec(s * b.subDim + j) - cent(j); dd += diff * diff; j += 1
+            }
+            if (dd < bestD) { bestD = dd; best = c } // strict: ties keep lowest cid
+            c += 1
+          }
+          codes(s) = best.toByte
+          s += 1
+        }
+        EncodedVec(r.getLong(0), codes)
+      }
+    }
+  }
+
+  /** ADC top-`candidates` by approximate inner product: the query's m×k
+    * dot-product table is broadcast; each row costs m lookups. Returns
+    * (id, approx_score) descending. */
+  def adcCandidates(encoded: Dataset[EncodedVec], cb: Codebooks,
+                    query: Array[Double], candidates: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val lut = Array.tabulate(cb.m, cb.k) { (s, c) =>
+      var acc = 0.0; var j = 0
+      while (j < cb.subDim) { acc += query(s * cb.subDim + j) * cb.cents(s)(c)(j); j += 1 }
+      acc
+    }
+    val bcast = spark.sparkContext.broadcast(lut)
+    encoded.mapPartitions { it =>
+      val t = bcast.value
+      it.map { e =>
+        var acc = 0.0; var s = 0
+        while (s < t.length) { acc += t(s)(e.codes(s) & 0xff); s += 1 }
+        (e.id, acc)
+      }
+    }.toDF("id", "approx_score")
+      .orderBy(desc("approx_score"), col("id"))
+      .limit(candidates)
+  }
+
+  /** Full PQ search: ADC candidate generation, then exact cosine re-rank
+    * of the `candidates`-row survivor set against the raw vectors. */
+  def searchTopK(index: DataFrame, idCol: String, vecCol: String,
+                 encoded: Dataset[EncodedVec], cb: Codebooks,
+                 query: Array[Double], topK: Int,
+                 candidates: Int = 100): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val cand = adcCandidates(encoded, cb, query, candidates)
+      .select(col("id").as("_cand_id"))
+    index
+      .join(broadcast(cand), col(idCol).cast("long") === col("_cand_id"))
+      .withColumn("sim", cosine(col(vecCol).cast("array<double>"), lit(query)))
+      .select(col(idCol), col("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions.l2Normalize
+import graft.operators.{Ann, Pq}
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  // sf0.001 embeddings (500 × 64-dim), L2-normalized so inner product
+  // ranking ≡ cosine ranking
+  private lazy val index = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), l2Normalize(col("embedding").cast("array<double>")).as("vec"))
+    .cache()
+
+  private lazy val cb = Pq.train(index, "vec_id", "vec", m = 8, k = 16, iters = 2)
+
+  test("codebooks: full shape, deterministic across trainings") {
+    assert(cb.m == 8 && cb.k == 16 && cb.subDim == 8)
+    assert(cb.cents.flatten.nonEmpty)
+    val cb2 = Pq.train(index, "vec_id", "vec", m = 8, k = 16, iters = 2)
+    assert(cb.cents.flatten.flatten.toSeq == cb2.cents.flatten.flatten.toSeq)
+  }
+
+  test("encode: 64x compression, deterministic, codes in range") {
+    val codes = Pq.encode(index, "vec_id", "vec", cb).collect()
+    assert(codes.length == 500)
+    codes.foreach { e =>
+      assert(e.codes.length == 8) // 512-byte float64 vector -> 8 bytes
+      e.codes.foreach(c => assert((c & 0xff) < 16))
+    }
+    val again = Pq.encode(index, "vec_id", "vec", cb).collect()
+      .map(e => e.id -> e.codes.toSeq).toMap
+    codes.foreach(e => assert(again(e.id) == e.codes.toSeq))
+  }
+
+  test("ADC search with exact re-rank reaches recall >= 0.7 vs brute force") {
+    val query = index.filter(col("vec_id") === 0)
+      .select("vec").as[Seq[Double]].head().toArray
+    val exact = Ann.bruteForceTopK(index, "vec_id", "vec", query.toSeq, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val encoded = Pq.encode(index, "vec_id", "vec", cb)
+    val got = Pq.searchTopK(index, "vec_id", "vec", encoded, cb, query,
+        topK = 10, candidates = 100)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(got).size / 10.0
+    assert(recall >= 0.7, s"PQ recall $recall below bound (got $got vs $exact)")
+  }
+}
