@@ -1072,6 +1072,29 @@ object SparkEntry {
       d.unionByName(d).distinct().orderBy("doc_id")
     }),
 
+    // §2.J set ops: INTERSECT (corpus-version overlap — docs present in
+    // both slices).
+    "q_intersect" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "source")
+        .intersect(d.filter(col("doc_id") < 100).select("doc_id", "source"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.J grouping sets beyond rollup/cube: explicit sets — per-flag,
+    // per-status, and grand total, each tagged by grouping_id.
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("_li_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    }),
+
     // S-3: sliding event-time windows (10 min width, 5 min slide).
     "q_events_sliding" -> ((s, dir) => {
       events(s, dir)
@@ -1745,6 +1768,21 @@ object SparkEntry {
           |  UNION ALL
           |  SELECT doc_id, lang FROM documents
           |) ORDER BY doc_id""".stripMargin,
+
+      "q_intersect" ->
+        """SELECT doc_id, source FROM documents WHERE doc_id % 2 = 0
+          |INTERSECT
+          |SELECT doc_id, source FROM documents WHERE doc_id < 100
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_grouping_sets" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
       "q_events_sliding" ->
         """WITH x AS (

@@ -48,6 +48,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bow.length == 8 && bow.map(math.abs).sum == 3.0)
   }
 
+  test("graft_uniform from SQL equals Sampling.uniformByHash") {
+    GraftExtensions.register(spark)
+    val ids = spark.range(0, 1000).toDF("id")
+    ids.createOrReplaceTempView("u_ids")
+    val viaSql = spark.sql("SELECT id, graft_uniform(id) AS u FROM u_ids ORDER BY id")
+      .as[(Long, Double)].collect()
+    val viaDsl = ids
+      .select(col("id"), graft.operators.Sampling.uniformByHash(col("id")).as("u"))
+      .orderBy("id").as[(Long, Double)].collect()
+    assert(viaSql.toSeq == viaDsl.toSeq)
+    viaSql.foreach { case (_, u) => assert(u >= 0.0 && u < 1.0) }
+  }
+
   test("withExtensions session exposes graft_dot") {
     val s2 = SparkSession.builder()
       .master("local[2]")
