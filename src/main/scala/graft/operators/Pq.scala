@@ -159,6 +159,41 @@ object Pq {
       .limit(candidates)
   }
 
+  /** IVF-PQ: the composed 100 TB ANN stack. The coarse quantizer
+    * restricts the search to the query's `nprobe` nearest cells (on a
+    * `partitionBy(cell_id)` store this is partition pruning —
+    * [[Ann.writeIvfIndex]]); within the surviving cells, scoring is
+    * ADC over the byte codes; the top `candidates` re-rank exactly.
+    * `assignedEncoded` = cell-assigned rows joined with their codes
+    * (`cell_id`, id, vecCol, `codes`). */
+  def ivfPqSearchTopK(assignedEncoded: DataFrame, idCol: String, vecCol: String,
+                      cb: Codebooks,
+                      centroids: DataFrame, cIdCol: String, cVecCol: String,
+                      query: Array[Double], topK: Int,
+                      nprobe: Int, candidates: Int = 100): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val spark = assignedEncoded.sparkSession
+    import spark.implicits._
+    val q = lit(query)
+    val probeCells = centroids
+      .withColumn("_qsim", cosine(col(cVecCol).cast("array<double>"), q))
+      .orderBy(desc("_qsim"), col(cIdCol))
+      .limit(nprobe)
+      .select(col(cIdCol).as("cell_id"))
+    val inCells = assignedEncoded.join(broadcast(probeCells), "cell_id")
+    val encoded = inCells
+      .select(col(idCol).cast("long"), col("codes"))
+      .map(r => EncodedVec(r.getLong(0), r.getAs[Array[Byte]](1)))
+    val cand = adcCandidates(encoded, cb, query, candidates)
+      .select(col("id").as("_cand_id"))
+    inCells
+      .join(broadcast(cand), col(idCol).cast("long") === col("_cand_id"))
+      .withColumn("sim", cosine(col(vecCol).cast("array<double>"), q))
+      .select(col(idCol), col("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(topK)
+  }
+
   /** Full PQ search: ADC candidate generation, then exact cosine re-rank
     * of the `candidates`-row survivor set against the raw vectors. */
   def searchTopK(index: DataFrame, idCol: String, vecCol: String,

@@ -38,6 +38,27 @@ class PqSpec extends AnyFunSuite {
     codes.foreach(e => assert(again(e.id) == e.codes.toSeq))
   }
 
+  test("IVF-PQ composed stack: cell-pruned ADC recall >= 0.6 vs brute force") {
+    import graft.operators.Ann
+    val query = index.filter(col("vec_id") === 0)
+      .select("vec").as[Seq[Double]].head().toArray
+    val exact = Ann.bruteForceTopK(index, "vec_id", "vec", query.toSeq, 10)
+      .select("vec_id").as[Long].collect().toSet
+    // coarse quantizer: 8 head centroids, probe 4 of 8 cells
+    val cents = Ann.headCentroids(index, "vec_id", "vec", 8)
+    val assigned = Ann.assignCells(index, "vec_id", "vec", cents, "centroid_id", "centroid_vec")
+    val encoded = Pq.encode(index, "vec_id", "vec", cb)
+      .withColumnRenamed("id", "vec_id")
+    val assignedEncoded = assigned.join(encoded, "vec_id")
+    val got = Pq.ivfPqSearchTopK(assignedEncoded, "vec_id", "vec", cb,
+        cents, "centroid_id", "centroid_vec", query,
+        topK = 10, nprobe = 4, candidates = 100)
+      .select("vec_id").as[Long].collect().toSet
+    // two approximations compound (cell pruning + PQ): looser bound
+    val recall = exact.intersect(got).size / 10.0
+    assert(recall >= 0.6, s"IVF-PQ recall $recall (got $got vs $exact)")
+  }
+
   test("ADC search with exact re-rank reaches recall >= 0.7 vs brute force") {
     val query = index.filter(col("vec_id") === 0)
       .select("vec").as[Seq[Double]].head().toArray
