@@ -1072,6 +1072,18 @@ object SparkEntry {
       d.unionByName(d).distinct().orderBy("doc_id")
     }),
 
+    // §2.J join breadth: LEFT OUTER with null-preserving aggregation —
+    // customers keep a row (n_orders = 0) even with no orders.
+    "q_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_spend"))
+        .orderBy("c_custkey")
+    }),
+
     // §2.J set ops: INTERSECT (corpus-version overlap — docs present in
     // both slices).
     "q_intersect" -> ((s, dir) => {
@@ -1774,6 +1786,14 @@ object SparkEntry {
           |INTERSECT
           |SELECT doc_id, source FROM documents WHERE doc_id < 100
           |ORDER BY doc_id""".stripMargin,
+
+      // count(o_orderkey) skips nulls → 0 for order-less customers;
+      // sum of an empty group stays NULL on both engines.
+      "q_outer_join" ->
+        """SELECT c_custkey, count(o_orderkey) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
       "q_grouping_sets" ->
         """SELECT l_returnflag, l_linestatus,
