@@ -763,6 +763,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PQ (product quantization) search surface under the driver gate.
+    // Rows-only: Lloyd k-means training is not SQL-expressible, and the
+    // avg() summation order makes centroid bits partitioning-dependent —
+    // seeds and tie-breaks are deterministic (head seeds, lowest-id),
+    // so results are stable up to float summation order; near-boundary
+    // assignments could differ across partitionings, which is why this
+    // has no value-compare oracle.
+    "q_pq_search" -> ((s, dir) => {
+      val index = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          l2Normalize(col("embedding").cast("array<double>")).as("vec"))
+      val cb = Pq.train(index, "vec_id", "vec", m = 8, k = 16, iters = 2)
+      val enc = Pq.encode(index, "vec_id", "vec", cb)
+      val qv = index.filter(col("vec_id") === 0)
+        .select("vec").head().getSeq[Double](0).toArray
+      Pq.searchTopK(index, "vec_id", "vec", enc, cb, qv, topK = 10, candidates = 100)
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+    }),
+
     // Data mixing: per-source hash-sampling rates. The keep decision is
     // an md5-derived uniform per doc id — reproducible across engines,
     // partitionings and reruns (rand(seed) is none of those), which is

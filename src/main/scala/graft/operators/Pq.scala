@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   *    adds — no vector arithmetic per row. Top candidates re-rank
   *    exactly against the raw vectors (a k-row join).
   *
-  * Everything is deterministic: seeds are the first `k` vectors by id
-  * (like [[Ann.headCentroids]]), ties break to the lowest centroid id.
+  * Seeds are the first `k` vectors by id (like [[Ann.headCentroids]])
+  * and ties break to the lowest centroid id, so the pipeline is
+  * deterministic up to floating-point summation order in the centroid
+  * means (same caveat as [[Ann.kmeansRefine]]) — bit-stable within a
+  * fixed partitioning, not across arbitrary repartitionings.
   */
 object Pq {
 
