@@ -665,9 +665,13 @@ object SparkEntry {
         TextAnalysis.qualityScore(col("text")).as("quality"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextAnalysis.contentFingerprint(col("text")).as("fp"))
-      val gated = scored.filter(col("quality") >= 0.5 && col("n_tokens") >= 20)
+      // both the keep-set aggregate and the join re-read the gated rows,
+      // and the anti-join re-reads the deduped rows: materialize each
+      // once instead of re-running the scoring expressions per branch
+      val gated = graft.Materialize(
+        scored.filter(col("quality") >= 0.5 && col("n_tokens") >= 20))
       val keep = gated.groupBy("fp").agg(min("doc_id").as("doc_id"))
-      val exactDeduped = gated.join(keep, Seq("fp", "doc_id"))
+      val exactDeduped = graft.Materialize(gated.join(keep, Seq("fp", "doc_id")))
       val dropIds = Dedup.minhashCandidates(
           exactDeduped.select("doc_id", "text"),
           "doc_id", "text", shingleN = 3, numHashes = 8, bands = 4)
