@@ -751,6 +751,21 @@ object SparkEntry {
         .orderBy("source", "doc_id")
     }),
 
+    // Decontamination: corpus docs sharing ≥ 5 distinct 3-grams with a
+    // "benchmark" slice (docs < 10) — per-doc hit count + worst overlap.
+    // (3-grams, not the production 8-gram default: the synthetic corpus
+    // is too short for organic 8-gram collisions.)
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = wide(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") < 10)
+      Dedup.contamination(docs, bench, "doc_id", "text",
+          shingleN = 3, minShared = 5)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bench_hits"),
+          max(col("shared")).as("max_shared"))
+        .orderBy("doc_id")
+    }),
+
     // Dedup canonicalization: MinHash candidate pairs → connected
     // components (min-label propagation) → one canonical doc per
     // cluster. Docs with no candidate pair are their own cluster.
@@ -1394,6 +1409,23 @@ object SparkEntry {
            |WHERE a.doc_id < b.doc_id
            |ORDER BY id_a, id_b""".stripMargin
       },
+
+      // Corpus and bench sides both explode distinct shingle sets, so
+      // count(*) after the equi-join counts distinct shared 3-grams.
+      "q_decontaminate" ->
+        s"""WITH d AS (SELECT doc_id, ${dShingleSet(W, 3)} AS sh FROM documents),
+           |c AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE len(sh) > 0),
+           |b AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM d
+           |      WHERE doc_id < 10 AND len(sh) > 0),
+           |ov AS (
+           |  SELECT c.doc_id, b.bench_id, count(*) AS shared
+           |  FROM c JOIN b ON c.s = b.s
+           |  GROUP BY c.doc_id, b.bench_id
+           |)
+           |SELECT doc_id, count(*) AS n_bench_hits,
+           |       CAST(max(shared) AS BIGINT) AS max_shared
+           |FROM ov WHERE shared >= 5
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // Same candidate pairs as q_minhash_pairs, then connected
       // components via a recursive transitive-closure CTE (fine at

@@ -149,6 +149,31 @@ object Dedup {
       .select(col("_blk").as(blockCol), col("id_a"), col("id_b"), stableRound(col("jaccard")).as("jaccard"))
   }
 
+  /** Benchmark decontamination: (corpus doc, bench doc, shared) for every
+    * corpus/benchmark pair sharing ≥ `minShared` DISTINCT word n-grams —
+    * the eval-overlap removal step of a training-data pipeline (flagged
+    * docs are dropped or quarantined before training).
+    *
+    * Scale shape: benchmark suites are tiny next to a 100 TB corpus, so
+    * the bench shingle index BROADCASTS — the corpus side is a map-only
+    * explode + broadcast-hash lookup, and the only shuffle is the
+    * (doc, bench) count aggregation over MATCHED shingle rows (partial
+    * agg combines map-side). Nothing corpus-sized ever shuffles.
+    * Both sides explode distinct shingle SETS, so `count` = number of
+    * distinct shared n-grams. */
+  def contamination(corpus: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleN: Int = 8, minShared: Long = 5): DataFrame = {
+    def sh(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      explode(shingleSet(tokens(lower(cleanText(col(textCol)))), shingleN)).as("_s"))
+    sh(corpus, "doc_id")
+      .join(broadcast(sh(bench, "bench_id")), "_s")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Connected components over an undirected candidate-pair graph:
     * (id, cluster_id) for every id appearing in `pairs`, where
     * cluster_id = the minimum id reachable through the pair edges. The

@@ -75,6 +75,22 @@ class DedupSpec extends AnyFunSuite {
     assert(h(1L) >= 0 && h(1L) <= 0xFFFFL)
   }
 
+  test("contamination: bench n-gram overlap flags, disjoint docs clean") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "intro words then alpha beta gamma delta epsilon zeta tail"),
+      (3L, "completely different tokens with no shared phrases at all"))
+      .toDF("doc_id", "text")
+    val bench = corpus.filter($"doc_id" === 1L)
+    val flags = Dedup.contamination(corpus, bench, "doc_id", "text",
+        shingleN = 3, minShared = 3)
+      .select("doc_id", "bench_id", "shared")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(flags(1L) == 6L)      // self-overlap: all six 3-grams
+    assert(flags(2L) == 4L)      // the four 3-grams of the shared 6-word run
+    assert(!flags.contains(3L))  // disjoint doc untouched
+  }
+
   test("clusters: components resolve to min reachable id, chains converge") {
     // components {1,2,3} (triangle-ish), {7,8}, and a 6-node CHAIN
     // 20-21-22-23-24-25 — the chain forces multi-round propagation
