@@ -1057,6 +1057,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // North star: unigram-entropy quality signal (explode + hash-agg;
+    // entropy fold over the sorted term list for portable float order).
+    "q_entropy" -> ((s, dir) => {
+      TextAnalysis.tokenEntropy(wide(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          stableRound(col("entropy")).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // North star: PII redaction (scrubbing pass over text + synthesized
     // identifiers, so the replacement paths actually fire).
     "q_redact_pii" -> ((s, dir) => {
@@ -1709,6 +1718,21 @@ object SparkEntry {
            |SELECT source, CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id,
            |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
            |FROM c GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin,
+
+      // Entropy fold mirrors the engine: terms sorted lexicographically,
+      // left-fold sum (list_sum ≡ Spark aggregate over the same order).
+      "q_entropy" ->
+        s"""WITH t AS (SELECT doc_id, unnest($W) AS tok FROM documents),
+           |c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok),
+           |g AS (SELECT doc_id,
+           |        list_sort(list(struct_pack(tok := tok, cnt := cnt))) AS terms,
+           |        sum(cnt) AS n
+           |      FROM c GROUP BY doc_id)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           |       round(-(list_sum(list_transform(terms, e ->
+           |         (CAST(e.cnt AS DOUBLE) / CAST(n AS DOUBLE))
+           |           * ln(CAST(e.cnt AS DOUBLE) / CAST(n AS DOUBLE))))) + 1.2345e-9, 6) AS entropy
+           |FROM g ORDER BY doc_id""".stripMargin,
 
       "q_vocab_stats" ->
         s"""WITH t AS (SELECT source, unnest($W) AS tok FROM documents)

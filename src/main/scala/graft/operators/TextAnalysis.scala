@@ -10,8 +10,10 @@ import graft.functions.VectorFunctions.stableRound
   * scoring, token counting, document fingerprinting.
   *
   * All pure per-row column expressions — map-only, codegen'd, no shuffle —
-  * so each scales linearly to 100 TB. Hash-derived values use md5 hex
-  * arithmetic (portable across engines → DuckDB-oracle-checkable).
+  * so each scales linearly to 100 TB (the one exception, [[tokenEntropy]],
+  * is an explode + hash-agg that shuffles counts, never text). Hash-derived
+  * values use md5 hex arithmetic (portable across engines →
+  * DuckDB-oracle-checkable).
   */
 object TextAnalysis {
 
@@ -117,4 +119,27 @@ object TextAnalysis {
     val sh = shingleSet(tokens(lower(text)), n)
     when(size(sh) === 0, md5(lit(""))).otherwise(array_min(transform(sh, s => md5(s))))
   }
+
+  /** Shannon entropy (nats) of each doc's unigram distribution — the
+    * gibberish/boilerplate quality signal (low = repetitive template
+    * text, anomalously high = random noise). Not a per-row expression:
+    * term counting is an explode + (doc, token) hash-agg (map-side
+    * combine; shuffles counts, never text), then the entropy fold runs
+    * over the LEXICOGRAPHICALLY SORTED term list so the float summation
+    * order is deterministic and engine-portable. Returns (idCol,
+    * n_tokens, entropy); docs with no tokens are absent. */
+  def tokenEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol), explode(tokens(lower(cleanText(col(textCol))))).as("_tok"))
+      .groupBy(col(idCol), col("_tok"))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("_tok"), col("_cnt")))).as("_terms"),
+        sum(col("_cnt")).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        expr("""-aggregate(_terms, 0D,
+               |  (acc, e) -> acc + (CAST(e._cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+               |                    * ln(CAST(e._cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)))
+               |""".stripMargin).as("entropy"))
 }
