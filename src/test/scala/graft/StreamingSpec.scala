@@ -92,6 +92,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(answers(2L).contains("pizza"))
   }
 
+  test("stream-static enrichment join: dimension attrs attach per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // static dimension: event_type -> category (broadcastable at scale)
+    val dim = Seq(("click", "ui"), ("purchase", "commerce"), ("scroll", "ui"))
+      .toDF("event_type", "category")
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val enriched = input.toDF().toDF("ts", "event_type", "value")
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .groupBy("category").agg(count(lit(1)).as("n"))
+    val q = enriched.writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 04:$min%02d:00")
+    input.addData((ts(1), "click", 1.0), (ts(2), "purchase", 2.0))
+    q.processAllAvailable()
+    input.addData((ts(3), "scroll", 1.0), (ts(4), "unknown_evt", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enrich_out")
+      .as[(Option[String], Long)].collect()
+      .map { case (c, n) => c.getOrElse("∅") -> n }.toMap
+    assert(out("ui") == 2L)        // click + scroll, joined across batches
+    assert(out("commerce") == 1L)
+    assert(out("∅") == 1L)         // left join keeps unmatched event types
+  }
+
   test("watermark drops data later than the threshold (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
