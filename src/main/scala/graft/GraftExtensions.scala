@@ -108,20 +108,27 @@ object GraftExtensions {
       HashedBow(children.head, litInt(children(1), "graft_hashed_bow"))
     })
 
-  /** graft_uniform(id): the deterministic md5-derived uniform in [0,1)
-    * behind `Sampling.hashSample`, as a resolved tree over built-ins —
-    * `WHERE graft_uniform(doc_id) < 0.1` is a reproducible 10% sample
-    * from pure SQL. */
+  /** THE md5-derived uniform in [0,1) — single source of truth for both
+    * `Sampling.uniformByHash` (Column form) and the `graft_uniform` SQL
+    * function, so the two can never drift apart. Built as a resolved
+    * Catalyst tree (registry builders must not emit unresolved nodes —
+    * see [[cosineFunction]]). */
+  def uniformByHashExpr(child: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Divide, Literal, Md5, Substring}
+    import org.apache.spark.sql.types.{BinaryType, DoubleType, StringType}
+    val hex = Md5(Cast(Cast(child, StringType), BinaryType))
+    val four = Substring(hex, Literal(1), Literal(4))
+    Divide(Cast(Conv(four, Literal(16), Literal(10)), DoubleType), Literal(65536.0))
+  }
+
+  /** graft_uniform(id): `WHERE graft_uniform(doc_id) < 0.1` is a
+    * reproducible 10% sample from pure SQL. */
   val uniformFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_uniform"),
     new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions.Md5].getName, "graft_uniform"),
     (children: Seq[Expression]) => {
       require(children.length == 1, "graft_uniform(id) takes exactly 1 argument")
-      import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Divide, Literal, Md5, Substring}
-      import org.apache.spark.sql.types.{BinaryType, DoubleType, StringType}
-      val hex = Md5(Cast(Cast(children.head, StringType), BinaryType))
-      val four = Substring(hex, Literal(1), Literal(4))
-      Divide(Cast(Conv(four, Literal(16), Literal(10)), DoubleType), Literal(65536.0))
+      uniformByHashExpr(children.head)
     })
 
   val allFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

@@ -34,7 +34,7 @@ object ScaleProbe {
     // connected-components scaling: synthetic pair graphs at growing
     // size. Dense near-dup clusters (size 5) converge in ~2 rounds no
     // matter the graph size — runtime grows with EDGES, not rounds; the
-    // 64-long chain shows the diameter-bound worst case on a tiny graph.
+    // 16-node chain shows the diameter-bound worst case on a tiny graph.
     {
       def clusterGraph(nClusters: Int) = { // cliques of 5: 10 edges each
         val ids = spark.range(0, nClusters.toLong * 5)

@@ -1305,6 +1305,36 @@ object SparkEntry {
   private def dStopHits(words: String, list: Seq[String]) =
     s"len(list_filter($words, w -> list_contains([${list.map(w => s"'$w'").mkString(", ")}], w)))"
 
+  /** DuckDB: majority-vote md5 SimHash over a token list — the single
+    * mirror of `Dedup.simhash` shared by every simhash oracle. */
+  private def dSimhash(words: String, bits: Int) =
+    s"""CAST(list_sum(list_transform(range(0, $bits), j ->
+       |    CASE WHEN list_sum(list_transform($words, x ->
+       |      2 * (CAST(floor(${dHexVal("substr(md5(x), CAST(j // 4 AS INT) + 1, 1)")} / pow(2, 3 - (j % 4))) AS INT) % 2) - 1
+       |    )) > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
+       |  )) AS BIGINT)""".stripMargin
+
+  /** DuckDB: the hashed-BoW embedding CTE chain shared by q_embed_doc /
+    * q_embed_batched — doc_id + normalized components e0..e3, plus the
+    * pre-normalization norm when `withNorm`. */
+  private def dEmbedOracle(withNorm: Boolean, W: String): String = {
+    val normCol = if (withNorm) " round(nrm + 1.2345e-9, 6) AS norm," else ""
+    s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+       |p AS (SELECT doc_id, list_transform(w, x ->
+       |        struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
+       |                    s := ${dMd5Sign("x")})) AS pr FROM t),
+       |v AS (SELECT doc_id, list_transform(range(0, ${Schemas.EmbeddingDim}), j ->
+       |        coalesce(list_sum(list_transform(pr, e -> CASE WHEN e.b = j THEN e.s ELSE 0.0 END)), 0.0)) AS vec
+       |      FROM p),
+       |n AS (SELECT doc_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v)
+       |SELECT doc_id,$normCol
+       |       round(vec[1] / (nrm + 1e-9) + 1.2345e-9, 6) AS e0,
+       |       round(vec[2] / (nrm + 1e-9) + 1.2345e-9, 6) AS e1,
+       |       round(vec[3] / (nrm + 1e-9) + 1.2345e-9, 6) AS e2,
+       |       round(vec[4] / (nrm + 1e-9) + 1.2345e-9, 6) AS e3
+       |FROM n ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared by q_ann_ivf and q_ann_ivf_part: the partitioned store
     * changes only the physical layout, never the candidate set. */
   private def annIvfOracle: String =
@@ -1494,22 +1524,12 @@ object SparkEntry {
       "q_simhash" ->
         s"""WITH t AS (SELECT doc_id, $W AS w FROM documents)
            |SELECT doc_id,
-           |  CAST(list_sum(list_transform(range(0, 16), j ->
-           |    CASE WHEN list_sum(list_transform(w, x ->
-           |      2 * (CAST(floor(${dHexVal("substr(md5(x), CAST(j // 4 AS INT) + 1, 1)")} / pow(2, 3 - (j % 4))) AS INT) % 2) - 1
-           |    )) > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
-           |  )) AS BIGINT) AS simhash
+           |  ${dSimhash("w", 16)} AS simhash
            |FROM t ORDER BY doc_id""".stripMargin,
 
       "q_simhash_pairs" -> {
-        val simhashExpr =
-          s"""CAST(list_sum(list_transform(range(0, 16), j ->
-             |    CASE WHEN list_sum(list_transform(w, x ->
-             |      2 * (CAST(floor(${dHexVal("substr(md5(x), CAST(j // 4 AS INT) + 1, 1)")} / pow(2, 3 - (j % 4))) AS INT) % 2) - 1
-             |    )) > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
-             |  )) AS BIGINT)""".stripMargin
         s"""WITH t AS (SELECT doc_id, source, $W AS w FROM documents),
-           |h AS (SELECT doc_id, source, $simhashExpr AS sh FROM t)
+           |h AS (SELECT doc_id, source, ${dSimhash("w", 16)} AS sh FROM t)
            |SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
            |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
            |FROM h a JOIN h b ON a.source = b.source AND a.doc_id < b.doc_id
@@ -1521,14 +1541,8 @@ object SparkEntry {
       // (matchAll), so: dup iff ANY earlier same-block doc within
       // maxHamming; dup_of = min-hamming partner, ties to smallest id.
       "q_stream_dedup" -> {
-        val simhashExpr =
-          s"""CAST(list_sum(list_transform(range(0, 16), j ->
-             |    CASE WHEN list_sum(list_transform(w, x ->
-             |      2 * (CAST(floor(${dHexVal("substr(md5(x), CAST(j // 4 AS INT) + 1, 1)")} / pow(2, 3 - (j % 4))) AS INT) % 2) - 1
-             |    )) > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
-             |  )) AS BIGINT)""".stripMargin
         s"""WITH t AS (SELECT doc_id, source, $W AS w FROM documents),
-           |h AS (SELECT doc_id, source, $simhashExpr AS sh FROM t),
+           |h AS (SELECT doc_id, source, ${dSimhash("w", 16)} AS sh FROM t),
            |p AS (
            |  SELECT b.doc_id, a.doc_id AS cand,
            |         CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS ham
@@ -1676,21 +1690,7 @@ object SparkEntry {
           |       concat(regexp_extract(file_name, '([^/]+?)(\.[^./]*)?$', 1), '_', 1723400000) AS upload_id
           |FROM f ORDER BY doc_id""".stripMargin,
 
-      "q_embed_doc" ->
-        s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
-           |p AS (SELECT doc_id, list_transform(w, x ->
-           |        struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
-           |                    s := ${dMd5Sign("x")})) AS pr FROM t),
-           |v AS (SELECT doc_id, list_transform(range(0, ${Schemas.EmbeddingDim}), j ->
-           |        coalesce(list_sum(list_transform(pr, e -> CASE WHEN e.b = j THEN e.s ELSE 0.0 END)), 0.0)) AS vec
-           |      FROM p),
-           |n AS (SELECT doc_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v)
-           |SELECT doc_id, round(nrm + 1.2345e-9, 6) AS norm,
-           |       round(vec[1] / (nrm + 1e-9) + 1.2345e-9, 6) AS e0,
-           |       round(vec[2] / (nrm + 1e-9) + 1.2345e-9, 6) AS e1,
-           |       round(vec[3] / (nrm + 1e-9) + 1.2345e-9, 6) AS e2,
-           |       round(vec[4] / (nrm + 1e-9) + 1.2345e-9, 6) AS e3
-           |FROM n ORDER BY doc_id""".stripMargin,
+      "q_embed_doc" -> dEmbedOracle(withNorm = true, W),
 
       // Mirrors Sampling.uniformByHash: value of the first 4 md5 hex
       // chars / 65536 — the engine's md5-hex discipline, replayed in SQL.
@@ -1744,21 +1744,7 @@ object SparkEntry {
 
       // Batched mapPartitions embedder ≡ expression path bitwise, so the
       // oracle is the same hashed-BoW arithmetic (minus the norm column).
-      "q_embed_batched" ->
-        s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
-           |p AS (SELECT doc_id, list_transform(w, x ->
-           |        struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
-           |                    s := ${dMd5Sign("x")})) AS pr FROM t),
-           |v AS (SELECT doc_id, list_transform(range(0, ${Schemas.EmbeddingDim}), j ->
-           |        coalesce(list_sum(list_transform(pr, e -> CASE WHEN e.b = j THEN e.s ELSE 0.0 END)), 0.0)) AS vec
-           |      FROM p),
-           |n AS (SELECT doc_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v)
-           |SELECT doc_id,
-           |       round(vec[1] / (nrm + 1e-9) + 1.2345e-9, 6) AS e0,
-           |       round(vec[2] / (nrm + 1e-9) + 1.2345e-9, 6) AS e1,
-           |       round(vec[3] / (nrm + 1e-9) + 1.2345e-9, 6) AS e2,
-           |       round(vec[4] / (nrm + 1e-9) + 1.2345e-9, 6) AS e3
-           |FROM n ORDER BY doc_id""".stripMargin,
+      "q_embed_batched" -> dEmbedOracle(withNorm = false, W),
 
       "q_lang_quality" -> {
         val hits = TextAnalysis.StopwordProfiles

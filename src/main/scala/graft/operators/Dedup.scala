@@ -220,6 +220,10 @@ object Dedup {
         .join(labels.withColumnRenamed("cluster_id", "_prev"), "id")
         .filter(col("cluster_id") =!= col("_prev"))
         .isEmpty
+      // release the superseded round's blocks: under the `persist`
+      // strategy each round otherwise accumulates a DISK_ONLY cache
+      // entry for the session lifetime (no-op for localCheckpoint)
+      labels.unpersist()
       labels = next
       iter += 1
     }

@@ -27,8 +27,13 @@ import org.apache.spark.sql.functions._
   * Seeds are the first `k` vectors by id (like [[Ann.headCentroids]])
   * and ties break to the lowest centroid id, so the pipeline is
   * deterministic up to floating-point summation order in the centroid
-  * means (same caveat as [[Ann.kmeansRefine]]) — bit-stable within a
-  * fixed partitioning, not across arbitrary repartitionings.
+  * means (same caveat as [[Ann.kmeansRefine]]) — bit-stable in local
+  * mode, where shuffle partials merge in a fixed order; on a real
+  * cluster fetch-arrival order can perturb low-order centroid bits.
+  * A centroid whose cluster empties during refinement keeps its
+  * zero-filled codebook slot (standard k-means dropout, as in
+  * kmeansRefine); the origin then acts as a catch-all for vectors far
+  * from every live centroid (unit distance from any normalized vector).
   */
 object Pq {
 
@@ -58,7 +63,7 @@ object Pq {
     * aggregable; refinement = per-(sub, cid, dim) mean. */
   def train(index: DataFrame, idCol: String, vecCol: String,
             m: Int = 8, k: Int = 16, iters: Int = 2): Codebooks = {
-    val spark = index.sparkSession
+    require(k <= 256, s"k=$k exceeds one byte: encode stores centroid ids as bytes")
     val d = index.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val subDim = d / m
@@ -83,6 +88,7 @@ object Pq {
         // min dist, ties to lowest cid: min_by over (dist, cid) struct
         .agg(min(struct(col("_d"), col("cid"))).as("_best"))
         .select(col("id"), col("sub"), col("_best.cid").as("cid"))
+      val prev = cb
       cb = graft.Materialize(
         assigned.join(sv, Seq("id", "sub"))
           .select(col("sub"), col("cid"),
@@ -93,6 +99,11 @@ object Pq {
           .select(col("sub"), col("cid"),
             transform(sequence(lit(0), lit(subDim - 1)),
               j => coalesce(element_at(col("_mm"), j), lit(0.0))).as("cvec")))
+      // materialize the new codebook (k×m rows) BEFORE releasing its
+      // parent — Materialize is lazy, and dropping prev first would
+      // force a recompute under the persist strategy
+      cb.count()
+      prev.unpersist()
     }
 
     // codebooks are m×k×subDim — KBs; collecting them is the point

@@ -18,9 +18,13 @@ object Sampling {
 
   /** Uniform in [0, 1) derived from the first 4 hex chars of md5(id) —
     * 65536 buckets, the same md5-hex discipline every other derived hash
-    * in the engine uses (portable to the DuckDB oracle verbatim). */
-  def uniformByHash(idCol: Column): Column =
-    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10).cast("double") / lit(65536.0)
+    * in the engine uses (portable to the DuckDB oracle verbatim).
+    * Delegates to the shared Catalyst tree behind the `graft_uniform`
+    * SQL function, so DSL and SQL samples are identical by construction. */
+  def uniformByHash(idCol: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(graft.GraftExtensions.uniformByHashExpr(expression(idCol)))
+  }
 
   /** Keep ~`rate` of rows, decided per row id (map-only, no shuffle). */
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =

@@ -65,13 +65,15 @@ object StreamingDedup {
                                   maxHamming: Int, maxPerBlock: Int,
                                   matchAll: Boolean)
       : (BlockState, DedupOutcome) = {
-    // min-hamming scan; ties go to the smallest doc_id (= earliest seen,
-    // since state only ever grows in arrival order)
+    // min-hamming scan over the newest-first list; <= lets later (older)
+    // entries take ties, so the winner is the EARLIEST-SEEN minimum —
+    // by arrival order, not doc_id (they coincide only when arrivals
+    // are id-ordered, as in q_stream_dedup's seq = doc_id)
     var bestId = -1L
     var bestHam = Long.MaxValue
     state.entries.foreach { case (h, id) =>
       val ham = java.lang.Long.bitCount(h ^ doc.simhash).toLong
-      if (ham < bestHam || (ham == bestHam && id < bestId)) { bestHam = ham; bestId = id }
+      if (ham <= bestHam) { bestHam = ham; bestId = id }
     }
     val isDup = bestId >= 0 && bestHam <= maxHamming
     val admit = !isDup || matchAll
@@ -85,7 +87,15 @@ object StreamingDedup {
   }
 
   /** flatMapGroupsWithState update: fold this micro-batch's arrivals (in
-    * seq order) through the block state, one outcome per arrival. */
+    * seq order) through the block state, one outcome per arrival.
+    *
+    * Memory contract: the group's arrivals are buffered to sort by
+    * `seq`, so per-call memory is O(arrivals per block per
+    * micro-batch). In streaming, the micro-batch bounds that. In BATCH
+    * mode the whole input is one "micro-batch" — use fine-grained
+    * blocks (LSH bands, not a handful of coarse sources) when running
+    * corpus-sized batch dedup through this operator, or use the batch
+    * `Dedup.simhashPairs` path, which never buffers a block. */
   def update(maxHamming: Int, maxPerBlock: Int, matchAll: Boolean)(
       block: String,
       docs: Iterator[DocArrival],
