@@ -100,6 +100,28 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(flagged.subsetOf(full))
   }
 
+  test("streaming curation gate: quality filter + dedup compose on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+      // stateless quality gate runs as-is on the stream
+      .filter(TextAnalysis.tokenCount(col("text")) >= 4)
+    val deduped = StreamingDedup.exactDedupStream(docs, "text", "ts")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("cur_out").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 05:$min%02d:00")
+    input.addData(
+      (ts(0), 1L, "a good long document with enough tokens"),
+      (ts(1), 2L, "too short"),                                // quality-gated
+      (ts(2), 3L, "a good long document with enough tokens"))  // dup of 1
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("cur_out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("exact streaming dedup: watermark-bounded fingerprint state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
