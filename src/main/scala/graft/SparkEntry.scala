@@ -802,6 +802,22 @@ object SparkEntry {
         .orderBy(desc("sim"), col("vec_id"))
     }),
 
+    // MLlib BRP-LSH ANN under the driver gate. Rows-only: the hash
+    // planes come from MLlib's seeded RNG — deterministic given the
+    // seed, but not re-derivable in SQL. Output keeps ids + rounded
+    // distances (normalized vectors: d² = 2 − 2·cos).
+    "q_ann_brp" -> ((s, dir) => {
+      val index = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          l2Normalize(col("embedding").cast("array<double>")).as("vec"))
+      val (model, hashed) = Ann.fitBrpLsh(index, "vec")
+      val qv = index.filter(col("vec_id") === 0)
+        .select("vec").head().getSeq[Double](0)
+      Ann.brpApproxNeighbors(model, hashed, qv, 10)
+        .select(col("vec_id"), stableRound(col("distCol")).as("dist"))
+        .orderBy("dist", "vec_id")
+    }),
+
     // Data mixing: per-source hash-sampling rates. The keep decision is
     // an md5-derived uniform per doc id — reproducible across engines,
     // partitionings and reruns (rand(seed) is none of those), which is
