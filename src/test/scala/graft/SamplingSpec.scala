@@ -36,6 +36,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(!out.contains("s2"))            // unlisted stratum dropped
   }
 
+  test("property: packShards invariants hold over seeded random layouts") {
+    val rng = new scala.util.Random(7)
+    // one DataFrame per budget, batched — invariants checked per stratum
+    (0 until 5).foreach { trial =>
+      val budget = 200L + rng.nextInt(1800)
+      val rows = (0 until 400).map { i =>
+        (i.toLong, s"s${i % 3}", (1 + rng.nextInt(600)).toLong)
+      }
+      val packed = Sampling.packShards(
+          rows.toDF("id", "strat", "toks"), "strat", "id", "toks", budget)
+        .select("strat", "id", "toks", "shard_id")
+        .as[(String, Long, Long, Long)].collect()
+      packed.groupBy(_._1).foreach { case (_, rs) =>
+        val ordered = rs.sortBy(_._2)
+        // exact defining property: shard = floor(tokens-before / budget)
+        var cum = 0L
+        ordered.foreach { case (_, _, toks, shard) =>
+          assert(shard == cum / budget, s"trial $trial budget $budget")
+          cum += toks
+        }
+      }
+    }
+  }
+
   test("packShards: greedy budget layout — contiguous, full, bounded overrun") {
     val docs = spark.range(0, 500).toDF("id")
       .withColumn("s", concat(lit("g"), pmod(col("id"), lit(2))))

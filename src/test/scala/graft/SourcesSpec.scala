@@ -80,6 +80,16 @@ class SourcesSpec extends AnyFunSuite {
       .select("text").as[String].collect().toSeq == Seq("bob doc"))
     // staging dir cleaned up
     assert(!new java.io.File(s"$idx/_upsert_staging").exists)
+
+    // first upload from a BRAND-NEW tenant through the same upsert path
+    // (the reference's lazy index creation): adds carol, touches no one
+    IndexStore.upsertTenantDocs(spark, idx, "carol",
+      Seq(("c1", 0, "carol doc", Seq(3f, 0f)))
+        .toDF("doc_id", "chunk_idx", "text", "embedding"))
+    assert(IndexStore.readTenant(spark, idx, "carol")
+      .select("text").as[String].collect().toSeq == Seq("carol doc"))
+    assert(IndexStore.readTenant(spark, idx, "alice").count() == 2)
+    assert(IndexStore.readTenant(spark, idx, "bob").count() == 1)
   }
 
   test("clustered layout: disjoint per-file key ranges + pushed key filter") {
