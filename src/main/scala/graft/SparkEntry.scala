@@ -751,6 +751,46 @@ object SparkEntry {
         .orderBy("source", "doc_id")
     }),
 
+    // The BATCH-SAFE banded form of the streaming near-dup filter under
+    // the gate: state key = (source × simhash band) — pigeonhole over
+    // nBands = maxHamming+1 bands guarantees identical outcomes to the
+    // raw-block matchAll form (StreamingDedupSpec proves it; the oracle
+    // is the same SQL as q_stream_dedup), while a hot block fans out
+    // across band groups instead of buffering whole in one group call.
+    "q_stream_dedup_banded" -> ((s, dir) => {
+      graft.streaming.StreamingDedup.simhashDedupBanded(
+          wide(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("text"))
+            .withColumn("seq", col("doc_id")),
+          "doc_id", "text", "source", "seq", bits = 16, maxHamming = 3)
+        .toDF()
+        .select(col("block").as("source"), col("doc_id"), col("is_dup"),
+          col("dup_of"), col("hamming"))
+        .orderBy("source", "doc_id")
+    }),
+
+    // S-2 under the driver gate: conversation memory as keyed state, run
+    // batch-mode the way q_stream_dedup is — mapGroupsWithState over a
+    // batch Dataset is ONE group call per chat with empty prior state, so
+    // the result is the seq-ordered fold the streaming op performs
+    // incrementally (ref app/main.py:483-544: history render + append,
+    // bounded turns). Turns derive from orders (chat = custkey mod 50,
+    // seq = orderkey); maxTurns=5 forces real truncation at every SF.
+    // Oracle = last-5-by-seq window + seq-ordered string_agg.
+    "q_chat_memory" -> ((s, dir) => {
+      import s.implicits._
+      val msgs = t(s, dir, "orders").select(
+          (col("o_custkey") % 50).cast("string").as("chat_id"),
+          col("o_orderpriority").as("input"),
+          concat(col("o_orderstatus"), lit("#"), col("o_orderkey")).as("output"),
+          col("o_orderkey").cast("long").as("seq"))
+        .as[graft.streaming.SessionState.ChatMessage]
+      graft.streaming.SessionState.chatMemory(msgs, maxTurns = 5)
+        .toDF()
+        .select(col("chat_id"), col("history"), col("n_turns").cast("long").as("n_turns"))
+        .orderBy("chat_id")
+    }),
+
     // Decontamination: corpus docs sharing ≥ 5 distinct 3-grams with a
     // "benchmark" slice (docs < 10) — per-doc hit count + worst overlap.
     // (3-grams, not the production 8-gram default: the synthetic corpus
@@ -798,6 +838,39 @@ object SparkEntry {
       val qv = index.filter(col("vec_id") === 0)
         .select("vec").head().getSeq[Double](0).toArray
       Pq.searchTopK(index, "vec_id", "vec", enc, cb, qv, topK = 10, candidates = 100)
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+    }),
+
+    // IVF-PQ end-to-end over the cell-PARTITIONED store — the composed
+    // 100 TB ANN stack under the driver gate: coarse cells (vec_id < 8
+    // centroids) partition the written index; the probed-cell read is
+    // static partition pruning (PlanSpec pins PartitionFilters); ADC
+    // scores the byte codes inside the surviving cells; the survivors
+    // re-rank exactly. Rows-only for the same inherent reason as
+    // q_pq_search: k-means codebook bits are not SQL-derivable.
+    "q_ivfpq" -> ((s, dir) => {
+      val index = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          l2Normalize(col("embedding").cast("array<double>")).as("vec"))
+      val cents = index.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("vec").as("centroid_vec"))
+      val cb = Pq.train(index, "vec_id", "vec", m = 8, k = 16, iters = 1)
+      val enc = Pq.encode(index, "vec_id", "vec", cb).toDF()
+        .select(col("id").as("vec_id"), col("codes"))
+      val assigned = Ann.assignCells(index, "vec_id", "vec",
+          cents, "centroid_id", "centroid_vec")
+        .select("vec_id", "vec", "cell_id")
+        .join(enc, "vec_id")
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivfpq$safe").getAbsolutePath
+      Ann.writeIvfIndex(assigned, idx)
+      val qv = index.filter(col("vec_id") === 0)
+        .select("vec").head().getSeq[Double](0).toArray
+      Pq.ivfPqSearchPartitioned(s, idx, "vec_id", "vec", cb,
+          cents, "centroid_id", "centroid_vec",
+          qv, topK = 10, nprobe = 2, candidates = 50)
         .select(col("vec_id"), stableRound(col("sim")).as("sim"))
         .orderBy(desc("sim"), col("vec_id"))
     }),
@@ -1207,6 +1280,9 @@ object SparkEntry {
     // O-1/O-10: corpus scan with charset fallback (rows-only check).
     "q_corpus_scan" -> (qCorpusScan _),
 
+    // O-2: multi-tenant upload landing-dir scan, batch twin (rows-only).
+    "q_upload_scan" -> (qUploadScan _),
+
     // O-4/O-5: tenant-partitioned index write + pruned read-back.
     "q_index_roundtrip" -> (qIndexRoundtrip _),
 
@@ -1267,6 +1343,30 @@ object SparkEntry {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_chunks"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy("user_id")
+  }
+
+  /** O-2 batch form: multi-tenant upload landing-dir scan (rows-only —
+    * DuckDB can't see the temp files). Two tenants × two uploads, plus a
+    * nested decoy outside the tenant glob; the projection is
+    * [[graft.streaming.StreamingOps.readUploadBatch]], the batch twin of
+    * the live upload stream (ref app/embedding_gen.py:315-409). */
+  private def qUploadScan(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_upload_demo")
+    Seq("tenantA" -> Seq("a_doc1.txt" -> "alpha upload one two three",
+          "a_doc2.txt" -> "beta upload with\nnewline body"),
+        "tenantB" -> Seq("b_doc1.txt" -> "gamma tenant b payload"))
+      .foreach { case (tenant, files) =>
+        val td = new java.io.File(tmp, tenant)
+        td.mkdirs()
+        files.foreach { case (name, body) =>
+          java.nio.file.Files.write(new java.io.File(td, name).toPath,
+            body.getBytes("UTF-8"))
+        }
+      }
+    graft.streaming.StreamingOps.readUploadBatch(s, tmp.getAbsolutePath)
+      .select(col("tenant"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy("tenant", "doc_id")
   }
 
   /** O-4 upsert semantics (the reference's bulk `_id` upsert): build a
@@ -1553,10 +1653,55 @@ object SparkEntry {
            |ORDER BY a.source, id_a, id_b""".stripMargin
       },
 
+      // Batch-mode chat memory: one fold per chat with empty prior state
+      // == keep the LAST maxTurns=5 turns by seq, render them seq-ordered
+      // as "Human: <in>\nAI: <out>" joined by newline (app/main.py:515-516).
+      "q_chat_memory" ->
+        """WITH m AS (
+          |  SELECT CAST(o_custkey % 50 AS VARCHAR) AS chat_id,
+          |         o_orderpriority AS input,
+          |         o_orderstatus || '#' || CAST(o_orderkey AS VARCHAR) AS output,
+          |         o_orderkey AS seq
+          |  FROM orders
+          |), r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY chat_id ORDER BY seq DESC) AS rn
+          |  FROM m
+          |)
+          |SELECT chat_id,
+          |       string_agg('Human: ' || input || chr(10) || 'AI: ' || output,
+          |                  chr(10) ORDER BY seq) AS history,
+          |       CAST(count(*) AS BIGINT) AS n_turns
+          |FROM r WHERE rn <= 5
+          |GROUP BY chat_id ORDER BY chat_id""".stripMargin,
+
       // Arrival order = doc_id order, every arrival admitted to state
       // (matchAll), so: dup iff ANY earlier same-block doc within
       // maxHamming; dup_of = min-hamming partner, ties to smallest id.
       "q_stream_dedup" -> {
+        s"""WITH t AS (SELECT doc_id, source, $W AS w FROM documents),
+           |h AS (SELECT doc_id, source, ${dSimhash("w", 16)} AS sh FROM t),
+           |p AS (
+           |  SELECT b.doc_id, a.doc_id AS cand,
+           |         CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS ham
+           |  FROM h b JOIN h a ON a.source = b.source AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.sh, b.sh)) <= 3
+           |), best AS (
+           |  SELECT doc_id, cand, ham,
+           |         row_number() OVER (PARTITION BY doc_id ORDER BY ham, cand) AS rn
+           |  FROM p
+           |)
+           |SELECT h.source, h.doc_id,
+           |       (best.doc_id IS NOT NULL) AS is_dup,
+           |       coalesce(best.cand, CAST(-1 AS BIGINT)) AS dup_of,
+           |       coalesce(best.ham, CAST(-1 AS BIGINT)) AS hamming
+           |FROM h LEFT JOIN best ON h.doc_id = best.doc_id AND best.rn = 1
+           |ORDER BY h.source, h.doc_id""".stripMargin
+      },
+
+      // the banded batch-safe form is outcome-identical by construction
+      // (pigeonhole over maxHamming+1 bands; StreamingDedupSpec) — same
+      // oracle as the raw-block form
+      "q_stream_dedup_banded" -> {
         s"""WITH t AS (SELECT doc_id, source, $W AS w FROM documents),
            |h AS (SELECT doc_id, source, ${dSimhash("w", 16)} AS sh FROM t),
            |p AS (

@@ -195,6 +195,42 @@ object Pq {
       .limit(nprobe)
       .select(col(cIdCol).as("cell_id"))
     val inCells = assignedEncoded.join(broadcast(probeCells), "cell_id")
+    adcThenRerank(inCells, idCol, vecCol, cb, query, topK, candidates)
+  }
+
+  /** IVF-PQ over a `partitionBy(cell_id)` store written by
+    * [[Ann.writeIvfIndex]] — the full 100 TB ANN stack against cold
+    * storage: probe cells are ranked on the driver (the coarse codebook
+    * is KBs by contract), and the store read carries a STATIC
+    * `cell_id IN (...)` filter, so Catalyst answers it with partition
+    * pruning — only nprobe of the cell directories are opened (PlanSpec
+    * pins the PartitionFilters). Within the surviving cells scoring is
+    * ADC over the byte codes; the top `candidates` re-rank exactly. */
+  def ivfPqSearchPartitioned(spark: SparkSession, indexDir: String,
+                             idCol: String, vecCol: String, cb: Codebooks,
+                             centroids: DataFrame, cIdCol: String, cVecCol: String,
+                             query: Array[Double], topK: Int,
+                             nprobe: Int, candidates: Int = 100): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val probeCells = centroids
+      .withColumn("_qsim", cosine(col(cVecCol).cast("array<double>"), lit(query)))
+      .orderBy(desc("_qsim"), col(cIdCol))
+      .limit(nprobe)
+      .select(col(cIdCol))
+      .collect().map(_.get(0))
+    val inCells = spark.read.parquet(indexDir)
+      .filter(col("cell_id").isin(probeCells.toIndexedSeq: _*))
+    adcThenRerank(inCells, idCol, vecCol, cb, query, topK, candidates)
+  }
+
+  /** Shared IVF-PQ tail: ADC-score the cell-pruned rows, exact-re-rank
+    * the top `candidates` on the raw vectors. */
+  private def adcThenRerank(inCells: DataFrame, idCol: String, vecCol: String,
+                            cb: Codebooks, query: Array[Double], topK: Int,
+                            candidates: Int): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val spark = inCells.sparkSession
+    import spark.implicits._
     val encoded = inCells
       .select(col(idCol).cast("long"), col("codes"))
       .map(r => EncodedVec(r.getLong(0), r.getAs[Array[Byte]](1)))
@@ -202,7 +238,7 @@ object Pq {
       .select(col("id").as("_cand_id"))
     inCells
       .join(broadcast(cand), col(idCol).cast("long") === col("_cand_id"))
-      .withColumn("sim", cosine(col(vecCol).cast("array<double>"), q))
+      .withColumn("sim", cosine(col(vecCol).cast("array<double>"), lit(query)))
       .select(col(idCol), col("sim"))
       .orderBy(desc("sim"), col(idCol))
       .limit(topK)

@@ -64,4 +64,38 @@ object Sampling {
         expr(s"(_cum - cast($tokensCol as long)) div ${budgetTokens}L"))
       .drop("_cum")
   }
+
+  /** [[packShards]] that PARALLELIZES within a stratum — the 100 TB form.
+    * Rows are bucketed by `idCol div bucketRows` inside each stratum and
+    * each bucket runs its own running-sum window concurrently; a tiny
+    * side aggregate (one row per bucket) prefix-sums the per-bucket token
+    * totals so every row's global cumulative offset — and therefore its
+    * shard id — is IDENTICAL to the single-window [[packShards]], for any
+    * bucketRows (global cumsum = bucket prefix + local cumsum; SamplingSpec
+    * asserts the equivalence). Requires a numeric `idCol` (the bucket is
+    * integer `div`); the bucket-totals broadcast is one row per ~bucketRows
+    * input rows, KBs/MBs at any realistic scale. */
+  def packShardsBucketed(df: DataFrame, stratumCol: String, idCol: String,
+                         tokensCol: String, budgetTokens: Long,
+                         bucketRows: Long = 1000000L): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(bucketRows > 0, "bucketRows must be positive")
+    val b = df.withColumn("_bucket", expr(s"cast($idCol as long) div ${bucketRows}L"))
+    val totals = b.groupBy(col(stratumCol), col("_bucket"))
+      .agg(sum(col(tokensCol).cast("long")).as("_btokens"))
+    // per-stratum prefix over BUCKETS: |buckets| rows, not |rows| — the
+    // only sequential piece, and it is corpus_size/bucketRows small
+    val wb = Window.partitionBy(col(stratumCol)).orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val starts = totals
+      .withColumn("_bstart", sum(col("_btokens")).over(wb) - col("_btokens"))
+      .select(col(stratumCol), col("_bucket"), col("_bstart"))
+    val wl = Window.partitionBy(col(stratumCol), col("_bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(starts), Seq(stratumCol, "_bucket"))
+      .withColumn("_cum", sum(col(tokensCol).cast("long")).over(wl) + col("_bstart"))
+      .withColumn("shard_id",
+        expr(s"(_cum - cast($tokensCol as long)) div ${budgetTokens}L"))
+      .drop("_cum", "_bstart", "_bucket")
+  }
 }

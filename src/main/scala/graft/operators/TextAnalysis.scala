@@ -24,8 +24,20 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"),
     "de" -> Seq("der", "die", "das", "und", "zu", "in", "ein", "eine", "ist", "von"))
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** All quality counters for a document in one fused scan — see
+    * [[graft.functions.TextStats]]. Every ratio below reads one field of
+    * this struct; repeated instances in a projection collapse to a
+    * single evaluation via subexpression elimination, so the
+    * langId+quality block costs ~2 string scans per row instead of the
+    * ~10 regex passes of the composable forms (TextStatsSpec pins
+    * bitwise equality with those forms). */
+  def textStats(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(graft.functions.TextStats(expression(text), StopwordProfiles))
+  }
+
+  /** Whitespace token count (== size(tokens(text)), fused scan). */
+  def tokenCount(text: Column): Column = textStats(text).getField("n_tokens")
 
   /** BPE-ish subword count: alpha runs, digit runs, and single symbols.
     * (Regex kept RE2-compatible so the oracle runs the same pattern.) */
@@ -45,8 +57,8 @@ object TextAnalysis {
     * mirrored exactly by the oracle's CASE chain; zero evidence falls
     * back to "und" (undetermined). */
   def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scored = StopwordProfiles.map { case (lang, words) => (lang, stopwordHits(toks, words)) }
+    val st = textStats(text)
+    val scored = StopwordProfiles.map { case (lang, _) => (lang, st.getField(s"hits_$lang")) }
     val best = greatest(scored.map(_._2): _*)
     scored.foldLeft(when(best <= 0, lit("und"))) { case (acc, (lang, score)) =>
       acc.when(score === best, lit(lang))
@@ -55,28 +67,27 @@ object TextAnalysis {
 
   /** Quality heuristics: length, mean token length, punctuation ratio,
     * stopword ratio, composite score in [0,1]. All double arithmetic,
-    * rounded by the caller for oracle stability. */
+    * rounded by the caller for oracle stability. Each is integer fields
+    * of the shared [[textStats]] struct divided in the same order as the
+    * original regexp forms (bitwise-equal; TextStatsSpec). */
   def punctRatio(text: Column): Column = {
-    val t = cleanText(text)
-    when(length(t) === 0, 0.0)
-      .otherwise(length(regexp_replace(t, "[a-zA-Z0-9\\s]", "")).cast("double") / length(t))
+    val st = textStats(text)
+    when(st.getField("clean_len") === 0, 0.0)
+      .otherwise(st.getField("punct_chars").cast("double") / st.getField("clean_len"))
   }
 
-  /** Mean token length. Sum of token lengths == cleaned text minus its
-    * whitespace (tokens are exactly the non-whitespace runs), so this is
-    * pure codegen'd regexp/length arithmetic — no interpreted aggregate
-    * lambda. Integer char counts divide exactly as in the old fold. */
+  /** Mean token length: sum of token lengths (cleaned text minus its
+    * whitespace) over token count, as in the old fold. */
   def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
-    val charSum = length(regexp_replace(cleanText(text), "\\s+", "")).cast("double")
-    when(size(toks) === 0, 0.0).otherwise(charSum / size(toks))
+    val st = textStats(text)
+    when(st.getField("n_tokens") === 0, 0.0)
+      .otherwise(st.getField("nonws_chars").cast("double") / st.getField("n_tokens"))
   }
 
   def stopwordRatio(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val all = StopwordProfiles.flatMap(_._2).distinct
-    when(size(toks) === 0, 0.0)
-      .otherwise(stopwordHits(toks, all).cast("double") / size(toks))
+    val st = textStats(text)
+    when(st.getField("n_tokens") === 0, 0.0)
+      .otherwise(st.getField("hits_all").cast("double") / st.getField("n_tokens"))
   }
 
   /** Composite quality score: rewards mid-length docs and word-like

@@ -131,4 +131,69 @@ object StreamingDedup {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
         update(maxHamming, maxPerBlock, matchAll))
   }
+
+  /** The BATCH-SAFE form of the near-dup filter (matchAll semantics):
+    * identical outcomes to `simhashDedup(..., matchAll = true)` under
+    * id-ordered arrivals (StreamingDedupSpec pins it), but the state key
+    * is (block × simhash band) instead of the raw block, so per-group
+    * buffering is docs-per-(block, band value), never docs-per-block —
+    * a single coarse block (one source at corpus scale) fans out over
+    * up to nBands × 2^(bits/nBands) groups instead of OOMing one task.
+    *
+    * Why no matches are lost: nBands = maxHamming + 1 equal slices of
+    * the simhash; two hashes within hamming ≤ maxHamming differ in at
+    * most maxHamming bit positions, so by pigeonhole at least one band
+    * is bit-identical — every qualifying pair meets in that band's
+    * group, and the per-doc reduce takes the (hamming, dup_of)-minimum
+    * across bands (= the global minimum, ties to the smaller id).
+    *
+    * Caveats: exact duplicates all land in the same groups (run exact
+    * dedup first — as the curation pipeline does); the greedy
+    * uniques-only admission (matchAll = false) needs cross-group
+    * coordination and cannot be banded — use [[simhashDedup]] with
+    * fine-grained blocks, or the batch `Dedup.clusters` path, for that
+    * form. `maxPerBlock` caps each band group's state. */
+  def simhashDedupBanded(docs: DataFrame, idCol: String, textCol: String,
+                         blockCol: String, seqCol: String,
+                         bits: Int = 16, maxHamming: Int = 3,
+                         maxPerBlock: Int = 100000): Dataset[DedupOutcome] = {
+    val nBands = maxHamming + 1
+    require(bits % nBands == 0,
+      s"bits=$bits must divide into nBands=$nBands (= maxHamming + 1) equal bands")
+    val bandBits = bits / nBands
+    implicit val inEnc = Encoders.product[DocArrival]
+    implicit val outEnc = Encoders.product[DedupOutcome]
+    implicit val stateEnc = Encoders.product[BlockState]
+    val hashed = docs.select(
+      col(blockCol).cast("string").as("block"),
+      col(seqCol).cast("long").as("seq"),
+      col(idCol).cast("long").as("doc_id"),
+      graft.operators.Dedup.simhash(col(textCol), bits).as("simhash"))
+    // ':'-separated key: band index and value are colon-free numerics,
+    // so the rightmost two fields parse unambiguously even if the block
+    // string itself contains ':' - distinct (block, band) never collide
+    val bandKeys = (0 until nBands).map { i =>
+      concat_ws(":", col("block"), lit(i),
+        expr(s"(simhash >> ${i * bandBits}) & ${(1L << bandBits) - 1}"))
+    }
+    val outcomes = hashed
+      .select(explode(array(bandKeys: _*)).as("block"),
+        col("seq"), col("doc_id"), col("simhash"))
+      .as[DocArrival]
+      .groupByKey(_.block)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        update(maxHamming, maxPerBlock, matchAll = true))
+    // per-doc reduce across bands: dup iff dup in ANY band; the reported
+    // partner is the cross-band (hamming, dup_of) minimum
+    val best = outcomes.toDF()
+      .groupBy("doc_id")
+      .agg(max(col("is_dup").cast("int")).as("_dup"),
+        min(when(col("is_dup"), struct(col("hamming"), col("dup_of")))).as("_b"))
+    hashed.join(best, "doc_id")
+      .select(col("block"), col("seq"), col("doc_id"),
+        (col("_dup") === 1).as("is_dup"),
+        coalesce(col("_b.dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("_b.hamming"), lit(-1L)).as("hamming"))
+      .as[DedupOutcome]
+  }
 }

@@ -34,6 +34,22 @@ object StreamingOps {
         regexp_extract(input_file_name(), "([^/]+)$", 1).as("doc_id"),
         col("value").as("text"))
 
+  /** Batch twin of the upload source (O-2): scan a multi-tenant landing
+    * directory `landing/<tenant>/<file>` in one pass, deriving the
+    * tenant from the parent directory and doc_id from the filename (the
+    * same filename rule as [[readDocumentStream]], so batch backfill and
+    * the live stream share one contract; ref app/embedding_gen.py:315-409
+    * uploads land per-user). Map-only: at 100 TB this is a parallel file
+    * scan with no shuffle; downstream writers partition by tenant. */
+  def readUploadBatch(spark: SparkSession, landingDir: String): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .text(landingDir + "/*")
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)/[^/]+$", 1).as("tenant"),
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("doc_id"),
+        col("value").as("text"))
+
   /** Incremental ingest: stream → chunk → embed → append to the index
     * store. Returns the configured writer; the caller calls .start(). */
   def incrementalIngest(docs: DataFrame, indexDir: String, checkpointDir: String,

@@ -136,6 +136,28 @@ class PlanSpec extends AnyFunSuite {
     assert(cand.count() < spark.read.parquet(idx).count())
   }
 
+  test("IVF-PQ partitioned search: probed-cell read prunes partitions") {
+    import graft.operators.{Ann, Pq}
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("centroid_vec"))
+    val cb = Pq.train(e, "vec_id", "vec", m = 8, k = 8, iters = 1)
+    val enc = Pq.encode(e, "vec_id", "vec", cb).toDF()
+      .select(col("id").as("vec_id"), col("codes"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_plan").toString + "/idx"
+    Ann.writeIvfIndex(
+      Ann.assignCells(e, "vec_id", "vec", cents, "centroid_id", "centroid_vec")
+        .select("vec_id", "vec", "cell_id").join(enc, "vec_id"), idx)
+    val qv = e.filter(col("vec_id") === 0).select("vec").head().getSeq[Double](0).toArray
+    val top = Pq.ivfPqSearchPartitioned(spark, idx, "vec_id", "vec", cb,
+      cents, "centroid_id", "centroid_vec", qv, topK = 5, nprobe = 2, candidates = 20)
+    val p = plan(top)
+    assert(p.contains("PartitionFilters") && p.contains("cell_id"),
+      s"expected cell_id in PartitionFilters (pruned IVF-PQ scan):\n$p")
+    assert(top.count() == 5)
+  }
+
   test("knnJoin broadcasts the query side, not the index side") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
     val q = e.filter(col("vec_id") < 3)

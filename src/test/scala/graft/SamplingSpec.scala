@@ -60,6 +60,40 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("packShardsBucketed ≡ packShards for any bucket size (incl. misaligned)") {
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 600).map { i =>
+      (i.toLong, s"s${i % 2}", (1 + rng.nextInt(500)).toLong)
+    }
+    val df = rows.toDF("id", "strat", "toks")
+    val single = Sampling.packShards(df, "strat", "id", "toks", 1000L)
+      .select("strat", "id", "shard_id").as[(String, Long, Long)].collect().sorted.toSeq
+    // bucket sizes deliberately misaligned with shard boundaries: the
+    // bucket-prefix offset makes the equivalence exact, not approximate
+    Seq(1L, 7L, 16L, 100L, 10000L).foreach { bucketRows =>
+      val bucketed = Sampling.packShardsBucketed(df, "strat", "id", "toks", 1000L, bucketRows)
+        .select("strat", "id", "shard_id").as[(String, Long, Long)].collect().sorted.toSeq
+      assert(bucketed == single, s"bucketRows=$bucketRows diverged from single-window packing")
+    }
+  }
+
+  test("packShardsBucketed runs one window per bucket, not per stratum") {
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("s", lit("one"))           // ONE stratum — the hard case
+      .withColumn("toks", lit(10L))
+    val packed = Sampling.packShardsBucketed(df, "s", "id", "toks", 500L, bucketRows = 100L)
+    // the row-level window partitions by (stratum, bucket): 20 concurrent
+    // window partitions instead of 1 — visible as _bucket in the plan's
+    // window partition spec
+    val p = packed.queryExecution.executedPlan.toString
+    assert(p.contains("_bucket"), s"expected bucket-partitioned window:\n$p")
+    // and the ids still pack exactly as the single window would
+    val single = Sampling.packShards(df, "s", "id", "toks", 500L)
+      .select("id", "shard_id").as[(Long, Long)].collect().sorted.toSeq
+    val got = packed.select("id", "shard_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == single)
+  }
+
   test("packShards: greedy budget layout — contiguous, full, bounded overrun") {
     val docs = spark.range(0, 500).toDF("id")
       .withColumn("s", concat(lit("g"), pmod(col("id"), lit(2))))

@@ -55,6 +55,34 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert((15L to 19L).forall(dupIds.contains))
   }
 
+  test("banded batch form ≡ matchAll simhashDedup, with a deliberately hot block") {
+    // EVERY doc in one block: the exact shape that would buffer the whole
+    // corpus in a single group call under the raw-block key
+    val docs = corpus.map { case (id, _, text) => (id, "hot", text) }
+      .toDF("doc_id", "block", "text")
+      .withColumn("seq", col("doc_id"))
+    val plain = StreamingDedup.simhashDedup(docs, "doc_id", "text", "block", "seq",
+        bits = 32, maxHamming = 3, matchAll = true)
+      .collect().map(o => (o.doc_id, o.is_dup, o.dup_of, o.hamming)).sorted.toSeq
+    val banded = StreamingDedup.simhashDedupBanded(docs, "doc_id", "text", "block", "seq",
+        bits = 32, maxHamming = 3)
+      .collect().map(o => (o.doc_id, o.is_dup, o.dup_of, o.hamming)).sorted.toSeq
+    assert(banded == plain, "banded outcomes diverged from the raw-block matchAll form")
+
+    // and the hot block actually fans out: the banded state keys split the
+    // single block into many groups, each a strict subset of the corpus
+    val nDocs = docs.count()
+    val bandGroups = docs.select(col("block"), col("seq"), col("doc_id"),
+        Dedup.simhash(col("text"), 32).as("simhash"))
+      .select(explode(array((0 until 4).map(i =>
+        concat_ws(":", col("block"), lit(i),
+          expr(s"(simhash >> ${i * 8}) & 255"))): _*)).as("k"))
+      .groupBy("k").count()
+    assert(bandGroups.count() > 4, "expected the hot block to fan out across band groups")
+    assert(bandGroups.agg(max("count")).head().getLong(0) < nDocs,
+      "no band group may buffer the whole hot block")
+  }
+
   test("simhash dedup runs as a real stream, incremental across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
