@@ -48,6 +48,32 @@ object ScaleProbe {
       time("clusters 16-node chain")(operators.Dedup.clusters(chain, maxIter = 100).count())
     }
 
+    // shard packing: ONE 2M-row stratum — the single-window form
+    // serializes into one task; the bucketed form runs one window per
+    // 100k-row bucket (20 concurrent) and must reproduce identical
+    // shard ids (exact equivalence, asserted here on the probe data too)
+    {
+      val oneStratum = spark.range(0, 2000000L).toDF("id")
+        .withColumn("strat", lit("crawl"))
+        .withColumn("toks", pmod(col("id") * 37, lit(400)) + lit(50))
+        .repartition(32).persist()
+      oneStratum.count()
+      time("packShards 2M single-window")(
+        operators.Sampling.packShards(oneStratum, "strat", "id", "toks", 100000L)
+          .agg(countDistinct("shard_id")).head().getLong(0))
+      time("packShardsBucketed 2M x100k")(
+        operators.Sampling.packShardsBucketed(oneStratum, "strat", "id", "toks", 100000L,
+          bucketRows = 100000L)
+          .agg(countDistinct("shard_id")).head().getLong(0))
+      val diff = operators.Sampling.packShards(oneStratum, "strat", "id", "toks", 100000L)
+        .select("id", "shard_id")
+        .except(operators.Sampling.packShardsBucketed(
+          oneStratum, "strat", "id", "toks", 100000L, 100000L).select("id", "shard_id"))
+        .count()
+      println(s"packShards bucketed-vs-single diverging rows: $diff (must be 0)")
+      oneStratum.unpersist()
+    }
+
     // vector-scan throughput: exact top-k over 1M replicated vectors
     val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val big = e.crossJoin(spark.range(500).select(col("id").as("_rep")))
