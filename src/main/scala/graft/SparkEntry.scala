@@ -1288,6 +1288,64 @@ object SparkEntry {
 
     "q_index_upsert" -> (qIndexUpsert _),
 
+    // North star: Gopher/C4-style hard quality gates with per-rule
+    // attribution (QualityRules engine; thresholds tuned so the
+    // synthetic corpus actually splits on min_words / stopwords /
+    // repetition — the corpus has no punctuation, so symbol_ratio and
+    // mean_word_len pass universally and pin the all-true path).
+    "q_quality_rules" -> ((s, dir) => {
+      QualityRules.evaluate(wide(s, dir, "documents"), qualityRuleSet)
+        .select(col("doc_id"), col("r_min_words"), col("r_max_words"),
+          col("r_mean_word_len"), col("r_symbol_ratio"), col("r_stopwords"),
+          col("r_repetition"), col("passed"), col("n_failed"))
+        .orderBy("doc_id")
+    }),
+
+    // The survival report over the same rule set: one map-side-combined
+    // aggregate — total docs, survivors, per-rule kill counts.
+    "q_quality_survival" -> ((s, dir) => {
+      QualityRules.survivalStats(
+        QualityRules.evaluate(wide(s, dir, "documents"), qualityRuleSet),
+        qualityRuleSet)
+    }),
+
+    // North star: SemDeDup — coarse-cell assignment confines the
+    // pairwise cosine stage. The synthetic embeddings are near-random
+    // (max organic pairwise cosine ≈ 0.47), so the dup signal is
+    // PLANTED: exact copies of vec_id < 100 re-keyed +10000. Each copy
+    // lands in its original's cell (identical vector → identical
+    // argmax) and must be dropped with dup_of = the original.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      val cents = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      SemanticDedup.dedup(base.unionByName(planted), "vec_id", "embedding",
+          cents, "centroid_id", "cvec", tau = 0.9)
+        .orderBy("vec_id")
+    }),
+
+    // North star: exact-substring duplication profile (Lee et al. 2022
+    // at word-5-gram granularity; 5 not the production 10 because the
+    // synthetic docs are 11-97 words). Distinct-(gram,doc) shuffle
+    // shape — see Dedup.duplicatedGramProfile.
+    "q_gram_dedup" -> ((s, dir) => {
+      Dedup.duplicatedGramProfile(wide(s, dir, "documents"),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // Corpus profiling: per-source exact length quantiles (Spark
+    // `percentile` ≡ DuckDB `quantile_cont`, both linear-interpolated).
+    // The sketch path (percentile_approx) is StatsSpec-bounded instead —
+    // sketches are not hash-stable across engines.
+    "q_length_quantiles" -> ((s, dir) => {
+      Stats.lengthQuantiles(t(s, dir, "documents"), "source", "n_chars",
+          Seq(0.5, 0.9, 0.99))
+        .orderBy("source")
+    }),
+
     // §3.1 end-to-end retrieval core: chunk → embed → normalize → cosine
     // vs the embedded query → top-5 — the ask() spine, oracle-checked.
     "q_rag_topk" -> ((s, dir) => {
@@ -1304,6 +1362,14 @@ object SparkEntry {
     }))
 
   private val RagQueryText = "fast table scan merge join"
+
+  /** The gate rule set shared by q_quality_rules / q_quality_survival
+    * (thresholds tuned to split the synthetic corpus; see query doc). */
+  private def qualityRuleSet =
+    QualityRules.gopherRules(col("text"),
+      minWords = 30, maxWords = 80, minMeanWordLen = 3.0,
+      maxMeanWordLen = 10.0, maxSymbolRatio = 0.1,
+      minStopwordHits = 2, maxRepetition = 0.1)
 
   // ---------------------------------------------------------------- //
   // File-surface operators (O-1/O-2/O-4/O-5): these materialize real //
@@ -1476,6 +1542,51 @@ object SparkEntry {
 
   private def pipelineOracles: Map[String, String] = {
     val W = dTokens("lower(text)")
+
+    // Shared CTE chain for the q_quality_rules / q_quality_survival
+    // oracles: one boolean per rule, mirroring QualityRules.gopherRules
+    // with the gate thresholds (30/80 words, [3,10] mean len, 0.1
+    // symbols, 2 stopword hits, 0.1 repetition) over the exact same
+    // fragments q_lang_quality proved (dTokens, dStopHits, punct class).
+    val qualityRulesCte: String = {
+      val allStops = TextAnalysis.StopwordProfiles.flatMap(_._2).distinct
+      val rep3 = s"list_transform(range(1, greatest(len(w) - 2, 1) + 1), " +
+        s"i -> array_to_string(list_slice(w, i, i + 2), ' '))"
+      s"""WITH t AS (SELECT doc_id, trim(replace(text, chr(10), ' ')) AS tc, $W AS w FROM documents),
+         |s AS (
+         |  SELECT doc_id, len(w) AS nw,
+         |         CASE WHEN len(w) = 0 THEN 0.0
+         |              ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) END AS mtl,
+         |         CASE WHEN length(tc) = 0 THEN 0.0
+         |              ELSE CAST(length(regexp_replace(tc, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(tc) END AS pr,
+         |         ${dStopHits("w", allStops)} AS hits,
+         |         $rep3 AS sh
+         |  FROM t
+         |),
+         |r AS (
+         |  SELECT doc_id,
+         |         nw >= 30 AS r_min_words,
+         |         nw <= 80 AS r_max_words,
+         |         (mtl >= 3.0 AND mtl <= 10.0) AS r_mean_word_len,
+         |         pr <= 0.1 AS r_symbol_ratio,
+         |         hits >= 2 AS r_stopwords,
+         |         (CASE WHEN len(sh) = 0 THEN 0.0
+         |               ELSE CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) END) <= 0.1 AS r_repetition
+         |  FROM s
+         |),
+         |rr AS (
+         |  SELECT *,
+         |         (r_min_words AND r_max_words AND r_mean_word_len AND r_symbol_ratio
+         |          AND r_stopwords AND r_repetition) AS passed,
+         |         CAST((CASE WHEN r_min_words THEN 0 ELSE 1 END) +
+         |              (CASE WHEN r_max_words THEN 0 ELSE 1 END) +
+         |              (CASE WHEN r_mean_word_len THEN 0 ELSE 1 END) +
+         |              (CASE WHEN r_symbol_ratio THEN 0 ELSE 1 END) +
+         |              (CASE WHEN r_stopwords THEN 0 ELSE 1 END) +
+         |              (CASE WHEN r_repetition THEN 0 ELSE 1 END) AS BIGINT) AS n_failed
+         |  FROM r
+         |)""".stripMargin
+    }
 
     Map(
       // Curation pipeline: stage-by-stage CTE mirror of the engine's
@@ -1964,6 +2075,80 @@ object SparkEntry {
            |       (CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh)) > 0.2 AS gopher_flag
            |FROM t ORDER BY doc_id""".stripMargin
       },
+
+      "q_quality_rules" -> (s"$qualityRulesCte\nSELECT doc_id, r_min_words, " +
+        "r_max_words, r_mean_word_len, r_symbol_ratio, r_stopwords, " +
+        "r_repetition, passed, n_failed FROM rr ORDER BY doc_id"),
+
+      "q_quality_survival" -> (s"$qualityRulesCte\n" +
+        """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+          |       CAST(sum(CASE WHEN r_min_words THEN 0 ELSE 1 END) AS BIGINT) AS killed_by_min_words,
+          |       CAST(sum(CASE WHEN r_max_words THEN 0 ELSE 1 END) AS BIGINT) AS killed_by_max_words,
+          |       CAST(sum(CASE WHEN r_mean_word_len THEN 0 ELSE 1 END) AS BIGINT) AS killed_by_mean_word_len,
+          |       CAST(sum(CASE WHEN r_symbol_ratio THEN 0 ELSE 1 END) AS BIGINT) AS killed_by_symbol_ratio,
+          |       CAST(sum(CASE WHEN r_stopwords THEN 0 ELSE 1 END) AS BIGINT) AS killed_by_stopwords,
+          |       CAST(sum(CASE WHEN r_repetition THEN 0 ELSE 1 END) AS BIGINT) AS killed_by_repetition
+          |FROM rr""".stripMargin),
+
+      "q_semantic_dedup" ->
+        s"""WITH all_v AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100
+           |),
+           |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+           |asg AS (
+           |  SELECT vec_id, embedding, cid,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+           |  FROM (SELECT v.vec_id, v.embedding, c.cid,
+           |               ${dCosine("v.embedding", "c.cv")} AS csim
+           |        FROM all_v v, c)
+           |),
+           |cells AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1),
+           |dups AS (
+           |  SELECT x.vec_id, min(y.vec_id) AS dup_of
+           |  FROM cells x JOIN cells y ON x.cell_id = y.cell_id AND y.vec_id < x.vec_id
+           |  WHERE ${dCosine("x.embedding", "y.embedding")} >= 0.9
+           |  GROUP BY 1
+           |)
+           |SELECT cells.vec_id, cells.cell_id, d.dup_of IS NULL AS is_kept, d.dup_of
+           |FROM cells LEFT JOIN dups d ON cells.vec_id = d.vec_id
+           |ORDER BY cells.vec_id""".stripMargin,
+
+      "q_gram_dedup" ->
+        s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+           |g AS (
+           |  SELECT doc_id,
+           |         list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+           |                        i -> array_to_string(list_slice(w, i, i + 4), ' ')) AS sh
+           |  FROM t
+           |),
+           |inst AS (
+           |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, substring(md5(sh[i]), 1, 16) AS h
+           |  FROM g, unnest(range(1, len(sh) + 1)) AS r(i)
+           |),
+           |grp AS (
+           |  SELECT h, doc_id, count(*) AS cnt, min(doc_id * 1048576 + pos) AS minkey
+           |  FROM inst GROUP BY 1, 2
+           |),
+           |firsts AS (SELECT h, min(minkey) AS firstkey FROM grp GROUP BY 1)
+           |SELECT grp.doc_id,
+           |       CAST(sum(cnt) AS BIGINT) AS n_grams,
+           |       CAST(sum(cnt - CASE WHEN grp.minkey = firsts.firstkey THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           |       round(CAST(sum(cnt - CASE WHEN grp.minkey = firsts.firstkey THEN 1 ELSE 0 END) AS DOUBLE)
+           |             / sum(cnt) + 1.2345e-9, 6) AS dup_fraction
+           |FROM grp JOIN firsts ON grp.h = firsts.h
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_length_quantiles" ->
+        """SELECT source,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       round(avg(CAST(n_chars AS DOUBLE)) + 1.2345e-9, 6) AS mean,
+          |       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5) + 1.2345e-9, 6) AS p50,
+          |       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9) + 1.2345e-9, 6) AS p90,
+          |       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.99) + 1.2345e-9, 6) AS p99
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       "q_fingerprint" ->
         s"""WITH t AS (SELECT doc_id, text, ${dShingleSet(W, 4)} AS sh FROM documents)

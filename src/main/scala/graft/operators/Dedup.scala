@@ -259,4 +259,54 @@ object Dedup {
     column(graft.functions.SimHash(
       expression(tokens(lower(cleanText(text)))), bits))
   }
+
+  /** Exact-substring duplication profile (the suffix-array-dedup signal
+    * of "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022, approximated at word-n-gram granularity): for each
+    * document, the number of its word n-gram INSTANCES that duplicate an
+    * earlier instance anywhere in the corpus. "Earlier" is the total
+    * order (doc_id, position) — the single canonical first instance of
+    * each distinct gram is not a duplicate; every other instance is.
+    * Returns (idCol, n_grams, n_dup, dup_fraction).
+    *
+    * Scale shape — the naive form shuffles every gram instance (one row
+    * per word × n); this one collapses to distinct (gram, doc) pairs
+    * before anything crosses the wire:
+    *  1. map-only: positional n-grams → (gram-hash, doc, key) where
+    *     key = doc_id * 2^20 + position orders instances globally;
+    *  2. hash-agg on (gram-hash, doc): cnt + min(key) — partial
+    *     aggregation combines all within-doc repeats map-side, so the
+    *     shuffle carries one 3-long row per DISTINCT (gram, doc), not
+    *     one per instance;
+    *  3. hash-agg on gram-hash: global first instance;
+    *  4. join (2)⋈(3) on gram-hash — skew-safe: a ubiquitous gram has
+    *     many probe rows but exactly one build row — then a final
+    *     per-doc roll-up.
+    * The gram hash is the 16-hex-char md5 prefix (64 bits — portable to
+    * the DuckDB oracle, collision-negligible below ~10^8 distinct grams;
+    * at 100 TB widen to the full md5). Positions must fit 2^20 words per
+    * doc — enforce upstream chunking for longer docs. */
+  def duplicatedGramProfile(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 10): DataFrame = {
+    val grams = docs.select(
+        col(idCol),
+        posexplode(shingles(tokens(lower(cleanText(col(textCol)))), n))
+          .as(Seq("_pos", "_gram")))
+      .select(col(idCol),
+        substring(md5(col("_gram")), 1, 16).as("_h"),
+        (col(idCol).cast("long") * lit(1048576L) + col("_pos")).as("_key"))
+    val perDocGram = grams
+      .groupBy(col("_h"), col(idCol))
+      .agg(count(lit(1)).as("_cnt"), min(col("_key")).as("_minkey"))
+    val firsts = perDocGram
+      .groupBy(col("_h"))
+      .agg(min(col("_minkey")).as("_firstkey"))
+    perDocGram.join(firsts, "_h")
+      .groupBy(col(idCol))
+      .agg(sum(col("_cnt")).as("n_grams"),
+        sum(col("_cnt") -
+          when(col("_minkey") === col("_firstkey"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_fraction",
+        stableRound(col("n_dup").cast("double") / col("n_grams")))
+  }
 }

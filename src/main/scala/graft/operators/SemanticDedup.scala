@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.cosine
+
+/** Embedding-space semantic deduplication (the SemDeDup recipe,
+  * Abbas et al. 2023): cluster the corpus with a small coarse codebook,
+  * then prune near-duplicate pairs WITHIN each cluster only — the
+  * cluster assignment confines the quadratic pairwise term exactly the
+  * way LSH banding confines MinHash.
+  *
+  * Scale posture:
+  *  - assignment is [[Ann.assignCells]] — the codebook rides to every
+  *    executor as a reference object and the argmax is one codegen'd
+  *    map-only projection (zero shuffle, PlanSpec-pinned);
+  *  - the pairwise stage is an equi-join on `cell_id` (hash join, never
+  *    a cartesian) so only same-cell vectors are ever scored;
+  *  - per-cell cost is quadratic in cell size: size the codebook so
+  *    cells hold ~thousands of vectors (|codebook| ≈ N / 4k), and split
+  *    any residual hot cell by a secondary key the way
+  *    [[Dedup.jaccardPairs]] caps hot shingles.
+  *
+  * Keep/drop rule (deterministic, engine-portable): a vector is dropped
+  * iff some SAME-CELL vector with a LOWER id has cosine ≥ tau; `dup_of`
+  * is the lowest such id. No transitive closure — the canonical set is
+  * exactly the greedy lowest-id-first scan of each cell, which is the
+  * reference semantics of SemDeDup's "keep one exemplar per clique".
+  */
+object SemanticDedup {
+
+  /** vecs(idCol, vecCol) × centroids(cIdCol, cVecCol) → one row per
+    * input vector: (idCol, cell_id, is_kept, dup_of). `dup_of` is null
+    * for kept vectors. */
+  def dedup(vecs: DataFrame, idCol: String, vecCol: String,
+            centroids: DataFrame, cIdCol: String, cVecCol: String,
+            tau: Double): DataFrame = {
+    val cells = Ann.assignCells(vecs, idCol, vecCol, centroids, cIdCol, cVecCol)
+      .select(col(idCol).as("_id"), col(vecCol).as("_vec"), col("cell_id"))
+    val x = cells.select(col("_id").as("_xid"), col("_vec").as("_xvec"), col("cell_id"))
+    val y = cells.select(col("_id").as("_yid"), col("_vec").as("_yvec"), col("cell_id"))
+    val dups = x.join(y, Seq("cell_id"))
+      .filter(col("_yid") < col("_xid") &&
+        cosine(col("_xvec"), col("_yvec")) >= tau)
+      .groupBy(col("_xid"))
+      .agg(min(col("_yid")).as("dup_of"))
+    cells.join(dups, cells("_id") === dups("_xid"), "left")
+      .select(col("_id").as(idCol), col("cell_id"),
+        col("dup_of").isNull.as("is_kept"), col("dup_of"))
+  }
+}

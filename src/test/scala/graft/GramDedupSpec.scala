@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class GramDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  test("instance-level duplicate accounting across and within docs") {
+    // n=3 grams. doc 0 owns the canonical "a b c" (pos 0) and repeats it
+    // at pos 3 ("a b c a b c d" → grams: [a b c][b c a][c a b][a b c][b c d]).
+    // doc 1 contains "a b c" once more plus unique grams.
+    val docs = Seq(
+      (0L, "a b c a b c d"),
+      (1L, "x y a b c z w")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedGramProfile(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == (5L, 1L), s"doc0: ${out(0L)}") // second "a b c" only
+    assert(out(1L) == (5L, 1L), s"doc1: ${out(1L)}") // its "a b c" instance
+  }
+
+  test("canonical ownership follows (doc_id, position) order") {
+    // Identical docs: doc 5 owns every gram, doc 9's instances all dup.
+    val docs = Seq((9L, "p q r s t"), (5L, "p q r s t")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedGramProfile(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(5L) == (4L, 0L))
+    assert(out(9L) == (4L, 4L))
+    val frac = Dedup.duplicatedGramProfile(docs, "doc_id", "text", n = 2)
+      .filter($"doc_id" === 9L).select("dup_fraction").as[Double].head()
+    assert(frac == 1.0)
+  }
+
+  test("short docs gram to the whole doc (WordShingles contract)") {
+    val docs = Seq((0L, "solo"), (1L, "solo")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedGramProfile(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == (1L, 0L) && out(1L) == (1L, 1L))
+  }
+
+  test("shuffle carries distinct (gram, doc) rows: partial agg in plan") {
+    val docs = Seq((0L, "a b c a b c d")).toDF("doc_id", "text")
+    val plan = Dedup.duplicatedGramProfile(docs, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    // the first aggregate must run partial (map-side) before its Exchange
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

@@ -40,6 +40,48 @@ class ShuffleAuditSpec extends AnyFunSuite {
       s"dedup shuffled ${s.writeBytes} bytes vs $corpusTextBytes corpus bytes")
   }
 
+  test("quality-rule evaluation is shuffle-free") {
+    val rules = graft.operators.QualityRules.gopherRules(col("text"))
+    val s = ShuffleAudit.of(graft.operators.QualityRules.evaluate(docs, rules))
+    assert(s.writeBytes == 0L, s"rule engine shuffled: $s")
+  }
+
+  test("gram profile shuffles distinct (gram, doc) rows, not instances") {
+    import spark.implicits._
+    // repetitive corpus: 20 docs, each one 5-gram repeated 200x -> 1000
+    // words/doc, ~20k gram INSTANCES total but only ~5 distinct grams
+    // per doc. Map-side combine must collapse the within-doc repeats
+    // before the shuffle: records across every exchange stay orders of
+    // magnitude under the instance count.
+    val spam = (0 until 20).map(d =>
+      (d.toLong, (s"spam$d one two three four " * 200).trim))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedGramProfile(spam, "doc_id", "text", n = 5)
+    val s = ShuffleAudit.of(out)
+    val instances = 20L * (1000 - 4)
+    assert(s.writeBytes > 0)
+    assert(s.recordsRead < instances / 10,
+      s"${s.recordsRead} shuffled records vs $instances instances — " +
+        "within-doc repeats were not combined map-side")
+  }
+
+  test("semantic dedup shuffles ids and vectors once, never a cross product") {
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val vecBytes = vecs.agg(sum(size(col("embedding")) * 4 + 8)).head().getLong(0)
+    val s = ShuffleAudit.of(graft.operators.SemanticDedup.dedup(
+      vecs, "vec_id", "embedding", cents, "cid", "cvec", tau = 0.9))
+    // the pairwise stage repartitions each side by cell_id (2 passes of
+    // the vector set) plus the dup/result joins — a small constant times
+    // the vector volume, NOT the |V|^2 cross product (which would be
+    // ~500x here: |V|/|cells| rows against every row)
+    assert(s.writeBytes < vecBytes * 12,
+      s"semantic dedup shuffled ${s.writeBytes} vs vectors $vecBytes")
+  }
+
   test("minhash signatures shuffle pre-aggregated rows, not exploded shingles") {
     val sigs = Dedup.withMinhashSignature(docs, "doc_id", "text")
     val s = ShuffleAudit.of(sigs)
