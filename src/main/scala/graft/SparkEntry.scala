@@ -1155,6 +1155,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // North star: unigram log-probability (the CCNet perplexity-proxy
+    // quality signal, degenerate unigram case — engine-portable).
+    // vocabSize = 32 is far under the corpus vocabulary, so both the
+    // in-vocab and the OOV smoothing-floor paths fire at every SF.
+    "q_unigram_logprob" -> ((s, dir) => {
+      TextAnalysis.unigramLogprob(wide(s, dir, "documents"),
+          "doc_id", "text", vocabSize = 32)
+        .orderBy("doc_id")
+    }),
+
     // North star: PII redaction (scrubbing pass over text + synthesized
     // identifiers, so the replacement paths actually fire).
     "q_redact_pii" -> ((s, dir) => {
@@ -2004,6 +2014,25 @@ object SparkEntry {
            |       round(-(list_sum(list_transform(terms, e ->
            |         (CAST(e.cnt AS DOUBLE) / CAST(n AS DOUBLE))
            |           * ln(CAST(e.cnt AS DOUBLE) / CAST(n AS DOUBLE))))) + 1.2345e-9, 6) AS entropy
+           |FROM g ORDER BY doc_id""".stripMargin,
+
+      "q_unigram_logprob" ->
+        s"""WITH t AS (SELECT doc_id, unnest($W) AS tok FROM documents),
+           |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+           |vocab AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 32),
+           |stats AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+           |                 CAST(count(*) + 1 AS DOUBLE) AS v1 FROM vocab),
+           |dt AS (SELECT doc_id, tok, count(*) AS dcnt FROM t GROUP BY 1, 2),
+           |sc AS (SELECT dt.doc_id, dt.tok, dt.dcnt,
+           |              ln((CAST(COALESCE(v.cnt, 0) AS DOUBLE) + 1.0) / (s.n + s.v1)) AS lp
+           |       FROM dt LEFT JOIN vocab v ON dt.tok = v.tok, stats s),
+           |g AS (SELECT doc_id,
+           |             list_sort(list(struct_pack(tok := tok, dcnt := dcnt, lp := lp))) AS terms,
+           |             sum(dcnt) AS n_tokens
+           |      FROM sc GROUP BY doc_id)
+           |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |       round(list_sum(list_transform(terms, e -> CAST(e.dcnt AS DOUBLE) * e.lp))
+           |             / CAST(n_tokens AS DOUBLE) + 1.2345e-9, 6) AS logprob
            |FROM g ORDER BY doc_id""".stripMargin,
 
       "q_vocab_stats" ->

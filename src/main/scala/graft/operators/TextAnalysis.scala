@@ -131,6 +131,57 @@ object TextAnalysis {
     when(size(sh) === 0, md5(lit(""))).otherwise(array_min(transform(sh, s => md5(s))))
   }
 
+  /** Unigram log-probability scoring — the perplexity-proxy quality
+    * signal (CCNet, Wenzek et al. 2020, scores docs with an LM; the
+    * unigram LM is its engine-portable degenerate case): score(doc) =
+    * mean over token instances of ln P(token), with P from the corpus'
+    * own unigram distribution (add-one smoothed over the top-`vocabSize`
+    * vocabulary; out-of-vocab tokens take the smoothed floor). Low
+    * scores flag gibberish; anomalously high scores flag boilerplate.
+    *
+    * Scale shape: vocabulary estimation is the classic word-count
+    * (explode + hash-agg of (token, count) — map-side combined, counts
+    * not text); the top-V cut is a TakeOrderedAndProject; scoring joins
+    * exploded tokens to the ≤V-row vocab — broadcast at any corpus size
+    * (V is a constant) — then one (doc) hash-agg of Double partial sums.
+    * The per-doc mean folds in token order via (sum, count) partial
+    * aggregation; summation order does not matter for the oracle because
+    * each addend is one of ≤V+1 distinct doubles and the oracle rounds
+    * to 6 places after an epsilon nudge.
+    * Returns (idCol, n_tokens, logprob). */
+  def unigramLogprob(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, vocabSize: Int = 65536):
+      org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(tokens(lower(cleanText(col(textCol))))).as("_tok"))
+    val counts = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_cnt"))
+    // deterministic top-V: ties broken lexicographically
+    val vocab = counts.orderBy(desc("_cnt"), col("_tok")).limit(vocabSize)
+    // add-one smoothing over the top-V vocab: P(t) = (cnt+1)/(N+V+1),
+    // OOV floor = 1/(N+V+1). N and V+1 are scalar aggregates of the
+    // (small) vocab table — computed once, then cross-joined (1 row).
+    val stats = vocab.agg(
+      sum(col("_cnt")).cast("double").as("_n"),
+      (count(lit(1)) + 1).cast("double").as("_v1"))
+    toks
+      .groupBy(col(idCol), col("_tok"))
+      .agg(count(lit(1)).as("_dcnt"))
+      .join(broadcast(vocab), Seq("_tok"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("_lp",
+        log((coalesce(col("_cnt"), lit(0L)).cast("double") + 1.0) /
+          (col("_n") + col("_v1"))))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("_tok"), col("_dcnt"), col("_lp"))))
+          .as("_terms"),
+        sum(col("_dcnt")).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        graft.functions.VectorFunctions.stableRound(expr(
+          """aggregate(_terms, 0D,
+            |  (acc, e) -> acc + CAST(e._dcnt AS DOUBLE) * e._lp)
+            |  / CAST(n_tokens AS DOUBLE)""".stripMargin)).as("logprob"))
+  }
+
   /** Shannon entropy (nats) of each doc's unigram distribution — the
     * gibberish/boilerplate quality signal (low = repetitive template
     * text, anomalously high = random noise). Not a per-row expression:

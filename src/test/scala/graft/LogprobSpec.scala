@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+class LogprobSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  test("hand-computed smoothing: in-vocab and OOV floor paths") {
+    // corpus: "a a b" / "a z". counts: a=3, b=1, z=1. vocabSize=2 keeps
+    // {a:3, b:1} (tie b<z broken lexicographically). N=4, V+1=3.
+    // P(a)=(3+1)/7, P(b)=(1+1)/7, OOV=(0+1)/7.
+    val docs = Seq((0L, "a a b"), (1L, "a z")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogprob(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val pA = math.log(4.0 / 7.0); val pB = math.log(2.0 / 7.0)
+    val oov = math.log(1.0 / 7.0)
+    assert(out(0L)._1 == 3L)
+    assert(math.abs(out(0L)._2 - (2 * pA + pB) / 3.0) < 1e-6, s"got ${out(0L)._2}")
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - (pA + oov) / 2.0) < 1e-6, s"got ${out(1L)._2}")
+  }
+
+  test("gibberish scores below normal prose") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat and the dog sat on the cat"),
+      (1L, "zxqv wkjh pqzt mnbv zxqv qwer uiop asdf ghjk zzzz")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogprob(docs, "doc_id", "text", vocabSize = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) < out(0L), s"gibberish ${out(1L)} !< prose ${out(0L)}")
+  }
+
+  test("partitioning-invariant (sorted fold)") {
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"tok$i the of and word${i % 7} tok${i % 13}"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.unigramLogprob(docs.repartition(1), "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = TextAnalysis.unigramLogprob(docs.repartition(17), "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a == b)
+  }
+}
