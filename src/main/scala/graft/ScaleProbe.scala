@@ -74,6 +74,38 @@ object ScaleProbe {
       oneStratum.unpersist()
     }
 
+    // gram-profile scaling: stacked corpus copies make every gram a
+    // cross-copy duplicate — the dup-heaviest case. Runtime must grow
+    // ~linearly in corpus size (distinct (gram,doc) rows), not
+    // quadratically in instances.
+    for (n <- Seq(1, 4, 10)) {
+      val docs = stack(n)
+      time(s"gram_profile x$n")(
+        operators.Dedup.duplicatedGramProfile(docs, "doc_id", "text", n = 5).count())
+    }
+
+    // semantic-dedup cell confinement: same vector set (4 stacked
+    // copies of the sf0.1 embeddings — every copy an exact dup of the
+    // first, so the expected dup count is 3/4 of the set), growing
+    // codebook. Pairwise work is Σ|cell|²/2, so runtime must fall
+    // roughly linearly as cells grow (the SemDeDup knob: size the
+    // codebook to the corpus).
+    {
+      val e0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val vecs = (0 until 4).map(i => e0.select(
+          (col("vec_id") + lit(i * 1000000)).as("vec_id"), col("embedding")))
+        .reduce(_ unionByName _).repartition(32).persist()
+      val nv = vecs.count()
+      for (k <- Seq(8, 64)) {
+        val cents = e0.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        time(s"semantic_dedup $nv vecs, $k cells")(
+          operators.SemanticDedup.dedup(vecs, "vec_id", "embedding",
+            cents, "cid", "cvec", tau = 0.9).filter(!col("is_kept")).count())
+      }
+      vecs.unpersist()
+    }
+
     // vector-scan throughput: exact top-k over 1M replicated vectors
     val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val big = e.crossJoin(spark.range(500).select(col("id").as("_rep")))

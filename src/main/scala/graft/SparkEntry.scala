@@ -1155,6 +1155,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // North star: incremental exact dedup — a "new batch" (docs ≥ 300
+    // plus re-keyed copies of 450-469) against the fingerprint index of
+    // the accumulated corpus (docs < 400). 300-399 dup the corpus;
+    // the +10000 re-keyed copies dup their in-batch originals.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val existing = Dedup.exact(docs.filter(col("doc_id") < 400), "doc_id", "text")
+        .select("fingerprint")
+      val batch = docs.filter(col("doc_id") >= 300).unionByName(
+        docs.filter(col("doc_id") >= 450 && col("doc_id") < 470)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.exactIncrement(batch, "doc_id", "text", existing)
+        .orderBy("doc_id")
+    }),
+
+    // North star: text normalization (accent fold → lower → whitespace
+    // collapse) — the canonical pre-tokenization curation pass. The
+    // synthetic corpus is pure ASCII, so accented forms are PLANTED
+    // (like q_redact_pii's PII) to force the non-ASCII path; the oracle
+    // mirrors with DuckDB's utf8proc strip_accents (char-for-char
+    // parity verified for the planted repertoire).
+    "q_normalize_text" -> ((s, dir) => {
+      wide(s, dir, "documents")
+        .withColumn("_aug", concat(col("text"),
+          lit("  Café\tNAÏVE  Zürich ñandú François øre  ")))
+        .select(col("doc_id"), normalizeText(col("_aug")).as("normalized"))
+        .orderBy("doc_id")
+    }),
+
     // North star: unigram log-probability (the CCNet perplexity-proxy
     // quality signal, degenerate unigram case — engine-portable).
     // vocabSize = 32 is far under the corpus vocabulary, so both the
@@ -2015,6 +2044,38 @@ object SparkEntry {
            |         (CAST(e.cnt AS DOUBLE) / CAST(n AS DOUBLE))
            |           * ln(CAST(e.cnt AS DOUBLE) / CAST(n AS DOUBLE))))) + 1.2345e-9, 6) AS entropy
            |FROM g ORDER BY doc_id""".stripMargin,
+
+      "q_dedup_incremental" ->
+        """WITH existing AS (
+          |  SELECT DISTINCT md5(trim(replace(text, chr(10), ' '))) AS fp
+          |  FROM documents WHERE doc_id < 400
+          |),
+          |batch AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id >= 300
+          |  UNION ALL
+          |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+          |  WHERE doc_id >= 450 AND doc_id < 470
+          |),
+          |fp AS (SELECT doc_id, md5(trim(replace(text, chr(10), ' '))) AS fingerprint FROM batch),
+          |firsts AS (SELECT fingerprint, min(doc_id) AS first_id FROM fp GROUP BY 1)
+          |SELECT fp.doc_id, fp.fingerprint,
+          |       CASE WHEN e.fp IS NOT NULL THEN 'dup_corpus'
+          |            WHEN fp.doc_id <> f.first_id THEN 'dup_batch'
+          |            ELSE 'new' END AS status
+          |FROM fp
+          |JOIN firsts f ON fp.fingerprint = f.fingerprint
+          |LEFT JOIN existing e ON fp.fingerprint = e.fp
+          |ORDER BY fp.doc_id""".stripMargin,
+
+      "q_normalize_text" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         text || '  Café' || chr(9) || 'NAÏVE  Zürich ñandú François øre  ' AS aug
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |       trim(regexp_replace(lower(strip_accents(aug)), '\s+', ' ', 'g')) AS normalized
+          |FROM t ORDER BY doc_id""".stripMargin,
 
       "q_unigram_logprob" ->
         s"""WITH t AS (SELECT doc_id, unnest($W) AS tok FROM documents),

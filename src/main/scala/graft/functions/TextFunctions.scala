@@ -49,6 +49,18 @@ object TextFunctions {
     * Shorter-than-n documents shingle to the whole document. Backed by
     * the codegen'd [[WordShingles]] fused loop (bitwise identical to the
     * transform/slice/array_join composable form, ~4× faster). */
+  /** Diacritic strip (codegen'd [[StripAccents]]; DuckDB-parity). */
+  def stripAccents(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(StripAccents(expression(text)))
+  }
+
+  /** Full normalization pass for curation pipelines: strip accents →
+    * lowercase → collapse whitespace runs → trim. One map-only
+    * projection; every stage is codegen'd. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(stripAccents(text)), "\\s+", " "))
+
   def shingles(toks: Column, n: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge._
     column(WordShingles(expression(toks), n, distinct = false))

@@ -260,6 +260,40 @@ object Dedup {
       expression(tokens(lower(cleanText(text)))), bits))
   }
 
+  /** Incremental exact dedup — the daily-increment production shape:
+    * dedup a NEW batch against the accumulated corpus without touching
+    * corpus text, using only its fingerprint index (what
+    * [[exact]] / an `IndexStore` table persists). Each new doc gets a
+    * status:
+    *  - `dup_corpus`: fingerprint already in the index (corpus wins
+    *    regardless of ids — it was there first);
+    *  - `dup_batch`: first seen inside this batch by a lower-id row;
+    *  - `new`: the batch's canonical first occurrence of an unseen
+    *    fingerprint — the rows a caller appends to the index.
+    *
+    * Scale shape: the batch fingerprints once (map-only md5); the
+    * within-batch canonical is a hash-agg + join on the fingerprint
+    * (md5 keys — skew-free by construction); the corpus probe is an
+    * equi-join against a FINGERPRINT-ONLY projection of the index
+    * (column pruning reaches the parquet scan — corpus text never
+    * loads). All shuffles carry 32-byte hashes + ids. */
+  def exactIncrement(newDocs: DataFrame, idCol: String, textCol: String,
+                     existingFps: DataFrame, fpCol: String = "fingerprint"): DataFrame = {
+    val withFp = newDocs.select(col(idCol),
+      md5(cleanText(col(textCol))).as("fingerprint"))
+    val firsts = withFp.groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("_first"))
+    val corpus = existingFps.select(col(fpCol).as("fingerprint")).distinct()
+      .withColumn("_in_corpus", lit(true))
+    withFp
+      .join(firsts, "fingerprint")
+      .join(corpus, Seq("fingerprint"), "left")
+      .select(col(idCol), col("fingerprint"),
+        when(col("_in_corpus"), "dup_corpus")
+          .when(col(idCol) =!= col("_first"), "dup_batch")
+          .otherwise("new").as("status"))
+  }
+
   /** Exact-substring duplication profile (the suffix-array-dedup signal
     * of "Deduplicating Training Data Makes Language Models Better",
     * Lee et al. 2022, approximated at word-n-gram granularity): for each

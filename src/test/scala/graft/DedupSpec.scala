@@ -107,6 +107,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 11) // only ids that appear in pairs
   }
 
+  test("incremental dedup: corpus wins, then lowest batch id, then new") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq((0L, "seen before"), (1L, "also seen")).toDF("doc_id", "text")
+    val existing = Dedup.exact(corpus, "doc_id", "text").select("fingerprint")
+    val batch = Seq(
+      (10L, "seen before"),   // dup_corpus (despite being batch-first)
+      (11L, "brand new"),     // new
+      (12L, "brand new"),     // dup_batch of 11
+      (13L, "seen before"),   // dup_corpus (not dup_batch: corpus wins)
+      (14L, "other new")      // new
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactIncrement(batch, "doc_id", "text", existing)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(10L -> "dup_corpus", 11L -> "new", 12L -> "dup_batch",
+      13L -> "dup_corpus", 14L -> "new"))
+    // appending the 'new' rows and re-running flags everything dup_corpus
+    val appended = existing.unionByName(
+      Dedup.exactIncrement(batch, "doc_id", "text", existing)
+        .filter(col("status") === "new").select("fingerprint"))
+    val rerun = Dedup.exactIncrement(batch, "doc_id", "text", appended)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(rerun.values.forall(_ == "dup_corpus"), s"rerun: $rerun")
+  }
+
   test("materialize strategies agree: persist(DISK_ONLY) == localCheckpoint results") {
     val blocked = docs.withColumn("blk", lit(1))
     def run(): (Set[(Long, Long)], Set[(Long, Long)]) = (
