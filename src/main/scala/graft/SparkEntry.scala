@@ -1155,6 +1155,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multimodal: deterministic frame sampling — every stride-th
+    // fixed-size block of the payload stands in for a decoded frame
+    // (the real mapPartitions plumbing; the codec is the documented
+    // stub). Corpus text doubles as the binary payload; it is pure
+    // ASCII at every SF, so the oracle's char slicing IS byte slicing.
+    "q_multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+          col("text").cast("binary").as("bytes"))
+        .as[Multimodal.MediaRow]
+      Multimodal.sampleFrames(media, blockSize = 64, stride = 2)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("n_bytes"),
+          md5(col("frame_bytes")).as("frame_md5"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // North star: incremental exact dedup — a "new batch" (docs ≥ 300
     // plus re-keyed copies of 450-469) against the fingerprint index of
     // the accumulated corpus (docs < 400). 300-399 dup the corpus;
@@ -2044,6 +2062,16 @@ object SparkEntry {
            |         (CAST(e.cnt AS DOUBLE) / CAST(n AS DOUBLE))
            |           * ln(CAST(e.cnt AS DOUBLE) / CAST(n AS DOUBLE))))) + 1.2345e-9, 6) AS entropy
            |FROM g ORDER BY doc_id""".stripMargin,
+
+      "q_multimodal_frames" ->
+        """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+          |f AS (
+          |  SELECT doc_id, i AS frame_idx, substring(text, i * 64 + 1, 64) AS frame
+          |  FROM t, unnest(range(0, (n + 63) // 64, 2)) AS r(i)
+          |)
+          |SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+          |       CAST(length(frame) AS BIGINT) AS n_bytes, md5(frame) AS frame_md5
+          |FROM f ORDER BY media_id, frame_idx""".stripMargin,
 
       "q_dedup_incremental" ->
         """WITH existing AS (
