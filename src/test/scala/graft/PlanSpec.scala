@@ -158,6 +158,27 @@ class PlanSpec extends AnyFunSuite {
     assert(top.count() == 5)
   }
 
+  test("incremental dedup reads ONLY the fingerprint column of the index") {
+    // persist a fingerprint index carrying extra columns (as a real
+    // accumulated index would), then verify the corpus probe's scan is
+    // pruned to the fingerprint — 100 TB of indexed text never loads
+    val idxDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_fp_index_planspec").getAbsolutePath
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.operators.Dedup.exact(docs, "doc_id", "text")
+      .join(docs, docs("doc_id") === col("keep_id"))
+      .select(col("fingerprint"), col("text"), col("source"))
+      .write.mode("overwrite").parquet(idxDir)
+    val existing = spark.read.parquet(idxDir)
+    val p = plan(graft.operators.Dedup.exactIncrement(
+      docs.limit(10), "doc_id", "text", existing))
+    val idxScan = p.linesIterator
+      .find(l => l.contains("Scan parquet") && l.contains("graft_fp_index_planspec"))
+    assert(idxScan.isDefined, s"no index scan found:\n$p")
+    assert(idxScan.get.contains("ReadSchema: struct<fingerprint:string>"),
+      s"index scan reads more than the fingerprint:\n${idxScan.get}")
+  }
+
   test("knnJoin broadcasts the query side, not the index side") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
     val q = e.filter(col("vec_id") < 3)

@@ -60,4 +60,27 @@ class QualityRulesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("the gate runs unchanged on a stream and matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rules = QualityRules.gopherRules(col("text"))
+    val batchExpected = QualityRules.evaluate(docs, rules)
+      .select("doc_id", "passed", "n_failed")
+      .as[(Long, Boolean, Long)].collect().toSet
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = QualityRules.evaluate(input.toDF().toDF("doc_id", "text"), rules)
+      .select("doc_id", "passed", "n_failed")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rules_out").start()
+    input.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(3): _*)    // map-only => no state, any batching
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rules_out")
+      .as[(Long, Boolean, Long)].collect().toSet
+    assert(streamed == batchExpected)
+  }
 }
