@@ -1155,6 +1155,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // North star: fixed-length sequence packing — the LM dataloader
+    // layout (concat docs per source in id order, cut every 1000
+    // "tokens" — n_chars stands in — docs straddle cuts). Output rows
+    // are (doc × overlapped sequence) spans with in-sequence and
+    // in-doc positions.
+    "q_pack_sequences" -> ((s, dir) => {
+      Sampling.packSequences(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", "doc_id", "n_chars", seqLen = 1000L)
+        .select(col("source"), col("doc_id"), col("seq_id"),
+          col("tok_begin"), col("tok_end"), col("doc_tok_begin"))
+        .orderBy("source", "doc_id", "seq_id")
+    }),
+
     // Multimodal: deterministic frame sampling — every stride-th
     // fixed-size block of the payload stands in for a decoded frame
     // (the real mapPartitions plumbing; the codec is the documented
@@ -2062,6 +2076,24 @@ object SparkEntry {
            |         (CAST(e.cnt AS DOUBLE) / CAST(n AS DOUBLE))
            |           * ln(CAST(e.cnt AS DOUBLE) / CAST(n AS DOUBLE))))) + 1.2345e-9, 6) AS entropy
            |FROM g ORDER BY doc_id""".stripMargin,
+
+      "q_pack_sequences" ->
+        """WITH t AS (
+          |  SELECT source, doc_id, n_chars,
+          |         CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          |  FROM documents WHERE n_chars > 0
+          |),
+          |o AS (SELECT source, doc_id, n_chars, cum, cum - n_chars AS off FROM t),
+          |x AS (
+          |  SELECT source, doc_id, s AS seq_id, off, cum, s * 1000 AS sbase
+          |  FROM o, unnest(range(off // 1000, (cum - 1) // 1000 + 1)) AS r(s)
+          |)
+          |SELECT source, doc_id, seq_id,
+          |       greatest(off, sbase) - sbase AS tok_begin,
+          |       least(cum, sbase + 1000) - sbase AS tok_end,
+          |       greatest(off, sbase) - off AS doc_tok_begin
+          |FROM x ORDER BY source, doc_id, seq_id""".stripMargin,
 
       "q_multimodal_frames" ->
         """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),

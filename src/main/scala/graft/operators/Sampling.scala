@@ -65,6 +65,46 @@ object Sampling {
       .drop("_cum")
   }
 
+  /** Pack documents into FIXED-LENGTH training sequences (the LM
+    * dataloader layout: concatenate docs in deterministic id order,
+    * cut every `seqLen` tokens, let docs straddle cuts). Each doc
+    * occupies the global token interval [offset, offset + n) of its
+    * stratum; the output has one row per (doc × overlapped sequence):
+    *
+    *  - `seq_id`: which fixed-length sequence the span lands in;
+    *  - `tok_begin` / `tok_end`: the span's half-open position WITHIN
+    *    the sequence (0-based, ≤ seqLen);
+    *  - `doc_tok_begin`: where the span starts WITHIN the doc — so a
+    *    loader can slice the doc's token array directly.
+    *
+    * Every sequence is exactly seqLen tokens except its stratum's last;
+    * spans tile each sequence with no gaps or overlaps (SamplingSpec
+    * asserts both). Zero-token docs are dropped.
+    *
+    * Scale: same shape as [[packShards]] — one running-sum window per
+    * stratum plus a map-only explode of each doc's overlapped sequence
+    * range (a doc of n tokens emits ceil-ish(n/seqLen)+1 rows, so the
+    * explode is output-proportional). For one huge stratum, compose
+    * with the bucketed prefix-sum trick of [[packShardsBucketed]]. */
+  def packSequences(df: DataFrame, stratumCol: String, idCol: String,
+                    tokensCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(tokensCol).cast("long") > 0)
+      .withColumn("_cum", sum(col(tokensCol).cast("long")).over(w))
+      .withColumn("_off", col("_cum") - col(tokensCol).cast("long"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"_off div ${seqLen}L"), expr(s"(_cum - 1L) div ${seqLen}L"))))
+      .withColumn("_sbase", col("seq_id") * seqLen)
+      .withColumn("_gbegin", greatest(col("_off"), col("_sbase")))
+      .withColumn("tok_begin", col("_gbegin") - col("_sbase"))
+      .withColumn("tok_end",
+        least(col("_cum"), col("_sbase") + seqLen) - col("_sbase"))
+      .withColumn("doc_tok_begin", col("_gbegin") - col("_off"))
+      .drop("_cum", "_off", "_sbase", "_gbegin")
+  }
+
   /** [[packShards]] that PARALLELIZES within a stratum — the 100 TB form.
     * Rows are bucketed by `idCol div bucketRows` inside each stratum and
     * each bucket runs its own running-sum window concurrently; a tiny

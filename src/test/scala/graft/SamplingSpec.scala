@@ -36,6 +36,45 @@ class SamplingSpec extends AnyFunSuite {
     assert(!out.contains("s2"))            // unlisted stratum dropped
   }
 
+  test("packSequences: spans tile sequences exactly and cover every doc") {
+    val rng = new scala.util.Random(11)
+    val docs = (0 until 500)
+      .map(i => (i.toLong, s"s${i % 3}", rng.nextInt(700).toLong))
+      .toDF("id", "strat", "toks")
+    val L = 256L
+    val out = Sampling.packSequences(docs, "strat", "id", "toks", L)
+      .select("strat", "id", "seq_id", "tok_begin", "tok_end", "doc_tok_begin")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+
+    // every doc's spans sum to its token count and chain within the doc
+    val byDoc = out.groupBy(d => (d._1, d._2))
+    val toks = docs.filter($"toks" > 0)
+      .select("strat", "id", "toks").as[(String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    for ((k, spans) <- byDoc) {
+      assert(spans.map(s => s._5 - s._4).sum == toks(k), s"doc $k coverage")
+      val ordered = spans.sortBy(_._3)
+      assert(ordered.map(_._6).toSeq ==
+        ordered.scanLeft(0L)((acc, s) => acc + (s._5 - s._4)).init.toSeq,
+        s"doc $k in-doc offsets must chain")
+    }
+    // every sequence is tiled [0, L) with no gaps/overlaps; the last
+    // sequence of a stratum may end short
+    for (((strat, seq), spans) <- out.groupBy(s => (s._1, s._3))) {
+      val ordered = spans.sortBy(_._4).toSeq
+      assert(ordered.head._4 == 0L, s"$strat/$seq starts at 0")
+      ordered.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 == b._4, s"$strat/$seq gap at ${a._5}")
+        case _ =>
+      }
+      val maxSeq = out.filter(_._1 == strat).map(_._3).max
+      if (seq != maxSeq)
+        assert(ordered.last._5 == L, s"$strat/$seq must fill to $L")
+    }
+    // total span mass = total tokens
+    assert(out.map(s => s._5 - s._4).sum == toks.values.sum)
+  }
+
   test("property: packShards invariants hold over seeded random layouts") {
     val rng = new scala.util.Random(7)
     // one DataFrame per budget, batched — invariants checked per stratum
