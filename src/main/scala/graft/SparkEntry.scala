@@ -1226,6 +1226,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // North star: DSIR-style importance weights — docs scored under a
+    // TARGET unigram model (lang='en' slice) minus the corpus model.
+    // Positive weight = looks more like the target than the crawl.
+    "q_importance_weights" -> ((s, dir) => {
+      val docs = wide(s, dir, "documents")
+      TextAnalysis.importanceWeights(docs, "doc_id", "text",
+          target = docs.filter(col("lang") === "en"), vocabSize = 32)
+        .orderBy("doc_id")
+    }),
+
     // North star: PII redaction (scrubbing pass over text + synthesized
     // identifiers, so the replacement paths actually fire).
     "q_redact_pii" -> ((s, dir) => {
@@ -2136,6 +2146,37 @@ object SparkEntry {
           |SELECT doc_id,
           |       trim(regexp_replace(lower(strip_accents(aug)), '\s+', ' ', 'g')) AS normalized
           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "q_importance_weights" -> {
+        def score(vocabSrc: String, alias: String) =
+          s"""${alias}v AS (SELECT tok, count(*) AS cnt
+             |  FROM (SELECT unnest($W) AS tok FROM documents $vocabSrc)
+             |  GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 32),
+             |${alias}s AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+             |              CAST(count(*) + 1 AS DOUBLE) AS v1 FROM ${alias}v),
+             |${alias}g AS (
+             |  SELECT doc_id,
+             |         list_sort(list(struct_pack(tok := dt.tok, dcnt := dcnt,
+             |           lp := ln((CAST(COALESCE(v.cnt, 0) AS DOUBLE) + 1.0) / (s.n + s.v1))))) AS terms,
+             |         sum(dcnt) AS nt
+             |  FROM dt LEFT JOIN ${alias}v v ON dt.tok = v.tok, ${alias}s s
+             |  GROUP BY doc_id)""".stripMargin
+        def fold(rel: String) =
+          s"round(list_sum(list_transform($rel.terms, e -> CAST(e.dcnt AS DOUBLE) * e.lp))" +
+            s" / CAST($rel.nt AS DOUBLE) + 1.2345e-9, 6)"
+        s"""WITH toks AS (SELECT doc_id, unnest($W) AS tok FROM documents),
+           |dt AS (SELECT doc_id, tok, count(*) AS dcnt FROM toks GROUP BY 1, 2),
+           |${score("WHERE lang = 'en'", "t")},
+           |${score("", "c")},
+           |j AS (
+           |  SELECT tg.doc_id, CAST(tg.nt AS BIGINT) AS n_tokens,
+           |         ${fold("tg")} AS target_lp,
+           |         ${fold("cg")} AS corpus_lp
+           |  FROM tg JOIN cg ON tg.doc_id = cg.doc_id)
+           |SELECT doc_id, n_tokens, target_lp, corpus_lp,
+           |       round(target_lp - corpus_lp + 1.2345e-9, 6) AS weight
+           |FROM j ORDER BY doc_id""".stripMargin
+      },
 
       "q_unigram_logprob" ->
         s"""WITH t AS (SELECT doc_id, unnest($W) AS tok FROM documents),

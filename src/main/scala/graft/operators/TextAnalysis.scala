@@ -151,19 +151,35 @@ object TextAnalysis {
     * Returns (idCol, n_tokens, logprob). */
   def unigramLogprob(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String, vocabSize: Int = 65536):
+      org.apache.spark.sql.DataFrame =
+    scoreUnigram(docs, idCol, textCol,
+      unigramVocab(docs, textCol, vocabSize))
+      .withColumnRenamed("mean_lp", "logprob")
+
+  /** Estimate a top-`vocabSize` unigram vocabulary: (_tok, _cnt) rows,
+    * deterministic top-V cut (ties lexicographic). The wordcount shape:
+    * explode + map-side-combined counts, TakeOrderedAndProject cut. */
+  def unigramVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   vocabSize: Int = 65536): org.apache.spark.sql.DataFrame =
+    docs.select(explode(tokens(lower(cleanText(col(textCol))))).as("_tok"))
+      .groupBy(col("_tok")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(desc("_cnt"), col("_tok")).limit(vocabSize)
+
+  /** Mean per-token ln P(token) of each doc under an add-one-smoothed
+    * unigram model of `vocab` (any [[unigramVocab]] output — the
+    * SCORING corpus and the MODEL corpus may differ, which is what
+    * importance weighting needs): P(t) = (cnt+1)/(N+V+1), OOV floor
+    * 1/(N+V+1). The vocab broadcasts (≤V rows, a constant); the
+    * per-doc fold runs over the sorted term list (partitioning-
+    * independent float order). Returns (idCol, n_tokens, mean_lp). */
+  def scoreUnigram(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, vocab: org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(tokens(lower(cleanText(col(textCol))))).as("_tok"))
-    val counts = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_cnt"))
-    // deterministic top-V: ties broken lexicographically
-    val vocab = counts.orderBy(desc("_cnt"), col("_tok")).limit(vocabSize)
-    // add-one smoothing over the top-V vocab: P(t) = (cnt+1)/(N+V+1),
-    // OOV floor = 1/(N+V+1). N and V+1 are scalar aggregates of the
-    // (small) vocab table — computed once, then cross-joined (1 row).
     val stats = vocab.agg(
       sum(col("_cnt")).cast("double").as("_n"),
       (count(lit(1)) + 1).cast("double").as("_v1"))
-    toks
+    docs.select(col(idCol),
+        explode(tokens(lower(cleanText(col(textCol))))).as("_tok"))
       .groupBy(col(idCol), col("_tok"))
       .agg(count(lit(1)).as("_dcnt"))
       .join(broadcast(vocab), Seq("_tok"), "left")
@@ -179,7 +195,30 @@ object TextAnalysis {
         graft.functions.VectorFunctions.stableRound(expr(
           """aggregate(_terms, 0D,
             |  (acc, e) -> acc + CAST(e._dcnt AS DOUBLE) * e._lp)
-            |  / CAST(n_tokens AS DOUBLE)""".stripMargin)).as("logprob"))
+            |  / CAST(n_tokens AS DOUBLE)""".stripMargin)).as("mean_lp"))
+  }
+
+  /** DSIR-style importance weight (Xie et al. 2023, unigram features):
+    * w(doc) = mean ln P_target(tok) − mean ln P_corpus(tok). Positive
+    * ⇒ the doc looks more like the target distribution than the
+    * corpus — the data-selection signal for matching a pretraining mix
+    * to a high-quality target domain. Both scoring passes share the
+    * shape of [[scoreUnigram]]; each model is a broadcast ≤V-row
+    * table. Returns (idCol, n_tokens, target_lp, corpus_lp, weight). */
+  def importanceWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String,
+                        target: org.apache.spark.sql.DataFrame,
+                        vocabSize: Int = 65536): org.apache.spark.sql.DataFrame = {
+    val tScore = scoreUnigram(docs, idCol, textCol,
+        unigramVocab(target, textCol, vocabSize))
+      .select(col(idCol), col("n_tokens"), col("mean_lp").as("target_lp"))
+    val cScore = scoreUnigram(docs, idCol, textCol,
+        unigramVocab(docs, textCol, vocabSize))
+      .select(col(idCol), col("mean_lp").as("corpus_lp"))
+    tScore.join(cScore, idCol)
+      .withColumn("weight",
+        graft.functions.VectorFunctions.stableRound(
+          col("target_lp") - col("corpus_lp")))
   }
 
   /** Shannon entropy (nats) of each doc's unigram distribution — the

@@ -33,6 +33,24 @@ class LogprobSpec extends AnyFunSuite {
     assert(out(1L) < out(0L), s"gibberish ${out(1L)} !< prose ${out(0L)}")
   }
 
+  test("importance weights: target-like docs up, target == corpus is zero") {
+    val docs = Seq(
+      (0L, "en", "the cat and the dog and the bird"),
+      (1L, "en", "the fish and the cat and the mouse"),
+      (2L, "xx", "zorp blug qwix zorp nlum vrek blug")
+    ).toDF("doc_id", "lang", "text")
+    val w = TextAnalysis.importanceWeights(docs, "doc_id", "text",
+        target = docs.filter($"lang" === "en"), vocabSize = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(w(0L) > 0 && w(1L) > 0, s"target-like docs must gain: $w")
+    assert(w(2L) < 0, s"off-target doc must lose: $w")
+    // degenerate: target == corpus => identical models => weight 0
+    val z = TextAnalysis.importanceWeights(docs, "doc_id", "text",
+        target = docs, vocabSize = 8)
+      .collect().map(_.getDouble(4))
+    assert(z.forall(_ == 0.0), s"self-target weights: ${z.toSeq}")
+  }
+
   test("partitioning-invariant (sorted fold)") {
     val docs = (0 until 200)
       .map(i => (i.toLong, s"tok$i the of and word${i % 7} tok${i % 13}"))
