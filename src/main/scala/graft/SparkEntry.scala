@@ -1236,6 +1236,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Selection → packing composition: the data-selection output feeds
+    // the dataloader layout in ONE declarative plan — importance gate,
+    // then per-source fixed-length sequence stats over the kept docs.
+    "q_select_pack" -> ((s, dir) => {
+      val docs = wide(s, dir, "documents")
+      val kept = TextAnalysis.importanceWeights(docs, "doc_id", "text",
+          target = docs.filter(col("lang") === "en"), vocabSize = 32)
+        .filter(col("weight") > 0)
+        .select("doc_id")
+        .join(t(s, dir, "documents").select("doc_id", "source", "n_chars"), "doc_id")
+      Sampling.packSequences(kept, "source", "doc_id", "n_chars", seqLen = 1000L)
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          (max(col("seq_id")) + 1).as("n_sequences"),
+          sum(col("tok_end") - col("tok_begin")).as("total_tokens"))
+        .orderBy("source")
+    }),
+
     // North star: PII redaction (scrubbing pass over text + synthesized
     // identifiers, so the replacement paths actually fire).
     "q_redact_pii" -> ((s, dir) => {
@@ -1623,6 +1641,37 @@ object SparkEntry {
 
   private def pipelineOracles: Map[String, String] = {
     val W = dTokens("lower(text)")
+
+    // Shared CTE chain for the q_importance_weights / q_select_pack
+    // oracles: per-doc mean log-prob under the lang='en' TARGET unigram
+    // model (t*) and the corpus model (c*), joined as `j`.
+    val dImportanceCte: String = {
+      def score(vocabSrc: String, alias: String) =
+        s"""${alias}v AS (SELECT tok, count(*) AS cnt
+           |  FROM (SELECT unnest($W) AS tok FROM documents $vocabSrc)
+           |  GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 32),
+           |${alias}s AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+           |              CAST(count(*) + 1 AS DOUBLE) AS v1 FROM ${alias}v),
+           |${alias}g AS (
+           |  SELECT doc_id,
+           |         list_sort(list(struct_pack(tok := dt.tok, dcnt := dcnt,
+           |           lp := ln((CAST(COALESCE(v.cnt, 0) AS DOUBLE) + 1.0) / (s.n + s.v1))))) AS terms,
+           |         sum(dcnt) AS nt
+           |  FROM dt LEFT JOIN ${alias}v v ON dt.tok = v.tok, ${alias}s s
+           |  GROUP BY doc_id)""".stripMargin
+      def fold(rel: String) =
+        s"round(list_sum(list_transform($rel.terms, e -> CAST(e.dcnt AS DOUBLE) * e.lp))" +
+          s" / CAST($rel.nt AS DOUBLE) + 1.2345e-9, 6)"
+      s"""WITH toks AS (SELECT doc_id, unnest($W) AS tok FROM documents),
+         |dt AS (SELECT doc_id, tok, count(*) AS dcnt FROM toks GROUP BY 1, 2),
+         |${score("WHERE lang = 'en'", "t")},
+         |${score("", "c")},
+         |j AS (
+         |  SELECT tg.doc_id, CAST(tg.nt AS BIGINT) AS n_tokens,
+         |         ${fold("tg")} AS target_lp,
+         |         ${fold("cg")} AS corpus_lp
+         |  FROM tg JOIN cg ON tg.doc_id = cg.doc_id)""".stripMargin
+    }
 
     // Shared CTE chain for the q_quality_rules / q_quality_survival
     // oracles: one boolean per rule, mirroring QualityRules.gopherRules
@@ -2147,36 +2196,28 @@ object SparkEntry {
           |       trim(regexp_replace(lower(strip_accents(aug)), '\s+', ' ', 'g')) AS normalized
           |FROM t ORDER BY doc_id""".stripMargin,
 
-      "q_importance_weights" -> {
-        def score(vocabSrc: String, alias: String) =
-          s"""${alias}v AS (SELECT tok, count(*) AS cnt
-             |  FROM (SELECT unnest($W) AS tok FROM documents $vocabSrc)
-             |  GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 32),
-             |${alias}s AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
-             |              CAST(count(*) + 1 AS DOUBLE) AS v1 FROM ${alias}v),
-             |${alias}g AS (
-             |  SELECT doc_id,
-             |         list_sort(list(struct_pack(tok := dt.tok, dcnt := dcnt,
-             |           lp := ln((CAST(COALESCE(v.cnt, 0) AS DOUBLE) + 1.0) / (s.n + s.v1))))) AS terms,
-             |         sum(dcnt) AS nt
-             |  FROM dt LEFT JOIN ${alias}v v ON dt.tok = v.tok, ${alias}s s
-             |  GROUP BY doc_id)""".stripMargin
-        def fold(rel: String) =
-          s"round(list_sum(list_transform($rel.terms, e -> CAST(e.dcnt AS DOUBLE) * e.lp))" +
-            s" / CAST($rel.nt AS DOUBLE) + 1.2345e-9, 6)"
-        s"""WITH toks AS (SELECT doc_id, unnest($W) AS tok FROM documents),
-           |dt AS (SELECT doc_id, tok, count(*) AS dcnt FROM toks GROUP BY 1, 2),
-           |${score("WHERE lang = 'en'", "t")},
-           |${score("", "c")},
-           |j AS (
-           |  SELECT tg.doc_id, CAST(tg.nt AS BIGINT) AS n_tokens,
-           |         ${fold("tg")} AS target_lp,
-           |         ${fold("cg")} AS corpus_lp
-           |  FROM tg JOIN cg ON tg.doc_id = cg.doc_id)
+      "q_importance_weights" ->
+        s"""$dImportanceCte
            |SELECT doc_id, n_tokens, target_lp, corpus_lp,
            |       round(target_lp - corpus_lp + 1.2345e-9, 6) AS weight
-           |FROM j ORDER BY doc_id""".stripMargin
-      },
+           |FROM j ORDER BY doc_id""".stripMargin,
+
+      // Selection → packing composition: keep docs the importance model
+      // prefers (weight > 0), then the per-source sequence layout
+      // reduces to closed-form aggregates (SamplingSpec proves the span
+      // algebra: Σ spans = Σ tokens, max seq = (T-1) div L).
+      "q_select_pack" ->
+        s"""$dImportanceCte,
+           |kept AS (
+           |  SELECT d.source, d.n_chars
+           |  FROM j JOIN documents d ON j.doc_id = d.doc_id
+           |  WHERE round(target_lp - corpus_lp + 1.2345e-9, 6) > 0
+           |)
+           |SELECT source,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST((CAST(sum(n_chars) AS BIGINT) - 1) // 1000 + 1 AS BIGINT) AS n_sequences,
+           |       CAST(sum(n_chars) AS BIGINT) AS total_tokens
+           |FROM kept GROUP BY source ORDER BY source""".stripMargin,
 
       "q_unigram_logprob" ->
         s"""WITH t AS (SELECT doc_id, unnest($W) AS tok FROM documents),

@@ -196,4 +196,43 @@ object StreamingDedup {
         coalesce(col("_b.hamming"), lit(-1L)).as("hamming"))
       .as[DedupOutcome]
   }
+
+  /** The streaming incremental-dedup LOOP — the production shape of
+    * [[graft.operators.Dedup.exactIncrement]]: each micro-batch dedups
+    * against the accumulated fingerprint index, appends its verdicts to
+    * `outDir`, and appends its `new` fingerprints to `indexDir` so the
+    * NEXT micro-batch sees them. `foreachBatch` is the honest vehicle:
+    * the within-batch canonical needs a per-batch aggregate (not
+    * expressible as an unbounded streaming agg in append mode), and the
+    * index append must be transactionally AFTER the probe — exactly the
+    * read-modify-append cycle a daily-increment job runs, here at
+    * micro-batch granularity. Exactly-once comes from the checkpoint +
+    * idempotent-by-fingerprint appends.
+    *
+    * Scale: per micro-batch this is `exactIncrement` — batch-sized
+    * fingerprint computation, fingerprint-only index probe (column
+    * pruning; the accumulated text never loads), md5-keyed joins. */
+  def incrementalDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                             indexDir: String, outDir: String,
+                             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val existing: DataFrame =
+          if (new java.io.File(indexDir).exists)
+            spark.read.parquet(indexDir).select("fingerprint")
+          else batch.sparkSession.emptyDataFrame
+            .select(lit("").as("fingerprint")).limit(0)
+        val verdicts = graft.operators.Dedup
+          .exactIncrement(batch, idCol, textCol, existing)
+          .withColumn("batch_id", lit(batchId))
+        verdicts.write.mode("append").parquet(outDir)
+        spark.read.parquet(outDir)
+          .filter(col("batch_id") === batchId && col("status") === "new")
+          .select("fingerprint")
+          .write.mode("append").parquet(indexDir)
+      }
+      .start()
+  }
 }

@@ -171,4 +171,34 @@ class StreamingDedupSpec extends AnyFunSuite {
     // doc 3 differs only by newline/trailing space → cleanText → dup of 1
     assert(kept == Set(1L, 2L))
   }
+
+  test("incremental-dedup loop: each micro-batch probes the grown index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_incloop").toFile.getAbsolutePath
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.incrementalDedupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$root/index", s"$root/out", s"$root/ckpt")
+    // batch 0: all new, plus an IN-BATCH duplicate
+    input.addData((1L, "alpha doc"), (2L, "beta doc"), (3L, "alpha doc"))
+    q.processAllAvailable()
+    // batch 1: repeat of batch-0 content must now be dup_corpus —
+    // the index grew between micro-batches; plus one genuinely new doc
+    input.addData((4L, "alpha doc"), (5L, "gamma doc"))
+    q.processAllAvailable()
+    // batch 2: repeat of batch-1's new doc → dup_corpus
+    input.addData((6L, "gamma doc"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$root/out")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "new", 2L -> "new", 3L -> "dup_batch",
+      4L -> "dup_corpus", 5L -> "new",
+      6L -> "dup_corpus"), s"got $got")
+    // the index holds exactly the distinct fingerprints, once each
+    val idx = spark.read.parquet(s"$root/index").as[String].collect()
+    assert(idx.length == 3 && idx.toSet.size == 3, s"index: ${idx.toSeq}")
+  }
 }
