@@ -41,6 +41,24 @@ object PmcDemo {
     val t2 = System.nanoTime()
     val (res2, _) = operators.AskPipeline.ask(spark, index, cache1, query, queryVec = Some(qv))
     println(f"ASK2 fromCache=${res2.fromCache} in ${(System.nanoTime() - t2) / 1e9}%.1f s")
+
+    // Curation signals on the REAL corpus — a sanity datapoint that the
+    // training-data operators produce sensible numbers on actual
+    // scientific prose, not just the synthetic tables.
+    val t3 = System.nanoTime()
+    val rules = operators.QualityRules.gopherRules(col("text"))
+    val sv = operators.QualityRules.survivalStats(
+      operators.QualityRules.evaluate(docs, rules), rules).collect()(0)
+    val svn = sv.schema.fieldNames.zipWithIndex.toMap
+    println(s"CURATE survival: ${sv.getLong(svn("n_passed"))}/${sv.getLong(svn("n_docs"))} pass; " +
+      rules.map { case (n, _) => s"$n=${sv.getLong(svn(s"killed_by_$n"))}" }.mkString(" "))
+    val dup = operators.Dedup.duplicatedGramProfile(docs, "doc_id", "text", n = 10)
+      .agg(sum(col("n_dup")).cast("double") / sum(col("n_grams"))).head().getDouble(0)
+    println(f"CURATE 10-gram dup fraction: $dup%.4f")
+    val lp = operators.TextAnalysis.unigramLogprob(docs, "doc_id", "text")
+      .agg(expr("percentile(logprob, array(0.05, 0.5, 0.95))")).head().getSeq[Double](0)
+    println(f"CURATE unigram logprob p5/p50/p95: ${lp(0)}%.2f / ${lp(1)}%.2f / ${lp(2)}%.2f " +
+      f"(in ${(System.nanoTime() - t3) / 1e9}%.1f s)")
     spark.stop()
   }
 }

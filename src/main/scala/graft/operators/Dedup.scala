@@ -318,8 +318,11 @@ object Dedup {
     *     per-doc roll-up.
     * The gram hash is the 16-hex-char md5 prefix (64 bits — portable to
     * the DuckDB oracle, collision-negligible below ~10^8 distinct grams;
-    * at 100 TB widen to the full md5). Positions must fit 2^20 words per
-    * doc — enforce upstream chunking for longer docs. */
+    * at 100 TB widen to the full md5). The instance order key is the
+    * (doc_id, pos) struct — works for ANY orderable id type (numeric
+    * synthetic ids, string corpus filenames) with no position-width
+    * limit; for non-negative numeric ids it ranks identically to the
+    * oracle's doc_id·2²⁰+pos arithmetic (pos < 2²⁰ there by data). */
   def duplicatedGramProfile(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 10): DataFrame = {
     val grams = docs.select(
@@ -328,7 +331,7 @@ object Dedup {
           .as(Seq("_pos", "_gram")))
       .select(col(idCol),
         substring(md5(col("_gram")), 1, 16).as("_h"),
-        (col(idCol).cast("long") * lit(1048576L) + col("_pos")).as("_key"))
+        struct(col(idCol), col("_pos")).as("_key"))
     val perDocGram = grams
       .groupBy(col("_h"), col(idCol))
       .agg(count(lit(1)).as("_cnt"), min(col("_key")).as("_minkey"))

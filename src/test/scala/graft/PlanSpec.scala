@@ -179,6 +179,15 @@ class PlanSpec extends AnyFunSuite {
       s"index scan reads more than the fingerprint:\n${idxScan.get}")
   }
 
+  test("unigram scoring broadcasts the vocab, never sort-merges on token") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.operators.TextAnalysis.unigramLogprob(
+      docs, "doc_id", "text", vocabSize = 32))
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token-keyed sort-merge join would shuffle the corpus token table:\n$p")
+  }
+
   test("knnJoin broadcasts the query side, not the index side") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
     val q = e.filter(col("vec_id") < 3)
