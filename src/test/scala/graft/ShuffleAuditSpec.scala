@@ -82,6 +82,18 @@ class ShuffleAuditSpec extends AnyFunSuite {
       s"semantic dedup shuffled ${s.writeBytes} vs vectors $vecBytes")
   }
 
+  test("unigram scoring shuffles token counts, never text") {
+    val s = ShuffleAudit.of(graft.operators.TextAnalysis.unigramLogprob(
+      docs, "doc_id", "text", vocabSize = 64))
+    assert(s.writeBytes > 0)
+    // (doc, token, count) and (token, count) rows with map-side combine:
+    // bounded by a small multiple of the corpus text volume even on this
+    // tiny corpus where per-row overhead dominates — the failure mode
+    // guarded against is shuffling scored per-INSTANCE rows (~10x text)
+    assert(s.writeBytes < corpusTextBytes * 6,
+      s"unigram scoring shuffled ${s.writeBytes} vs corpus $corpusTextBytes")
+  }
+
   test("minhash signatures shuffle pre-aggregated rows, not exploded shingles") {
     val sigs = Dedup.withMinhashSignature(docs, "doc_id", "text")
     val s = ShuffleAudit.of(sigs)
