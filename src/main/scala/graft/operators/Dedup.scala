@@ -276,18 +276,25 @@ object Dedup {
     * (md5 keys — skew-free by construction); the corpus probe is an
     * equi-join against a FINGERPRINT-ONLY projection of the index
     * (column pruning reaches the parquet scan — corpus text never
-    * loads). All shuffles carry 32-byte hashes + ids. */
+    * loads). All shuffles carry 32-byte hashes + ids.
+    *
+    * Null texts: `md5(cleanText(null))` is null, and the joins are
+    * null-SAFE, so null-text rows form their own dup group (null
+    * fingerprint) exactly like [[exact]]'s null groupBy key — an audit
+    * output must never silently drop an input row, which is what a
+    * plain equi-join on the fingerprint would do. */
   def exactIncrement(newDocs: DataFrame, idCol: String, textCol: String,
                      existingFps: DataFrame, fpCol: String = "fingerprint"): DataFrame = {
     val withFp = newDocs.select(col(idCol),
       md5(cleanText(col(textCol))).as("fingerprint"))
     val firsts = withFp.groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("_first"))
-    val corpus = existingFps.select(col(fpCol).as("fingerprint")).distinct()
+      .withColumnRenamed("fingerprint", "_ffp")
+    val corpus = existingFps.select(col(fpCol).as("_cfp")).distinct()
       .withColumn("_in_corpus", lit(true))
     withFp
-      .join(firsts, "fingerprint")
-      .join(corpus, Seq("fingerprint"), "left")
+      .join(firsts, col("fingerprint") <=> col("_ffp"))
+      .join(corpus, col("fingerprint") <=> col("_cfp"), "left")
       .select(col(idCol), col("fingerprint"),
         when(col("_in_corpus"), "dup_corpus")
           .when(col(idCol) =!= col("_first"), "dup_batch")
@@ -306,43 +313,64 @@ object Dedup {
     * Scale shape — the naive form shuffles every gram instance (one row
     * per word × n); this one collapses to distinct (gram, doc) pairs
     * before anything crosses the wire:
-    *  1. map-only: positional n-grams → (gram-hash, doc, key) where
-    *     key = doc_id * 2^20 + position orders instances globally;
-    *  2. hash-agg on (gram-hash, doc): cnt + min(key) — partial
-    *     aggregation combines all within-doc repeats map-side, so the
-    *     shuffle carries one 3-long row per DISTINCT (gram, doc), not
-    *     one per instance;
-    *  3. hash-agg on gram-hash: global first instance;
+    *  1. map-only: positional n-grams → (gram-hash, doc, pos);
+    *  2. hash-agg on (gram-hash, doc): cnt + min(pos) — the doc id is a
+    *     GROUPING key here, so the within-doc order key is just the
+    *     position: a plain long `min` that stays in whole-stage codegen
+    *     on the hottest path (one input row per gram INSTANCE),
+    *     whatever the id type. Partial aggregation combines all
+    *     within-doc repeats map-side, so the shuffle carries one row
+    *     per DISTINCT (gram, doc), not one per instance;
+    *  3. hash-agg on gram-hash: global first instance, ordered by
+    *     (doc_id, first pos). Integral ids pack into one long
+    *     (id·2²⁰ + pos — codegen'd comparisons, width-guarded:
+    *     |id| < 2⁴², pos < 2²⁰, violations raise); other id types keep
+    *     the (id, pos) struct key — interpreted ordering, but only over
+    *     the already-collapsed distinct (gram, doc) rows;
     *  4. join (2)⋈(3) on gram-hash — skew-safe: a ubiquitous gram has
     *     many probe rows but exactly one build row — then a final
     *     per-doc roll-up.
-    * The gram hash is the 16-hex-char md5 prefix (64 bits — portable to
-    * the DuckDB oracle, collision-negligible below ~10^8 distinct grams;
-    * at 100 TB widen to the full md5). The instance order key is the
-    * (doc_id, pos) struct — works for ANY orderable id type (numeric
-    * synthetic ids, string corpus filenames) with no position-width
-    * limit; for non-negative numeric ids it ranks identically to the
-    * oracle's doc_id·2²⁰+pos arithmetic (pos < 2²⁰ there by data). */
+    * The gram hash is the `hashHexChars`-char md5 prefix (default 16 =
+    * 64 bits — portable to the DuckDB oracle, collision-negligible
+    * below ~10^8 distinct grams; at 100 TB pass 32 for the full md5). */
   def duplicatedGramProfile(docs: DataFrame, idCol: String, textCol: String,
-                            n: Int = 10): DataFrame = {
+                            n: Int = 10, hashHexChars: Int = 16): DataFrame = {
+    require(hashHexChars >= 1 && hashHexChars <= 32,
+      s"hashHexChars=$hashHexChars must be in [1, 32] (md5 is 32 hex chars)")
+    import org.apache.spark.sql.types._
+    val isIntegral = docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     val grams = docs.select(
         col(idCol),
         posexplode(shingles(tokens(lower(cleanText(col(textCol)))), n))
           .as(Seq("_pos", "_gram")))
       .select(col(idCol),
-        substring(md5(col("_gram")), 1, 16).as("_h"),
-        struct(col(idCol), col("_pos")).as("_key"))
+        substring(md5(col("_gram")), 1, hashHexChars).as("_h"),
+        col("_pos").cast("long").as("_pos"))
     val perDocGram = grams
       .groupBy(col("_h"), col(idCol))
-      .agg(count(lit(1)).as("_cnt"), min(col("_key")).as("_minkey"))
-    val firsts = perDocGram
+      .agg(count(lit(1)).as("_cnt"), min(col("_pos")).as("_minpos"))
+    val orderKey: Column =
+      if (isIntegral) {
+        val id = col(idCol).cast("long")
+        when(id < lit(1L << 42) && id > lit(-(1L << 42)) &&
+            col("_minpos") < lit(1L << 20),
+          shiftleft(id, 20) + col("_minpos"))
+          .otherwise(raise_error(lit(
+            "duplicatedGramProfile packed order key overflow: " +
+              "requires |id| < 2^42 and position < 2^20")).cast("long"))
+      } else struct(col(idCol), col("_minpos"))
+    val keyed = perDocGram.withColumn("_key", orderKey)
+    val firsts = keyed
       .groupBy(col("_h"))
-      .agg(min(col("_minkey")).as("_firstkey"))
-    perDocGram.join(firsts, "_h")
+      .agg(min(col("_key")).as("_firstkey"))
+    keyed.join(firsts, "_h")
       .groupBy(col(idCol))
       .agg(sum(col("_cnt")).as("n_grams"),
         sum(col("_cnt") -
-          when(col("_minkey") === col("_firstkey"), 1L).otherwise(0L)).as("n_dup"))
+          when(col("_key") === col("_firstkey"), 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_fraction",
         stableRound(col("n_dup").cast("double") / col("n_grams")))
   }

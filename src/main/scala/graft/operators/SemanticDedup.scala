@@ -22,10 +22,21 @@ import graft.functions.VectorFunctions.cosine
   *    [[Dedup.jaccardPairs]] caps hot shingles.
   *
   * Keep/drop rule (deterministic, engine-portable): a vector is dropped
-  * iff some SAME-CELL vector with a LOWER id has cosine ≥ tau; `dup_of`
-  * is the lowest such id. No transitive closure — the canonical set is
-  * exactly the greedy lowest-id-first scan of each cell, which is the
-  * reference semantics of SemDeDup's "keep one exemplar per clique".
+  * iff ANY same-cell vector with a LOWER id — kept or itself dropped —
+  * has cosine ≥ tau; `dup_of` is the lowest such id, which may
+  * therefore point at a dropped vector. This is deliberately NOT the
+  * sequential greedy exemplar scan of the SemDeDup paper (drop iff
+  * within tau of a KEPT lower-id vector): on a similarity chain
+  * a→b→c with cos(a,b) ≥ tau, cos(b,c) ≥ tau, cos(a,c) < tau, the
+  * greedy scan keeps c (its only kept predecessor a is far), while this
+  * rule drops it (b is a lower-id near-neighbor, kept or not) — i.e. it
+  * prunes one vector per tau-PATH, not per tau-clique, and over-prunes
+  * relative to the paper on chains (SemanticDedupSpec pins this).
+  * Chosen because it is one join + one aggregate that Catalyst
+  * parallelizes freely and any SQL engine can replay (the DuckDB
+  * oracle), whereas the greedy scan is an inherently sequential
+  * per-cell fold. For exact per-clique canonicals, feed tau-pairs into
+  * [[Dedup.clusters]] and keep each cluster's min id.
   */
 object SemanticDedup {
 

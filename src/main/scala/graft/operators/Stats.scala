@@ -22,17 +22,40 @@ import graft.functions.VectorFunctions.stableRound
   */
 object Stats {
 
+  /** Column name for quantile q — the decimal digits of q, right-padded
+    * to two: 0.5→p50, 0.9→p90, 0.99→p99, 0.995→p995, 0.005→p005,
+    * 0.01→p01. Derived from the full decimal so sub-percent quantiles
+    * can't collide the way `round(q*100)` did (0.005 and 0.01 both
+    * rounded to `p1`). */
+  private[graft] def qName(q: Double): String = {
+    require(q >= 0.0 && q <= 1.0, s"quantile $q out of [0, 1]")
+    if (q == 0.0) "p0"
+    else if (q == 1.0) "p100"
+    else {
+      val digits = BigDecimal(q).bigDecimal.stripTrailingZeros
+        .toPlainString.drop(2) // "0.995" -> "995"
+      "p" + (if (digits.length < 2) digits + "0" else digits)
+    }
+  }
+
+  private def validated(qs: Seq[Double]): Seq[(Double, String)] = {
+    require(qs.nonEmpty, "no quantiles requested")
+    val named = qs.map(q => (q, qName(q)))
+    val dups = named.groupBy(_._2).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"quantile column names collide: ${dups.mkString(", ")}")
+    named
+  }
+
   /** Per-group exact quantiles of a numeric column: (groupCol, n, mean,
     * one p<q> column per requested quantile), rounded for oracle
     * stability. */
   def lengthQuantiles(df: DataFrame, groupCol: String, valCol: String,
                       qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
-    require(qs.nonEmpty, "no quantiles requested")
     val aggs = Seq(
       count(lit(1)).as("n"),
       stableRound(avg(col(valCol))).as("mean")) ++
-      qs.map(q => stableRound(
-        percentile(col(valCol), lit(q))).as(s"p${(q * 100).round}"))
+      validated(qs).map { case (q, name) =>
+        stableRound(percentile(col(valCol), lit(q))).as(name) }
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -42,12 +65,12 @@ object Stats {
   def approxLengthQuantiles(df: DataFrame, groupCol: String, valCol: String,
                             qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
                             accuracy: Int = 10000): DataFrame = {
-    require(qs.nonEmpty, "no quantiles requested")
     val aggs = Seq(
       count(lit(1)).as("n"),
       stableRound(avg(col(valCol))).as("mean")) ++
-      qs.map(q => percentile_approx(col(valCol), lit(q), lit(accuracy))
-        .cast("double").as(s"p${(q * 100).round}"))
+      validated(qs).map { case (q, name) =>
+        percentile_approx(col(valCol), lit(q), lit(accuracy))
+          .cast("double").as(name) }
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -131,6 +131,30 @@ class DedupSpec extends AnyFunSuite {
     assert(rerun.values.forall(_ == "dup_corpus"), s"rerun: $rerun")
   }
 
+  test("incremental dedup: null-text rows are never dropped from the audit") {
+    val corpus = Seq((0L, "seen before")).toDF("doc_id", "text")
+    val existing = Dedup.exact(corpus, "doc_id", "text").select("fingerprint")
+    val batch = Seq(
+      (10L, "seen before"),
+      (11L, null.asInstanceOf[String]), // null text → null fingerprint
+      (12L, null.asInstanceOf[String]), // second null: dup_batch of 11
+      (13L, "brand new")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactIncrement(batch, "doc_id", "text", existing)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    // every input row appears; nulls form ONE group (like exact's null
+    // groupBy key), first null canonical, later nulls dup_batch
+    assert(got == Map(10L -> "dup_corpus", 11L -> "new",
+      12L -> "dup_batch", 13L -> "new"), s"got $got")
+    // and once the null fingerprint is in the index, nulls are dup_corpus
+    val appended = existing.unionByName(
+      Dedup.exactIncrement(batch, "doc_id", "text", existing)
+        .filter(col("status") === "new").select("fingerprint"))
+    val rerun = Dedup.exactIncrement(batch, "doc_id", "text", appended)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(rerun.values.forall(_ == "dup_corpus"), s"rerun: $rerun")
+  }
+
   test("materialize strategies agree: persist(DISK_ONLY) == localCheckpoint results") {
     val blocked = docs.withColumn("blk", lit(1))
     def run(): (Set[(Long, Long)], Set[(Long, Long)]) = (

@@ -41,6 +41,43 @@ class GramDedupSpec extends AnyFunSuite {
     assert(out(0L) == (1L, 0L) && out(1L) == (1L, 1L))
   }
 
+  test("string ids take the struct order key and rank like the packed path") {
+    // same corpus under long ids and under order-equivalent string ids:
+    // the struct fallback must produce identical profiles
+    val texts = Seq("a b c a b c d", "x y a b c z w", "p q r s t")
+    val longDocs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val strDocs = texts.zipWithIndex.map { case (t, i) => (s"doc$i", t) }
+      .toDF("doc_id", "text")
+    val viaLong = Dedup.duplicatedGramProfile(longDocs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    val viaStr = Dedup.duplicatedGramProfile(strDocs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getString(0).stripPrefix("doc") -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaStr == viaLong, s"string-id profile $viaStr != long-id $viaLong")
+  }
+
+  test("packed order key guards its width: out-of-range id raises") {
+    val docs = Seq((1L << 50, "a b c")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.duplicatedGramProfile(docs, "doc_id", "text", n = 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("gram-hash width is parameterizable; wider hash, same profile") {
+    val docs = Seq(
+      (0L, "a b c a b c d"),
+      (1L, "x y a b c z w")
+    ).toDF("doc_id", "text")
+    def profile(w: Int) = Dedup.duplicatedGramProfile(docs, "doc_id", "text",
+        n = 3, hashHexChars = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(profile(32) == profile(16), "full-md5 profile diverged from 64-bit prefix")
+    intercept[IllegalArgumentException] {
+      Dedup.duplicatedGramProfile(docs, "doc_id", "text", n = 3, hashHexChars = 33)
+    }
+  }
+
   test("shuffle carries distinct (gram, doc) rows: partial agg in plan") {
     val docs = Seq((0L, "a b c a b c d")).toDF("doc_id", "text")
     val plan = Dedup.duplicatedGramProfile(docs, "doc_id", "text", n = 3)

@@ -50,6 +50,25 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(out == Map(11L -> 10L, 12L -> 10L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("chain semantics: any-lower-id rule prunes per tau-PATH, dup_of may be dropped") {
+    // a(1)–b(2)–c(3) at 0°, 25°, 50° on the unit circle, tau = cos(30°):
+    // cos(a,b) = cos(b,c) = cos 25° ≥ tau, but cos(a,c) = cos 50° < tau.
+    // The documented rule drops BOTH b and c (each has a lower-id
+    // tau-neighbor, kept or not) and c's dup_of points at the DROPPED b —
+    // where the paper's greedy exemplar scan would keep c.
+    def onCircle(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val chain = Seq((1L, onCircle(0)), (2L, onCircle(25)), (3L, onCircle(50)))
+      .toDF("id", "vec")
+    val oneCell = Seq((0L, Seq(1.0, 0.0))).toDF("cid", "cvec")
+    val out = SemanticDedup.dedup(chain, "id", "vec", oneCell, "cid", "cvec",
+        tau = math.cos(math.toRadians(30)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(1L) == (true, None))
+    assert(out(2L) == (false, Some(1L)))
+    assert(out(3L) == (false, Some(2L)), "c must be dropped with dup_of = the dropped b")
+  }
+
   test("plan: equi-join on cell_id, no cartesian; assignment map-only") {
     val plan = SemanticDedup.dedup(vecs, "id", "vec", cents, "cid", "cvec", tau = 0.9)
       .queryExecution.executedPlan.toString

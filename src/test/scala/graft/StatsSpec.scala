@@ -22,6 +22,25 @@ class StatsSpec extends AnyFunSuite {
     assert(r2.getDouble(2) == 5.0)
   }
 
+  test("quantile column names: full-decimal derivation, no collisions") {
+    // the old round(q*100) scheme made 0.005 and 0.01 both `p1`
+    assert(Stats.qName(0.5) == "p50" && Stats.qName(0.9) == "p90" &&
+      Stats.qName(0.99) == "p99")
+    assert(Stats.qName(0.995) == "p995")
+    assert(Stats.qName(0.005) == "p005" && Stats.qName(0.01) == "p01")
+    assert(Stats.qName(0.0) == "p0" && Stats.qName(1.0) == "p100")
+
+    val df = (0 to 1000).map(v => ("g", v.toLong)).toDF("src", "len")
+    val out = Stats.lengthQuantiles(df, "src", "len", Seq(0.005, 0.01))
+    assert(out.columns.toSeq == Seq("src", "n", "mean", "p005", "p01"))
+    val r = out.collect()(0)
+    assert(r.getDouble(3) == 5.0 && r.getDouble(4) == 10.0)
+    // a literally-duplicated quantile is rejected, not silently doubled
+    intercept[IllegalArgumentException] {
+      Stats.lengthQuantiles(df, "src", "len", Seq(0.5, 0.5))
+    }
+  }
+
   test("sketch path tracks exact within rank-error bound") {
     val df = (0 until 20000).map(v => (s"s${v % 4}", (v * 31 % 9973).toLong))
       .toDF("src", "len")

@@ -198,7 +198,40 @@ class StreamingDedupSpec extends AnyFunSuite {
       4L -> "dup_corpus", 5L -> "new",
       6L -> "dup_corpus"), s"got $got")
     // the index holds exactly the distinct fingerprints, once each
-    val idx = spark.read.parquet(s"$root/index").as[String].collect()
+    val idx = spark.read.parquet(s"$root/index")
+      .select("fingerprint").as[String].collect()
     assert(idx.length == 3 && idx.toSet.size == 3, s"index: ${idx.toSeq}")
+  }
+
+  test("incremental-dedup loop: checkpoint replay of a batch is idempotent") {
+    val root = Files.createTempDirectory("graft_increplay").toFile.getAbsolutePath
+    val (index, out) = (s"$root/index", s"$root/out")
+    def snapshot() = (
+      spark.read.parquet(out).select("doc_id", "status", "batch_id")
+        .as[(Long, String, Long)].collect().sorted.toSeq,
+      spark.read.parquet(index).select("fingerprint").as[String]
+        .collect().sorted.toSeq)
+
+    val b0 = Seq((1L, "alpha doc"), (2L, "beta doc"), (3L, "alpha doc"))
+      .toDF("doc_id", "text")
+    StreamingDedup.processIncrement(b0, 0L, "doc_id", "text", index, out)
+    val b1 = Seq((4L, "alpha doc"), (5L, "gamma doc")).toDF("doc_id", "text")
+    StreamingDedup.processIncrement(b1, 1L, "doc_id", "text", index, out)
+    val before = snapshot()
+
+    // crash-and-replay of the LAST batch: the rerun must see the same
+    // prior index state (its own batch-1 fingerprints excluded from the
+    // probe) and overwrite the same paths — no duplicate rows, no doc
+    // flipping from `new` to `dup_corpus`
+    StreamingDedup.processIncrement(b1, 1L, "doc_id", "text", index, out)
+    assert(snapshot() == before, "replaying batch 1 changed a sink")
+
+    val statuses = spark.read.parquet(out).select("doc_id", "status")
+      .as[(Long, String)].collect().toMap
+    assert(statuses == Map(1L -> "new", 2L -> "new", 3L -> "dup_batch",
+      4L -> "dup_corpus", 5L -> "new"))
+    // one verdict row per input doc — a non-idempotent append would
+    // leave two (and possibly contradictory) rows for batch-1 docs
+    assert(spark.read.parquet(out).count() == 5)
   }
 }
