@@ -1,15 +1,33 @@
 package graft
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. A JVM/codegen warmup action runs first so the
   * first measured query doesn't absorb session startup, and queries run
-  * in sorted name order for run-to-run comparability. */
+  * in sorted name order for run-to-run comparability.
+  *
+  * Artifacts (round-4 verdict item 3 — the driver captures a bounded
+  * stdout tail, which truncated two rounds of per-query data):
+  *  - stdout: the one-line JSON contract, values rounded to ms so the
+  *    line stays inside the driver's capture window;
+  *  - BENCH_FULL.json (repo cwd, committed per round): the complete
+  *    per-query record — min, per-run times, steady spread — plus a
+  *    regression diff against the PREVIOUS round's committed file. The
+  *    regression gate is >1.6× on min-of-3: the r3→r4 identical-code
+  *    re-run measured per-query swings up to +58% (q_simhash) from
+  *    JIT/noise alone, so anything under 1.6× is inside the observed
+  *    single-box noise floor.
+  */
 object Bench {
+  private val RegressionRatio = 1.6
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,6 +36,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // prior round's committed full artifact, for the regression diff
+    // (read BEFORE this run overwrites it)
+    val prev: Map[String, Double] =
+      if (Files.exists(Paths.get(outFile))) {
+        val txt = Files.readString(Paths.get(outFile))
+        """"([\w]+)":\{"min":([-0-9.eE+]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
 
     // warmup: read-side + shuffle + codegen paths, result discarded
     spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -45,22 +72,57 @@ object Bench {
           -1.0 // a failed query must not report as a near-zero (fast) time
         }
       }
-      (name, if (times.exists(_ < 0)) -1.0 else times.min,
+      val failed = times.exists(_ < 0)
+      val spread = if (failed) -1.0 else {
         // spread over runs 2..3 (run 1 is codegen warmup, always high)
-        if (times.exists(_ < 0)) -1.0 else {
-          val steady = times.drop(1)
-          (steady.max - steady.min) / math.max(steady.min, 1e-9)
-        })
+        val steady = times.drop(1)
+        (steady.max - steady.min) / math.max(steady.min, 1e-9)
+      }
+      (name, if (failed) -1.0 else times.min, spread, times)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    def r3(v: Double) = math.round(v * 1000).toDouble / 1000
     // failed queries (-1 sentinel) must not subtract from the total — a
     // broken query would otherwise make the run look FASTER
     val total = results.map(_._2).filter(_ >= 0).sum
     val spreads = results.map(_._3).filter(_ >= 0).sorted
     val p90 = if (spreads.isEmpty) 0.0 else spreads((spreads.size - 1) * 9 / 10)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs":3,"policy":"min-of-3","steady_spread_p90":$p90,"sf":"$sfDir"}""")
+
+    val regressions = results.flatMap { case (name, min, _, _) =>
+      prev.get(name).collect {
+        case p if p > 0 && min > 0 && (min / p >= RegressionRatio || p / min >= RegressionRatio) =>
+          (name, p, min)
+      }
+    }
+    val newQs = results.collect { case (n, m, _, _) if m >= 0 && !prev.contains(n) => n }
+
+    val fullJson = {
+      val qs = results.map { case (name, min, spread, times) =>
+        s""""$name":{"min":${r3(min)},"spread":${r3(spread)},"runs":[${times.map(r3).mkString(",")}]}"""
+      }.mkString("{", ",", "}")
+      val regs = regressions.map { case (n, p, c) =>
+        s"""{"query":"$n","prev_min":${r3(p)},"min":${r3(c)},"ratio":${r3(c / math.max(p, 1e-9))}}"""
+      }.mkString("[", ",", "]")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",
+         |"runs":3,"policy":"min-of-3","steady_spread_p90":${r3(p90)},
+         |"regression_ratio_gate":$RegressionRatio,
+         |"regressions_vs_prev":$regs,
+         |"new_queries":[${newQs.map("\"" + _ + "\"").mkString(",")}],
+         |"queries":$qs}""".stripMargin
+    }
+    // write-then-move so a crash mid-write can't leave a torn artifact
+    // that poisons the next run's regression diff
+    val tmp = Paths.get(outFile + ".tmp")
+    Files.writeString(tmp, fullJson)
+    Files.move(tmp, Paths.get(outFile), StandardCopyOption.REPLACE_EXISTING)
+
+    // one-line stdout contract (driver tail capture): ms precision keeps
+    // 88 queries inside the capture window; the full record is the file
+    val qsLine = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsLine,""" +
+      s""""runs":3,"policy":"min-of-3","steady_spread_p90":${r3(p90)},""" +
+      s""""full_artifact":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -59,6 +59,47 @@ object PmcDemo {
       .agg(expr("percentile(logprob, array(0.05, 0.5, 0.95))")).head().getSeq[Double](0)
     println(f"CURATE unigram logprob p5/p50/p95: ${lp(0)}%.2f / ${lp(1)}%.2f / ${lp(2)}%.2f " +
       f"(in ${(System.nanoTime() - t3) / 1e9}%.1f s)")
+
+    // SemDeDup on the REAL corpus (round-4 verdict item 9): per-chunk
+    // TF-IDF vectors → 256 k-means cells → within-cell cosine pruning,
+    // tau swept. Real scientific prose (shared boilerplate, reused
+    // method sections) gives the semantic tier organic near-dups the
+    // synthetic embeddings table (organic max cosine 0.47) cannot.
+    val t4 = System.nanoTime()
+    val uidW = org.apache.spark.sql.expressions.Window.orderBy("doc_id", "chunk_idx")
+    val vecs = index.select(col("doc_id"), col("chunk_idx"), col("embedding"))
+      .withColumn("uid", row_number().over(uidW).cast("long"))
+      .persist()
+    val seeds = vecs.filter(col("uid") <= 256)
+      .select(col("uid").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val cents = operators.Ann.kmeansRefine(vecs, "uid", "embedding", seeds,
+      dim = 1024, iters = 2).persist()
+    val nCells = cents.count()
+    Seq(0.7, 0.8, 0.9).foreach { tau =>
+      val out = operators.SemanticDedup.dedup(vecs, "uid", "embedding",
+        cents, "centroid_id", "centroid_vec", tau)
+      val nDrop = out.filter(!col("is_kept")).count()
+      println(f"SEMDEDUP tau=$tau%.1f cells=$nCells chunks=$nChunks dropped=$nDrop " +
+        f"(${100.0 * nDrop / nChunks}%.2f%%)")
+    }
+    // hand-checkable evidence: one dropped chunk and its dup_of partner
+    val sample = operators.SemanticDedup.dedup(vecs, "uid", "embedding",
+        cents, "centroid_id", "centroid_vec", tau = 0.9)
+      .filter(!col("is_kept")).orderBy("uid").limit(1)
+      .select(col("uid"), col("dup_of")).collect()
+    sample.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val byUid = vecs.select("uid", "doc_id", "chunk_idx").as[(Long, String, Int)]
+        .collect().map(x => x._1 -> ((x._2, x._3))).toMap
+      val Seq((da, ca), (db, cb)) = Seq(byUid(a), byUid(b))
+      def snippet(d: String, c: Int) = chunks
+        .filter(col("doc_id") === d && col("chunk_idx") === c)
+        .select("chunk_text").head().getString(0).take(160)
+      println(s"SEMDEDUP PAIR dropped=($da#$ca) dup_of=($db#$cb)")
+      println(s"SEMDEDUP PAIR A: ${snippet(da, ca)}")
+      println(s"SEMDEDUP PAIR B: ${snippet(db, cb)}")
+    }
+    println(f"SEMDEDUP done in ${(System.nanoTime() - t4) / 1e9}%.1f s")
     spark.stop()
   }
 }

@@ -791,6 +791,22 @@ object SparkEntry {
         .orderBy("chat_id")
     }),
 
+    // S-1 under the driver gate: token egress as the assembled-answer
+    // fold (ref app/main.py:616-647,717-727 — the WS loop emits answer
+    // tokens in seq order; the client concatenates them). Token rows
+    // derive from documents (one token per word, seq = position), then
+    // assembleTokens folds them back shuffle-order-proof. Oracle =
+    // seq-ordered string_agg over the same positional split.
+    "q_token_egress" -> ((s, dir) => {
+      val toks = wide(s, dir, "documents").select(
+        col("doc_id").as("answer_id"),
+        posexplode(tokens(lower(cleanText(col("text"))))).as(Seq("seq", "token")))
+      graft.streaming.StreamingOps.assembleTokens(toks, "answer_id", "seq", "token")
+        .select(col("answer_id"), col("answer"),
+          col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("answer_id")
+    }),
+
     // Decontamination: corpus docs sharing ≥ 5 distinct 3-grams with a
     // "benchmark" slice (docs < 10) — per-doc hit count + worst overlap.
     // (3-grams, not the production 8-gram default: the synthetic corpus
@@ -1914,6 +1930,20 @@ object SparkEntry {
           |       CAST(count(*) AS BIGINT) AS n_turns
           |FROM r WHERE rn <= 5
           |GROUP BY chat_id ORDER BY chat_id""".stripMargin,
+
+      // Token egress: lower(text) tokens with 1-based ordinality, folded
+      // back by seq — docs with zero tokens vanish on BOTH sides (Spark
+      // posexplode of an empty array emits no rows, as does unnest here).
+      "q_token_egress" ->
+        s"""WITH t AS (SELECT doc_id AS answer_id, $W AS w FROM documents),
+           |tok AS (
+           |  SELECT answer_id, r.i AS seq, w[r.i] AS token
+           |  FROM t, unnest(range(1, len(w) + 1)) AS r(i)
+           |)
+           |SELECT answer_id,
+           |       string_agg(token, ' ' ORDER BY seq) AS answer,
+           |       CAST(count(*) AS BIGINT) AS n_tokens
+           |FROM tok GROUP BY answer_id ORDER BY answer_id""".stripMargin,
 
       // Arrival order = doc_id order, every arrival admitted to state
       // (matchAll), so: dup iff ANY earlier same-block doc within

@@ -108,6 +108,30 @@ object StreamingOps {
       .select("query_id", "query", "answer")
   }
 
+  /** S-1 token egress, assembled form (ref app/main.py:616-647,717-727:
+    * the WS loop streams answer tokens in seq order and the client
+    * concatenates the deltas into the final message): fold token rows
+    * (answer_id, seq, token) into the assembled per-answer text.
+    * `array_sort(collect_list(struct(seq, token)))` makes the fold
+    * shuffle-order-proof — the same trick as context assembly
+    * ([[graft.operators.Retrieval]]) and chat memory — so the result is
+    * deterministic under any partitioning. One hash-aggregate, partial
+    * map-side combine; per-group memory is one answer's tokens (answers
+    * are KB-sized by contract, never corpus-sized). In streaming this
+    * runs inside foreachBatch, one micro-batch = one set of completed
+    * answers. */
+  def assembleTokens(tokens: DataFrame, answerIdCol: String, seqCol: String,
+                     tokenCol: String, sep: String = " "): DataFrame =
+    tokens
+      .groupBy(col(answerIdCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(seqCol).as("s"), col(tokenCol).as("t")))),
+            e => e.getField("t")),
+          sep).as("answer"),
+        count(lit(1)).as("n_tokens"))
+
   /** Wire answerBatch over a streaming query source via foreachBatch. */
   def askStream(queries: DataFrame, index: DataFrame, checkpointDir: String,
                 sink: DataFrame => Unit,

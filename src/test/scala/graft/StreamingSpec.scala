@@ -282,4 +282,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(bounded.n_turns == 2)
     assert(bounded.history == "Human: q4\nAI: a4\nHuman: q5\nAI: a5")
   }
+
+  test("token egress: scrambled arrival order assembles seq-ordered answers") {
+    import org.apache.spark.sql.functions._
+    // tokens deliberately NOT in seq order, spread over many partitions
+    // so collect_list sees them in arbitrary shuffle order
+    val toks = Seq(
+      (1L, 2L, "c"), (1L, 0L, "a"), (1L, 1L, "b"),
+      (2L, 1L, "world"), (2L, 0L, "hello"))
+      .toDF("answer_id", "seq", "token")
+      .repartition(8)
+    val out = graft.streaming.StreamingOps
+      .assembleTokens(toks, "answer_id", "seq", "token")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("a b c", 3L))
+    assert(out(2L) == ("hello world", 2L))
+  }
 }
