@@ -921,6 +921,47 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Temperature mixing: budget-40 α=0.5 allocation across sources,
+    // each source's quota filled by its lowest-md5-uniform docs (ties
+    // by id). Output = the SELECTED documents, so the oracle gates
+    // membership, not just per-source counts.
+    "q_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureMix(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source", budget = 40L, alpha = 0.5)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    }),
+
+    // Leakage-proof split: near-dup clusters (same MinHash-LSH pairs as
+    // q_dedup_clusters) split as UNITS — the md5-uniform is taken over
+    // the cluster id, so a val doc can never have a train near-dup.
+    "q_split_leakproof" -> ((s, dir) => {
+      val docs = wide(s, dir, "documents").select("doc_id", "text")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, bands = 4)
+      Sampling.leakproofSplit(docs.select("doc_id"), "doc_id", pairs,
+          valFraction = 0.2)
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Semantic decontamination: corpus vectors (base + planted exact
+    // copies of the bench slice, +10000 ids) flagged when cosine vs any
+    // bench vector ≥ 0.9 — organic max cosine in the synthetic table is
+    // 0.47, so exactly the bench originals and the planted copies flag.
+    "q_semantic_decontaminate" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      SemanticDedup.contamination(base.unionByName(planted),
+          base.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", tau = 0.9)
+        .select(col("vec_id"), col("n_bench_hits"),
+          stableRound(col("max_sim")).as("max_sim"), col("worst_bench_id"))
+        .orderBy("vec_id")
+    }),
+
     // Shard packing: greedy token-budget layout per source in doc_id
     // order (shard = floor(tokens-before / budget)).
     "q_pack_shards" -> ((s, dir) => {
@@ -2140,6 +2181,94 @@ object SparkEntry {
            |                      ELSE 0.0 END
            |GROUP BY source ORDER BY source""".stripMargin
       },
+
+      // Targets: floor((budget · √n_i) / Σ√n_j) with the total folded
+      // over the SORTED weight list (portable float order, the
+      // q_entropy trick); quota filled by (md5-uniform, doc_id) rank.
+      "q_temperature_mix" -> {
+        def h(i: Int) = dHexVal(s"substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)")
+        s"""WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+           |w AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS w FROM n),
+           |tot AS (SELECT list_sum(list_sort(list(w))) AS t FROM w),
+           |tgt AS (SELECT source, CAST(floor((40.0 * w) / t) AS BIGINT) AS target
+           |        FROM w, tot),
+           |u AS (
+           |  SELECT doc_id, source,
+           |         (((${h(1)} * 16 + ${h(2)}) * 16 + ${h(3)}) * 16 + ${h(4)}) / 65536.0 AS u
+           |  FROM documents
+           |),
+           |r AS (
+           |  SELECT doc_id, source,
+           |         row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rk
+           |  FROM u
+           |)
+           |SELECT r.doc_id, r.source
+           |FROM r JOIN tgt ON r.source = tgt.source
+           |WHERE r.rk <= tgt.target
+           |ORDER BY r.source, r.doc_id""".stripMargin
+      },
+
+      // Same connected components as q_dedup_clusters, then the split
+      // is the md5-uniform of the CLUSTER id — cluster members land
+      // together by construction.
+      "q_split_leakproof" -> {
+        val sigCols = (0 until 8)
+          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS sig_$k")
+          .mkString(", ")
+        val bandRows = (0 until 4)
+          .map(b => s"SELECT doc_id, $b AS band_id, md5(sig_${2 * b} || '#' || sig_${2 * b + 1}) AS bucket FROM sigs")
+          .mkString("\n  UNION ALL ")
+        def h(i: Int) = dHexVal(s"substr(md5(CAST(cluster_id AS VARCHAR)), $i, 1)")
+        s"""WITH RECURSIVE t AS (SELECT doc_id, ${dShingleSet(W, 3)} AS sh FROM documents),
+           |sigs AS (SELECT doc_id, $sigCols FROM t WHERE len(sh) > 0),
+           |bands AS (
+           |  $bandRows
+           |),
+           |pr AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket
+           |  WHERE a.doc_id < b.doc_id
+           |),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM pr
+           |      UNION SELECT id_b, id_a FROM pr),
+           |reach AS (
+           |  SELECT src, dst FROM e
+           |  UNION
+           |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+           |),
+           |cl AS (SELECT src AS doc_id, min(dst) AS mr FROM reach GROUP BY src),
+           |x AS (
+           |  SELECT d.doc_id,
+           |         least(d.doc_id, coalesce(cl.mr, d.doc_id)) AS cluster_id
+           |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+           |)
+           |SELECT doc_id, cluster_id,
+           |       CASE WHEN (((${h(1)} * 16 + ${h(2)}) * 16 + ${h(3)}) * 16 + ${h(4)}) / 65536.0 < 0.2
+           |            THEN 'val' ELSE 'train' END AS split
+           |FROM x ORDER BY doc_id""".stripMargin
+      },
+
+      // Flagged = sim ≥ 0.9 vs any bench vector; worst_bench_id = the
+      // max-sim bench item, ties to the lowest id (matches max_by's
+      // (sim, −bid) key).
+      "q_semantic_decontaminate" ->
+        s"""WITH c AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5
+           |), b AS (
+           |  SELECT vec_id AS bid, embedding AS bv FROM embeddings WHERE vec_id < 5
+           |), s AS (
+           |  SELECT c.vec_id, b.bid, ${dCosine("c.embedding", "b.bv")} AS sim
+           |  FROM c, b
+           |), f AS (SELECT * FROM s WHERE sim >= 0.9)
+           |SELECT vec_id, n_bench_hits, max_sim, worst_bench_id FROM (
+           |  SELECT vec_id, bid AS worst_bench_id,
+           |         CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_bench_hits,
+           |         round(max(sim) OVER (PARTITION BY vec_id) + 1.2345e-9, 6) AS max_sim,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bid) AS rn
+           |  FROM f)
+           |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
       "q_pack_shards" ->
         s"""WITH t AS (SELECT doc_id, source, len($W) AS n_tokens FROM documents),

@@ -42,6 +42,76 @@ object Sampling {
     df.filter(uniformByHash(col(idCol)) < rateCol)
   }
 
+  /** Leakage-proof train/validation split: assign each document to a
+    * split by the md5-uniform of its DEDUP CLUSTER id, not its own id,
+    * so every member of a near-dup cluster lands in the SAME split.
+    * Splitting by doc id leaks: a val doc's near-duplicate sits in
+    * train and the val loss stops measuring generalization — the
+    * split-level counterpart of benchmark decontamination. `pairs` are
+    * candidate near-dup edges (MinHash/SimHash/Jaccard — already
+    * LSH-confined); docs in no pair are their own singleton cluster.
+    * Appends (cluster_id, split) to `docs`.
+    *
+    * Scale: [[Dedup.clusters]] over the edge list (shuffles (id, label)
+    * longs only), one left join on the doc id, then a map-only hash
+    * predicate — the split decision itself never shuffles. */
+  def leakproofSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                     valFraction: Double,
+                     idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    require(valFraction >= 0.0 && valFraction <= 1.0,
+      s"valFraction=$valFraction out of [0, 1]")
+    val cl = Dedup.clusters(pairs, idA, idB).withColumnRenamed("id", "_cid")
+    docs.join(cl, docs(idCol) === cl("_cid"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), docs(idCol)))
+      .drop("_cid")
+      .withColumn("split",
+        when(uniformByHash(col("cluster_id")) < lit(valFraction), lit("val"))
+          .otherwise(lit("train")))
+  }
+
+  /** Temperature-scaled corpus mixing (the multilingual-pretraining
+    * α-sampling rule): stratum i contributes
+    * floor(budget · n_i^α / Σ_j n_j^α) documents — α < 1 upweights
+    * small strata, α = 1 is proportional allocation. Within a stratum
+    * the quota goes to the lowest docs by md5-uniform (ties by id):
+    * deterministic, engine-portable, and PREFIX-MONOTONE — growing the
+    * budget only adds documents, never swaps one (SamplingSpec pins
+    * both properties).
+    *
+    * Float portability: the weight total is a sorted-list fold (the
+    * q_entropy trick) so both engines add the same doubles in the same
+    * order, and α = 0.5 uses `sqrt` (IEEE exactly-rounded, unlike
+    * `pow`) — targets land on identical doubles before `floor`.
+    *
+    * Scale: the target table is |strata| rows (broadcast); ranking is
+    * one row_number window per stratum. For corpus-sized strata use
+    * [[stratifiedHashSample]] with rate_i = target_i / n_i — the
+    * map-only expected-count form of the same mixture. */
+  def temperatureMix(df: DataFrame, idCol: String, stratumCol: String,
+                     budget: Long, alpha: Double = 0.5): DataFrame = {
+    require(budget >= 0, s"budget=$budget must be non-negative")
+    require(alpha > 0.0, s"alpha=$alpha must be positive")
+    val n = col("_n").cast("double")
+    val weighted = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_w", if (alpha == 0.5) sqrt(n) else pow(n, lit(alpha)))
+    // strata are few by contract: the all-rows window is |strata| rows
+    val all = Window.partitionBy()
+    val targets = weighted
+      .withColumn("_tot",
+        aggregate(array_sort(collect_list(col("_w")).over(all)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("_target",
+        floor(lit(budget.toDouble) * col("_w") / col("_tot")).cast("long"))
+      .select(col(stratumCol), col("_target"))
+    val rk = Window.partitionBy(col(stratumCol))
+      .orderBy(uniformByHash(col(idCol)), col(idCol))
+    df.withColumn("_rk", row_number().over(rk))
+      .join(broadcast(targets), Seq(stratumCol))
+      .filter(col("_rk") <= col("_target"))
+      .drop("_rk")
+  }
+
   /** Pack rows into training shards of ~`budgetTokens` tokens within a
     * stratum, in deterministic `idCol` order: a row joins shard
     * floor(tokens-before-it / budget), so each shard spans rows until

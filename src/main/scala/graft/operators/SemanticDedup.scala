@@ -59,4 +59,39 @@ object SemanticDedup {
       .select(col("_id").as(idCol), col("cell_id"),
         col("dup_of").isNull.as("is_kept"), col("dup_of"))
   }
+
+  /** Embedding-space benchmark decontamination — the semantic
+    * complement of [[Dedup.contamination]]: n-gram overlap misses
+    * paraphrased or lightly-rewritten eval items; cosine against the
+    * benchmark's embeddings catches them. Flags every corpus vector
+    * whose cosine vs ANY benchmark vector is ≥ tau, returning
+    * (idCol, n_bench_hits, max_sim, worst_bench_id) for flagged rows —
+    * worst_bench_id is the highest-similarity benchmark item (ties to
+    * the lowest id), i.e. the item to cite when quarantining the doc.
+    *
+    * Scale shape: benchmark suites are tiny next to a 100 TB corpus,
+    * so the bench side BROADCASTS and the corpus side is one map-only
+    * pass (broadcast nested-loop fan-out, |bench| cosines per doc)
+    * into a partial-aggregable per-doc reduction — the only shuffle
+    * carries (id, hits, max) for FLAGGED docs, a contamination-rate
+    * fraction of the corpus. Pre-filter the bench side with LSH/IVF
+    * cells to cut the per-doc fan-out when |bench| grows. */
+  def contamination(corpus: DataFrame, bench: DataFrame,
+                    idCol: String, vecCol: String,
+                    benchIdCol: String, benchVecCol: String,
+                    tau: Double): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("_cv"))
+    val b = bench.select(col(benchIdCol).as("_bid"), col(benchVecCol).as("_bv"))
+    c.crossJoin(broadcast(b))
+      .withColumn("_sim", cosine(col("_cv"), col("_bv")))
+      .filter(col("_sim") >= tau)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        max(col("_sim")).as("max_sim"),
+        // argmax with ties to the LOWEST bench id — max_by is partial-
+        // aggregable (each map task reduces before the shuffle), unlike
+        // a row_number window over all scored pairs
+        max_by(col("_bid"), struct(col("_sim").as("s"), (-col("_bid")).as("t")))
+          .as("worst_bench_id"))
+  }
 }

@@ -36,6 +36,54 @@ class SamplingSpec extends AnyFunSuite {
     assert(!out.contains("s2"))            // unlisted stratum dropped
   }
 
+  test("leakproof split: near-dup cluster members land in the same split") {
+    // clusters {1,2,3} and {10,11}; 20, 21 singletons
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.leakproofSplit(docs, "doc_id", pairs, valFraction = 0.5)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 7, "no input doc may vanish")
+    // whole clusters move together
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(out(1L)._1 == 1L)
+    assert(Set(out(10L), out(11L)).size == 1)
+    assert(out(10L)._1 == 10L)
+    // singletons are their own cluster and split by their own id —
+    // identical decision to a plain hash split
+    assert(out(20L)._1 == 20L && out(21L)._1 == 21L)
+    val u20 = docs.filter(col("doc_id") === 20L)
+      .select(Sampling.uniformByHash(col("doc_id"))).head().getDouble(0)
+    assert(out(20L)._2 == (if (u20 < 0.5) "val" else "train"))
+  }
+
+  test("temperature mix: sqrt allocation, exact quotas, prefix-monotone") {
+    // strata of 100 / 400 / 900 docs: sqrt weights 10/20/30 → budget 60
+    // splits 10/20/30 exactly
+    val df = spark.range(0, 1400).toDF("id")
+      .withColumn("s",
+        when(col("id") < 100, "small")
+          .when(col("id") < 500, "mid")
+          .otherwise("big"))
+    val kept = Sampling.temperatureMix(df, "id", "s", budget = 60L)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("small" -> 10L, "mid" -> 20L, "big" -> 30L), s"got $kept")
+    // α = 1 is proportional: 100/1400, 400/1400, 900/1400 of 140
+    val prop = Sampling.temperatureMix(df, "id", "s", budget = 140L, alpha = 1.0)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(prop == Map("small" -> 10L, "mid" -> 40L, "big" -> 90L), s"got $prop")
+    // prefix-monotone: a bigger budget only ADDS docs, never swaps one
+    def ids(b: Long) = Sampling.temperatureMix(df, "id", "s", budget = b)
+      .select("id").as[Long].collect().toSet
+    val (small, large) = (ids(60L), ids(120L))
+    assert(small.subsetOf(large), "growing the budget must only add documents")
+    // a stratum's quota never exceeds its size
+    val tiny = Sampling.temperatureMix(df.filter(col("s") =!= "big"), "id", "s",
+      budget = 5000L).groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(tiny("small") <= 100L && tiny("mid") <= 400L)
+  }
+
   test("packSequences: spans tile sequences exactly and cover every doc") {
     val rng = new scala.util.Random(11)
     val docs = (0 until 500)

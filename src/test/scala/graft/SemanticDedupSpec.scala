@@ -69,6 +69,30 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(out(3L) == (false, Some(2L)), "c must be dropped with dup_of = the dropped b")
   }
 
+  test("semantic contamination: paraphrase-close vectors flag, distant stay clean") {
+    // bench = two orthogonal axes; corpus: an exact copy (sim 1), a
+    // near-paraphrase of bench 0 (sim ≈ 0.9995 — would share no n-grams),
+    // and a distant vector (sim ≈ 0.707 < tau)
+    val bench = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("bid", "bvec")
+    val corpus = Seq(
+      (100L, Seq(1.0, 0.0)),      // verbatim leak of bench 0
+      (101L, Seq(0.999, 0.032)),  // paraphrase-close to bench 0
+      (102L, Seq(0.707, 0.707))   // equidistant, below tau
+    ).toDF("id", "vec")
+    val out = SemanticDedup.contamination(corpus, bench, "id", "vec",
+        "bid", "bvec", tau = 0.95)
+      .select("id", "n_bench_hits", "worst_bench_id")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(100L -> ((1L, 0L)), 101L -> ((1L, 0L))), s"got $out")
+
+    // tie in sim breaks to the LOWEST bench id (the max_by (sim, -bid) key)
+    val tied = SemanticDedup.contamination(
+        Seq((200L, Seq(0.707106781186547, 0.707106781186547))).toDF("id", "vec"),
+        bench, "id", "vec", "bid", "bvec", tau = 0.5)
+      .select("n_bench_hits", "worst_bench_id").as[(Long, Long)].head()
+    assert(tied == (2L, 0L))
+  }
+
   test("plan: equi-join on cell_id, no cartesian; assignment map-only") {
     val plan = SemanticDedup.dedup(vecs, "id", "vec", cents, "cid", "cvec", tau = 0.9)
       .queryExecution.executedPlan.toString
