@@ -822,6 +822,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Incremental NEAR-dup: odd-id docs arrive as the daily batch and
+    // probe the even-id corpus's persisted LSH band index — near-dup
+    // pairs straddle the split organically (same sigs as
+    // q_minhash_pairs).
+    "q_minhash_increment" -> ((s, dir) => {
+      val docs = wide(s, dir, "documents").select("doc_id", "text")
+      val corpusBands = Dedup.lshBands(
+          Dedup.withMinhashSignature(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", shingleN = 3, numHashes = 8),
+          "doc_id", numHashes = 8, bands = 4)
+        .select(col("band_id"), col("bucket"), col("doc_id").as("id"))
+      Dedup.minhashIncrement(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", corpusBands,
+          shingleN = 3, numHashes = 8, bands = 4)
+        .orderBy("doc_id")
+    }),
+
     // Dedup canonicalization: MinHash candidate pairs → connected
     // components (min-label propagation) → one canonical doc per
     // cluster. Docs with no candidate pair are their own cluster.
@@ -2206,6 +2223,45 @@ object SparkEntry {
            |FROM r JOIN tgt ON r.source = tgt.source
            |WHERE r.rk <= tgt.target
            |ORDER BY r.source, r.doc_id""".stripMargin
+      },
+
+      // Corpus probe = band-bucket equi-join (even ids); within-batch =
+      // lower-odd-id bucket collision; docs with no shingles stay `new`.
+      "q_minhash_increment" -> {
+        val sigCols = (0 until 8)
+          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS sig_$k")
+          .mkString(", ")
+        val bandRows = (0 until 4)
+          .map(b => s"SELECT doc_id, $b AS band_id, md5(sig_${2 * b} || '#' || sig_${2 * b + 1}) AS bucket FROM sigs")
+          .mkString("\n  UNION ALL ")
+        s"""WITH t AS (SELECT doc_id, ${dShingleSet(W, 3)} AS sh FROM documents),
+           |sigs AS (SELECT doc_id, $sigCols FROM t WHERE len(sh) > 0),
+           |bands AS (
+           |  $bandRows
+           |),
+           |cb AS (SELECT band_id, bucket, doc_id FROM bands WHERE doc_id % 2 = 0),
+           |bb AS (SELECT band_id, bucket, doc_id FROM bands WHERE doc_id % 2 = 1),
+           |ch AS (
+           |  SELECT b.doc_id, min(c.doc_id) AS corpus_of
+           |  FROM bb b JOIN cb c ON b.band_id = c.band_id AND b.bucket = c.bucket
+           |  GROUP BY b.doc_id
+           |),
+           |bh AS (
+           |  SELECT b.doc_id, min(a.doc_id) AS batch_of
+           |  FROM bb b JOIN bb a ON a.band_id = b.band_id AND a.bucket = b.bucket
+           |                     AND a.doc_id < b.doc_id
+           |  GROUP BY b.doc_id
+           |)
+           |SELECT d.doc_id,
+           |       CASE WHEN ch.corpus_of IS NOT NULL THEN 'dup_corpus'
+           |            WHEN bh.batch_of IS NOT NULL THEN 'dup_batch'
+           |            ELSE 'new' END AS status,
+           |       coalesce(ch.corpus_of, bh.batch_of) AS dup_of
+           |FROM documents d
+           |LEFT JOIN ch ON d.doc_id = ch.doc_id
+           |LEFT JOIN bh ON d.doc_id = bh.doc_id
+           |WHERE d.doc_id % 2 = 1
+           |ORDER BY d.doc_id""".stripMargin
       },
 
       // Same connected components as q_dedup_clusters, then the split

@@ -301,6 +301,56 @@ object Dedup {
           .otherwise("new").as("status"))
   }
 
+  /** Incremental NEAR-dup dedup — the daily-crawl production shape of
+    * [[minhashCandidates]], mirroring [[exactIncrement]] one tier up:
+    * dedup a NEW batch against the accumulated corpus using only its
+    * persisted LSH BAND INDEX (band_id, bucket, id — what [[lshBands]]
+    * emits and an index sink persists), never corpus text. Status per
+    * batch doc:
+    *  - `dup_corpus`: some band collides with a corpus bucket (corpus
+    *    wins regardless of ids); `dup_of` = lowest colliding corpus id;
+    *  - `dup_batch`: no corpus collision, but a LOWER-id batch doc
+    *    shares a band bucket (that doc may itself be `dup_corpus` —
+    *    the pointer is the collision partner, not a canonical);
+    *  - `new`: no collision — the rows whose bands the caller appends
+    *    to the index. Docs with no shingles (blank text) cannot
+    *    near-dup and report `new` with null bands; input rows never
+    *    vanish from the audit output.
+    *
+    * Scale shape: batch signatures are one explode + hash-agg
+    * ([[withMinhashSignature]]); the corpus probe is an equi-join on
+    * (band_id, bucket) against the band index — 32-byte md5 buckets
+    * + ids cross the wire, never text, and the index side prunes to
+    * its (band_id, bucket, id) columns at the parquet scan. The
+    * within-batch pass is the LSH-confined self-join. */
+  def minhashIncrement(newDocs: DataFrame, idCol: String, textCol: String,
+                       existingBands: DataFrame,
+                       shingleN: Int = 3, numHashes: Int = 8,
+                       bands: Int = 4): DataFrame = {
+    val sigs = withMinhashSignature(newDocs, idCol, textCol, shingleN, numHashes)
+    val b = graft.Materialize(lshBands(sigs, idCol, numHashes, bands))
+    val corpusHit = b
+      .join(existingBands.select(col("band_id"), col("bucket"), col("id").as("_cid")),
+        Seq("band_id", "bucket"))
+      .groupBy(col(idCol))
+      .agg(min(col("_cid")).as("_corpus_of"))
+    val l = b.select(col("band_id"), col("bucket"), col(idCol).as("_ida"))
+    val r = b.select(col("band_id"), col("bucket"), col(idCol).as("_idb"))
+    val batchHit = l.join(r, Seq("band_id", "bucket"))
+      .filter(col("_ida") < col("_idb"))
+      .groupBy(col("_idb"))
+      .agg(min(col("_ida")).as("_batch_of"))
+      .withColumnRenamed("_idb", idCol)
+    newDocs.select(col(idCol))
+      .join(corpusHit, Seq(idCol), "left")
+      .join(batchHit, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_corpus_of").isNotNull, "dup_corpus")
+          .when(col("_batch_of").isNotNull, "dup_batch")
+          .otherwise("new").as("status"),
+        coalesce(col("_corpus_of"), col("_batch_of")).as("dup_of"))
+  }
+
   /** Exact-substring duplication profile (the suffix-array-dedup signal
     * of "Deduplicating Training Data Makes Language Models Better",
     * Lee et al. 2022, approximated at word-n-gram granularity): for each

@@ -131,6 +131,39 @@ class DedupSpec extends AnyFunSuite {
     assert(rerun.values.forall(_ == "dup_corpus"), s"rerun: $rerun")
   }
 
+  test("incremental near-dup: corpus band index wins, then lower batch id, then new") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark execution engines here"))
+      .toDF("doc_id", "text")
+    val corpusBands = Dedup.lshBands(
+      Dedup.withMinhashSignature(corpus, "doc_id", "text", 3, 8), "doc_id", 8, 8)
+      .select(col("band_id"), col("bucket"), col("doc_id").as("id"))
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again"), // dup_corpus of 0
+      (13L, "a wholly novel passage with fresh unrepeated vocabulary choices"), // new
+      (15L, "a wholly novel passage with fresh unrepeated vocabulary choices"), // dup_batch of 13
+      (17L, "   "))                                            // no shingles → new, never dropped
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashIncrement(batch, "doc_id", "text", corpusBands,
+        shingleN = 3, numHashes = 8, bands = 8)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(11L -> "dup_corpus", 13L -> "new",
+      15L -> "dup_batch", 17L -> "new"), s"got $got")
+    // appending the new docs' bands and re-running flags them dup_corpus
+    val newIds = got.filter(_._2 == "new").keySet.toSeq
+    val grown = corpusBands.unionByName(
+      Dedup.lshBands(
+        Dedup.withMinhashSignature(batch.filter(col("doc_id").isin(newIds: _*)),
+          "doc_id", "text", 3, 8), "doc_id", 8, 8)
+        .select(col("band_id"), col("bucket"), col("doc_id").as("id")))
+    val rerun = Dedup.minhashIncrement(batch, "doc_id", "text", grown,
+        shingleN = 3, numHashes = 8, bands = 8)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(rerun(13L) == "dup_corpus" && rerun(15L) == "dup_corpus")
+    assert(rerun(17L) == "new", "blank docs never enter the band index")
+  }
+
   test("incremental dedup: null-text rows are never dropped from the audit") {
     val corpus = Seq((0L, "seen before")).toDF("doc_id", "text")
     val existing = Dedup.exact(corpus, "doc_id", "text").select("fingerprint")
