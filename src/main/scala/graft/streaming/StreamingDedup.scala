@@ -268,4 +268,59 @@ object StreamingDedup {
       .select("fingerprint")
       .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
   }
+
+  /** The NEAR-dup incremental loop — [[incrementalDedupStream]] one
+    * tier up, wrapping [[graft.operators.Dedup.minhashIncrement]]:
+    * each micro-batch probes the accumulated LSH BAND index, writes
+    * its verdicts, and appends the `new` docs' band rows so the next
+    * micro-batch sees them. Same exactly-once machinery: batch-keyed
+    * partition overwrites, probe excludes the current batch's own
+    * partition, Hadoop FileSystem probe (HDFS/S3-safe). */
+  def incrementalNearDupStream(docs: DataFrame, idCol: String, textCol: String,
+                               bandDir: String, outDir: String, checkpoint: String,
+                               shingleN: Int = 3, numHashes: Int = 8,
+                               bands: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processNearDupIncrement(batch, batchId, idCol, textCol, bandDir, outDir,
+          shingleN, numHashes, bands)
+      }
+      .start()
+
+  /** One micro-batch of [[incrementalNearDupStream]] — testable replay
+    * contract, as with [[processIncrement]]. */
+  private[graft] def processNearDupIncrement(batch: DataFrame, batchId: Long,
+                                             idCol: String, textCol: String,
+                                             bandDir: String, outDir: String,
+                                             shingleN: Int, numHashes: Int,
+                                             bands: Int): Unit = {
+    val spark = batch.sparkSession
+    val bandPath = new org.apache.hadoop.fs.Path(bandDir)
+    val fs = bandPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing: DataFrame =
+      if (fs.exists(bandPath))
+        spark.read.parquet(bandDir)
+          .filter(col("batch_id") < batchId)
+          .select("band_id", "bucket", "id")
+      else spark.emptyDataFrame
+        .select(lit(0).as("band_id"), lit("").as("bucket"), lit(0L).as("id"))
+        .limit(0)
+    val verdicts = graft.operators.Dedup
+      .minhashIncrement(batch, idCol, textCol, existing, shingleN, numHashes, bands)
+    verdicts.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    // band rows for the COMMITTED `new` docs only (read-back, as above);
+    // blank docs have no shingles, so they contribute no bands and are
+    // correctly re-reported `new` if they ever reappear
+    val newIds = spark.read.parquet(s"$outDir/batch_id=$batchId")
+      .filter(col("status") === "new")
+      .select(col(idCol))
+    val newBands = graft.operators.Dedup.lshBands(
+        graft.operators.Dedup.withMinhashSignature(
+          batch.join(newIds, Seq(idCol), "left_semi"),
+          idCol, textCol, shingleN, numHashes),
+        idCol, numHashes, bands)
+      .select(col("band_id"), col("bucket"), col(idCol).as("id"))
+    newBands.write.mode("overwrite").parquet(s"$bandDir/batch_id=$batchId")
+  }
 }

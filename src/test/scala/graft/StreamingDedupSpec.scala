@@ -203,6 +203,51 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(idx.length == 3 && idx.toSet.size == 3, s"index: ${idx.toSeq}")
   }
 
+  test("near-dup incremental loop: micro-batches probe the grown band index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_nearloop").toFile.getAbsolutePath
+    def doc(i: Int) = (0 until 24).map(j => s"w${i}_$j").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.incrementalNearDupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$root/bands", s"$root/out", s"$root/ckpt",
+      shingleN = 3, numHashes = 8, bands = 8)
+    // batch 0: two distinct docs + an in-batch NEAR duplicate of the first
+    input.addData((1L, doc(1)), (2L, doc(2)),
+      (3L, doc(1).replaceFirst("\\w+$", "edited")))
+    q.processAllAvailable()
+    // batch 1: a near-edit of batch-0 content → dup_corpus via the
+    // grown band index; plus a genuinely new doc
+    input.addData((4L, doc(1).replaceFirst("^\\w+", "prefixed")), (5L, doc(5)))
+    q.processAllAvailable()
+    // batch 2: repeat of batch-1's new doc → dup_corpus
+    input.addData((6L, doc(5)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$root/out")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "new", 2L -> "new", 3L -> "dup_batch",
+      4L -> "dup_corpus", 5L -> "new",
+      6L -> "dup_corpus"), s"got $got")
+    // the band index holds bands ONLY for the three `new` docs
+    val idx = spark.read.parquet(s"$root/bands").select("id").as[Long].collect()
+    assert(idx.toSet == Set(1L, 2L, 5L), s"band ids: ${idx.toSet}")
+
+    // replay idempotency, same contract as the exact loop
+    val before = spark.read.parquet(s"$root/out")
+      .select("doc_id", "status", "batch_id")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val b2 = Seq((6L, doc(5))).toDF("doc_id", "text")
+    StreamingDedup.processNearDupIncrement(b2, 2L, "doc_id", "text",
+      s"$root/bands", s"$root/out", 3, 8, 8)
+    val after = spark.read.parquet(s"$root/out")
+      .select("doc_id", "status", "batch_id")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(after == before, "replaying batch 2 changed the verdict sink")
+  }
+
   test("incremental-dedup loop: checkpoint replay of a batch is idempotent") {
     val root = Files.createTempDirectory("graft_increplay").toFile.getAbsolutePath
     val (index, out) = (s"$root/index", s"$root/out")
