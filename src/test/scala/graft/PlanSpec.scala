@@ -196,4 +196,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side should broadcast:\n$p")
   }
+
+  test("temperature mix broadcasts the |strata|-row target table") {
+    val p = plan(SparkEntry.queries("q_temperature_mix")(spark, sf))
+    // the corpus joins the tiny quota table by broadcast; a sort-merge
+    // here would shuffle the corpus once more for a handful of rows
+    assert(p.contains("BroadcastHashJoin"), s"target join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ for a tiny table:\n$p")
+  }
+
+  test("semantic decontamination broadcasts the bench side") {
+    val p = plan(SparkEntry.queries("q_semantic_decontaminate")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bench side should broadcast into a map-only fan-out:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a shuffled cartesian would move the corpus:\n$p")
+  }
 }

@@ -107,4 +107,22 @@ class ShuffleAuditSpec extends AnyFunSuite {
     assert(s.recordsRead < nDocs * 40,
       s"records ${s.recordsRead} suggests shingles were shuffled (docs=$nDocs)")
   }
+
+  test("incremental near-dup probe shuffles buckets + ids, never corpus text") {
+    // a corpus 50× the batch: if the probe shuffled anything
+    // corpus-sized (text, signatures for re-banding), the budget blows
+    val corpus = docs
+    val batch = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 5000).as("doc_id"), col("text"))
+    val bandIndex = Dedup.lshBands(
+        Dedup.withMinhashSignature(corpus, "doc_id", "text"), "doc_id", 8, 4)
+      .select(col("band_id"), col("bucket"), col("doc_id").as("id"))
+    val s = ShuffleAudit.of(
+      Dedup.minhashIncrement(batch, "doc_id", "text", bandIndex))
+    assert(s.writeBytes > 0)
+    // the full flow (batch sigs + corpus band join + verdict joins) must
+    // stay under the corpus text volume — buckets are 32-byte md5 hex
+    assert(s.writeBytes < corpusTextBytes,
+      s"near-dup increment shuffled ${s.writeBytes} vs corpus $corpusTextBytes")
+  }
 }
