@@ -1532,6 +1532,37 @@ object SparkEntry {
           stableRound(col("_raw")).as("sim"))
         .orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))
         .limit(5)
+    }),
+
+    // Okapi BM25 top-10 for the flagship query — the lexical retrieval
+    // leg (idf·tf saturation·length norm; Lucene idf variant).
+    "q_bm25" -> ((s, dir) => {
+      Retrieval.bm25(wide(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", RagQueryText)
+        .select(col("doc_id"), stableRound(col("score")).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(10)
+    }),
+
+    // Hybrid retrieval: RRF fusion of the BM25 top-20 with the
+    // doc-embedding cosine top-20 (both legs cut on ROUNDED scores so
+    // the cut and the ranks are engine-portable).
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = wide(s, dir, "documents").select("doc_id", "text")
+      val legA = Retrieval.bm25(docs, "doc_id", "text", RagQueryText)
+        .select(col("doc_id"), stableRound(col("score")).as("score"))
+        .orderBy(desc("score"), col("doc_id")).limit(20)
+      val qv = Embed.embedQuery(s, RagQueryText)
+      val legB = docs
+        .withColumn("_raw", Embed.embedText(col("text")))
+        .withColumn("_n", l2NormalizeWith(col("_raw"), l2Norm(col("_raw"))))
+        .select(col("doc_id"), stableRound(cosine(col("_n"), lit(qv))).as("score"))
+        .orderBy(desc("score"), col("doc_id")).limit(20)
+      Retrieval.rrfFuse(legA, legB, "doc_id")
+        .select(col("doc_id"), col("rank_a"), col("rank_b"),
+          stableRound(col("rrf_score")).as("rrf_score"))
+        .orderBy(desc("rrf_score"), col("doc_id"))
+        .limit(10)
     }))
 
   private val RagQueryText = "fast table scan merge join"
@@ -1656,6 +1687,41 @@ object SparkEntry {
     s"(CASE WHEN len($words) = 0 THEN CAST([] AS VARCHAR[]) " +
       s"ELSE list_distinct(list_transform(range(1, greatest(len($words) - ${n - 1}, 1) + 1), " +
       s"i -> array_to_string(list_slice($words, i, i + ${n - 1}), ' '))) END)"
+
+  /** DuckDB: the BM25 CTE block over `documents` for [[RagQueryText]],
+    * ending at bm(doc_id, score). `tail` is either the final SELECT or
+    * further CTEs (comma added automatically). Mirrors
+    * [[Retrieval.bm25]]'s association order exactly: exact-long (N,
+    * Σdl), one-division avgdl, term-ordered per-doc sum; the folded
+    * constants ((k1+1), (1−b)) print as shortest-round-trip doubles, so
+    * both engines parse the identical values. */
+  private def dBm25Query(tail: String, k1: Double = 1.2, b: Double = 0.75): String = {
+    val terms = RagQueryText.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val sep = if (tail.trim.toUpperCase.startsWith("SELECT")) "\n" else ",\n"
+    s"""WITH t AS (SELECT doc_id, ${dTokens("lower(text)")} AS w FROM documents),
+       |dl AS (SELECT doc_id, len(w) AS dl FROM t),
+       |st AS (SELECT count(*) AS N, sum(dl) AS sumdl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, tok AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+       |  WHERE tok IN ($inList)
+       |  GROUP BY doc_id, tok
+       |),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         ln(1.0 + (st.N - dfq.df + 0.5) / (dfq.df + 0.5)) *
+       |         (tf.tf * ${k1 + 1.0}) /
+       |         (tf.tf + $k1 * (${1.0 - b} + $b * dl.dl / (CAST(st.sumdl AS DOUBLE) / st.N))) AS s
+       |  FROM tf
+       |  JOIN dfq ON tf.term = dfq.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id, st
+       |),
+       |bm AS (SELECT doc_id, list_sum(list(s ORDER BY term)) AS score FROM sc GROUP BY doc_id)""".stripMargin +
+      sep + tail
+  }
 
   private def dStopHits(words: String, list: Seq[String]) =
     s"len(list_filter($words, w -> list_contains([${list.map(w => s"'$w'").mkString(", ")}], w)))"
@@ -2716,6 +2782,53 @@ object SparkEntry {
           |    AND trim(CAST(c_custkey AS VARCHAR)) <> ''
           |    AND trim(CASE WHEN c_custkey % 20 = 0 THEN ' ' ELSE c_name END) <> '')
           |ORDER BY o_orderkey""".stripMargin,
+
+      // BM25 with exact-integer corpus stats (N, Σdl as longs; avgdl one
+      // division) and the per-doc term sum folded in term order — the
+      // constants fold identically ((k1+1)=2.2, (1−b)=0.25 land on the
+      // same doubles as the literals), so scores hash-match.
+      "q_bm25" -> dBm25Query(
+        s"""SELECT doc_id, round(score + 1.2345e-9, 6) AS score
+           |FROM bm ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+
+      "q_hybrid_rrf" -> {
+        val embedVec =
+          s"""list_transform(range(0, ${Schemas.EmbeddingDim}), j ->
+             |        coalesce(list_sum(list_transform(pr, e -> CASE WHEN e.b = j THEN e.s ELSE 0.0 END)), 0.0))""".stripMargin
+        dBm25Query(
+          s"""bm20 AS (
+             |  SELECT doc_id, round(score + 1.2345e-9, 6) AS score
+             |  FROM bm ORDER BY score DESC, doc_id LIMIT 20
+             |),
+             |dp AS (SELECT doc_id, list_transform(w, x ->
+             |         struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
+             |                     s := ${dMd5Sign("x")})) AS pr FROM t),
+             |dv AS (SELECT doc_id, $embedVec AS vec FROM dp),
+             |dn AS (SELECT doc_id,
+             |         list_transform(vec, x -> x / (sqrt(list_sum(list_transform(vec, y -> y * y))) + 1e-9)) AS nv
+             |       FROM dv),
+             |qt AS (SELECT ${dTokens(s"lower('$RagQueryText')")} AS toks),
+             |qp AS (SELECT list_transform(toks, x ->
+             |         struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
+             |                     s := ${dMd5Sign("x")})) AS pr FROM qt),
+             |qv AS (SELECT $embedVec AS vec FROM qp),
+             |qn AS (SELECT list_transform(vec, x -> x / (sqrt(list_sum(list_transform(vec, y -> y * y))) + 1e-9)) AS nv
+             |       FROM qv),
+             |cs AS (SELECT dn.doc_id, round(${dCosine("dn.nv", "q.nv")} + 1.2345e-9, 6) AS score
+             |       FROM dn, qn q),
+             |cb20 AS (SELECT doc_id, score FROM cs ORDER BY score DESC, doc_id LIMIT 20),
+             |ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a FROM bm20),
+             |rb AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_b FROM cb20),
+             |f AS (
+             |  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+             |         CAST(ra.rank_a AS BIGINT) AS rank_a,
+             |         CAST(rb.rank_b AS BIGINT) AS rank_b,
+             |         coalesce(1.0 / (60 + ra.rank_a), 0) + coalesce(1.0 / (60 + rb.rank_b), 0) AS rrf
+             |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+             |)
+             |SELECT doc_id, rank_a, rank_b, round(rrf + 1.2345e-9, 6) AS rrf_score
+             |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin)
+      },
 
       "q_rag_topk" -> {
         val embedVec =

@@ -53,6 +53,73 @@ object Retrieval {
         lit("\n\nAnswer:")))
   }
 
+  /** Okapi BM25 document scoring for a query string — the LEXICAL leg
+    * of hybrid retrieval (the reference is vector-only; real RAG stacks
+    * pair BM25 with cosine and fuse). Lucene's idf variant:
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)), and
+    * score(q, d) = Σ_t idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    * Returns (idCol, score) for docs matching ≥ 1 query term.
+    *
+    * Scale shape: doc lengths are a map-only `size(tokens(...))`; the
+    * token explode is FILTERED to the query's terms before its
+    * hash-agg, so the tf table — and every downstream join — is
+    * (matched doc × query term)-sized, never vocabulary-sized. df and
+    * the (N, Σdl) corpus stats are tiny broadcasts. Float portability:
+    * N and Σdl aggregate as exact LONGS (avgdl derives as one
+    * division), and the per-doc term sum folds a SORTED term list —
+    * the q_entropy discipline — so addition order is engine-stable. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, queryText: String,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.functions.TextFunctions.{cleanText, tokens}
+    val terms = queryText.toLowerCase.trim.replace('\n', ' ')
+      .split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "query has no terms")
+    val toked = docs.select(col(idCol),
+      tokens(lower(cleanText(col(textCol)))).as("_toks"))
+    val dl = toked.select(col(idCol), size(col("_toks")).cast("long").as("_dl"))
+    val stats = dl.agg(count(lit(1)).as("_N"), sum(col("_dl")).as("_sumdl"))
+    val tf = toked
+      .select(col(idCol), explode(col("_toks")).as("_t"))
+      .filter(col("_t").isin(terms: _*))
+      .groupBy(col(idCol), col("_t"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfT = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    tf
+      .join(broadcast(dfT), "_t")
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("_avgdl", col("_sumdl").cast("double") / col("_N"))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_N") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))))
+      .withColumn("_s",
+        col("_idf") * (col("_tf") * lit(k1 + 1.0)) /
+          (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("_t").as("t"), col("_s").as("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked legs (the standard hybrid
+    * combiner, Cormack et al. 2009): rrf(d) = Σ_leg 1/(kRrf + rank_leg),
+    * missing legs contribute 0. Inputs are (id, score) frames ALREADY
+    * cut to their top-N (rank windows are single-partition; fusing
+    * bounded head-lists is how RRF is deployed — never rank a corpus).
+    * Ranks break score ties by id. Returns
+    * (idCol, rank_a, rank_b, rrf_score); rank_x is null when absent. */
+  def rrfFuse(legA: DataFrame, legB: DataFrame, idCol: String,
+              scoreCol: String = "score", kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame, as: String) = df.select(col(idCol),
+      row_number().over(Window.orderBy(desc(scoreCol), col(idCol)))
+        .cast("long").as(as))
+    ranked(legA, "rank_a")
+      .join(ranked(legB, "rank_b"), Seq(idCol), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(kRrf) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_b")), lit(0.0)))
+  }
+
   /** The flagship pipeline (§3.1 / §7.2): documents → clean → chunk →
     * embed → normalize → cosine vs embedded query → top-k → context →
     * prompt. One job; shuffles only at top-k merge and the context

@@ -68,4 +68,40 @@ class RetrievalSpec extends AnyFunSuite {
     assert(p.contains("Conversation so far:\nHuman: hi\nAI: hello"))
     assert(p.indexOf("Conversation so far") < p.indexOf("User Query"))
   }
+
+  test("bm25: tf saturation, rare-term idf, length norm behave as Okapi") {
+    val docs = Seq(
+      (1L, "spark spark spark spark filler filler filler filler"), // tf-heavy on 'spark'
+      (2L, "spark join"),                                          // short: length norm boosts
+      (3L, "join of the tables in the warehouse by the planner"),  // one rare-ish term
+      (4L, "nothing relevant here at all"))                        // no query terms
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, "doc_id", "text", "spark join")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(4L), "docs matching no term are absent")
+    // doc 2 matches BOTH terms and is short → top score
+    assert(out(2L) > out(1L) && out(2L) > out(3L), s"got $out")
+    // tf saturation: 4× 'spark' in a longer doc beats a single 'join'
+    // mention in a longer doc, but not by 4×
+    assert(out(1L) > 0 && out(1L) < out(2L))
+    // determinism under repartitioning (sorted-fold per-doc sum)
+    val again = Retrieval.bm25(docs.repartition(7), "doc_id", "text", "spark join")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == out)
+  }
+
+  test("rrfFuse: both-leg docs outrank single-leg; missing legs are null") {
+    val a = Seq((10L, 5.0), (11L, 4.0), (12L, 3.0)).toDF("id", "score")
+    val b = Seq((11L, 0.9), (13L, 0.8)).toDF("id", "score")
+    val out = Retrieval.rrfFuse(a, b, "id")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L))
+    assert(out(11L)._1.contains(2L) && out(11L)._2.contains(1L))
+    assert(out(10L)._2.isEmpty && out(13L)._1.isEmpty)
+    // 11 appears in both legs → highest fused score
+    assert(out.maxBy(_._2._3)._1 == 11L)
+    assert(math.abs(out(11L)._3 - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+  }
 }
