@@ -42,6 +42,24 @@ object PmcDemo {
     val (res2, _) = operators.AskPipeline.ask(spark, index, cache1, query, queryVec = Some(qv))
     println(f"ASK2 fromCache=${res2.fromCache} in ${(System.nanoTime() - t2) / 1e9}%.1f s")
 
+    // Hybrid retrieval on the real corpus: BM25 chunk leg ⊕ the TF-IDF
+    // cosine leg, RRF-fused — exact-term grounding for the same README
+    // query, at ask-pipeline latency.
+    val tH = System.nanoTime()
+    val ck = index.withColumn("_ck", concat(col("doc_id"), lit("#"), col("chunk_idx")))
+    val legCos = ck.select(col("_ck"),
+        graft.functions.VectorFunctions.cosine(col("embedding"), lit(qv)).as("score"))
+      .orderBy(desc("score"), col("_ck")).limit(50)
+    val legLex = operators.Retrieval.bm25(ck, "_ck", "chunk_text", query)
+      .orderBy(desc("score"), col("_ck")).limit(50)
+    val fused = operators.Retrieval.rrfFuse(legLex, legCos, "_ck")
+      .orderBy(desc("rrf_score"), col("_ck")).limit(5)
+      .select("_ck", "rank_a", "rank_b", "rrf_score").collect()
+    println(f"HYBRID top-5 in ${(System.nanoTime() - tH) / 1e9}%.1f s " +
+      "(ck, bm25_rank, cos_rank, rrf):")
+    fused.foreach(r => println(s"HYBRID   ${r.get(0)} ${r.get(1)} ${r.get(2)} " +
+      f"${r.getDouble(3)}%.5f"))
+
     // Curation signals on the REAL corpus — a sanity datapoint that the
     // training-data operators produce sensible numbers on actual
     // scientific prose, not just the synthetic tables.

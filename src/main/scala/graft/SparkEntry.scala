@@ -1696,16 +1696,23 @@ object SparkEntry {
     * constants ((k1+1), (1−b)) print as shortest-round-trip doubles, so
     * both engines parse the identical values. */
   private def dBm25Query(tail: String, k1: Double = 1.2, b: Double = 0.75): String = {
+    // alnum-normalized terms, mirroring Retrieval.bm25 / alnumTokens
     val terms = RagQueryText.toLowerCase.trim.split("\\s+")
-      .filter(_.nonEmpty).distinct
+      .map(_.replaceAll("[^a-z0-9]", "")).filter(_.nonEmpty).distinct
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val sep = if (tail.trim.toUpperCase.startsWith("SELECT")) "\n" else ",\n"
     s"""WITH t AS (SELECT doc_id, ${dTokens("lower(text)")} AS w FROM documents),
-       |dl AS (SELECT doc_id, len(w) AS dl FROM t),
+       |ta AS (
+       |  SELECT doc_id,
+       |         list_filter(list_transform(w, x -> regexp_replace(x, '[^a-z0-9]', '', 'g')),
+       |                     x -> len(x) > 0) AS w
+       |  FROM t
+       |),
+       |dl AS (SELECT doc_id, len(w) AS dl FROM ta),
        |st AS (SELECT count(*) AS N, sum(dl) AS sumdl FROM dl),
        |tf AS (
        |  SELECT doc_id, tok AS term, count(*) AS tf
-       |  FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+       |  FROM (SELECT doc_id, unnest(w) AS tok FROM ta)
        |  WHERE tok IN ($inList)
        |  GROUP BY doc_id, tok
        |),

@@ -23,6 +23,14 @@ object TextFunctions {
     when(length(t) === 0, array().cast("array<string>")).otherwise(split(t, "\\s+"))
   }
 
+  /** Lowercased tokens stripped to [a-z0-9], empties dropped — the
+    * punctuation-robust token stream for lexical matching (a trailing
+    * '?' must not make "ghrelin?" a different term than "ghrelin").
+    * Shared by TF-IDF embedding and BM25. */
+  def alnumTokens(text: Column): Column =
+    filter(transform(tokens(lower(text)), t => regexp_replace(t, "[^a-z0-9]", "")),
+      t => length(t) > 0)
+
   /** Value of a single lowercase-hex character as an int (0-15). The
     * DuckDB oracle mirrors this with strpos('0123456789abcdef', c) - 1. */
   def hexCharVal(c: Column): Column = conv(c, 16, 10).cast("int")

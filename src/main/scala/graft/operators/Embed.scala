@@ -117,8 +117,7 @@ object Embed {
   /** Alphanumeric-only token stream for the TF-IDF variant (strips the
     * punctuation that dominates hash collisions on real corpora). */
   private def alnumTokens(text: Column): Column =
-    filter(transform(tokens(lower(text)), t => regexp_replace(t, "[^a-z0-9]", "")),
-      t => length(t) > 0)
+    graft.functions.TextFunctions.alnumTokens(text)
 
   /** TF-IDF-weighted hashed embedding over a corpus: bucket contributions
     * are tf × ln(1 + N/df) instead of raw ±1 counts, which stops

@@ -70,12 +70,15 @@ object Retrieval {
     * the q_entropy discipline — so addition order is engine-stable. */
   def bm25(docs: DataFrame, idCol: String, textCol: String, queryText: String,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import graft.functions.TextFunctions.{cleanText, tokens}
+    import graft.functions.TextFunctions.alnumTokens
+    // alnum-normalized terms on BOTH sides: "Ghrelin?" and "ghrelin"
+    // must be the same lexical term, or punctuation silently zeroes
+    // the lexical leg (doc lengths count the same normalized stream)
     val terms = queryText.toLowerCase.trim.replace('\n', ' ')
-      .split("\\s+").filter(_.nonEmpty).distinct.toSeq
+      .split("\\s+").map(_.replaceAll("[^a-z0-9]", ""))
+      .filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "query has no terms")
-    val toked = docs.select(col(idCol),
-      tokens(lower(cleanText(col(textCol)))).as("_toks"))
+    val toked = docs.select(col(idCol), alnumTokens(col(textCol)).as("_toks"))
     val dl = toked.select(col(idCol), size(col("_toks")).cast("long").as("_dl"))
     val stats = dl.agg(count(lit(1)).as("_N"), sum(col("_dl")).as("_sumdl"))
     val tf = toked
@@ -134,6 +137,45 @@ object Retrieval {
       tieBreak = Seq("doc_id", "chunk_idx"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))))
+    val ctx = renderContext(assembleContext(hits, "doc_id", "rank", "chunk_text"), "doc_id")
+    val oneCtx = ctx
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("best_rank").as("r"), col("context_block").as("b")))),
+          s => s.getField("b")),
+        "\n\n").as("context"))
+      .withColumn("query", lit(query))
+    buildPrompt(oneCtx, "query", "context")
+  }
+
+  /** Hybrid variant of [[ask]]: the cosine leg AND a chunk-level [[bm25]]
+    * leg, cut to `legN` each and [[rrfFuse]]d; the fused top-k feeds the
+    * same context/prompt assembly. Exact-term queries (identifiers,
+    * rare entities) that a bag-of-words embedding blurs keep their
+    * lexical signal; paraphrases the lexical leg misses keep the
+    * embedding's. Adds one query-term-sized aggregate + a bounded
+    * rank-fusion join on top of [[ask]]'s plan — the corpus-sized work
+    * (chunk, embed, score) is unchanged. */
+  def askHybrid(spark: SparkSession, documents: DataFrame, query: String,
+                topK: Int = graft.Schemas.DefaultTopK, chunkSize: Int = 64,
+                dim: Int = graft.Schemas.EmbeddingDim, legN: Int = 50): DataFrame = {
+    val chunks = Ingest.chunk(documents.filter(Ingest.nonBlank(col("text"))), "text", chunkSize)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+      .withColumn("_ck", concat(col("doc_id"), lit("#"), col("chunk_idx")))
+    val embedded = graft.Materialize(
+      Embed.withEmbedding(chunks, "chunk_text", "embedding", dim))
+    val qVec = Embed.embedQuery(spark, query, dim)
+    val legCos = embedded
+      .select(col("_ck"),
+        graft.functions.VectorFunctions.cosine(col("embedding"), lit(qVec)).as("score"))
+      .orderBy(desc("score"), col("_ck")).limit(legN)
+    val legLex = bm25(embedded, "_ck", "chunk_text", query)
+      .orderBy(desc("score"), col("_ck")).limit(legN)
+    val fused = rrfFuse(legLex, legCos, "_ck")
+      .orderBy(desc("rrf_score"), col("_ck")).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("rrf_score"), col("_ck"))))
+    val hits = fused.join(embedded.select("_ck", "doc_id", "chunk_text"), "_ck")
     val ctx = renderContext(assembleContext(hits, "doc_id", "rank", "chunk_text"), "doc_id")
     val oneCtx = ctx
       .agg(array_join(

@@ -90,6 +90,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("bm25: punctuation-robust matching (Ghrelin? matches ghrelin,)") {
+    val docs = Seq(
+      (1L, "Ghrelin, a peptide hormone; ghrelin regulates appetite."),
+      (2L, "entirely unrelated content about query planners"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, "doc_id", "text", "What is Ghrelin?")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.contains(1L), "trailing '?' must not block the term match")
+    assert(!out.contains(2L))
+  }
+
+  test("askHybrid end-to-end: lexical leg pulls exact-term docs into context") {
+    val docs = Seq(
+      (1L, "the planner chooses a broadcast hash join for small tables"),
+      (2L, "vectors are normalized before the cosine scoring step runs"),
+      (3L, "ERRCODE_7731 is raised when the shuffle file is missing"))
+      .toDF("doc_id", "text")
+    // an identifier-style query: exact-term match should surface doc 3
+    val row = Retrieval.askHybrid(spark, docs, "ERRCODE_7731 shuffle", topK = 2,
+      chunkSize = 8).collect()
+    assert(row.length == 1)
+    val prompt = row(0).getAs[String]("prompt")
+    assert(prompt.contains("ERRCODE_7731 is raised"),
+      s"hybrid context must contain the exact-term doc:\n$prompt")
+    assert(prompt.contains("Answer:"))
+  }
+
   test("rrfFuse: both-leg docs outrank single-leg; missing legs are null") {
     val a = Seq((10L, 5.0), (11L, 4.0), (12L, 3.0)).toDF("id", "score")
     val b = Seq((11L, 0.9), (13L, 0.8)).toDF("id", "score")
