@@ -1534,6 +1534,22 @@ object SparkEntry {
         .limit(5)
     }),
 
+    // Retrieve → rerank: BM25 top-20 candidates rescored by the batched
+    // RerankClient (mapPartitions, per-partition setup — the real
+    // cross-encoder plumbing; the deterministic md5 stand-in scorer is
+    // what makes the path oracle-gatable).
+    "q_rerank" -> ((s, dir) => {
+      val docs = wide(s, dir, "documents").select("doc_id", "text")
+      val cands = Retrieval.bm25(docs, "doc_id", "text", RagQueryText)
+        .select(col("doc_id"), stableRound(col("score")).as("score"))
+        .orderBy(desc("score"), col("doc_id")).limit(20)
+        .join(docs, "doc_id")
+      Retrieval.rerank(cands, RagQueryText, "text")
+        .select(col("doc_id"), col("score"), col("rerank_score"))
+        .orderBy(desc("rerank_score"), col("doc_id"))
+        .limit(5)
+    }),
+
     // Okapi BM25 top-10 for the flagship query — the lexical retrieval
     // leg (idf·tf saturation·length norm; Lucene idf variant).
     "q_bm25" -> ((s, dir) => {
@@ -2797,6 +2813,22 @@ object SparkEntry {
       "q_bm25" -> dBm25Query(
         s"""SELECT doc_id, round(score + 1.2345e-9, 6) AS score
            |FROM bm ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+
+      // Rerank stand-in = first-4-hex md5("query|text")/65536 — the
+      // engine's md5-uniform arithmetic over the raw text.
+      "q_rerank" -> {
+        def h(i: Int) =
+          dHexVal(s"substr(md5('$RagQueryText|' || d.text), $i, 1)")
+        dBm25Query(
+          s"""bm20 AS (
+             |  SELECT doc_id, round(score + 1.2345e-9, 6) AS score
+             |  FROM bm ORDER BY score DESC, doc_id LIMIT 20
+             |)
+             |SELECT b.doc_id, b.score,
+             |       (((${h(1)} * 16 + ${h(2)}) * 16 + ${h(3)}) * 16 + ${h(4)}) / 65536.0 AS rerank_score
+             |FROM bm20 b JOIN documents d ON b.doc_id = d.doc_id
+             |ORDER BY rerank_score DESC, b.doc_id LIMIT 5""".stripMargin)
+      },
 
       "q_hybrid_rrf" -> {
         val embedVec =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Context assembly + prompt build + the end-to-end ask pipeline
@@ -146,6 +146,62 @@ object Retrieval {
         "\n\n").as("context"))
       .withColumn("query", lit(query))
     buildPrompt(oneCtx, "query", "context")
+  }
+
+  /** Pluggable reranker client — the cross-encoder slot of a
+    * retrieve → rerank RAG stack. Scores batches of (query, text)
+    * pairs with per-partition setup amortized over batches (the same
+    * external-service shape as [[Embed.EmbedClient]], ref
+    * app/main.py:36,148-169 batching). The default is the
+    * deterministic md5 stand-in — the multimodal-codec honesty
+    * discipline: the PLUMBING (mapPartitions, batch shape, schema) is
+    * real and driver-gated; the model call is the replaceable part. */
+  trait RerankClient extends Serializable {
+    def scoreBatch(pairs: Seq[(String, String)]): Seq[Double]
+  }
+
+  /** Deterministic stand-in scorer: value of the first 4 md5 hex chars
+    * of "query|text" / 65536 — bitwise equal to [[rerankScore]]
+    * (RetrievalSpec pins the parity), which is what lets the
+    * mapPartitions path sit under the SQL oracle. */
+  class HashRerankClient extends RerankClient {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    def scoreBatch(pairs: Seq[(String, String)]): Seq[Double] = pairs.map {
+      case (q, t) =>
+        val hex = md.digest((q + "|" + t).getBytes("UTF-8"))
+          .take(2).map(b => f"$b%02x").mkString
+        java.lang.Integer.parseInt(hex, 16) / 65536.0
+    }
+  }
+
+  /** Column form of the stand-in scorer (shares the engine's
+    * md5-uniform expression — oracle-portable by construction). */
+  def rerankScore(query: Column, text: Column): Column =
+    Sampling.uniformByHash(concat(query, lit("|"), text))
+
+  /** Rerank a bounded candidate set: append `rerank_score` from the
+    * client, leaving ordering/cutting to the caller. Candidates are
+    * top-N head-lists by contract (a cross-encoder scores tens of
+    * pairs per query, never a corpus) — the stage is map-only with
+    * per-partition client setup, so at scale it parallelizes over
+    * however many (query × candidate) rows the retriever emitted. */
+  def rerank(candidates: DataFrame, queryText: String, textCol: String,
+             clientFactory: () => RerankClient = () => new HashRerankClient,
+             batchSize: Int = 32): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val schema = candidates.schema.add("rerank_score",
+      org.apache.spark.sql.types.DoubleType, nullable = false)
+    val textIdx = candidates.schema.fieldIndex(textCol)
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    candidates.mapPartitions { rows =>
+      val client = clientFactory() // per-partition setup, amortized
+      rows.grouped(batchSize).flatMap { batch =>
+        val scores = client.scoreBatch(
+          batch.map(r => (queryText, r.getString(textIdx))))
+        batch.lazyZip(scores).map((row, s) =>
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ s))
+      }
+    }
   }
 
   /** Hybrid variant of [[ask]]: the cosine leg AND a chunk-level [[bm25]]

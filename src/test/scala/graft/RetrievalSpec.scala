@@ -117,6 +117,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(prompt.contains("Answer:"))
   }
 
+  test("rerank: batched client ≡ column expression, any batch size / partitioning") {
+    import org.apache.spark.sql.functions._
+    val docs = (0 until 57).map(i => (i.toLong, s"candidate text number $i with words"))
+      .toDF("doc_id", "text").repartition(5)
+    val q = "what is relevant?"
+    val viaClient = Retrieval.rerank(docs, q, "text", batchSize = 8)
+      .select("doc_id", "rerank_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaExpr = docs.select(col("doc_id"),
+        Retrieval.rerankScore(lit(q), col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaClient == viaExpr, "mapPartitions scorer must be bitwise-equal to the expression")
+    assert(viaClient.values.forall(s => s >= 0.0 && s < 1.0))
+    // a batch size larger than any partition still scores every row
+    val big = Retrieval.rerank(docs, q, "text", batchSize = 1000).count()
+    assert(big == 57)
+  }
+
   test("rrfFuse: both-leg docs outrank single-leg; missing legs are null") {
     val a = Seq((10L, 5.0), (11L, 4.0), (12L, 3.0)).toDF("id", "score")
     val b = Seq((11L, 0.9), (13L, 0.8)).toDF("id", "score")
