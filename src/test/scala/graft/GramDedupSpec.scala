@@ -64,6 +64,21 @@ class GramDedupSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("packed order key guards position width; struct path has no limit") {
+    // a doc longer than 2^20 words: some gram's first position exceeds
+    // the packed key's 20-bit position field
+    val words = (0 until (1 << 20) + 8).map(i => s"w$i").mkString(" ")
+    val longDoc = Seq((1L, words)).toDF("doc_id", "text")
+    intercept[Exception] {
+      Dedup.duplicatedGramProfile(longDoc, "doc_id", "text", n = 2).collect()
+    }
+    // string ids take the struct key — same doc profiles fine
+    val viaStr = Dedup.duplicatedGramProfile(
+        Seq(("doc1", words)).toDF("doc_id", "text"), "doc_id", "text", n = 2)
+      .collect()
+    assert(viaStr.length == 1 && viaStr(0).getLong(1) == (1 << 20) + 7)
+  }
+
   test("gram-hash width is parameterizable; wider hash, same profile") {
     val docs = Seq(
       (0L, "a b c a b c d"),
