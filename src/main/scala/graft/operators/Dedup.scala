@@ -322,16 +322,33 @@ object Dedup {
     * (band_id, bucket) against the band index — 32-byte md5 buckets
     * + ids cross the wire, never text, and the index side prunes to
     * its (band_id, bucket, id) columns at the parquet scan. The
-    * within-batch pass is the LSH-confined self-join. */
+    * within-batch pass is the LSH-confined self-join.
+    *
+    * Parameter drift: buckets only collide when the index was built
+    * with the SAME (shingleN, numHashes, bands) — a mismatched index
+    * would silently report everything `new`. The probe therefore
+    * raises at execution if any index band_id falls outside
+    * [0, bands) (catches `bands`/`numHashes` drift, which changes the
+    * band count); shingleN drift is invisible in the index schema, so
+    * persist the parameter tuple alongside the index and validate it
+    * before calling — [[graft.streaming.StreamingDedup]]'s incremental
+    * loop does exactly that via its `_params` sidecar. */
   def minhashIncrement(newDocs: DataFrame, idCol: String, textCol: String,
                        existingBands: DataFrame,
                        shingleN: Int = 3, numHashes: Int = 8,
                        bands: Int = 4): DataFrame = {
     val sigs = withMinhashSignature(newDocs, idCol, textCol, shingleN, numHashes)
     val b = graft.Materialize(lshBands(sigs, idCol, numHashes, bands))
+    val guardedIdx = existingBands.select(
+      when(col("band_id") >= 0 && col("band_id") < bands, col("band_id"))
+        .otherwise(raise_error(concat(
+          lit("minhashIncrement: index band_id "), col("band_id").cast("string"),
+          lit(s" outside [0, $bands) — the band index was built with different " +
+            "(numHashes, bands) parameters than this probe"))).cast("integer"))
+        .as("band_id"),
+      col("bucket"), col("id").as("_cid"))
     val corpusHit = b
-      .join(existingBands.select(col("band_id"), col("bucket"), col("id").as("_cid")),
-        Seq("band_id", "bucket"))
+      .join(guardedIdx, Seq("band_id", "bucket"))
       .groupBy(col(idCol))
       .agg(min(col("_cid")).as("_corpus_of"))
     val l = b.select(col("band_id"), col("bucket"), col(idCol).as("_ida"))

@@ -298,6 +298,20 @@ object StreamingDedup {
     val spark = batch.sparkSession
     val bandPath = new org.apache.hadoop.fs.Path(bandDir)
     val fs = bandPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // `_params` sidecar (underscore prefix → invisible to parquet scans
+    // of bandDir): an index built with different (shingleN, numHashes,
+    // bands) produces buckets that NEVER collide with this probe's, so
+    // a drifted prober would silently mark everything `new` — fail
+    // loudly instead of corrupting the audit
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$bandDir/_params")
+    if (fs.exists(paramsPath)) {
+      val p = spark.read.parquet(paramsPath.toString)
+        .select("shingle_n", "num_hashes", "bands").head()
+      require(p.getInt(0) == shingleN && p.getInt(1) == numHashes && p.getInt(2) == bands,
+        s"incrementalNearDupStream: band index at $bandDir was built with " +
+          s"(shingleN=${p.getInt(0)}, numHashes=${p.getInt(1)}, bands=${p.getInt(2)}); " +
+          s"this probe uses (shingleN=$shingleN, numHashes=$numHashes, bands=$bands)")
+    }
     val existing: DataFrame =
       if (fs.exists(bandPath))
         spark.read.parquet(bandDir)
@@ -322,5 +336,13 @@ object StreamingDedup {
         idCol, numHashes, bands)
       .select(col("band_id"), col("bucket"), col(idCol).as("id"))
     newBands.write.mode("overwrite").parquet(s"$bandDir/batch_id=$batchId")
+    // persist the parameter tuple once the index exists (idempotent on
+    // replay: same call → same params, validated above)
+    if (!fs.exists(paramsPath)) {
+      import spark.implicits._
+      Seq((shingleN, numHashes, bands))
+        .toDF("shingle_n", "num_hashes", "bands")
+        .coalesce(1).write.mode("overwrite").parquet(paramsPath.toString)
+    }
   }
 }

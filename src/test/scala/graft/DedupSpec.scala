@@ -164,6 +164,26 @@ class DedupSpec extends AnyFunSuite {
     assert(rerun(17L) == "new", "blank docs never enter the band index")
   }
 
+  test("incremental near-dup: an index with out-of-range band ids is rejected at run time") {
+    // an index built with MORE bands than this probe uses (band_id 0..7
+    // vs bands=4) can never collide — silent all-`new` corruption; the
+    // probe's range guard must raise instead
+    val corpus = Seq((0L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val wideIdx = Dedup.lshBands(
+      Dedup.withMinhashSignature(corpus, "doc_id", "text", 3, 8), "doc_id", 8, 8)
+      .select(col("band_id"), col("bucket"), col("doc_id").as("id"))
+    val batch = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.minhashIncrement(batch, "doc_id", "text", wideIdx,
+        shingleN = 3, numHashes = 8, bands = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("different")), s"got: ${messages(e)}")
+  }
+
   test("incremental dedup: null-text rows are never dropped from the audit") {
     val corpus = Seq((0L, "seen before")).toDF("doc_id", "text")
     val existing = Dedup.exact(corpus, "doc_id", "text").select("fingerprint")

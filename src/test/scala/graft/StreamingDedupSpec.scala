@@ -248,6 +248,80 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(after == before, "replaying batch 2 changed the verdict sink")
   }
 
+  test("near-dup loop: crash BETWEEN the verdict and band writes, restart → sinks ≡ clean run") {
+    def doc(i: Int) = (0 until 24).map(j => s"w${i}_$j").mkString(" ")
+    val b0 = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
+    val b1 = Seq((3L, doc(1).replaceFirst("\\w+$", "edited")), (4L, doc(4)))
+      .toDF("doc_id", "text")
+    def sinks(root: String) = (
+      spark.read.parquet(s"$root/out").select("doc_id", "status", "batch_id")
+        .collect().map(_.toString).sorted.toSeq,
+      spark.read.parquet(s"$root/bands").select("band_id", "bucket", "id", "batch_id")
+        .collect().map(_.toString).sorted.toSeq)
+
+    // reference: both batches complete without interruption
+    val clean = Files.createTempDirectory("graft_ndclean").toFile.getAbsolutePath
+    StreamingDedup.processNearDupIncrement(b0, 0L, "doc_id", "text",
+      s"$clean/bands", s"$clean/out", 3, 8, 8)
+    StreamingDedup.processNearDupIncrement(b1, 1L, "doc_id", "text",
+      s"$clean/bands", s"$clean/out", 3, 8, 8)
+
+    // crashed run: batch 0 completes; batch 1's first attempt dies AFTER
+    // the verdict write and BEFORE the band write — reproduce that torn
+    // on-disk state literally (out/batch_id=1 present, bands/batch_id=1
+    // absent), exactly what the op's first write leaves behind
+    val crash = Files.createTempDirectory("graft_ndcrash").toFile.getAbsolutePath
+    StreamingDedup.processNearDupIncrement(b0, 0L, "doc_id", "text",
+      s"$crash/bands", s"$crash/out", 3, 8, 8)
+    val priorIdx = spark.read.parquet(s"$crash/bands")
+      .filter(col("batch_id") < 1L).select("band_id", "bucket", "id")
+    Dedup.minhashIncrement(b1, "doc_id", "text", priorIdx, 3, 8, 8)
+      .write.mode("overwrite").parquet(s"$crash/out/batch_id=1")
+    assert(!new java.io.File(s"$crash/bands/batch_id=1").exists,
+      "precondition: the crash left no band partition for batch 1")
+
+    // restart: the checkpoint re-delivers batch 1 from scratch
+    StreamingDedup.processNearDupIncrement(b1, 1L, "doc_id", "text",
+      s"$crash/bands", s"$crash/out", 3, 8, 8)
+    assert(sinks(crash) == sinks(clean),
+      "restart after a mid-batch crash must converge to the clean run")
+    // and the near-dup verdict itself is right: doc 3 is an edit of doc 1
+    val statuses = spark.read.parquet(s"$crash/out")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(statuses == Map(1L -> "new", 2L -> "new",
+      3L -> "dup_corpus", 4L -> "new"), s"got $statuses")
+
+    // second crash point: batch 0 dies between the band write and the
+    // _params write (index exists, sidecar missing) — replay must also
+    // converge and leave the sidecar in place
+    val crash2 = Files.createTempDirectory("graft_ndcrash2").toFile.getAbsolutePath
+    StreamingDedup.processNearDupIncrement(b0, 0L, "doc_id", "text",
+      s"$crash2/bands", s"$crash2/out", 3, 8, 8)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$crash2/bands/_params"))
+    StreamingDedup.processNearDupIncrement(b0, 0L, "doc_id", "text",
+      s"$crash2/bands", s"$crash2/out", 3, 8, 8)
+    assert(new java.io.File(s"$crash2/bands/_params").exists)
+    val s0 = spark.read.parquet(s"$crash2/out").select("doc_id", "status")
+      .as[(Long, String)].collect().toMap
+    assert(s0 == Map(1L -> "new", 2L -> "new"))
+  }
+
+  test("near-dup loop: parameter drift against a persisted index fails loudly") {
+    def doc(i: Int) = (0 until 24).map(j => s"w${i}_$j").mkString(" ")
+    val root = Files.createTempDirectory("graft_nddrift").toFile.getAbsolutePath
+    val b0 = Seq((1L, doc(1))).toDF("doc_id", "text")
+    StreamingDedup.processNearDupIncrement(b0, 0L, "doc_id", "text",
+      s"$root/bands", s"$root/out", 3, 8, 8)
+    // same dirs, different banding → the _params sidecar must refuse
+    val b1 = Seq((2L, doc(2))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.processNearDupIncrement(b1, 1L, "doc_id", "text",
+        s"$root/bands", s"$root/out", 3, 8, bands = 4)
+    }
+    assert(e.getMessage.contains("built with"), e.getMessage)
+  }
+
   test("incremental-dedup loop: checkpoint replay of a batch is idempotent") {
     val root = Files.createTempDirectory("graft_increplay").toFile.getAbsolutePath
     val (index, out) = (s"$root/index", s"$root/out")
