@@ -60,6 +60,54 @@ object PmcDemo {
     fused.foreach(r => println(s"HYBRID   ${r.get(0)} ${r.get(1)} ${r.get(2)} " +
       f"${r.getDouble(3)}%.5f"))
 
+    // The composed retrieve → fuse → RERANK → context stage on the real
+    // corpus (the askHybrid(reranker = ...) shape): fused top-10 rescored
+    // by the batched client, top-5 kept. Scorer is the md5 stand-in —
+    // the PLUMBING (per-partition client, batching, bounded candidates)
+    // is what this line demonstrates; a cross-encoder drops into the slot.
+    val fused10 = operators.Retrieval.rrfFuse(legLex, legCos, "_ck")
+      .orderBy(desc("rrf_score"), col("_ck")).limit(10)
+      .join(ck.select("_ck", "chunk_text"), "_ck")
+    val reranked = operators.Retrieval.rerank(fused10, query, "chunk_text")
+      .orderBy(desc("rerank_score"), col("_ck")).limit(5)
+      .select("_ck", "rrf_score", "rerank_score").collect()
+    println(f"HYBRID RERANK top-5 in ${(System.nanoTime() - tH) / 1e9}%.1f s total " +
+      "(ck, rrf, rerank_score — md5 stand-in scorer):")
+    reranked.foreach(r => println(f"RERANK   ${r.get(0)} ${r.getDouble(1)}%.5f " +
+      f"${r.getDouble(2)}%.5f"))
+
+    // Retrieval-quality datapoint (round-5 verdict item 7): top-5 chunk
+    // overlap between the legs and their fusions, for the README query
+    // plus exact-term queries a lexical leg should ground. rerank∩rrf
+    // uses the md5 stand-in, so it measures how much the stage REORDERS
+    // the fused head — not answer quality (no model in this sandbox).
+    val tQ = System.nanoTime()
+    val qset = Seq(query, "Ghrelin receptor GHS-R1a", "leptin adipose tissue",
+      "growth hormone secretagogue", "insulin glucose metabolism")
+    println("QUALITY query | bm25-cos | rrf-bm25 | rrf-cos | rerank-rrf (top-5 overlaps)")
+    qset.foreach { q =>
+      val qv2 = operators.Embed.embedQueryTfIdf(spark, q, dfreq, nDocs2, dim = 1024)
+      val lC = ck.select(col("_ck"),
+          graft.functions.VectorFunctions.cosine(col("embedding"), lit(qv2)).as("score"))
+        .orderBy(desc("score"), col("_ck")).limit(50)
+      val lL = operators.Retrieval.bm25(ck, "_ck", "chunk_text", q)
+        .orderBy(desc("score"), col("_ck")).limit(50)
+      def top5(df: org.apache.spark.sql.DataFrame, scoreCol: String): Seq[String] =
+        df.orderBy(desc(scoreCol), col("_ck")).limit(5)
+          .select("_ck").as[String].collect().toSeq
+      val bmTop = top5(lL, "score")
+      val cosTop = top5(lC, "score")
+      val fusedQ = operators.Retrieval.rrfFuse(lL, lC, "_ck")
+      val rrfTop = top5(fusedQ, "rrf_score")
+      val rerTop = top5(operators.Retrieval.rerank(
+        fusedQ.orderBy(desc("rrf_score"), col("_ck")).limit(10)
+          .join(ck.select("_ck", "chunk_text"), "_ck"), q, "chunk_text"), "rerank_score")
+      def ov(a: Seq[String], b: Seq[String]) = a.toSet.intersect(b.toSet).size
+      println(s"QUALITY $q | ${ov(bmTop, cosTop)} | ${ov(rrfTop, bmTop)} | " +
+        s"${ov(rrfTop, cosTop)} | ${ov(rerTop, rrfTop)}")
+    }
+    println(f"QUALITY done in ${(System.nanoTime() - tQ) / 1e9}%.1f s")
+
     // Curation signals on the REAL corpus — a sanity datapoint that the
     // training-data operators produce sensible numbers on actual
     // scientific prose, not just the synthetic tables.

@@ -855,18 +855,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // PQ (product quantization) search surface under the driver gate.
-    // Rows-only: Lloyd k-means training is not SQL-expressible, and the
-    // avg() summation order makes centroid bits partitioning-dependent —
-    // seeds and tie-breaks are deterministic (head seeds, lowest-id),
-    // so results are stable up to float summation order; near-boundary
-    // assignments could differ across partitionings, which is why this
-    // has no value-compare oracle.
+    // PQ (product quantization) search under the driver gate — the
+    // SEARCH phase only, against a FIXED codebook (round-5 verdict
+    // item 4). The codebook is the deterministic head-k seed
+    // (headCodebooks ≡ train(iters=0), PqSpec-pinned), which is both how
+    // production runs (codebooks trained offline on a sample, persisted,
+    // loaded as a constant) and what makes the whole
+    // encode → ADC → exact-re-rank chain SQL-replayable: the oracle
+    // rebuilds the same codebook from the head rows and replays the
+    // argmin encode, the ordered ADC fold, the top-100 candidate cut and
+    // the cosine re-rank value-for-value. Lloyd TRAINING stays covered
+    // by PqSpec's recall bounds (its avg() float-summation order is the
+    // inherent reason it can't sit under a value oracle).
     "q_pq_search" -> ((s, dir) => {
       val index = t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          l2Normalize(col("embedding").cast("array<double>")).as("vec"))
-      val cb = Pq.train(index, "vec_id", "vec", m = 8, k = 16, iters = 2)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val cb = Pq.headCodebooks(index, "vec_id", "vec", m = 8, k = 16)
       val enc = Pq.encode(index, "vec_id", "vec", cb)
       val qv = index.filter(col("vec_id") === 0)
         .select("vec").head().getSeq[Double](0).toArray
@@ -880,15 +884,14 @@ object SparkEntry {
     // centroids) partition the written index; the probed-cell read is
     // static partition pruning (PlanSpec pins PartitionFilters); ADC
     // scores the byte codes inside the surviving cells; the survivors
-    // re-rank exactly. Rows-only for the same inherent reason as
-    // q_pq_search: k-means codebook bits are not SQL-derivable.
+    // re-rank exactly. Same fixed-codebook split as q_pq_search, so the
+    // full stack now sits under the value oracle too (verdict item 5).
     "q_ivfpq" -> ((s, dir) => {
       val index = t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          l2Normalize(col("embedding").cast("array<double>")).as("vec"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
       val cents = index.filter(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"), col("vec").as("centroid_vec"))
-      val cb = Pq.train(index, "vec_id", "vec", m = 8, k = 16, iters = 1)
+      val cb = Pq.headCodebooks(index, "vec_id", "vec", m = 8, k = 16)
       val enc = Pq.encode(index, "vec_id", "vec", cb).toDF()
         .select(col("id").as("vec_id"), col("codes"))
       val assigned = Ann.assignCells(index, "vec_id", "vec",
@@ -1369,6 +1372,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multimodal REAL decode (round-5 verdict item 6): each doc becomes
+    // an 8×8 binary PGM whose 64 pixel bytes are 4 chained md5 blocks of
+    // the text — PnmCodec genuinely parses the header and samples
+    // (width/height below come from the decoder, not the constructor),
+    // and the md5 derivation is what lets DuckDB replay the decoded
+    // pixel histogram without a PGM parser: pixel byte value / 16 ==
+    // the byte's FIRST hex char, so the 16-bin feature histogram is a
+    // hex-digit count over the md5 strings' odd positions.
+    "q_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val blocks = (0 until 4).map(i => unhex(md5(concat(col("text"), lit(s"#$i")))))
+      val img = concat(lit("P5\n8 8\n255\n".getBytes("US-ASCII")) +: blocks: _*)
+      val media = wide(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"), img.as("bytes"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_bytes"),
+          transform(col("feature"), x => stableRound(x)).as("feature"))
+        .orderBy("doc_id")
+    }),
+
     // §2.F: set difference for corpus versioning.
     "q_corpus_except" -> ((s, dir) => {
       val d = t(s, dir, "documents").select("doc_id", "text")
@@ -1579,6 +1606,31 @@ object SparkEntry {
           stableRound(col("rrf_score")).as("rrf_score"))
         .orderBy(desc("rrf_score"), col("doc_id"))
         .limit(10)
+    }),
+
+    // The composed modern-RAG stack (retrieve → fuse → rerank): the
+    // q_hybrid_rrf fused top-10 rescored by the batched RerankClient
+    // (real mapPartitions plumbing, md5 stand-in scorer), context order
+    // by rerank score — the askHybrid(reranker=...) shape, driver-gated.
+    "q_hybrid_rerank" -> ((s, dir) => {
+      val docs = wide(s, dir, "documents").select("doc_id", "text")
+      val legA = Retrieval.bm25(docs, "doc_id", "text", RagQueryText)
+        .select(col("doc_id"), stableRound(col("score")).as("score"))
+        .orderBy(desc("score"), col("doc_id")).limit(20)
+      val qv = Embed.embedQuery(s, RagQueryText)
+      val legB = docs
+        .withColumn("_raw", Embed.embedText(col("text")))
+        .withColumn("_n", l2NormalizeWith(col("_raw"), l2Norm(col("_raw"))))
+        .select(col("doc_id"), stableRound(cosine(col("_n"), lit(qv))).as("score"))
+        .orderBy(desc("score"), col("doc_id")).limit(20)
+      val fused = Retrieval.rrfFuse(legA, legB, "doc_id")
+        .select(col("doc_id"), stableRound(col("rrf_score")).as("rrf_score"))
+        .orderBy(desc("rrf_score"), col("doc_id")).limit(10)
+        .join(docs, "doc_id")
+      Retrieval.rerank(fused, RagQueryText, "text")
+        .select(col("doc_id"), col("rrf_score"), col("rerank_score"))
+        .orderBy(desc("rerank_score"), col("doc_id"))
+        .limit(5)
     }))
 
   private val RagQueryText = "fast table scan merge join"
@@ -1746,6 +1798,48 @@ object SparkEntry {
       sep + tail
   }
 
+  /** DuckDB: the hybrid-retrieval fusion chain shared by q_hybrid_rrf /
+    * q_hybrid_rerank — BM25 top-20 + doc-embedding cosine top-20, RRF
+    * fused, ending at f(doc_id, rank_a, rank_b, rrf). `tail` is the
+    * final SELECT or further CTEs (comma added automatically). */
+  private def dHybridFusedSql(tail: String): String = {
+    val embedVec =
+      s"""list_transform(range(0, ${Schemas.EmbeddingDim}), j ->
+         |        coalesce(list_sum(list_transform(pr, e -> CASE WHEN e.b = j THEN e.s ELSE 0.0 END)), 0.0))""".stripMargin
+    val sep = if (tail.trim.toUpperCase.startsWith("SELECT")) "\n" else ",\n"
+    dBm25Query(
+      s"""bm20 AS (
+         |  SELECT doc_id, round(score + 1.2345e-9, 6) AS score
+         |  FROM bm ORDER BY score DESC, doc_id LIMIT 20
+         |),
+         |dp AS (SELECT doc_id, list_transform(w, x ->
+         |         struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
+         |                     s := ${dMd5Sign("x")})) AS pr FROM t),
+         |dv AS (SELECT doc_id, $embedVec AS vec FROM dp),
+         |dn AS (SELECT doc_id,
+         |         list_transform(vec, x -> x / (sqrt(list_sum(list_transform(vec, y -> y * y))) + 1e-9)) AS nv
+         |       FROM dv),
+         |qt AS (SELECT ${dTokens(s"lower('$RagQueryText')")} AS toks),
+         |qp AS (SELECT list_transform(toks, x ->
+         |         struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
+         |                     s := ${dMd5Sign("x")})) AS pr FROM qt),
+         |qv AS (SELECT $embedVec AS vec FROM qp),
+         |qn AS (SELECT list_transform(vec, x -> x / (sqrt(list_sum(list_transform(vec, y -> y * y))) + 1e-9)) AS nv
+         |       FROM qv),
+         |cs AS (SELECT dn.doc_id, round(${dCosine("dn.nv", "q.nv")} + 1.2345e-9, 6) AS score
+         |       FROM dn, qn q),
+         |cb20 AS (SELECT doc_id, score FROM cs ORDER BY score DESC, doc_id LIMIT 20),
+         |ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a FROM bm20),
+         |rb AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_b FROM cb20),
+         |f AS (
+         |  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         |         CAST(ra.rank_a AS BIGINT) AS rank_a,
+         |         CAST(rb.rank_b AS BIGINT) AS rank_b,
+         |         coalesce(1.0 / (60 + ra.rank_a), 0) + coalesce(1.0 / (60 + rb.rank_b), 0) AS rrf
+         |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+         |)""".stripMargin + sep + tail)
+  }
+
   private def dStopHits(words: String, list: Seq[String]) =
     s"len(list_filter($words, w -> list_contains([${list.map(w => s"'$w'").mkString(", ")}], w)))"
 
@@ -1801,6 +1895,65 @@ object SparkEntry {
        |)
        |SELECT vec_id, round(sim + 1.2345e-9, 6) AS sim
        |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+
+  /** DuckDB: the fixed-codebook PQ machinery shared by q_pq_search and
+    * q_ivfpq (m=8 subspaces × subDim=8 over dim 64, k=16). Rebuilds the
+    * head-16 seed codebook (≡ [[graft.operators.Pq.headCodebooks]]),
+    * replays the per-subspace argmin encode (L2, ties to lowest cid),
+    * builds the query's m×k inner-product LUT and folds the ADC score in
+    * ascending-subspace order — every float op in the same sequence as
+    * the Scala loops, so scores are bitwise equal and candidate cuts
+    * agree exactly. Yields CTEs `e(vec_id, vec)`, `q(vec)` and
+    * `adc(vec_id, score)`; `tail` continues the query. */
+  private def dPqCtes(tail: String): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings
+       |),
+       |subs AS (SELECT unnest(range(0, 8)) AS sub),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec
+       |  FROM e ORDER BY vec_id LIMIT 16
+       |),
+       |cb AS (
+       |  SELECT subs.sub, seeds.cid,
+       |         list_slice(seeds.vec, subs.sub * 8 + 1, subs.sub * 8 + 8) AS cvec
+       |  FROM seeds, subs
+       |),
+       |sv AS (
+       |  SELECT e.vec_id, subs.sub,
+       |         list_slice(e.vec, subs.sub * 8 + 1, subs.sub * 8 + 8) AS subvec
+       |  FROM e, subs
+       |),
+       |dist AS (
+       |  SELECT sv.vec_id, sv.sub, cb.cid,
+       |         list_sum(list_transform(range(1, 9),
+       |           j -> (sv.subvec[j] - cb.cvec[j]) * (sv.subvec[j] - cb.cvec[j]))) AS d
+       |  FROM sv JOIN cb USING (sub)
+       |),
+       |codes AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid,
+       |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+       |    FROM dist)
+       |  WHERE rn = 1
+       |),
+       |q AS (SELECT vec FROM e WHERE vec_id = 0),
+       |qsv AS (
+       |  SELECT subs.sub, list_slice(q.vec, subs.sub * 8 + 1, subs.sub * 8 + 8) AS qsub
+       |  FROM q, subs
+       |),
+       |lut AS (
+       |  SELECT qsv.sub, cb.cid,
+       |         list_sum(list_transform(range(1, 9), j -> qsv.qsub[j] * cb.cvec[j])) AS ip
+       |  FROM qsv JOIN cb USING (sub)
+       |),
+       |adc AS (
+       |  SELECT c.vec_id, list_sum(list(l.ip ORDER BY c.sub)) AS score
+       |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.cid = l.cid
+       |  GROUP BY c.vec_id
+       |),
+       |$tail""".stripMargin
 
   private def pipelineOracles: Map[String, String] = {
     val W = dTokens("lower(text)")
@@ -2159,6 +2312,43 @@ object SparkEntry {
       // identical result contract: the partitioned store changes the
       // physical layout, never the candidate set
       "q_ann_ivf_part" -> annIvfOracle,
+
+      // Fixed-codebook PQ search: ADC top-100 candidates, exact cosine
+      // re-rank top-10 (was rows-only while the codebook came from
+      // Lloyd training — the head-seed codebook made it replayable).
+      "q_pq_search" -> dPqCtes(
+        s"""cand AS (SELECT vec_id FROM adc ORDER BY score DESC, vec_id LIMIT 100)
+           |SELECT e.vec_id, round(${dCosine("e.vec", "q.vec")} + 1.2345e-9, 6) AS sim
+           |FROM e JOIN cand USING (vec_id), q
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+
+      // IVF-PQ: coarse cells = head-8 centroids (annIvfOracle's
+      // assignment), nprobe=2, ADC within the probed cells only
+      // (per-row scores are independent, so filtering the full-corpus
+      // adc CTE to in-cell rows is the same computation), top-50
+      // candidates, exact re-rank top-10.
+      "q_ivfpq" -> dPqCtes(
+        s"""c AS (SELECT vec_id AS ccid, vec AS cv FROM e WHERE vec_id < 8),
+           |asg AS (
+           |  SELECT vec_id, ccid,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, ccid) AS rn
+           |  FROM (SELECT e.vec_id, c.ccid, ${dCosine("e.vec", "c.cv")} AS csim
+           |        FROM e, c)
+           |),
+           |cells AS (SELECT vec_id, ccid AS cell_id FROM asg WHERE rn = 1),
+           |probe AS (
+           |  SELECT ccid FROM c, q ORDER BY ${dCosine("c.cv", "q.vec")} DESC, ccid LIMIT 2
+           |),
+           |incell AS (
+           |  SELECT vec_id FROM cells WHERE cell_id IN (SELECT ccid FROM probe)
+           |),
+           |cand AS (
+           |  SELECT adc.vec_id FROM adc JOIN incell USING (vec_id)
+           |  ORDER BY score DESC, vec_id LIMIT 50
+           |)
+           |SELECT e.vec_id, round(${dCosine("e.vec", "q.vec")} + 1.2345e-9, 6) AS sim
+           |FROM e JOIN cand USING (vec_id), q
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
 
       "q_ann_lsh" ->
         s"""WITH p AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings WHERE vec_id < 4),
@@ -2713,8 +2903,39 @@ object SparkEntry {
           |            WHEN magic_uc LIKE '47494638%' THEN 'gif'
           |            WHEN magic_uc LIKE '52494646%' THEN 'riff'
           |            WHEN magic_uc LIKE '25504446%' THEN 'pdf'
+          |            WHEN left(magic_uc, 4) IN ('5032', '5035')
+          |                 AND substr(magic_uc, 5, 2) IN ('09', '0A', '0D', '20') THEN 'pgm'
+          |            WHEN left(magic_uc, 4) IN ('5033', '5036')
+          |                 AND substr(magic_uc, 5, 2) IN ('09', '0A', '0D', '20') THEN 'ppm'
           |            ELSE 'unknown' END AS format
           |FROM b ORDER BY doc_id""".stripMargin,
+
+      // Replays the REAL PGM decode without a PGM parser: the payload's
+      // 64 pixel bytes are 4 md5 blocks of the text, and PnmCodec's
+      // 16-bin histogram bins by v*16/256 == the byte's high nibble ==
+      // the hex string's odd-position chars — so the decoded feature is
+      // a hex-digit count over md5 output, which DuckDB can compute.
+      // Header "P5\n8 8\n255\n" is 11 bytes + 64 pixels = 75 n_bytes;
+      // width/height come from the decoder parsing that header.
+      "q_multimodal_decode" ->
+        """WITH b AS (
+          |  SELECT doc_id,
+          |         md5(text || '#0') || md5(text || '#1') ||
+          |         md5(text || '#2') || md5(text || '#3') AS hx
+          |  FROM documents
+          |),
+          |h AS (
+          |  SELECT doc_id,
+          |         list_transform(range(0, 16), d ->
+          |           CAST(len(list_filter(range(0, 64), i ->
+          |             strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1 = d)) AS DOUBLE)) AS hist
+          |  FROM b
+          |)
+          |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+          |       CAST(75 AS BIGINT) AS n_bytes,
+          |       list_transform(hist, x ->
+          |         round(x / (sqrt(list_sum(list_transform(hist, y -> y * y))) + 1e-9) + 1.2345e-9, 6)) AS feature
+          |FROM h ORDER BY doc_id""".stripMargin,
 
       "q_corpus_except" ->
         """SELECT doc_id, text FROM documents
@@ -2830,43 +3051,24 @@ object SparkEntry {
              |ORDER BY rerank_score DESC, b.doc_id LIMIT 5""".stripMargin)
       },
 
-      "q_hybrid_rrf" -> {
-        val embedVec =
-          s"""list_transform(range(0, ${Schemas.EmbeddingDim}), j ->
-             |        coalesce(list_sum(list_transform(pr, e -> CASE WHEN e.b = j THEN e.s ELSE 0.0 END)), 0.0))""".stripMargin
-        dBm25Query(
-          s"""bm20 AS (
-             |  SELECT doc_id, round(score + 1.2345e-9, 6) AS score
-             |  FROM bm ORDER BY score DESC, doc_id LIMIT 20
-             |),
-             |dp AS (SELECT doc_id, list_transform(w, x ->
-             |         struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
-             |                     s := ${dMd5Sign("x")})) AS pr FROM t),
-             |dv AS (SELECT doc_id, $embedVec AS vec FROM dp),
-             |dn AS (SELECT doc_id,
-             |         list_transform(vec, x -> x / (sqrt(list_sum(list_transform(vec, y -> y * y))) + 1e-9)) AS nv
-             |       FROM dv),
-             |qt AS (SELECT ${dTokens(s"lower('$RagQueryText')")} AS toks),
-             |qp AS (SELECT list_transform(toks, x ->
-             |         struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
-             |                     s := ${dMd5Sign("x")})) AS pr FROM qt),
-             |qv AS (SELECT $embedVec AS vec FROM qp),
-             |qn AS (SELECT list_transform(vec, x -> x / (sqrt(list_sum(list_transform(vec, y -> y * y))) + 1e-9)) AS nv
-             |       FROM qv),
-             |cs AS (SELECT dn.doc_id, round(${dCosine("dn.nv", "q.nv")} + 1.2345e-9, 6) AS score
-             |       FROM dn, qn q),
-             |cb20 AS (SELECT doc_id, score FROM cs ORDER BY score DESC, doc_id LIMIT 20),
-             |ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a FROM bm20),
-             |rb AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_b FROM cb20),
-             |f AS (
-             |  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
-             |         CAST(ra.rank_a AS BIGINT) AS rank_a,
-             |         CAST(rb.rank_b AS BIGINT) AS rank_b,
-             |         coalesce(1.0 / (60 + ra.rank_a), 0) + coalesce(1.0 / (60 + rb.rank_b), 0) AS rrf
-             |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+      "q_hybrid_rrf" -> dHybridFusedSql(
+        """SELECT doc_id, rank_a, rank_b, round(rrf + 1.2345e-9, 6) AS rrf_score
+          |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin),
+
+      // Full modern-RAG composition: fuse → top-10 → rerank stand-in
+      // (first-4-hex md5("query|text")/65536) → top-5.
+      "q_hybrid_rerank" -> {
+        def h(i: Int) =
+          dHexVal(s"substr(md5('$RagQueryText|' || d.text), $i, 1)")
+        dHybridFusedSql(
+          s"""f10 AS (
+             |  SELECT doc_id, round(rrf + 1.2345e-9, 6) AS rrf_score
+             |  FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
              |)
-             |SELECT doc_id, rank_a, rank_b, round(rrf + 1.2345e-9, 6) AS rrf_score
-             |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin)
+             |SELECT b.doc_id, b.rrf_score,
+             |       (((${h(1)} * 16 + ${h(2)}) * 16 + ${h(3)}) * 16 + ${h(4)}) / 65536.0 AS rerank_score
+             |FROM f10 b JOIN documents d ON b.doc_id = d.doc_id
+             |ORDER BY rerank_score DESC, b.doc_id LIMIT 5""".stripMargin)
       },
 
       "q_rag_topk" -> {

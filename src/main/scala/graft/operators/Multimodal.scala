@@ -24,9 +24,114 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            width: Int, height: Int, feature: Array[Double])
 
-  /** STUB decoder: deterministic fake "decode" so the pipeline shape is
-    * testable without codecs. A real implementation would decode bytes
-    * with an image/audio library here. */
+  /** A decoded raster: `pixels` is row-major, one Int per sample in
+    * [0, maxVal]; grayscale for PGM (P2/P5), interleaved RGB triples for
+    * PPM (P3/P6). */
+  case class PnmImage(format: String, width: Int, height: Int,
+                      maxVal: Int, channels: Int, pixels: Array[Int]) {
+    /** Grayscale view: identity for PGM, integer-mean of RGB for PPM. */
+    def gray: Array[Int] =
+      if (channels == 1) pixels
+      else Array.tabulate(width * height) { i =>
+        (pixels(3 * i) + pixels(3 * i + 1) + pixels(3 * i + 2)) / 3
+      }
+  }
+
+  /** REAL pure-JVM codec for the netpbm family — PGM (P2 ascii / P5
+    * binary, grayscale) and PPM (P3 ascii / P6 binary, RGB). No native
+    * libraries, no AWT: a 16-bit-safe header parser + raw sample reader,
+    * so the decode path of the multimodal pipeline is genuine, not a
+    * stand-in. Formats outside the family still route to
+    * [[MediaCodecStub]] — that slot is where an external codec library
+    * plugs in for jpeg/png/audio. */
+  object PnmCodec {
+    private def isSpace(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+
+    /** Read the next whitespace/comment-delimited ASCII token starting at
+      * `pos`; returns (token, posAfter). `#` comments run to end-of-line
+      * (netpbm spec). */
+    private def token(bytes: Array[Byte], pos0: Int): (String, Int) = {
+      var pos = pos0
+      // skip whitespace and comments
+      var skipping = true
+      while (skipping && pos < bytes.length) {
+        if (isSpace(bytes(pos))) pos += 1
+        else if (bytes(pos) == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        } else skipping = false
+      }
+      val start = pos
+      while (pos < bytes.length && !isSpace(bytes(pos)) && bytes(pos) != '#') pos += 1
+      (new String(bytes, start, pos - start, "US-ASCII"), pos)
+    }
+
+    def sniff(bytes: Array[Byte]): Option[String] =
+      if (bytes == null || bytes.length < 2 || bytes(0) != 'P') None
+      else bytes(1) match {
+        case '2' | '5' => Some("pgm")
+        case '3' | '6' => Some("ppm")
+        case _         => None
+      }
+
+    /** Decode a P2/P3/P5/P6 image; None if the payload isn't PNM or is
+      * truncated/malformed (callers route those to the fallback slot). */
+    def decode(bytes: Array[Byte]): Option[PnmImage] = {
+      if (bytes == null || bytes.length < 2 || bytes(0) != 'P') return None
+      val kind = bytes(1).toChar
+      if (kind != '2' && kind != '3' && kind != '5' && kind != '6') return None
+      val channels = if (kind == '3' || kind == '6') 3 else 1
+      try {
+        var pos = 2
+        val (wTok, p1) = token(bytes, pos)
+        val (hTok, p2) = token(bytes, p1)
+        val (mTok, p3) = token(bytes, p2)
+        pos = p3
+        val (w, h, maxVal) = (wTok.toInt, hTok.toInt, mTok.toInt)
+        if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 65535) return None
+        val n = w * h * channels
+        val pixels = new Array[Int](n)
+        if (kind == '2' || kind == '3') {
+          // ascii samples
+          var i = 0
+          while (i < n) {
+            val (t, p) = token(bytes, pos)
+            if (t.isEmpty) return None
+            pixels(i) = t.toInt; pos = p; i += 1
+          }
+        } else {
+          // binary: exactly ONE whitespace byte after maxval, then raw
+          // samples (1 byte each, or 2 big-endian when maxVal > 255)
+          pos += 1
+          val wide = maxVal > 255
+          val need = n * (if (wide) 2 else 1)
+          if (pos + need > bytes.length) return None
+          var i = 0
+          while (i < n) {
+            pixels(i) =
+              if (wide) ((bytes(pos + 2 * i) & 0xff) << 8) | (bytes(pos + 2 * i + 1) & 0xff)
+              else bytes(pos + i) & 0xff
+            i += 1
+          }
+        }
+        if (pixels.exists(v => v < 0 || v > maxVal)) None
+        else Some(PnmImage(if (channels == 1) "pgm" else "ppm", w, h, maxVal, channels, pixels))
+      } catch { case _: NumberFormatException => None }
+    }
+
+    /** Encode a grayscale raster as binary PGM (P5) — test fixtures and
+      * the resize output round-trip through this. */
+    def encodeP5(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+      require(pixels.length == width * height, "pixel count != w*h")
+      require(pixels.forall(v => v >= 0 && v <= 255), "P5 samples must fit a byte")
+      val header = s"P5\n$width $height\n255\n".getBytes("US-ASCII")
+      header ++ pixels.map(_.toByte)
+    }
+  }
+
+  /** STUB decoder — the FALLBACK slot for formats the pure-JVM codec
+    * doesn't cover (jpeg/png/audio need an external library; this
+    * environment has none). Deterministic fake "decode" so the pipeline
+    * shape stays testable; [[PnmCodec]] is the real path. */
   object MediaCodecStub {
     /** Fake dimensions derived from content length (deterministic). */
     def decodeDims(bytes: Array[Byte]): (Int, Int) =
@@ -46,54 +151,87 @@ object Multimodal {
     * stubbed — works on any binary column). */
   def sniffFormat(bytesCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val magic = upper(hex(substring(bytesCol, 1, 4)))
+    // netpbm: 'P'+digit must be followed by whitespace (TAB/LF/CR/SP) —
+    // plain text that merely starts with "P5..." is not an image
+    val pnmWs = substring(magic, 5, 2).isin("09", "0A", "0D", "20")
     when(magic.startsWith("FFD8FF"), "jpeg")
       .when(magic.startsWith("89504E47"), "png")
       .when(magic.startsWith("47494638"), "gif")
       .when(magic.startsWith("52494646"), "riff")
       .when(magic.startsWith("25504446"), "pdf")
+      .when(substring(magic, 1, 4).isin("5032", "5035") && pnmWs, "pgm")
+      .when(substring(magic, 1, 4).isin("5033", "5036") && pnmWs, "ppm")
       .otherwise("unknown")
   }
 
-  /** Partition-batched decode + feature extraction (stubbed decode). */
+  /** Partition-batched decode + feature extraction. PNM payloads decode
+    * for REAL ([[PnmCodec]]): dims from the parsed header, features a
+    * 16-bin L2-normalized histogram of the grayscale pixels. Other
+    * formats fall back to [[MediaCodecStub]] — the slot an external
+    * jpeg/png codec plugs into. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition setup would initialize a codec context here
+      // per-partition setup would initialize an external codec context here
       rows.map { r =>
-        val (w, h) = MediaCodecStub.decodeDims(r.bytes)
-        MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, w, h,
-          MediaCodecStub.features(r.bytes))
+        PnmCodec.decode(r.bytes) match {
+          case Some(img) =>
+            val hist = new Array[Double](16)
+            img.gray.foreach(v => hist(v * 16 / (img.maxVal + 1)) += 1.0)
+            val norm = math.sqrt(hist.map(x => x * x).sum)
+            MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong,
+              img.width, img.height,
+              if (norm == 0.0) hist else hist.map(_ / (norm + 1e-9)))
+          case None =>
+            val (w, h) = MediaCodecStub.decodeDims(r.bytes)
+            MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, w, h,
+              MediaCodecStub.features(r.bytes))
+        }
       }
     }
   }
 
-  /** Resize (stubbed decode): deterministic nearest-neighbor downsample
-    * of the fake pixel buffer to `targetW`×`targetH`. The mapPartitions
-    * batch shape, output schema and determinism are the real contract a
-    * codec-backed implementation drops into. */
+  /** Nearest-neighbor resize to `targetW`×`targetH`. PNM payloads go
+    * through the REAL decode → sample → re-encode path (output pixels are
+    * a binary P5 grayscale image, round-trippable through
+    * [[PnmCodec.decode]]); other formats keep the deterministic stub
+    * buffer so the pipeline shape stays total. */
   def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): DataFrame = {
     import media.sparkSession.implicits._
     require(targetW > 0 && targetH > 0)
-    media.mapPartitions { rows =>
-      // per-partition setup would initialize the codec/scaler here
-      rows.map { r =>
-        val (w, h) = MediaCodecStub.decodeDims(r.bytes)
-        // fake "pixels": byte i of the payload stands for pixel (i%w, i/w)
-        val out = new Array[Byte](targetW * targetH)
-        var y = 0
-        while (y < targetH) {
-          var x = 0
-          while (x < targetW) {
-            val sx = x * w / targetW
-            val sy = y * h / targetH
-            val src = sy * w + sx
-            out(y * targetW + x) =
-              if (r.bytes.isEmpty) 0 else r.bytes(src % r.bytes.length)
-            x += 1
-          }
-          y += 1
+
+    def nearest(w: Int, h: Int, sample: (Int, Int) => Int): Array[Int] = {
+      val out = new Array[Int](targetW * targetH)
+      var y = 0
+      while (y < targetH) {
+        var x = 0
+        while (x < targetW) {
+          out(y * targetW + x) = sample(x * w / targetW, y * h / targetH)
+          x += 1
         }
-        (r.media_id, r.kind, targetW, targetH, out)
+        y += 1
+      }
+      out
+    }
+
+    media.mapPartitions { rows =>
+      // per-partition setup would initialize an external codec context here
+      rows.map { r =>
+        PnmCodec.decode(r.bytes) match {
+          case Some(img) =>
+            val g = img.gray
+            // rescale to 8-bit so the P5 re-encode is total for 16-bit inputs
+            val scaled = nearest(img.width, img.height,
+              (sx, sy) => g(sy * img.width + sx) * 255 / img.maxVal)
+            (r.media_id, r.kind, targetW, targetH,
+              PnmCodec.encodeP5(targetW, targetH, scaled))
+          case None =>
+            // stub path: byte i of the payload stands for pixel (i%w, i/w)
+            val (w, h) = MediaCodecStub.decodeDims(r.bytes)
+            val sampled = nearest(w, h, (sx, sy) =>
+              if (r.bytes.isEmpty) 0 else r.bytes((sy * w + sx) % r.bytes.length) & 0xff)
+            (r.media_id, r.kind, targetW, targetH, sampled.map(_.toByte))
+        }
       }
     }.toDF("media_id", "kind", "width", "height", "pixels")
   }

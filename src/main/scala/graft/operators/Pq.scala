@@ -114,6 +114,37 @@ object Pq {
     Codebooks(m, k, subDim, cents)
   }
 
+  /** The seed codebook WITHOUT Lloyd refinement: subvectors of the
+    * first `k` vectors by id, collected driver-side (k×d doubles — KBs).
+    * Exactly [[train]] at `iters = 0` (PqSpec pins the equivalence), but
+    * with no k-means float-summation dependence, so the whole
+    * encode → ADC → re-rank search path becomes SQL-replayable and can
+    * sit under the DuckDB value oracle. Production splits the phases the
+    * same way: codebooks are trained offline (on a sample) and
+    * PERSISTED; search loads them as a constant — so benching search
+    * against a fixed codebook measures what a user actually runs. */
+  def headCodebooks(index: DataFrame, idCol: String, vecCol: String,
+                    m: Int = 8, k: Int = 16): Codebooks = {
+    require(k <= 256, s"k=$k exceeds one byte: encode stores centroid ids as bytes")
+    val rows = index
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy("id").limit(k).collect()
+    require(rows.nonEmpty, "headCodebooks: empty index")
+    val d = rows.head.getSeq[Double](1).size
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val subDim = d / m
+    val cents = Array.fill(m, rows.length)(Array.fill(subDim)(0.0))
+    rows.zipWithIndex.foreach { case (r, c) =>
+      val v = r.getSeq[Double](1)
+      var s = 0
+      while (s < m) {
+        cents(s)(c) = v.slice(s * subDim, (s + 1) * subDim).toArray
+        s += 1
+      }
+    }
+    Codebooks(m, rows.length, subDim, cents)
+  }
+
   /** Map-only encode: each vector → m byte codes (nearest centroid per
     * subspace, L2, ties to lowest cid). */
   def encode(index: DataFrame, idCol: String, vecCol: String,

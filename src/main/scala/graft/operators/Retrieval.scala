@@ -165,7 +165,10 @@ object Retrieval {
     * (RetrievalSpec pins the parity), which is what lets the
     * mapPartitions path sit under the SQL oracle. */
   class HashRerankClient extends RerankClient {
-    private val md = java.security.MessageDigest.getInstance("MD5")
+    // MessageDigest is not Serializable — @transient lazy so an instance
+    // captured in a closure (clientFactory = () => sharedClient) survives
+    // task serialization and re-creates the digest on the executor
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
     def scoreBatch(pairs: Seq[(String, String)]): Seq[Double] = pairs.map {
       case (q, t) =>
         val hex = md.digest((q + "|" + t).getBytes("UTF-8"))
@@ -198,6 +201,12 @@ object Retrieval {
       rows.grouped(batchSize).flatMap { batch =>
         val scores = client.scoreBatch(
           batch.map(r => (queryText, r.getString(textIdx))))
+        // lazyZip truncates to the shorter side — a client returning the
+        // wrong count would silently LOSE candidate rows, so enforce the
+        // one-score-per-pair contract loudly instead
+        require(scores.length == batch.length,
+          s"RerankClient.scoreBatch returned ${scores.length} scores for " +
+            s"${batch.length} pairs; the client contract is one score per pair")
         batch.lazyZip(scores).map((row, s) =>
           org.apache.spark.sql.Row.fromSeq(row.toSeq :+ s))
       }
@@ -211,10 +220,18 @@ object Retrieval {
     * lexical signal; paraphrases the lexical leg misses keep the
     * embedding's. Adds one query-term-sized aggregate + a bounded
     * rank-fusion join on top of [[ask]]'s plan — the corpus-sized work
-    * (chunk, embed, score) is unchanged. */
+    * (chunk, embed, score) is unchanged.
+    *
+    * With `reranker` set, the full modern-RAG composition runs:
+    * retrieve → fuse → RERANK → context. The fused top `rerankN`
+    * candidates (a bounded head-list — a cross-encoder scores tens of
+    * pairs, never a corpus) are rescored by the client and the context
+    * is assembled in rerank-score order instead of fusion order. */
   def askHybrid(spark: SparkSession, documents: DataFrame, query: String,
                 topK: Int = graft.Schemas.DefaultTopK, chunkSize: Int = 64,
-                dim: Int = graft.Schemas.EmbeddingDim, legN: Int = 50): DataFrame = {
+                dim: Int = graft.Schemas.EmbeddingDim, legN: Int = 50,
+                reranker: Option[() => RerankClient] = None,
+                rerankN: Int = 20): DataFrame = {
     val chunks = Ingest.chunk(documents.filter(Ingest.nonBlank(col("text"))), "text", chunkSize)
       .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
       .withColumn("_ck", concat(col("doc_id"), lit("#"), col("chunk_idx")))
@@ -228,10 +245,22 @@ object Retrieval {
     val legLex = bm25(embedded, "_ck", "chunk_text", query)
       .orderBy(desc("score"), col("_ck")).limit(legN)
     val fused = rrfFuse(legLex, legCos, "_ck")
-      .orderBy(desc("rrf_score"), col("_ck")).limit(topK)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(desc("rrf_score"), col("_ck"))))
-    val hits = fused.join(embedded.select("_ck", "doc_id", "chunk_text"), "_ck")
+    val win = org.apache.spark.sql.expressions.Window
+    val hits = reranker match {
+      case None =>
+        fused.orderBy(desc("rrf_score"), col("_ck")).limit(topK)
+          .withColumn("rank", row_number().over(
+            win.orderBy(desc("rrf_score"), col("_ck"))))
+          .join(embedded.select("_ck", "doc_id", "chunk_text"), "_ck")
+      case Some(factory) =>
+        val cands = fused
+          .orderBy(desc("rrf_score"), col("_ck")).limit(math.max(rerankN, topK))
+          .join(embedded.select("_ck", "doc_id", "chunk_text"), "_ck")
+        rerank(cands, query, "chunk_text", factory)
+          .orderBy(desc("rerank_score"), col("_ck")).limit(topK)
+          .withColumn("rank", row_number().over(
+            win.orderBy(desc("rerank_score"), col("_ck"))))
+    }
     val ctx = renderContext(assembleContext(hits, "doc_id", "rank", "chunk_text"), "doc_id")
     val oneCtx = ctx
       .agg(array_join(

@@ -88,10 +88,12 @@ object SemanticDedup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bench_hits"),
         max(col("_sim")).as("max_sim"),
-        // argmax with ties to the LOWEST bench id — max_by is partial-
-        // aggregable (each map task reduces before the shuffle), unlike
-        // a row_number window over all scored pairs
-        max_by(col("_bid"), struct(col("_sim").as("s"), (-col("_bid")).as("t")))
+        // argmax with ties to the LOWEST bench id — min_by/max_by is
+        // partial-aggregable (each map task reduces before the shuffle),
+        // unlike a row_number window over all scored pairs. The key
+        // negates the SIM (always numeric), not the bench id, so string
+        // ids order correctly too instead of failing analysis on a cast
+        min_by(col("_bid"), struct((-col("_sim")).as("s"), col("_bid").as("t")))
           .as("worst_bench_id"))
   }
 }

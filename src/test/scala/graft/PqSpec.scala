@@ -26,6 +26,13 @@ class PqSpec extends AnyFunSuite {
     assert(cb.cents.flatten.flatten.toSeq == cb2.cents.flatten.flatten.toSeq)
   }
 
+  test("headCodebooks ≡ train(iters = 0): the seed codebook, no Lloyd pass") {
+    val head = Pq.headCodebooks(index, "vec_id", "vec", m = 8, k = 16)
+    val seed = Pq.train(index, "vec_id", "vec", m = 8, k = 16, iters = 0)
+    assert(head.m == seed.m && head.k == seed.k && head.subDim == seed.subDim)
+    assert(head.cents.flatten.flatten.toSeq == seed.cents.flatten.flatten.toSeq)
+  }
+
   test("encode: 64x compression, deterministic, codes in range") {
     val codes = Pq.encode(index, "vec_id", "vec", cb).collect()
     assert(codes.length == 500)

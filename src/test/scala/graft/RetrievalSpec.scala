@@ -135,6 +135,38 @@ class RetrievalSpec extends AnyFunSuite {
     assert(big == 57)
   }
 
+  test("rerank: a client returning the wrong score count fails loudly, not by dropping rows") {
+    val docs = (0 until 10).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    class ShortClient extends Retrieval.RerankClient {
+      def scoreBatch(pairs: Seq[(String, String)]): Seq[Double] =
+        pairs.map(_ => 0.5).dropRight(1) // violates one-score-per-pair
+    }
+    val e = intercept[Exception] {
+      Retrieval.rerank(docs, "q", "text", () => new ShortClient).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("one score per pair")),
+      s"expected the client-contract message, got: ${messages(e)}")
+  }
+
+  test("askHybrid with reranker: one prompt row, context re-ordered by rerank score") {
+    val docs = Seq(
+      (1L, "the planner chooses a broadcast hash join for small tables"),
+      (2L, "vectors are normalized before the cosine scoring step runs"),
+      (3L, "ERRCODE_7731 is raised when the shuffle file is missing"))
+      .toDF("doc_id", "text")
+    val row = Retrieval.askHybrid(spark, docs, "ERRCODE_7731 shuffle", topK = 2,
+      chunkSize = 8, reranker = Some(() => new Retrieval.HashRerankClient)).collect()
+    assert(row.length == 1)
+    val prompt = row(0).getAs[String]("prompt")
+    assert(prompt.nonEmpty && prompt.contains("Answer:"))
+    // deterministic stand-in scorer → stable across runs
+    val again = Retrieval.askHybrid(spark, docs, "ERRCODE_7731 shuffle", topK = 2,
+      chunkSize = 8, reranker = Some(() => new Retrieval.HashRerankClient)).collect()
+    assert(again(0).getAs[String]("prompt") == prompt)
+  }
+
   test("rrfFuse: both-leg docs outrank single-leg; missing legs are null") {
     val a = Seq((10L, 5.0), (11L, 4.0), (12L, 3.0)).toDF("id", "score")
     val b = Seq((11L, 0.9), (13L, 0.8)).toDF("id", "score")
