@@ -927,6 +927,26 @@ object SparkEntry {
         .orderBy("dist", "vec_id")
     }),
 
+    // Same bucketed-projection ANN semantics as q_ann_brp, but HASH-
+    // GATED: the four hash planes are data rows (vec_id 4..7) instead of
+    // MLlib's seeded RNG, so the oracle replays bucketing (floor of an
+    // ascending-fold dot / bucketLength, OR across tables) and the
+    // three-dot Euclidean distance exactly. bucketLength 0.05 keeps the
+    // candidate set at ~1/3 of the table at both test SFs — genuine
+    // pruning with a well-populated top-10.
+    "q_ann_brp_fixed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val planes = e.filter(col("vec_id").between(4, 7)).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0)).toSeq
+      val qv = collectVec(e, 0)
+      Ann.brpFixedCandidates(e.select("vec_id", "embedding"), "embedding",
+          planes, bucketLength = 0.05, qv)
+        .select(col("vec_id"), stableRound(col("dist")).as("dist"))
+        .orderBy("dist", "vec_id") // rounded order = oracle's alias order
+        .limit(10)
+    }),
+
     // Data mixing: per-source hash-sampling rates. The keep decision is
     // an md5-derived uniform per doc id — reproducible across engines,
     // partitionings and reruns (rand(seed) is none of those), which is
@@ -2384,6 +2404,35 @@ object SparkEntry {
            |)
            |SELECT vec_id, lsh_bucket, round(sim + 1.2345e-9, 6) AS sim
            |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+      // Euclidean BRP-LSH with data-row planes: bucket = floor(dot/0.05)
+      // per plane, candidate iff ANY plane matches the query's bucket,
+      // exact three-dot distance re-rank. Folds mirror the Spark side
+      // (ascending index order), so floor() sees bit-identical doubles.
+      // (bool_or over a plane join, not EXISTS — DuckDB lambdas can't
+      // reach correlated outer columns.)
+      "q_ann_brp_fixed" ->
+        s"""WITH p AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings WHERE vec_id BETWEEN 4 AND 7),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |hits AS (
+           |  SELECT e.vec_id,
+           |         bool_or(CAST(floor(${dDot("e.embedding", "p.pv")} / 0.05) AS BIGINT)
+           |               = CAST(floor(${dDot("q.qv", "p.pv")} / 0.05) AS BIGINT)) AS hit
+           |  FROM embeddings e, p, q GROUP BY e.vec_id
+           |),
+           |cand AS (
+           |  SELECT e.vec_id, e.embedding
+           |  FROM embeddings e JOIN hits USING (vec_id) WHERE hits.hit
+           |),
+           |scored AS (
+           |  SELECT vec_id,
+           |         sqrt(greatest(${dDot("cand.embedding", "cand.embedding")}
+           |              - 2.0 * ${dDot("cand.embedding", "q.qv")}
+           |              + ${dDot("q.qv", "q.qv")}, 0.0)) AS dist
+           |  FROM cand, q
+           |)
+           |SELECT vec_id, round(dist + 1.2345e-9, 6) AS dist
+           |FROM scored ORDER BY dist, vec_id LIMIT 10""".stripMargin,
 
       "q_cache_lookup" ->
         s"""WITH cache AS (SELECT vec_id AS entry_id, embedding FROM embeddings WHERE vec_id > 0),

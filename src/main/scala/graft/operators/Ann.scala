@@ -148,6 +148,39 @@ object Ann {
       .withColumn("sim", cosine(col(vecCol), lit(queryVec.toArray)))
   }
 
+  /** Euclidean (bucketed-random-projection) LSH with caller-supplied
+    * planes — the oracle-checkable face of the algorithm behind
+    * [[fitBrpLsh]]. Table t buckets v at
+    * `floor(dot(v, plane_t) / bucketLength)`; a row is a candidate when
+    * ANY table agrees with the query's bucket (the OR-amplification
+    * `approxNearestNeighbors` uses), and candidates are re-ranked by
+    * exact Euclidean distance. The distance is composed from three
+    * ascending-fold dot products (|v|² − 2·v·q + |q|², clamped at 0
+    * before the sqrt) so both engines run bit-identical arithmetic.
+    * Planes drawn from data rows rather than a seeded RNG are what make
+    * the bucketing SQL-replayable. Scale shape: planes ride along as
+    * broadcast literals, the filter + distance are map-only, and the
+    * caller's top-k lands in one TakeOrderedAndProject — no shuffle. */
+  def brpFixedCandidates(index: DataFrame, vecCol: String,
+                         planes: Seq[Seq[Double]], bucketLength: Double,
+                         queryVec: Seq[Double]): DataFrame = {
+    require(planes.nonEmpty, "brpFixedCandidates: needs at least one plane")
+    require(bucketLength > 0.0,
+      s"brpFixedCandidates: bucketLength must be positive, got $bucketLength")
+    val q = lit(queryVec.toArray)
+    val anyTable = planes.map { p =>
+      // query-side bucket with the same ascending fold as the column side
+      val qProj = p.zip(queryVec).map { case (a, b) => a * b }.foldLeft(0.0)(_ + _)
+      val qBucket = math.floor(qProj / bucketLength).toLong
+      floor(dot(col(vecCol), lit(p.toArray)) / bucketLength) === qBucket
+    }.reduce(_ || _)
+    val qq = queryVec.map(x => x * x).foldLeft(0.0)(_ + _)
+    index.filter(anyTable)
+      .withColumn("dist", sqrt(greatest(
+        dot(col(vecCol), col(vecCol)) - lit(2.0) * dot(col(vecCol), q) + lit(qq),
+        lit(0.0))))
+  }
+
   /** Add the LSH bucket column WITH plane metadata on the column, making
     * the table eligible for the [[graft.plans.AnnBucketPrune]] optimizer
     * rewrite: a plain `orderBy(desc(cosine)).limit(k)` over this frame is

@@ -123,6 +123,48 @@ class AnnSpec extends AnyFunSuite {
     assert(covered >= 0.7, s"MinHashLSH covered only $covered of exact pairs")
   }
 
+  test("fixed-plane BRP: query row is a candidate at dist 0; candidates genuinely pruned") {
+    val e = embeddings.select("vec_id", "embedding")
+    val planes = e.filter(col("vec_id").between(4, 7)).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0)).toSeq
+    val cand = Ann.brpFixedCandidates(e, "embedding", planes, 0.05, queryVec)
+    val total = e.count()
+    val n = cand.count()
+    // every plane puts the query in its own bucket, so vec 0 must survive
+    val self = cand.filter(col("vec_id") === 0).select("dist").head().getDouble(0)
+    assert(self == 0.0, s"self-distance should be exactly 0, got $self")
+    assert(n < total, s"no pruning: $n of $total rows are candidates")
+    assert(n >= 10, s"candidate set too small for a top-10: $n")
+  }
+
+  test("fixed-plane BRP distances agree with exact Euclidean on the candidate set") {
+    val e = embeddings.select("vec_id", "embedding")
+    val planes = e.filter(col("vec_id").between(4, 7)).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0)).toSeq
+    val got = Ann.brpFixedCandidates(e, "embedding", planes, 0.05, queryVec)
+      .select(col("vec_id"), col("dist")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vecs = e.filter(col("vec_id").isin(got.keys.toSeq.map(Long.box): _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val d = math.sqrt(v.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(math.abs(got(id) - d) < 1e-9, s"vec $id: ${got(id)} vs exact $d")
+    }
+  }
+
+  test("fixed-plane BRP rejects empty planes and non-positive bucketLength") {
+    val e = embeddings.select("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Ann.brpFixedCandidates(e, "embedding", Seq.empty, 0.05, queryVec)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.brpFixedCandidates(e, "embedding", Seq(queryVec), 0.0, queryVec)
+    }
+  }
+
   test("MLlib MinHashLSH join finds planted near-duplicates") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
