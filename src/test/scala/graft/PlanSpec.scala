@@ -55,6 +55,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"expected posexplode generate:\n$p")
   }
 
+  test("fixed-plane BRP candidates are map-only; its top-k is TakeOrderedAndProject") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val planes = e.filter(col("vec_id").between(4, 7)).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0)).toSeq
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val cand = graft.operators.Ann.brpFixedCandidates(e, "embedding", planes, 0.05, qv)
+    val pCand = plan(cand)
+    assert(!pCand.contains("Exchange"),
+      s"BRP candidate generation must not shuffle (planes are literals):\n$pCand")
+    val pTop = plan(cand.orderBy("dist", "vec_id").limit(10))
+    assert(pTop.contains("TakeOrderedAndProject"),
+      s"BRP top-k should be per-partition heaps, not a global sort:\n$pTop")
+  }
+
   test("hash sampling is a map-only predicate: no exchange, no window") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "source")
     val p = plan(graft.operators.Sampling.stratifiedHashSample(
