@@ -1546,6 +1546,28 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Incremental semantic dedup: batch (ids >= 250, plus planted copies
+    // of corpus vectors at +20000 → dup_corpus, and of batch vectors at
+    // +30000 → dup_batch) probed against the corpus's cell-assigned
+    // vector index (ids < 250) — corpus text never re-read, probes
+    // cell-confined. Same head-8 codebook as q_semantic_dedup.
+    "q_semantic_increment" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val corpus = base.filter(col("vec_id") < 250)
+      val index = Ann.assignCells(corpus, "vec_id", "embedding",
+        cents, "centroid_id", "cvec")
+      val batch = base.filter(col("vec_id") >= 250)
+        .unionByName(base.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 20000).as("vec_id"), col("embedding")))
+        .unionByName(base.filter(col("vec_id") >= 250 && col("vec_id") < 300)
+          .select((col("vec_id") + 30000).as("vec_id"), col("embedding")))
+      SemanticDedup.semanticIncrement(batch, "vec_id", "embedding",
+          index, cents, "centroid_id", "cvec", tau = 0.9)
+        .orderBy("vec_id")
+    }),
+
     // North star: exact-substring duplication profile (Lee et al. 2022
     // at word-5-gram granularity; 5 not the production 10 because the
     // synthetic docs are 11-97 words). Distinct-(gram,doc) shuffle
@@ -2890,6 +2912,56 @@ object SparkEntry {
            |SELECT cells.vec_id, cells.cell_id, d.dup_of IS NULL AS is_kept, d.dup_of
            |FROM cells LEFT JOIN dups d ON cells.vec_id = d.vec_id
            |ORDER BY cells.vec_id""".stripMargin,
+
+      // Incremental semantic dedup: same nearest-centroid assignment CTE
+      // shape as q_semantic_dedup (row_number over csim DESC, cid = the
+      // codegen argmax's lowest-id tie-break), applied to corpus and
+      // batch separately; corpus-hit takes min corpus id, batch-hit min
+      // lower batch id, both cell-confined.
+      "q_semantic_increment" ->
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+           |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 250),
+           |batch AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 250
+           |  UNION ALL
+           |  SELECT vec_id + 20000 AS vec_id, embedding FROM embeddings WHERE vec_id < 50
+           |  UNION ALL
+           |  SELECT vec_id + 30000 AS vec_id, embedding FROM embeddings WHERE vec_id >= 250 AND vec_id < 300
+           |),
+           |casg AS (
+           |  SELECT vec_id, embedding, cid AS cell_id FROM (
+           |    SELECT v.vec_id, v.embedding, c.cid,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |             ORDER BY ${dCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
+           |    FROM corpus v, c) WHERE rn = 1
+           |),
+           |basg AS (
+           |  SELECT vec_id, embedding, cid AS cell_id FROM (
+           |    SELECT v.vec_id, v.embedding, c.cid,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |             ORDER BY ${dCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
+           |    FROM batch v, c) WHERE rn = 1
+           |),
+           |corpus_hit AS (
+           |  SELECT b.vec_id, min(x.vec_id) AS corpus_of
+           |  FROM basg b JOIN casg x ON b.cell_id = x.cell_id
+           |  WHERE ${dCosine("b.embedding", "x.embedding")} >= 0.9
+           |  GROUP BY 1
+           |),
+           |batch_hit AS (
+           |  SELECT y.vec_id, min(x.vec_id) AS batch_of
+           |  FROM basg y JOIN basg x ON y.cell_id = x.cell_id AND x.vec_id < y.vec_id
+           |  WHERE ${dCosine("x.embedding", "y.embedding")} >= 0.9
+           |  GROUP BY 1
+           |)
+           |SELECT b.vec_id, b.cell_id,
+           |       CASE WHEN ch.corpus_of IS NOT NULL THEN 'dup_corpus'
+           |            WHEN bh.batch_of IS NOT NULL THEN 'dup_batch'
+           |            ELSE 'new' END AS status,
+           |       coalesce(ch.corpus_of, bh.batch_of) AS dup_of
+           |FROM basg b LEFT JOIN corpus_hit ch ON b.vec_id = ch.vec_id
+           |LEFT JOIN batch_hit bh ON b.vec_id = bh.vec_id
+           |ORDER BY b.vec_id""".stripMargin,
 
       "q_gram_dedup" ->
         s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),

@@ -60,6 +60,79 @@ object SemanticDedup {
         col("dup_of").isNull.as("is_kept"), col("dup_of"))
   }
 
+  /** Incremental semantic dedup — the daily-increment production shape
+    * one tier above [[Dedup.minhashIncrement]]: screen a NEW batch of
+    * vectors against the accumulated corpus WITHOUT re-reading corpus
+    * text, using only its persisted cell-assigned vector index (the
+    * (id, vec, cell_id) shape [[Ann.assignCells]] produces and
+    * [[Ann.writeIvfIndex]] persists). Status per new row:
+    *  - `dup_corpus`: some same-cell index vector has cosine ≥ tau
+    *    (`dup_of` = the lowest such corpus id — corpus wins ties, like
+    *    the exact and MinHash tiers);
+    *  - `dup_batch`: no corpus hit, but a lower-id same-cell batch
+    *    vector is tau-close (`dup_of` = the lowest such id);
+    *  - `new`: neither.
+    * Like [[dedup]], the probe is CELL-CONFINED — a tau-close pair whose
+    * vectors fall in different coarse cells is not flagged (SemDeDup's
+    * confinement approximation, which is what keeps the pairwise term
+    * off the full corpus).
+    *
+    * Parameter-drift guard (the failure mode the MinHash tier hit): an
+    * index built with a DIFFERENT codebook than the probe's assigns the
+    * same vector to different cells, so probes silently miss — every doc
+    * reports 'new' and the audit corrupts without signal. Index cell ids
+    * are therefore validated against the probe codebook inline in the
+    * projected column (not a separate check Catalyst could prune away):
+    * any index cell_id that is not a centroid id raises.
+    *
+    * Scale shape: assignment is the codegen map-only argmax; both
+    * probes are equi-joins on cell_id (hash joins — same-cell vectors
+    * only, never all-pairs); the centroid-id set broadcasts. On a
+    * `partitionBy(cell_id)` store, a batch touching few cells reads few
+    * partitions. */
+  def semanticIncrement(newVecs: DataFrame, idCol: String, vecCol: String,
+                        existingIndex: DataFrame,
+                        centroids: DataFrame, cIdCol: String, cVecCol: String,
+                        tau: Double): DataFrame = {
+    val assigned = graft.Materialize(
+      Ann.assignCells(newVecs, idCol, vecCol, centroids, cIdCol, cVecCol)
+        .select(col(idCol).as("_id"), col(vecCol).as("_vec"), col("cell_id")))
+    val cellType = existingIndex.schema(existingIndex.schema.fieldIndex("cell_id")).dataType
+    val known = centroids.select(col(cIdCol).as("cell_id"))
+      .withColumn("_known", lit(true))
+    val guardedIdx = existingIndex
+      .select(col("cell_id"), col(idCol).as("_cid"), col(vecCol).as("_cvec"))
+      .join(broadcast(known), Seq("cell_id"), "left")
+      .select(
+        when(col("_known"), col("cell_id"))
+          .otherwise(raise_error(concat(
+            lit("semanticIncrement: index cell_id "), col("cell_id").cast("string"),
+            lit(" is not a centroid id — the vector index was built with a " +
+              "different codebook than this probe"))).cast(cellType))
+          .as("cell_id"),
+        col("_cid"), col("_cvec"))
+    val corpusHit = assigned
+      .join(guardedIdx, Seq("cell_id"))
+      .filter(cosine(col("_vec"), col("_cvec")) >= tau)
+      .groupBy(col("_id"))
+      .agg(min(col("_cid")).as("_corpus_of"))
+    val l = assigned.select(col("cell_id"), col("_id").as("_ida"), col("_vec").as("_va"))
+    val r = assigned.select(col("cell_id"), col("_id").as("_idb"), col("_vec").as("_vb"))
+    val batchHit = l.join(r, Seq("cell_id"))
+      .filter(col("_ida") < col("_idb") &&
+        cosine(col("_va"), col("_vb")) >= tau)
+      .groupBy(col("_idb"))
+      .agg(min(col("_ida")).as("_batch_of"))
+    assigned.select(col("_id"), col("cell_id"))
+      .join(corpusHit, Seq("_id"), "left")
+      .join(batchHit.withColumnRenamed("_idb", "_id"), Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("cell_id"),
+        when(col("_corpus_of").isNotNull, "dup_corpus")
+          .when(col("_batch_of").isNotNull, "dup_batch")
+          .otherwise("new").as("status"),
+        coalesce(col("_corpus_of"), col("_batch_of")).as("dup_of"))
+  }
+
   /** Embedding-space benchmark decontamination — the semantic
     * complement of [[Dedup.contamination]]: n-gram overlap misses
     * paraphrased or lightly-rewritten eval items; cosine against the

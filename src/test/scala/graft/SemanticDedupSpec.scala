@@ -93,6 +93,40 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(tied == (2L, 0L))
   }
 
+  test("incremental probe: corpus wins, then lowest batch id, else new; no row vanishes") {
+    val index = graft.operators.Ann.assignCells(vecs, "id", "vec", cents, "cid", "cvec")
+      .select("id", "vec", "cell_id")
+    def onCircle(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val batch = Seq(
+      (100L, Seq(0.9995, 0.0316)),  // tau-close to corpus 10 AND 11 → dup_corpus of 10
+      (101L, Seq(0.9994, 0.0347)),  // also corpus-close → dup_corpus (not dup_batch of 100)
+      (200L, onCircle(165)),        // cell 1; nearest corpus vector is 22 at ~127° (cos 38° < tau) → new
+      (201L, onCircle(164))         // tau-close ONLY to batch 200 (cos 1°) → dup_batch of 200
+    ).toDF("id", "vec")
+    val out = SemanticDedup.semanticIncrement(batch, "id", "vec",
+        index, cents, "cid", "cvec", tau = 0.98)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(out.keySet == Set(100L, 101L, 200L, 201L), "every batch row reports")
+    assert(out(100L) == (("dup_corpus", Some(10L))))
+    assert(out(101L) == (("dup_corpus", Some(10L))), "corpus wins over batch neighbor 100")
+    assert(out(200L) == (("new", None)))
+    assert(out(201L) == (("dup_batch", Some(200L))))
+  }
+
+  test("incremental probe raises on an index built with a different codebook") {
+    // cell id 7 exists in no centroid — a drifted codebook's assignment
+    val alien = Seq((10L, Seq(1.0, 0.0), 7L)).toDF("id", "vec", "cell_id")
+    val batch = Seq((100L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      SemanticDedup.semanticIncrement(batch, "id", "vec",
+        alien, cents, "cid", "cvec", tau = 0.9).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("different codebook")), s"got: $e")
+  }
+
   test("plan: equi-join on cell_id, no cartesian; assignment map-only") {
     val plan = SemanticDedup.dedup(vecs, "id", "vec", cents, "cid", "cvec", tau = 0.9)
       .queryExecution.executedPlan.toString
