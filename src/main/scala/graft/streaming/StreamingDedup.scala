@@ -345,4 +345,82 @@ object StreamingDedup {
         .coalesce(1).write.mode("overwrite").parquet(paramsPath.toString)
     }
   }
+
+  /** The SEMANTIC incremental loop — the third tier of the
+    * exact → near-dup → semantic ladder, wrapping
+    * [[graft.operators.SemanticDedup.semanticIncrement]]: each
+    * micro-batch of embedding vectors probes the accumulated
+    * cell-assigned vector index, writes its verdicts, and appends the
+    * `new` rows' (id, vec, cell_id) so the next micro-batch sees them.
+    * Same exactly-once machinery as the other two loops: batch-keyed
+    * partition overwrites, probe excludes the current batch's own
+    * partition, Hadoop FileSystem probe (HDFS/S3-safe).
+    *
+    * Drift guard, one notch stronger than the near-dup tier's `_params`
+    * sidecar: a `_codebook` sidecar persists the full (centroid id,
+    * vector) table the index was assigned under, and a probe whose
+    * codebook differs in ANY id or vector is refused. The inline guard
+    * in `semanticIncrement` only catches alien cell IDS — two drifted
+    * codebooks with the same id set would silently mis-route probes to
+    * the wrong cells; byte-equality on the sidecar catches that too. */
+  def incrementalSemanticStream(vecs: DataFrame, idCol: String, vecCol: String,
+                                centroids: DataFrame, cIdCol: String, cVecCol: String,
+                                indexDir: String, outDir: String, checkpoint: String,
+                                tau: Double): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processSemanticIncrement(batch, batchId, idCol, vecCol,
+          centroids, cIdCol, cVecCol, indexDir, outDir, tau)
+      }
+      .start()
+
+  /** One micro-batch of [[incrementalSemanticStream]] — testable replay
+    * contract, as with [[processIncrement]]. */
+  private[graft] def processSemanticIncrement(batch: DataFrame, batchId: Long,
+                                              idCol: String, vecCol: String,
+                                              centroids: DataFrame,
+                                              cIdCol: String, cVecCol: String,
+                                              indexDir: String, outDir: String,
+                                              tau: Double): Unit = {
+    val spark = batch.sparkSession
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = centroids.select(col(cIdCol).as("cell_id"), col(cVecCol).as("cvec"))
+    val cbPath = new org.apache.hadoop.fs.Path(s"$indexDir/_codebook")
+    if (fs.exists(cbPath)) {
+      val stored = spark.read.parquet(cbPath.toString)
+      val drift = stored.exceptAll(cur).count() + cur.exceptAll(stored).count()
+      require(drift == 0,
+        s"incrementalSemanticStream: vector index at $indexDir was assigned " +
+          s"under a different codebook than this probe's ($drift centroid " +
+          "rows differ) — probing it would mis-route vectors to wrong cells")
+    }
+    val existing: DataFrame =
+      if (fs.exists(idxPath))
+        spark.read.parquet(indexDir)
+          .filter(col("batch_id") < batchId)
+          .select(col(idCol), col(vecCol), col("cell_id"))
+      else {
+        val cType = centroids.schema(centroids.schema.fieldIndex(cIdCol)).dataType
+        batch.select(col(idCol), col(vecCol)).limit(0)
+          .withColumn("cell_id", lit(null).cast(cType))
+      }
+    val verdicts = graft.operators.SemanticDedup.semanticIncrement(
+      batch, idCol, vecCol, existing, centroids, cIdCol, cVecCol, tau)
+    verdicts.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    // index rows for the COMMITTED `new` rows only (read-back, as in the
+    // other tiers): the verdict sink's cell_id rides along so the index
+    // never re-assigns — its cells are exactly what the probe decided on
+    val newRows = spark.read.parquet(s"$outDir/batch_id=$batchId")
+      .filter(col("status") === "new")
+      .select(col(idCol), col("cell_id"))
+    batch.select(col(idCol), col(vecCol))
+      .join(newRows, Seq(idCol))
+      .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+    // persist the codebook once the index exists (idempotent on replay:
+    // same call → same codebook, validated above)
+    if (!fs.exists(cbPath))
+      cur.coalesce(1).write.mode("overwrite").parquet(cbPath.toString)
+  }
 }

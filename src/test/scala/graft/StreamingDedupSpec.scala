@@ -353,4 +353,120 @@ class StreamingDedupSpec extends AnyFunSuite {
     // leave two (and possibly contradictory) rows for batch-1 docs
     assert(spark.read.parquet(out).count() == 5)
   }
+
+  // ---- semantic incremental loop (third tier of the ladder) ----
+
+  /** Two orthogonal centroids; vectors live on the unit circle. */
+  private def semCents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    .toDF("cid", "cvec")
+  private def onCircle(deg: Double) =
+    Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+
+  test("semantic incremental loop: micro-batches probe the grown vector index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_semloop").toFile.getAbsolutePath
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingDedup.incrementalSemanticStream(
+      input.toDF().toDF("vec_id", "vec"), "vec_id", "vec",
+      semCents, "cid", "cvec",
+      s"$root/index", s"$root/out", s"$root/ckpt", tau = 0.98)
+    // batch 0: two distinct vectors + an in-batch tau-close copy of the first
+    input.addData((1L, onCircle(0)), (2L, onCircle(90)), (3L, onCircle(2)))
+    q.processAllAvailable()
+    // batch 1: a tau-close copy of batch-0 content → dup_corpus via the
+    // grown index; plus a vector far from everything seen → new
+    input.addData((4L, onCircle(1)), (5L, onCircle(45)))
+    q.processAllAvailable()
+    // batch 2: near-copy of batch-1's new vector → dup_corpus
+    input.addData((6L, onCircle(44)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$root/out")
+      .select("vec_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "new", 2L -> "new", 3L -> "dup_batch",
+      4L -> "dup_corpus", 5L -> "new",
+      6L -> "dup_corpus"), s"got $got")
+    // the vector index holds rows ONLY for the three `new` vectors
+    val idx = spark.read.parquet(s"$root/index").select("vec_id").as[Long].collect()
+    assert(idx.toSet == Set(1L, 2L, 5L), s"index ids: ${idx.toSet}")
+
+    // replay idempotency, same contract as the other two loops
+    val before = spark.read.parquet(s"$root/out")
+      .select("vec_id", "status", "batch_id")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val b2 = Seq((6L, onCircle(44))).toDF("vec_id", "vec")
+    StreamingDedup.processSemanticIncrement(b2, 2L, "vec_id", "vec",
+      semCents, "cid", "cvec", s"$root/index", s"$root/out", tau = 0.98)
+    val after = spark.read.parquet(s"$root/out")
+      .select("vec_id", "status", "batch_id")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(after == before, "replaying batch 2 changed the verdict sink")
+  }
+
+  test("semantic loop: crash between the verdict and index writes, restart → sinks ≡ clean run") {
+    val b0 = Seq((1L, onCircle(0)), (2L, onCircle(90))).toDF("vec_id", "vec")
+    val b1 = Seq((3L, onCircle(1)), (4L, onCircle(45))).toDF("vec_id", "vec")
+    def run(root: String, b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingDedup.processSemanticIncrement(b, id, "vec_id", "vec",
+        semCents, "cid", "cvec", s"$root/index", s"$root/out", tau = 0.98)
+    def sinks(root: String) = (
+      spark.read.parquet(s"$root/out").select("vec_id", "status", "batch_id")
+        .collect().map(_.toString).sorted.toSeq,
+      spark.read.parquet(s"$root/index").select("vec_id", "cell_id", "batch_id")
+        .collect().map(_.toString).sorted.toSeq)
+
+    val clean = Files.createTempDirectory("graft_semclean").toFile.getAbsolutePath
+    run(clean, b0, 0L); run(clean, b1, 1L)
+
+    // crashed run: batch 1's first attempt dies AFTER the verdict write
+    // and BEFORE the index write — reproduce that torn state literally
+    val crash = Files.createTempDirectory("graft_semcrash").toFile.getAbsolutePath
+    run(crash, b0, 0L)
+    val prior = spark.read.parquet(s"$crash/index")
+      .filter(col("batch_id") < 1L).select("vec_id", "vec", "cell_id")
+    graft.operators.SemanticDedup.semanticIncrement(b1, "vec_id", "vec",
+        prior, semCents, "cid", "cvec", tau = 0.98)
+      .write.mode("overwrite").parquet(s"$crash/out/batch_id=1")
+    assert(!new java.io.File(s"$crash/index/batch_id=1").exists,
+      "precondition: the crash left no index partition for batch 1")
+
+    run(crash, b1, 1L)
+    assert(sinks(crash) == sinks(clean),
+      "restart after a mid-batch crash must converge to the clean run")
+    val statuses = spark.read.parquet(s"$crash/out")
+      .select("vec_id", "status").as[(Long, String)].collect().toMap
+    assert(statuses == Map(1L -> "new", 2L -> "new",
+      3L -> "dup_corpus", 4L -> "new"), s"got $statuses")
+
+    // second crash point: batch 0 dies between the index write and the
+    // _codebook write — replay must converge and leave the sidecar
+    val crash2 = Files.createTempDirectory("graft_semcrash2").toFile.getAbsolutePath
+    run(crash2, b0, 0L)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$crash2/index/_codebook"))
+    run(crash2, b0, 0L)
+    assert(new java.io.File(s"$crash2/index/_codebook").exists)
+    val s0 = spark.read.parquet(s"$crash2/out").select("vec_id", "status")
+      .as[(Long, String)].collect().toMap
+    assert(s0 == Map(1L -> "new", 2L -> "new"))
+  }
+
+  test("semantic loop: codebook drift fails loudly even with identical centroid ids") {
+    val root = Files.createTempDirectory("graft_semdrift").toFile.getAbsolutePath
+    val b0 = Seq((1L, onCircle(0))).toDF("vec_id", "vec")
+    StreamingDedup.processSemanticIncrement(b0, 0L, "vec_id", "vec",
+      semCents, "cid", "cvec", s"$root/index", s"$root/out", tau = 0.98)
+    // same centroid IDS, different vectors — the inline alien-cell-id
+    // guard cannot see this; only the _codebook sidecar can
+    val drifted = Seq((0L, Seq(0.6, 0.8)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cvec")
+    val b1 = Seq((2L, onCircle(90))).toDF("vec_id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.processSemanticIncrement(b1, 1L, "vec_id", "vec",
+        drifted, "cid", "cvec", s"$root/index", s"$root/out", tau = 0.98)
+    }
+    assert(e.getMessage.contains("different codebook"), e.getMessage)
+  }
 }
