@@ -685,6 +685,58 @@ object SparkEntry {
         .orderBy("lang_pred")
     }),
 
+    // q_curation extended with the SEMANTIC tier — the full four-stage
+    // production chain: quality gate → exact dedup → MinHash near-dup →
+    // SemDeDup over the survivors' embeddings. Planted paraphrase
+    // stand-ins (word-REVERSED text of docs 0-9 at +10000, carrying the
+    // ORIGINAL embedding) slip through the first three tiers — new
+    // fingerprint, new shingles — and only the vector tier catches
+    // them, so the composition is live, not a no-op pass-through. Docs
+    // without an embedding row (sf0.1 has 5000 docs, 2000 vectors) skip
+    // the semantic tier and pass through kept: a tier can only judge
+    // what it can see, and rows must never vanish.
+    "q_curation_semantic" -> ((s, dir) => {
+      val docs = wide(s, dir, "documents")
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = docs.filter(col("doc_id") < 10).select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat_ws(" ", reverse(tokens(col("text")))).as("text"))
+      val all = docs.select("doc_id", "text").unionByName(planted)
+      val vecs = emb.unionByName(
+        emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val scored = all.select(
+        col("doc_id"), col("text"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.contentFingerprint(col("text")).as("fp"))
+      val gated = graft.Materialize(
+        scored.filter(col("quality") >= 0.5 && col("n_tokens") >= 20))
+      val keep = gated.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      val exactDeduped = graft.Materialize(gated.join(keep, Seq("fp", "doc_id")))
+      val nearDrops = Dedup.minhashCandidates(
+          exactDeduped.select("doc_id", "text"),
+          "doc_id", "text", shingleN = 3, numHashes = 8, bands = 4)
+        .select(col("id_b").as("doc_id")).distinct()
+      val surv = graft.Materialize(
+        exactDeduped.join(nearDrops, Seq("doc_id"), "left_anti"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val semDrops = SemanticDedup.dedup(
+          surv.join(vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+            .select(col("doc_id"), col("embedding")),
+          "doc_id", "embedding", cents, "centroid_id", "cvec", tau = 0.9)
+        .filter(!col("is_kept")).select("doc_id")
+      surv.join(semDrops, Seq("doc_id"), "left_anti")
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tokens").cast("long").as("total_tokens"),
+          min("quality").as("min_quality"),
+          max("quality").as("max_quality"))
+        .orderBy("lang_pred")
+    }),
+
     // §2.F north star: exact dedup by content fingerprint.
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(wide(s, dir, "documents"), "doc_id", "text")
@@ -2076,60 +2128,104 @@ object SparkEntry {
          |)""".stripMargin
     }
 
+    // Shared CTE chain (t → surv) of the curation oracles: quality gate
+    // → exact dedup → MinHash banding drops, over `src`(doc_id, text).
+    // Reuses the exact scoring / fingerprint / banding fragments of
+    // q_lang_quality, q_dedup_exact and q_minhash_pairs.
+    def dCurationSurv(src: String): String = {
+      val langs = TextAnalysis.StopwordProfiles.map(_._1)
+      val hits = TextAnalysis.StopwordProfiles
+        .map { case (lang, words) => s"${dStopHits("w", words)} AS h_$lang" }
+        .mkString(",\n              ")
+      val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+      val caseChain = langs.map(l => s"WHEN h_$l = best THEN '$l'").mkString(" ")
+      val punct = "(CASE WHEN length(tc) = 0 THEN 0.0 " +
+        "ELSE CAST(length(regexp_replace(tc, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(tc) END)"
+      val mtl = "(CASE WHEN len(w) = 0 THEN 0.0 " +
+        "ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) END)"
+      val quality = s"round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4 + " +
+        s"greatest(1.0 - $punct * 5.0, 0.0) * 0.3 + " +
+        s"least($mtl / 8.0, 1.0) * 0.3 + 1.2345e-9, 6)"
+      val sigCols = (0 until 8)
+        .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS sig_$k")
+        .mkString(", ")
+      val bandRows = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band_id, md5(sig_${2 * b} || '#' || sig_${2 * b + 1}) AS bucket FROM sigs")
+        .mkString("\n  UNION ALL ")
+      s"""t AS (SELECT doc_id, text, trim(replace(text, chr(10), ' ')) AS tc, $W AS w FROM $src),
+         |s AS (
+         |  SELECT doc_id, w,
+         |         CASE WHEN best <= 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred,
+         |         $quality AS quality,
+         |         len(w) AS n_tokens,
+         |         md5(tc) AS fp
+         |  FROM (SELECT *,
+         |              $hits,
+         |              $best AS best
+         |        FROM t) x
+         |),
+         |g AS (SELECT * FROM s WHERE quality >= 0.5 AND n_tokens >= 20),
+         |k AS (SELECT fp, min(doc_id) AS doc_id FROM g GROUP BY fp),
+         |e AS (SELECT g.* FROM g JOIN k ON g.fp = k.fp AND g.doc_id = k.doc_id),
+         |d3 AS (SELECT doc_id, ${dShingleSet("w", 3)} AS sh FROM e),
+         |sigs AS (SELECT doc_id, $sigCols FROM d3 WHERE len(sh) > 0),
+         |bands AS (
+         |  $bandRows
+         |),
+         |drops AS (
+         |  SELECT DISTINCT b.doc_id FROM bands a
+         |  JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |),
+         |surv AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM drops))""".stripMargin
+    }
+    val dCurationStats =
+      """SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       min(quality) AS min_quality, max(quality) AS max_quality""".stripMargin
+
     Map(
       // Curation pipeline: stage-by-stage CTE mirror of the engine's
-      // chained plan, reusing the exact scoring / fingerprint / banding
-      // fragments of q_lang_quality, q_dedup_exact and q_minhash_pairs.
-      "q_curation" -> {
-        val langs = TextAnalysis.StopwordProfiles.map(_._1)
-        val hits = TextAnalysis.StopwordProfiles
-          .map { case (lang, words) => s"${dStopHits("w", words)} AS h_$lang" }
-          .mkString(",\n              ")
-        val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
-        val caseChain = langs.map(l => s"WHEN h_$l = best THEN '$l'").mkString(" ")
-        val punct = "(CASE WHEN length(tc) = 0 THEN 0.0 " +
-          "ELSE CAST(length(regexp_replace(tc, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(tc) END)"
-        val mtl = "(CASE WHEN len(w) = 0 THEN 0.0 " +
-          "ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) END)"
-        val quality = s"round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4 + " +
-          s"greatest(1.0 - $punct * 5.0, 0.0) * 0.3 + " +
-          s"least($mtl / 8.0, 1.0) * 0.3 + 1.2345e-9, 6)"
-        val sigCols = (0 until 8)
-          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS sig_$k")
-          .mkString(", ")
-        val bandRows = (0 until 4)
-          .map(b => s"SELECT doc_id, $b AS band_id, md5(sig_${2 * b} || '#' || sig_${2 * b + 1}) AS bucket FROM sigs")
-          .mkString("\n  UNION ALL ")
-        s"""WITH t AS (SELECT doc_id, text, trim(replace(text, chr(10), ' ')) AS tc, $W AS w FROM documents),
-           |s AS (
-           |  SELECT doc_id, w,
-           |         CASE WHEN best <= 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred,
-           |         $quality AS quality,
-           |         len(w) AS n_tokens,
-           |         md5(tc) AS fp
-           |  FROM (SELECT *,
-           |              $hits,
-           |              $best AS best
-           |        FROM t) x
+      // chained plan.
+      "q_curation" ->
+        s"""WITH ${dCurationSurv("documents")}
+           |$dCurationStats
+           |FROM surv GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+      // Curation + the SEMANTIC tier: same chain over documents plus the
+      // word-reversed planted paraphrases (+10000, original embedding),
+      // then SemDeDup's assignment + lower-id tau-drop over survivors
+      // that HAVE an embedding row; vectorless survivors pass through.
+      "q_curation_semantic" ->
+        s"""WITH docs0 AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000 AS doc_id,
+           |         array_to_string(list_reverse(${dTokens("text")}), ' ') AS text
+           |  FROM documents WHERE doc_id < 10
            |),
-           |g AS (SELECT * FROM s WHERE quality >= 0.5 AND n_tokens >= 20),
-           |k AS (SELECT fp, min(doc_id) AS doc_id FROM g GROUP BY fp),
-           |e AS (SELECT g.* FROM g JOIN k ON g.fp = k.fp AND g.doc_id = k.doc_id),
-           |d3 AS (SELECT doc_id, ${dShingleSet("w", 3)} AS sh FROM e),
-           |sigs AS (SELECT doc_id, $sigCols FROM d3 WHERE len(sh) > 0),
-           |bands AS (
-           |  $bandRows
+           |${dCurationSurv("docs0")},
+           |emb AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
            |),
-           |drops AS (
-           |  SELECT DISTINCT b.doc_id FROM bands a
-           |  JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+           |sv AS (SELECT surv.doc_id, emb.embedding FROM surv JOIN emb ON surv.doc_id = emb.vec_id),
+           |asg AS (
+           |  SELECT doc_id, embedding, cid AS cell_id FROM (
+           |    SELECT v.doc_id, v.embedding, c.cid,
+           |           row_number() OVER (PARTITION BY v.doc_id
+           |             ORDER BY ${dCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
+           |    FROM sv v, c) x WHERE rn = 1
            |),
-           |surv AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM drops))
-           |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
-           |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           |       min(quality) AS min_quality, max(quality) AS max_quality
-           |FROM surv GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
-      },
+           |sdrops AS (
+           |  SELECT DISTINCT y.doc_id FROM asg y
+           |  JOIN asg x ON y.cell_id = x.cell_id AND x.doc_id < y.doc_id
+           |  WHERE ${dCosine("x.embedding", "y.embedding")} >= 0.9
+           |),
+           |kept AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM sdrops))
+           |$dCurationStats
+           |FROM kept GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
 
       "q_dedup_exact" ->
         """SELECT md5(trim(replace(text, chr(10), ' '))) AS fingerprint,

@@ -228,4 +228,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"a shuffled cartesian would move the corpus:\n$p")
   }
+
+  test("four-stage curation chain never goes cartesian; pairwise stages stay key-confined") {
+    // quality gate → exact dedup → MinHash banding → SemDeDup: the two
+    // quadratic-risk stages (band self-join, same-cell cosine) must be
+    // equi-joins on their confinement keys — a cartesian anywhere here
+    // is the shape that dies at 100× (cell assignment is a map-only
+    // codegen argmax, so no join should appear for the codebook either)
+    val p = plan(SparkEntry.queries("q_curation_semantic")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in the curation chain:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the curation chain:\n$p")
+  }
 }

@@ -127,6 +127,21 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("different codebook")), s"got: $e")
   }
 
+  test("curation + semantic tier nets out the planted paraphrases exactly") {
+    val sf = "/root/testdata/sf0.001"
+    // q_curation_semantic feeds 10 planted word-reversed paraphrases
+    // (fresh fingerprints and shingles, original embeddings) through the
+    // quality → exact → MinHash tiers; only the semantic tier can drop
+    // them. If it misses ANY, n_docs/total_tokens exceed plain
+    // q_curation's (reversal preserves token count and quality); if an
+    // earlier tier swallowed the plant, the 3-SF oracle trace would
+    // diverge instead. Equality = every planted row reached the vector
+    // tier and died there.
+    val base = SparkEntry.queries("q_curation")(spark, sf).collect().toSeq
+    val sem = SparkEntry.queries("q_curation_semantic")(spark, sf).collect().toSeq
+    assert(sem == base, s"semantic-tier curation diverged: $sem vs $base")
+  }
+
   test("plan: equi-join on cell_id, no cartesian; assignment map-only") {
     val plan = SemanticDedup.dedup(vecs, "id", "vec", cents, "cid", "cvec", tau = 0.9)
       .queryExecution.executedPlan.toString
