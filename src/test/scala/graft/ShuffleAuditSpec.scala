@@ -125,4 +125,27 @@ class ShuffleAuditSpec extends AnyFunSuite {
     assert(s.writeBytes < corpusTextBytes,
       s"near-dup increment shuffled ${s.writeBytes} vs corpus $corpusTextBytes")
   }
+
+  test("incremental semantic probe shuffles index rows once, never a cross product") {
+    import graft.operators.{Ann, SemanticDedup}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // a corpus 9× the batch: the cell-confined equi-joins keep shuffle
+    // RECORDS at O(|index| + |batch| × stages); a design that shuffled
+    // the |index|×|batch| pair term (or re-read corpus vectors per
+    // batch row) would blow this bound by orders of magnitude
+    val corpus = emb.filter(col("vec_id") < 450)
+    val index = Ann.assignCells(corpus, "vec_id", "embedding", cents, "cid", "cvec")
+      .select("vec_id", "embedding", "cell_id")
+    val batch = emb.filter(col("vec_id") >= 450)
+    val s = ShuffleAudit.of(SemanticDedup.semanticIncrement(
+      batch, "vec_id", "embedding", index, cents, "cid", "cvec", tau = 0.9))
+    assert(s.writeBytes > 0)
+    val nIndex = corpus.count(); val nBatch = batch.count()
+    assert(s.recordsRead < (nIndex + nBatch) * 12,
+      s"records ${s.recordsRead} suggests a pair explosion " +
+        s"(index=$nIndex batch=$nBatch)")
+  }
 }
