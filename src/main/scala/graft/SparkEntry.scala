@@ -1620,6 +1620,32 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Exact per-clique semantic canonicalization — the composition the
+    // SemanticDedup.dedup scaladoc prescribes over its per-tau-path
+    // approximation: same-cell tau-pairs → connected components →
+    // min-id canonical per clique. Planted copies of vectors 0-39
+    // (+20000) and second copies of 0-19 (+40000) make cliques of size
+    // 2 AND 3, so transitive closure is exercised, not just pairing.
+    "q_semantic_clusters" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val vecs = base
+        .unionByName(base.filter(col("vec_id") < 40)
+          .select((col("vec_id") + 20000).as("vec_id"), col("embedding")))
+        .unionByName(base.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 40000).as("vec_id"), col("embedding")))
+      val prs = SemanticDedup.pairs(vecs, "vec_id", "embedding",
+        cents, "centroid_id", "cvec", tau = 0.9)
+      val cl = Dedup.clusters(prs)
+      vecs.select("vec_id")
+        .join(cl, vecs("vec_id") === cl("id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+        .withColumn("is_canonical", col("cluster_id") === col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     // North star: exact-substring duplication profile (Lee et al. 2022
     // at word-5-gram granularity; 5 not the production 10 because the
     // synthetic docs are 11-97 words). Distinct-(gram,doc) shuffle
@@ -3058,6 +3084,43 @@ object SparkEntry {
            |FROM basg b LEFT JOIN corpus_hit ch ON b.vec_id = ch.vec_id
            |LEFT JOIN batch_hit bh ON b.vec_id = bh.vec_id
            |ORDER BY b.vec_id""".stripMargin,
+
+      // Semantic clusters: assignment CTE + same-cell tau-pairs, then the
+      // same recursive-CTE transitive closure as q_dedup_clusters.
+      "q_semantic_clusters" ->
+        s"""WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+           |v AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 20000 AS vec_id, embedding FROM embeddings WHERE vec_id < 40
+           |  UNION ALL
+           |  SELECT vec_id + 40000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20
+           |),
+           |asg AS (
+           |  SELECT vec_id, embedding, cid AS cell_id FROM (
+           |    SELECT v.vec_id, v.embedding, c.cid,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |             ORDER BY ${dCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
+           |    FROM v, c) x WHERE rn = 1
+           |),
+           |pr AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+           |  WHERE ${dCosine("a.embedding", "b.embedding")} >= 0.9
+           |),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM pr
+           |      UNION SELECT id_b, id_a FROM pr),
+           |reach AS (
+           |  SELECT src, dst FROM e
+           |  UNION
+           |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+           |),
+           |cl AS (SELECT src AS vec_id, min(dst) AS mr FROM reach GROUP BY src)
+           |SELECT v.vec_id,
+           |       least(v.vec_id, coalesce(cl.mr, v.vec_id)) AS cluster_id,
+           |       (least(v.vec_id, coalesce(cl.mr, v.vec_id)) = v.vec_id) AS is_canonical
+           |FROM v LEFT JOIN cl ON v.vec_id = cl.vec_id
+           |ORDER BY v.vec_id""".stripMargin,
 
       "q_gram_dedup" ->
         s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),

@@ -60,6 +60,24 @@ object SemanticDedup {
         col("dup_of").isNull.as("is_kept"), col("dup_of"))
   }
 
+  /** Same-cell tau-pairs (id_a < id_b) — the edge list the Scaladoc of
+    * [[dedup]] points at for EXACT per-clique canonicalization: feed
+    * these into [[Dedup.clusters]] and keep each component's min id,
+    * instead of [[dedup]]'s one-join per-tau-path approximation. Same
+    * cell confinement, so the pair term stays Σ|cell|²/2. */
+  def pairs(vecs: DataFrame, idCol: String, vecCol: String,
+            centroids: DataFrame, cIdCol: String, cVecCol: String,
+            tau: Double): DataFrame = {
+    val cells = Ann.assignCells(vecs, idCol, vecCol, centroids, cIdCol, cVecCol)
+      .select(col(idCol).as("_id"), col(vecCol).as("_vec"), col("cell_id"))
+    val x = cells.select(col("_id").as("id_a"), col("_vec").as("_xvec"), col("cell_id"))
+    val y = cells.select(col("_id").as("id_b"), col("_vec").as("_yvec"), col("cell_id"))
+    x.join(y, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b") &&
+        cosine(col("_xvec"), col("_yvec")) >= tau)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Incremental semantic dedup — the daily-increment production shape
     * one tier above [[Dedup.minhashIncrement]]: screen a NEW batch of
     * vectors against the accumulated corpus WITHOUT re-reading corpus

@@ -93,6 +93,33 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(tied == (2L, 0L))
   }
 
+  test("pairs + clusters canonicalize per CLIQUE where dedup prunes per path") {
+    def onCircle(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    // the chain fixture: a(1)-b(2)-c(3) with cos(a,b), cos(b,c) ≥ tau
+    // but cos(a,c) < tau — one PATH, one component
+    val chain = Seq((1L, onCircle(0)), (2L, onCircle(25)), (3L, onCircle(50)))
+      .toDF("id", "vec")
+    // single-cell codebook (as in the chain test above): at 2 cells the
+    // 50° vector assigns to the y-cell and 2-3 would be cross-cell
+    val oneCell = Seq((0L, Seq(1.0, 0.0))).toDF("cid", "cvec")
+    val tau = math.cos(math.toRadians(30))
+    val prs = SemanticDedup.pairs(chain, "id", "vec", oneCell, "cid", "cvec", tau)
+      .as[(Long, Long)].collect().toSet
+    assert(prs == Set((1L, 2L), (2L, 3L)), s"tau-edges: $prs")
+    // clusters over the edges: ONE component, canonical = min id 1 —
+    // the exact per-clique form the dedup scaladoc prescribes (dedup
+    // itself also drops 3 via the path rule; both agree here, but the
+    // cluster form additionally names ONE canonical for the whole chain)
+    val cl = graft.operators.Dedup.clusters(prs.toSeq.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"components: $cl")
+    // cross-cell tau-pairs never form: orthogonal exemplars share no cell
+    val none = SemanticDedup.pairs(vecs, "id", "vec", cents, "cid", "cvec", tau = -1.0)
+      .as[(Long, Long)].collect().toSet
+    assert(none.forall { case (a, b) => (a < 20) == (b < 20) },
+      s"cross-cell pair leaked: $none")
+  }
+
   test("incremental probe: corpus wins, then lowest batch id, else new; no row vanishes") {
     val index = graft.operators.Ann.assignCells(vecs, "id", "vec", cents, "cid", "cvec")
       .select("id", "vec", "cell_id")
