@@ -648,6 +648,56 @@ object SparkEntry {
       .select(col("vec_id").as("entry_id"), col("embedding"),
         concat(lit("resp_"), col("vec_id")).as("response"), col("label").as("freq"))
 
+  /** The staged four-tier curation chain shared by q_curation_semantic
+    * and q_curation_report (each stage is the prior's survivors):
+    * input ⊇ quality gate ⊇ exact dedup ⊇ MinHash near-dup ⊇ SemDeDup.
+    * Input = documents + 10 planted word-REVERSED paraphrases (+10000,
+    * carrying the ORIGINAL embedding) that slip the first three tiers —
+    * new fingerprint, new shingles — and die only in the vector tier,
+    * proving the composition live. Docs without an embedding row (sf0.1
+    * has 5000 docs, 2000 vectors) skip the semantic tier and pass
+    * through kept: a tier can only judge what it can see, and rows must
+    * never vanish. */
+  private case class CurationStages(all: DataFrame, gated: DataFrame,
+                                    exactDeduped: DataFrame, surv: DataFrame,
+                                    kept: DataFrame)
+  private def curationSemanticStages(s: SparkSession, dir: String): CurationStages = {
+    val docs = wide(s, dir, "documents")
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = docs.filter(col("doc_id") < 10).select(
+      (col("doc_id") + 10000).as("doc_id"),
+      concat_ws(" ", reverse(tokens(col("text")))).as("text"))
+    val all = docs.select("doc_id", "text").unionByName(planted)
+    val vecs = emb.unionByName(
+      emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val scored = all.select(
+      col("doc_id"), col("text"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.contentFingerprint(col("text")).as("fp"))
+    val gated = graft.Materialize(
+      scored.filter(col("quality") >= 0.5 && col("n_tokens") >= 20))
+    val keep = gated.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val exactDeduped = graft.Materialize(gated.join(keep, Seq("fp", "doc_id")))
+    val nearDrops = Dedup.minhashCandidates(
+        exactDeduped.select("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, numHashes = 8, bands = 4)
+      .select(col("id_b").as("doc_id")).distinct()
+    val surv = graft.Materialize(
+      exactDeduped.join(nearDrops, Seq("doc_id"), "left_anti"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val semDrops = SemanticDedup.dedup(
+        surv.join(vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+          .select(col("doc_id"), col("embedding")),
+        "doc_id", "embedding", cents, "centroid_id", "cvec", tau = 0.9)
+      .filter(!col("is_kept")).select("doc_id")
+    val kept = surv.join(semDrops, Seq("doc_id"), "left_anti")
+    CurationStages(all, gated, exactDeduped, surv, kept)
+  }
+
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // North star: the full corpus-curation pipeline every training-data
@@ -696,45 +746,33 @@ object SparkEntry {
     // the semantic tier and pass through kept: a tier can only judge
     // what it can see, and rows must never vanish.
     "q_curation_semantic" -> ((s, dir) => {
-      val docs = wide(s, dir, "documents")
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val planted = docs.filter(col("doc_id") < 10).select(
-        (col("doc_id") + 10000).as("doc_id"),
-        concat_ws(" ", reverse(tokens(col("text")))).as("text"))
-      val all = docs.select("doc_id", "text").unionByName(planted)
-      val vecs = emb.unionByName(
-        emb.filter(col("vec_id") < 10)
-          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      val scored = all.select(
-        col("doc_id"), col("text"),
-        TextAnalysis.langId(col("text")).as("lang_pred"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextAnalysis.contentFingerprint(col("text")).as("fp"))
-      val gated = graft.Materialize(
-        scored.filter(col("quality") >= 0.5 && col("n_tokens") >= 20))
-      val keep = gated.groupBy("fp").agg(min("doc_id").as("doc_id"))
-      val exactDeduped = graft.Materialize(gated.join(keep, Seq("fp", "doc_id")))
-      val nearDrops = Dedup.minhashCandidates(
-          exactDeduped.select("doc_id", "text"),
-          "doc_id", "text", shingleN = 3, numHashes = 8, bands = 4)
-        .select(col("id_b").as("doc_id")).distinct()
-      val surv = graft.Materialize(
-        exactDeduped.join(nearDrops, Seq("doc_id"), "left_anti"))
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-      val semDrops = SemanticDedup.dedup(
-          surv.join(vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
-            .select(col("doc_id"), col("embedding")),
-          "doc_id", "embedding", cents, "centroid_id", "cvec", tau = 0.9)
-        .filter(!col("is_kept")).select("doc_id")
-      surv.join(semDrops, Seq("doc_id"), "left_anti")
+      val st = curationSemanticStages(s, dir)
+      st.kept
         .groupBy("lang_pred")
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum("n_tokens").cast("long").as("total_tokens"),
           min("quality").as("min_quality"),
           max("quality").as("max_quality"))
         .orderBy("lang_pred")
+    }),
+
+    // Per-tier drop accounting for the same four-stage chain — the
+    // audit every curation run ships alongside its output: how many
+    // docs entered, and how many each tier admitted. Monotone
+    // non-increasing by construction; the gap between stages IS the
+    // tier's drop count, so a silently dead tier (e.g. a drifted
+    // codebook assigning nothing) is visible as a zero gap where the
+    // planted rows guarantee a nonzero one.
+    "q_curation_report" -> ((s, dir) => {
+      import s.implicits._
+      val st = curationSemanticStages(s, dir)
+      Seq((1L, "input", st.all.count()),
+          (2L, "quality_gate", st.gated.count()),
+          (3L, "exact_dedup", st.exactDeduped.count()),
+          (4L, "near_dedup", st.surv.count()),
+          (5L, "semantic_dedup", st.kept.count()))
+        .toDF("stage_no", "stage", "n_docs")
+        .orderBy("stage_no")
     }),
 
     // §2.F north star: exact dedup by content fingerprint.
@@ -2208,6 +2246,38 @@ object SparkEntry {
       """SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |       min(quality) AS min_quality, max(quality) AS max_quality""".stripMargin
+    // The semantic-tier extension: planted-paraphrase input, the shared
+    // t → surv chain, then SemDeDup assignment + lower-id tau-drop over
+    // survivors that HAVE an embedding row (vectorless pass through).
+    val dCurationSemanticCtes: String =
+      s"""docs0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id,
+         |         array_to_string(list_reverse(${dTokens("text")}), ' ') AS text
+         |  FROM documents WHERE doc_id < 10
+         |),
+         |${dCurationSurv("docs0")},
+         |emb AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
+         |),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |sv AS (SELECT surv.doc_id, emb.embedding FROM surv JOIN emb ON surv.doc_id = emb.vec_id),
+         |asg AS (
+         |  SELECT doc_id, embedding, cid AS cell_id FROM (
+         |    SELECT v.doc_id, v.embedding, c.cid,
+         |           row_number() OVER (PARTITION BY v.doc_id
+         |             ORDER BY ${dCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
+         |    FROM sv v, c) x WHERE rn = 1
+         |),
+         |sdrops AS (
+         |  SELECT DISTINCT y.doc_id FROM asg y
+         |  JOIN asg x ON y.cell_id = x.cell_id AND x.doc_id < y.doc_id
+         |  WHERE ${dCosine("x.embedding", "y.embedding")} >= 0.9
+         |),
+         |kept AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM sdrops))""".stripMargin
 
     Map(
       // Curation pipeline: stage-by-stage CTE mirror of the engine's
@@ -2222,36 +2292,19 @@ object SparkEntry {
       // then SemDeDup's assignment + lower-id tau-drop over survivors
       // that HAVE an embedding row; vectorless survivors pass through.
       "q_curation_semantic" ->
-        s"""WITH docs0 AS (
-           |  SELECT doc_id, text FROM documents
-           |  UNION ALL
-           |  SELECT doc_id + 10000 AS doc_id,
-           |         array_to_string(list_reverse(${dTokens("text")}), ' ') AS text
-           |  FROM documents WHERE doc_id < 10
-           |),
-           |${dCurationSurv("docs0")},
-           |emb AS (
-           |  SELECT vec_id, embedding FROM embeddings
-           |  UNION ALL
-           |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
-           |),
-           |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
-           |sv AS (SELECT surv.doc_id, emb.embedding FROM surv JOIN emb ON surv.doc_id = emb.vec_id),
-           |asg AS (
-           |  SELECT doc_id, embedding, cid AS cell_id FROM (
-           |    SELECT v.doc_id, v.embedding, c.cid,
-           |           row_number() OVER (PARTITION BY v.doc_id
-           |             ORDER BY ${dCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
-           |    FROM sv v, c) x WHERE rn = 1
-           |),
-           |sdrops AS (
-           |  SELECT DISTINCT y.doc_id FROM asg y
-           |  JOIN asg x ON y.cell_id = x.cell_id AND x.doc_id < y.doc_id
-           |  WHERE ${dCosine("x.embedding", "y.embedding")} >= 0.9
-           |),
-           |kept AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM sdrops))
+        s"""WITH $dCurationSemanticCtes
            |$dCurationStats
            |FROM kept GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+      // Per-tier drop accounting over the same chain.
+      "q_curation_report" ->
+        s"""WITH $dCurationSemanticCtes
+           |SELECT CAST(1 AS BIGINT) AS stage_no, 'input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM docs0
+           |UNION ALL SELECT CAST(2 AS BIGINT), 'quality_gate', CAST(count(*) AS BIGINT) FROM g
+           |UNION ALL SELECT CAST(3 AS BIGINT), 'exact_dedup', CAST(count(*) AS BIGINT) FROM e
+           |UNION ALL SELECT CAST(4 AS BIGINT), 'near_dedup', CAST(count(*) AS BIGINT) FROM surv
+           |UNION ALL SELECT CAST(5 AS BIGINT), 'semantic_dedup', CAST(count(*) AS BIGINT) FROM kept
+           |ORDER BY stage_no""".stripMargin,
 
       "q_dedup_exact" ->
         """SELECT md5(trim(replace(text, chr(10), ' '))) AS fingerprint,
