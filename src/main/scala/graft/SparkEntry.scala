@@ -1497,12 +1497,15 @@ object SparkEntry {
       val media = wide(s, dir, "documents")
         .select(col("doc_id").as("media_id"), lit("image").as("kind"), img.as("bytes"))
         .as[Multimodal.MediaRow]
+      // The 16-bin histogram goes out as scalar columns f0..f15 (the
+      // q_minhash_sig pattern): the driver's comparer cannot hash
+      // array-typed cells, and 16 scalars sort/compare everywhere.
       Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id").as("doc_id"),
-          col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          col("n_bytes"),
-          transform(col("feature"), x => stableRound(x)).as("feature"))
+        .select(col("media_id").as("doc_id") +:
+          col("width").cast("long").as("width") +:
+          col("height").cast("long").as("height") +:
+          col("n_bytes") +:
+          (0 until 16).map(i => stableRound(col("feature").getItem(i)).as(s"f$i")): _*)
         .orderBy("doc_id")
     }),
 
@@ -3249,9 +3252,11 @@ object SparkEntry {
       // the hex string's odd-position chars — so the decoded feature is
       // a hex-digit count over md5 output, which DuckDB can compute.
       // Header "P5\n8 8\n255\n" is 11 bytes + 64 pixels = 75 n_bytes;
-      // width/height come from the decoder parsing that header.
+      // width/height come from the decoder parsing that header. The
+      // histogram is emitted as 16 scalar columns f0..f15 (DuckDB lists
+      // are 1-indexed) so the comparer never sees an array cell.
       "q_multimodal_decode" ->
-        """WITH b AS (
+        ("""WITH b AS (
           |  SELECT doc_id,
           |         md5(text || '#0') || md5(text || '#1') ||
           |         md5(text || '#2') || md5(text || '#3') AS hx
@@ -3263,12 +3268,18 @@ object SparkEntry {
           |           CAST(len(list_filter(range(0, 64), i ->
           |             strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1 = d)) AS DOUBLE)) AS hist
           |  FROM b
+          |),
+          |n AS (
+          |  SELECT doc_id, hist,
+          |         sqrt(list_sum(list_transform(hist, y -> y * y))) + 1e-9 AS nrm
+          |  FROM h
           |)
           |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
           |       CAST(75 AS BIGINT) AS n_bytes,
-          |       list_transform(hist, x ->
-          |         round(x / (sqrt(list_sum(list_transform(hist, y -> y * y))) + 1e-9) + 1.2345e-9, 6)) AS feature
-          |FROM h ORDER BY doc_id""".stripMargin,
+          |""".stripMargin +
+          (0 until 16).map(i => s"       round(hist[${i + 1}] / nrm + 1.2345e-9, 6) AS f$i")
+            .mkString(",\n") +
+          "\nFROM n ORDER BY doc_id"),
 
       "q_corpus_except" ->
         """SELECT doc_id, text FROM documents
