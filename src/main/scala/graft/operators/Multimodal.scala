@@ -88,7 +88,16 @@ object Multimodal {
         pos = p3
         val (w, h, maxVal) = (wTok.toInt, hTok.toInt, mTok.toInt)
         if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 65535) return None
-        val n = w * h * channels
+        // Bound the sample count in Long arithmetic BEFORE allocating:
+        // untrusted header dims like "100000 100000" would overflow the
+        // Int product (NegativeArraySizeException) or allocate multi-GB.
+        // Any well-formed payload carries at least one byte per sample
+        // (ascii: digit + separator; binary: 1 or 2 raw bytes), so a
+        // sample count beyond the remaining payload is malformed — route
+        // it to the fallback slot like any other truncated input.
+        val nLong = w.toLong * h * channels
+        if (nLong > bytes.length - pos) return None
+        val n = nLong.toInt
         val pixels = new Array[Int](n)
         if (kind == '2' || kind == '3') {
           // ascii samples
