@@ -112,11 +112,19 @@ object Bench {
     val spreads = results.map(_._3).filter(_ >= 0).sorted
     val p90 = if (spreads.isEmpty) 0.0 else spreads((spreads.size - 1) * 9 / 10)
 
+    // queries that error out: the -1.0 sentinel keeps them out of the
+    // total, but round 7 proved that alone lets a working→failing
+    // transition ship inside an exit-0 run — so they are also (a) listed
+    // under "failed", (b) forced into the regression diff when the
+    // baseline had them working, and (c) fatal to the exit code.
+    val failedQs = results.collect { case (n, m, _, _) if m < 0 => n }
+
     // two-sided gate, but reported separately: a 0.2x improvement in the
     // "regressions" list reads as a false alarm to a round-over-round diff
     val regressions = results.flatMap { case (name, min, _, _) =>
       prev.get(name).collect {
         case p if p > 0 && min > 0 && min / p >= RegressionRatio => (name, p, min)
+        case p if p > 0 && min < 0 => (name, p, -1.0) // worked → now fails
       }
     }
     val improvements = results.flatMap { case (name, min, _, _) =>
@@ -131,11 +139,13 @@ object Bench {
         s""""$name":{"min":${r3(min)},"spread":${r3(spread)},"runs":[${times.map(r3).mkString(",")}]}"""
       }.mkString("{", ",", "}")
       def diffJson(xs: Seq[(String, Double, Double)]) = xs.map { case (n, p, c) =>
-        s"""{"query":"$n","prev_min":${r3(p)},"min":${r3(c)},"ratio":${r3(c / math.max(p, 1e-9))}}"""
+        val ratio = if (c < 0) -1.0 else c / math.max(p, 1e-9)
+        s"""{"query":"$n","prev_min":${r3(p)},"min":${r3(c)},"ratio":${r3(ratio)}}"""
       }.mkString("[", ",", "]")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",
          |"runs":$Passes,"policy":"min-of-$Passes-interleaved","steady_spread_p90":${r3(p90)},
          |"regression_ratio_gate":$RegressionRatio,"baseline":"$baselineSrc",
+         |"failed":[${failedQs.map("\"" + _ + "\"").mkString(",")}],
          |"regressions_vs_prev":${diffJson(regressions)},
          |"improvements_vs_prev":${diffJson(improvements)},
          |"new_queries":[${newQs.map("\"" + _ + "\"").mkString(",")}],
@@ -152,7 +162,14 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsLine,""" +
       s""""runs":$Passes,"policy":"min-of-$Passes-interleaved","steady_spread_p90":${r3(p90)},""" +
+      s""""failed":[${failedQs.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""full_artifact":"$outFile","baseline":"$baselineSrc","sf":"$sfDir"}""")
     spark.stop()
+    // any broken query fails the run loudly — the artifact is already on
+    // disk and stdout printed, so the driver still gets full data
+    if (failedQs.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failedQs.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

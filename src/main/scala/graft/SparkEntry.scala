@@ -28,7 +28,7 @@ import graft.operators._
 object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.TableLoader.load(spark, dir, name)
 
   /** Small single-file tables arrive as ONE input split, serializing any
     * compute-heavy per-row work; spread them across the cores first. The
@@ -38,18 +38,11 @@ object SparkEntry {
   private def wide(spark: SparkSession, dir: String, name: String): DataFrame =
     t(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 
-  /** events.parquet stores TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong=true it reads as BIGINT nanos.
-    * Convert to a proper timestamp (µs precision — the data's actual
-    * granularity) so event-time ops stay idiomatic. */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = t(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer `div`, NOT `/`: long/long promotes to double, which has
-      // only 52 mantissa bits — epoch-microsecond values round off by ±1
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  /** events.parquet has shipped as TIMESTAMP(NANOS)→BIGINT-nanos,
+    * TIMESTAMP_NTZ, and plain TIMESTAMP across driver rounds;
+    * TableLoader folds all three to TimestampType at µs precision. */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TableLoader.loadEvents(spark, dir)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference ask-pipeline (§3.1): chunk → embed → top-k →
@@ -1160,6 +1153,26 @@ object SparkEntry {
         .select(col("vec_id"), stableRound(col("sim")).as("sim"))
         .orderBy(desc("sim"), col("vec_id"))
         .limit(5)
+    }),
+
+    // GRAPH ANN — the HNSW-analog (ref app/main.py:262-283): a
+    // deterministic bounded-degree k-NN graph (in-cell top-4 + centroid
+    // up-links + centroid clique) walked by a 3-hop beam-4 search from
+    // the centroid entry points. Unlike classic HNSW the whole walk is
+    // SQL-replayable, so the traversal itself is oracle-checked. Query
+    // vec 9 is deliberately NOT a centroid — the walk has to navigate.
+    "q_ann_graph" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+      val edges = Ann.knnGraph(assigned, "vec_id", "embedding",
+        cents, "centroid_id", "centroid_vec", m = 4)
+      Ann.graphSearch(s, edges, cents, "centroid_id", "centroid_vec",
+          collectVec(e, 9), beamWidth = 4, hops = 3)
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(10)
     }),
 
     // LSH ANN via the OPTIMIZER REWRITE (graft.plans.AnnBucketPrune):
@@ -2532,6 +2545,52 @@ object SparkEntry {
       // identical result contract: the partitioned store changes the
       // physical layout, never the candidate set
       "q_ann_ivf_part" -> annIvfOracle,
+
+      // Graph ANN: replay the exact beam walk — edges (in-cell top-4 by
+      // cosine + node→centroid up-links + centroid clique), entry = top-4
+      // centroids vs the query, then 3 expand-the-beam hops where the
+      // frontier is the top-4 of everything visited. `sims` scores each
+      // node once, so hop CTEs select ids only; sim per id is functional
+      // and identical to Spark's per-edge recompute.
+      "q_ann_graph" ->
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 9),
+           |asg AS (
+           |  SELECT vec_id, embedding, cid,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+           |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+           |               ${dCosine("e.embedding", "c.cv")} AS csim
+           |        FROM embeddings e, c)
+           |),
+           |cells AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1),
+           |pair AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst,
+           |         row_number() OVER (PARTITION BY a.vec_id
+           |           ORDER BY ${dCosine("a.embedding", "b.embedding")} DESC, b.vec_id) AS rn
+           |  FROM cells a JOIN cells b
+           |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+           |),
+           |edges AS (
+           |  SELECT src, dst FROM pair WHERE rn <= 4
+           |  UNION
+           |  SELECT vec_id, cell_id FROM cells WHERE vec_id <> cell_id
+           |  UNION
+           |  SELECT c1.cid, c2.cid FROM c c1, c c2 WHERE c1.cid <> c2.cid
+           |),
+           |sims AS (SELECT e.vec_id AS id, ${dCosine("e.embedding", "q.qv")} AS sim
+           |         FROM embeddings e, q),
+           |v0 AS (SELECT id, sim FROM sims WHERE id < 8 ORDER BY sim DESC, id LIMIT 4),
+           |f0 AS (SELECT id FROM v0 ORDER BY sim DESC, id LIMIT 4),
+           |v1 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v0)
+           |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f0))),
+           |f1 AS (SELECT id FROM v1 ORDER BY sim DESC, id LIMIT 4),
+           |v2 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v1)
+           |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f1))),
+           |f2 AS (SELECT id FROM v2 ORDER BY sim DESC, id LIMIT 4),
+           |v3 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v2)
+           |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f2)))
+           |SELECT id AS vec_id, round(sim + 1.2345e-9, 6) AS sim
+           |FROM v3 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
       // Fixed-codebook PQ search: ADC top-100 candidates, exact cosine
       // re-rank top-10 (was rows-only while the codebook came from

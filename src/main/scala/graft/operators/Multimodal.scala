@@ -95,7 +95,14 @@ object Multimodal {
         // (ascii: digit + separator; binary: 1 or 2 raw bytes), so a
         // sample count beyond the remaining payload is malformed — route
         // it to the fallback slot like any other truncated input.
-        val nLong = w.toLong * h * channels
+        // Two-step: w.toLong*h cannot overflow Long (≤ ~4.6e18), but a
+        // further *3 can (e.g. header "2147483647 2147483647"), wrapping
+        // negative and slipping past the bound. Capping w*h at Int.MaxValue
+        // first makes the *channels product overflow-free, and any sample
+        // count above that is necessarily malformed (bytes.length is Int).
+        val wh = w.toLong * h
+        if (wh > Int.MaxValue) return None
+        val nLong = wh * channels
         if (nLong > bytes.length - pos) return None
         val n = nLong.toInt
         val pixels = new Array[Int](n)

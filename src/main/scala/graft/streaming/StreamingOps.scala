@@ -151,4 +151,15 @@ object StreamingOps {
       .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Session-window counts (30-minute inactivity gap, ref semantics) —
+    * the streaming twin of q_events_session. Works on batch and streaming
+    * inputs alike; in streaming append mode a watermark on `ts` is
+    * required, and a session emits once the watermark passes its end.
+    * State per key is one open session struct — bounded, RocksDB-safe. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 }

@@ -39,8 +39,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("tumbling windows over a stream equal the batch computation") {
     val dir = "/root/testdata/sf0.001"
-    val batchRaw = spark.read.parquet(s"$dir/events.parquet")
-    val batch = batchRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.sources.TableLoader.loadEvents(spark, dir)
     val schema = batch.schema
     // stage the converted events as a streamable parquet dir
     val staged = Files.createTempDirectory("graft_events").toString + "/ev"
@@ -59,6 +58,45 @@ class StreamingSpec extends AnyFunSuite {
     val expected = StreamingOps.tumblingCounts(batch)
       .select("window_start", "event_type", "n_events")
       .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
+  test("session windows stream on RocksDB and equal the batch computation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s2.sqlContext
+    import s2.implicits._
+
+    val batch = graft.sources.TableLoader.loadEvents(s2, "/root/testdata/sf0.001")
+      .select("user_id", "ts")
+    val rows = batch.as[(Long, java.sql.Timestamp)].collect().toSeq
+    val maxTs = rows.map(_._2.getTime).max
+
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+    val q = StreamingOps.sessionCounts(events)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("session_out").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    // append mode only emits sessions the watermark has passed; a far-future
+    // sentinel event (user -1, excluded below) closes every real session
+    input.addData((-1L, new java.sql.Timestamp(maxTs + 24L * 3600 * 1000)))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = s2.table("session_out")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    val expected = StreamingOps.sessionCounts(batch)
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
     assert(streamed == expected)
     assert(streamed.nonEmpty)
   }
