@@ -1156,7 +1156,7 @@ object SparkEntry {
     }),
 
     // GRAPH ANN — the HNSW-analog (ref app/main.py:262-283): a
-    // deterministic bounded-degree k-NN graph (in-cell top-4 + centroid
+    // deterministic k-NN graph (undirected in-cell top-4 + centroid
     // up-links + centroid clique) walked by a 3-hop beam-4 search from
     // the centroid entry points. Unlike classic HNSW the whole walk is
     // SQL-replayable, so the traversal itself is oracle-checked. Query
@@ -2572,6 +2572,8 @@ object SparkEntry {
            |),
            |edges AS (
            |  SELECT src, dst FROM pair WHERE rn <= 4
+           |  UNION
+           |  SELECT dst, src FROM pair WHERE rn <= 4
            |  UNION
            |  SELECT vec_id, cell_id FROM cells WHERE vec_id <> cell_id
            |  UNION

@@ -244,6 +244,86 @@ object Ann {
   }
 
   // ------------------------------------------------------------------ //
+  // Graph ANN — the HNSW-analog (ref app/main.py:262-283)              //
+  // ------------------------------------------------------------------ //
+
+  /** Deterministic bounded-degree k-NN graph — the batch analog of the
+    * HNSW base layer (ref app/main.py:272-277, m=64). Edge set:
+    *
+    *  - in-cell top-`m` neighbors, UNDIRECTED (HNSW links are
+    *    bidirectional — without the reverse edges a node is reachable
+    *    only through someone else's top-m list and greedy descent
+    *    stalls); built cell-confined pairwise over the IVF assignment
+    *    (the SemanticDedup shape), never all-pairs;
+    *  - node → its cell centroid (the "up-level" link; centroids here
+    *    are data rows, so centroid ids ARE node ids);
+    *  - the centroid clique (inter-cell connectivity; codebook-sized).
+    *
+    * The dst vector rides denormalized on each edge, so a search hop
+    * scores its candidates map-only without re-joining the vector
+    * store. At 100 TB the table is ≤ |V|·(2m+1)+|C|² rows; persisted
+    * bucketed by `src`, a hop touches only the frontier's buckets.
+    * Every choice ties (sim desc, dst id asc) — SQL-replayable. */
+  def knnGraph(assigned: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame, cIdCol: String, cVecCol: String,
+               m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = assigned.select(col("cell_id"), col(idCol).as("src"), col(vecCol).as("_sv"))
+    val b = assigned.select(col("cell_id"), col(idCol).as("dst"), col(vecCol).as("dst_vec"))
+    val w = Window.partitionBy("src").orderBy(desc("_sim"), col("dst"))
+    val pairs = a.join(b, Seq("cell_id"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("_sim", cosine(col("_sv"), col("dst_vec")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= m)
+    val incell = pairs.select("src", "dst", "dst_vec")
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst"),
+        col("_sv").as("dst_vec")))
+    val up = assigned
+      .join(centroids.select(col(cIdCol), col(cVecCol)), col("cell_id") === col(cIdCol))
+      .filter(col(idCol) =!= col(cIdCol))
+      .select(col(idCol).as("src"), col(cIdCol).as("dst"), col(cVecCol).as("dst_vec"))
+    val clique = centroids.select(col(cIdCol).as("src"))
+      .crossJoin(centroids.select(col(cIdCol).as("dst"), col(cVecCol).as("dst_vec")))
+      .filter(col("src") =!= col("dst"))
+    incell.unionByName(up).unionByName(clique).dropDuplicates("src", "dst")
+  }
+
+  /** Greedy beam search over a [[knnGraph]]: enter at the `beamWidth`
+    * centroids nearest the query, then `hops` rounds of expand-the-beam
+    * (score every neighbor of the current top-`beamWidth` visited nodes,
+    * fold into the visited set). Returns ALL visited nodes scored —
+    * callers apply their own top-k. Like HNSW itself the walk is
+    * inherently sequential, so the loop runs on the driver; each hop's
+    * data-side work is a frontier-pruned edge lookup and every collect
+    * is beam·degree rows (KB-scale), never the index. */
+  def graphSearch(spark: SparkSession, edges: DataFrame,
+                  centroids: DataFrame, cIdCol: String, cVecCol: String,
+                  queryVec: Seq[Double], beamWidth: Int, hops: Int): DataFrame = {
+    val q = lit(queryVec.toArray)
+    val cached = edges.persist()
+    var visited = centroids
+      .withColumn("_sim", cosine(col(cVecCol), q))
+      .orderBy(desc("_sim"), col(cIdCol))
+      .limit(beamWidth)
+      .select(col(cIdCol).cast("long"), col("_sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (_ <- 0 until hops) {
+      val frontier = visited.toSeq.sortBy { case (id, s) => (-s, id) }
+        .take(beamWidth).map(_._1)
+      val cand = cached
+        .filter(col("src").isin(frontier.map(Long.box): _*))
+        .select(col("dst").cast("long"), cosine(col("dst_vec"), q).as("_sim"))
+        .dropDuplicates("dst")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1))
+      visited = visited ++ cand // re-scored ids recompute the same value
+    }
+    cached.unpersist()
+    import spark.implicits._
+    visited.toSeq.toDF("vec_id", "sim")
+  }
+
+  // ------------------------------------------------------------------ //
   // MLlib scale path — the library algorithms behind the same API      //
   // ------------------------------------------------------------------ //
 

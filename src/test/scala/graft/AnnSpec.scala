@@ -165,6 +165,33 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("graph ANN: bounded degree, navigable walk, recall@10 >= 0.7 vs brute force") {
+    val e = embeddings.select("vec_id", "embedding")
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+    val edges = Ann.knnGraph(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = 8)
+    // edge budget: <= |V|(2m+1) + |C|(|C|-1) rows (undirected in-cell
+    // doubles the top-m lists; per-node in-degree is heuristic-bounded)
+    val nV = e.count()
+    assert(edges.count() <= nV * 17 + 56, "edge table exceeds the |V|(2m+1)+|C|^2 budget")
+    // a non-centroid query: the walk must navigate centroid -> cell -> node
+    val qv = e.filter(col("vec_id") === 9)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", qv, 10)
+      .select("vec_id").as[Long].collect().toSet
+    def walk() = Ann.graphSearch(spark, edges, cents, "centroid_id", "centroid_vec",
+        qv, beamWidth = 16, hops = 6)
+      .orderBy(desc("sim"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+    val got = walk()
+    assert(got.contains(9L), "walk never reached the query's own row")
+    val recall = exact.intersect(got.toSet).size.toDouble / exact.size
+    assert(recall >= 0.7, s"graph-ANN top-10 recall $recall < 0.7 vs brute force")
+    assert(walk() == got, "graph walk is not deterministic")
+  }
+
   test("MLlib MinHashLSH join finds planted near-duplicates") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
