@@ -321,6 +321,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(bounded.history == "Human: q4\nAI: a4\nHuman: q5\nAI: a5")
   }
 
+  test("live token egress: relay emits exactly the contiguous run, in seq order") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    import graft.streaming.TokenEgress
+    import graft.streaming.TokenEgress.{EgressState, TokenIn}
+    val s0 = TestGroupState.create[EgressState](
+      Optional.empty[EgressState](), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[Long](), hasTimedOut = false)
+    // batch 1 arrives scrambled with a hole at seq 1
+    val out1 = TokenEgress.relay(16)(7L,
+      Iterator(TokenIn(7, 2, "c"), TokenIn(7, 0, "a"), TokenIn(7, 3, "d")), s0).toSeq
+    assert(out1.map(t => (t.seq, t.token)) == Seq((0L, "a")))
+    assert(s0.get.next_seq == 1L && s0.get.buffered.keySet == Set(2L, 3L))
+    // batch 2 fills the hole (plus a duplicate of an emitted seq, dropped)
+    val s1 = TestGroupState.create[EgressState](
+      Optional.of(s0.get), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[Long](), hasTimedOut = false)
+    val out2 = TokenEgress.relay(16)(7L,
+      Iterator(TokenIn(7, 1, "b"), TokenIn(7, 0, "dupe")), s1).toSeq
+    assert(out2.map(t => (t.seq, t.token)) == Seq((1L, "b"), (2L, "c"), (3L, "d")))
+    assert(s1.get.next_seq == 4L && s1.get.buffered.isEmpty)
+    // pathological gap: buffer cap trips loudly instead of growing state
+    val s2 = TestGroupState.create[EgressState](
+      Optional.empty[EgressState](), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[Long](), hasTimedOut = false)
+    intercept[IllegalArgumentException] {
+      TokenEgress.relay(2)(8L,
+        Iterator(TokenIn(8, 5, "x"), TokenIn(8, 6, "y"), TokenIn(8, 7, "z")), s2)
+    }
+  }
+
+  test("live token egress streams in order across micro-batches (RocksDB)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.TokenEgress
+    import graft.streaming.TokenEgress.TokenIn
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s2.sqlContext
+    import s2.implicits._
+    val input = MemoryStream[TokenIn]
+    val q = TokenEgress.tokenEgress(input.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("egress_out").start()
+    // two interleaved answers; answer 1 has a hole at seq 1 until batch 2
+    input.addData(TokenIn(1, 0, "hello"), TokenIn(1, 2, "!"), TokenIn(2, 0, "hi"))
+    q.processAllAvailable()
+    val afterB1 = s2.table("egress_out")
+      .select("answer_id", "seq").as[(Long, Long)].collect().toSet
+    assert(afterB1 == Set((1L, 0L), (2L, 0L))) // seq 2 held back by the hole
+    input.addData(TokenIn(1, 1, "world"), TokenIn(2, 1, "there"))
+    q.processAllAvailable()
+    q.stop()
+    val all = s2.table("egress_out")
+      .select("answer_id", "seq", "token").as[(Long, Long, String)].collect()
+    val a1 = all.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    assert(a1 == Seq("hello", "world", "!"))
+    assert(all.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq == Seq("hi", "there"))
+  }
+
   test("token egress: scrambled arrival order assembles seq-ordered answers") {
     import org.apache.spark.sql.functions._
     // tokens deliberately NOT in seq order, spread over many partitions
