@@ -1175,6 +1175,28 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Graph ANN over the src-BUCKETED edge store: identical walk, but
+    // each hop's edge lookup goes through partitionBy(src_bucket) +
+    // partition pruning — the 100 TB layout (the q_ann_ivf_part of the
+    // graph path). Same oracle: the store changes physical layout only.
+    "q_ann_graph_part" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+      val edges = Ann.knnGraph(assigned, "vec_id", "embedding",
+        cents, "centroid_id", "centroid_vec", m = 4)
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_knng$safe").getAbsolutePath
+      Ann.writeGraphIndex(edges, idx, nBuckets = 16)
+      Ann.graphSearchPartitioned(s, idx, 16, cents, "centroid_id", "centroid_vec",
+          collectVec(e, 9), beamWidth = 4, hops = 3)
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(10)
+    }),
+
     // LSH ANN via the OPTIMIZER REWRITE (graft.plans.AnnBucketPrune):
     // the query below is written as the EXACT form — score everything,
     // sort desc, limit — with no bucket filter anywhere; the opt-in rule
@@ -2070,6 +2092,52 @@ object SparkEntry {
        |SELECT vec_id, round(sim + 1.2345e-9, 6) AS sim
        |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
 
+  /** Shared by q_ann_graph and q_ann_graph_part (the bucketed edge
+    * store changes physical layout only): replay the exact beam walk —
+    * build the edge set, score every node once (`sims`), then chain
+    * frontier (f) / visited (v) CTEs per hop. */
+  private def annGraphOracle: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 9),
+       |asg AS (
+       |  SELECT vec_id, embedding, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+       |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+       |               ${dCosine("e.embedding", "c.cv")} AS csim
+       |        FROM embeddings e, c)
+       |),
+       |cells AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1),
+       |pair AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |           ORDER BY ${dCosine("a.embedding", "b.embedding")} DESC, b.vec_id) AS rn
+       |  FROM cells a JOIN cells b
+       |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+       |),
+       |edges AS (
+       |  SELECT src, dst FROM pair WHERE rn <= 4
+       |  UNION
+       |  SELECT dst, src FROM pair WHERE rn <= 4
+       |  UNION
+       |  SELECT vec_id, cell_id FROM cells WHERE vec_id <> cell_id
+       |  UNION
+       |  SELECT c1.cid, c2.cid FROM c c1, c c2 WHERE c1.cid <> c2.cid
+       |),
+       |sims AS (SELECT e.vec_id AS id, ${dCosine("e.embedding", "q.qv")} AS sim
+       |         FROM embeddings e, q),
+       |v0 AS (SELECT id, sim FROM sims WHERE id < 8 ORDER BY sim DESC, id LIMIT 4),
+       |f0 AS (SELECT id FROM v0 ORDER BY sim DESC, id LIMIT 4),
+       |v1 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v0)
+       |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f0))),
+       |f1 AS (SELECT id FROM v1 ORDER BY sim DESC, id LIMIT 4),
+       |v2 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v1)
+       |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f1))),
+       |f2 AS (SELECT id FROM v2 ORDER BY sim DESC, id LIMIT 4),
+       |v3 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v2)
+       |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f2)))
+       |SELECT id AS vec_id, round(sim + 1.2345e-9, 6) AS sim
+       |FROM v3 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
   /** DuckDB: the fixed-codebook PQ machinery shared by q_pq_search and
     * q_ivfpq (m=8 subspaces × subDim=8 over dim 64, k=16). Rebuilds the
     * head-16 seed codebook (≡ [[graft.operators.Pq.headCodebooks]]),
@@ -2552,47 +2620,11 @@ object SparkEntry {
       // frontier is the top-4 of everything visited. `sims` scores each
       // node once, so hop CTEs select ids only; sim per id is functional
       // and identical to Spark's per-edge recompute.
-      "q_ann_graph" ->
-        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
-           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 9),
-           |asg AS (
-           |  SELECT vec_id, embedding, cid,
-           |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-           |  FROM (SELECT e.vec_id, e.embedding, c.cid,
-           |               ${dCosine("e.embedding", "c.cv")} AS csim
-           |        FROM embeddings e, c)
-           |),
-           |cells AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1),
-           |pair AS (
-           |  SELECT a.vec_id AS src, b.vec_id AS dst,
-           |         row_number() OVER (PARTITION BY a.vec_id
-           |           ORDER BY ${dCosine("a.embedding", "b.embedding")} DESC, b.vec_id) AS rn
-           |  FROM cells a JOIN cells b
-           |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
-           |),
-           |edges AS (
-           |  SELECT src, dst FROM pair WHERE rn <= 4
-           |  UNION
-           |  SELECT dst, src FROM pair WHERE rn <= 4
-           |  UNION
-           |  SELECT vec_id, cell_id FROM cells WHERE vec_id <> cell_id
-           |  UNION
-           |  SELECT c1.cid, c2.cid FROM c c1, c c2 WHERE c1.cid <> c2.cid
-           |),
-           |sims AS (SELECT e.vec_id AS id, ${dCosine("e.embedding", "q.qv")} AS sim
-           |         FROM embeddings e, q),
-           |v0 AS (SELECT id, sim FROM sims WHERE id < 8 ORDER BY sim DESC, id LIMIT 4),
-           |f0 AS (SELECT id FROM v0 ORDER BY sim DESC, id LIMIT 4),
-           |v1 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v0)
-           |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f0))),
-           |f1 AS (SELECT id FROM v1 ORDER BY sim DESC, id LIMIT 4),
-           |v2 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v1)
-           |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f1))),
-           |f2 AS (SELECT id FROM v2 ORDER BY sim DESC, id LIMIT 4),
-           |v3 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v2)
-           |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f2)))
-           |SELECT id AS vec_id, round(sim + 1.2345e-9, 6) AS sim
-           |FROM v3 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+      "q_ann_graph" -> annGraphOracle,
+
+      // identical result contract: the src-bucketed store changes the
+      // physical layout, never the walk
+      "q_ann_graph_part" -> annGraphOracle,
 
       // Fixed-codebook PQ search: ADC top-100 candidates, exact cosine
       // re-rank top-10 (was rows-only while the codebook came from

@@ -300,8 +300,22 @@ object Ann {
   def graphSearch(spark: SparkSession, edges: DataFrame,
                   centroids: DataFrame, cIdCol: String, cVecCol: String,
                   queryVec: Seq[Double], beamWidth: Int, hops: Int): DataFrame = {
-    val q = lit(queryVec.toArray)
     val cached = edges.persist()
+    val out = beamWalk(spark, centroids, cIdCol, cVecCol, queryVec, beamWidth, hops,
+      frontier => cached.filter(col("src").isin(frontier.map(Long.box): _*)))
+    cached.unpersist()
+    out
+  }
+
+  /** The shared walk: entry at the nearest centroids, then `hops`
+    * expand-the-beam rounds over whatever `lookup` returns for a
+    * frontier (an in-memory filter, or a partition-pruned store read —
+    * the result contract is identical by construction). */
+  private def beamWalk(spark: SparkSession,
+                       centroids: DataFrame, cIdCol: String, cVecCol: String,
+                       queryVec: Seq[Double], beamWidth: Int, hops: Int,
+                       lookup: Seq[Long] => DataFrame): DataFrame = {
+    val q = lit(queryVec.toArray)
     var visited = centroids
       .withColumn("_sim", cosine(col(cVecCol), q))
       .orderBy(desc("_sim"), col(cIdCol))
@@ -311,17 +325,39 @@ object Ann {
     for (_ <- 0 until hops) {
       val frontier = visited.toSeq.sortBy { case (id, s) => (-s, id) }
         .take(beamWidth).map(_._1)
-      val cand = cached
-        .filter(col("src").isin(frontier.map(Long.box): _*))
+      val cand = lookup(frontier)
         .select(col("dst").cast("long"), cosine(col("dst_vec"), q).as("_sim"))
         .dropDuplicates("dst")
         .collect().map(r => r.getLong(0) -> r.getDouble(1))
       visited = visited ++ cand // re-scored ids recompute the same value
     }
-    cached.unpersist()
     import spark.implicits._
     visited.toSeq.toDF("vec_id", "sim")
   }
+
+  /** Persist a [[knnGraph]] partitioned by `pmod(src, nBuckets)`: at
+    * 100 TB the edge table is itself big (|V|·(2m+1) rows carrying
+    * vectors), and a beam hop needs only the frontier's ≤ beamWidth
+    * src groups — with the bucket directory layout that read is
+    * answered by Catalyst PARTITION PRUNING (≤ beamWidth of nBuckets
+    * directories opened), the same posture as the IVF cell store. */
+  def writeGraphIndex(edges: DataFrame, indexDir: String, nBuckets: Int = 64): Unit =
+    edges
+      .withColumn("src_bucket", pmod(col("src"), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("src_bucket").parquet(indexDir)
+
+  /** [[graphSearch]] over a [[writeGraphIndex]] store: each hop filters
+    * on the frontier's buckets (partition pruning at the file listing)
+    * then the exact src set. Same visited set as the in-memory walk. */
+  def graphSearchPartitioned(spark: SparkSession, indexDir: String, nBuckets: Int,
+                             centroids: DataFrame, cIdCol: String, cVecCol: String,
+                             queryVec: Seq[Double], beamWidth: Int, hops: Int): DataFrame =
+    beamWalk(spark, centroids, cIdCol, cVecCol, queryVec, beamWidth, hops, { frontier =>
+      val buckets = frontier.map(id => Long.box(((id % nBuckets) + nBuckets) % nBuckets)).distinct
+      spark.read.parquet(indexDir)
+        .filter(col("src_bucket").isin(buckets: _*))
+        .filter(col("src").isin(frontier.map(Long.box): _*))
+    })
 
   // ------------------------------------------------------------------ //
   // MLlib scale path — the library algorithms behind the same API      //

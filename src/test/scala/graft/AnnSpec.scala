@@ -190,6 +190,18 @@ class AnnSpec extends AnyFunSuite {
     val recall = exact.intersect(got.toSet).size.toDouble / exact.size
     assert(recall >= 0.7, s"graph-ANN top-10 recall $recall < 0.7 vs brute force")
     assert(walk() == got, "graph walk is not deterministic")
+    // the bucketed store is a physical-layout change only: same walk
+    val idx = java.nio.file.Files.createTempDirectory("graft_knng").toString + "/idx"
+    Ann.writeGraphIndex(edges, idx, nBuckets = 16)
+    val partWalk = Ann.graphSearchPartitioned(spark, idx, 16,
+        cents, "centroid_id", "centroid_vec", qv, beamWidth = 8, hops = 4)
+      .orderBy(desc("sim"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+    val memWalk = Ann.graphSearch(spark, edges, cents, "centroid_id", "centroid_vec",
+        qv, beamWidth = 8, hops = 4)
+      .orderBy(desc("sim"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(partWalk == memWalk, "bucketed-store walk diverged from the in-memory walk")
   }
 
   test("MLlib MinHashLSH join finds planted near-duplicates") {

@@ -152,6 +152,31 @@ class PlanSpec extends AnyFunSuite {
     assert(cand.count() < spark.read.parquet(idx).count())
   }
 
+  test("graph-ANN bucketed edge store: a hop's lookup prunes partitions") {
+    import graft.operators.Ann
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+    val edges = Ann.knnGraph(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = 4)
+    val idx = java.nio.file.Files.createTempDirectory("graft_knng_plan").toString + "/idx"
+    Ann.writeGraphIndex(edges, idx, nBuckets = 16)
+    // the exact read shape graphSearchPartitioned issues for one hop
+    val frontier = Seq(0L, 3L, 5L)
+    val buckets = frontier.map(id => Long.box(id % 16)).distinct
+    val hop = spark.read.parquet(idx)
+      .filter(col("src_bucket").isin(buckets: _*))
+      .filter(col("src").isin(frontier.map(Long.box): _*))
+    val p = plan(hop)
+    assert(p.contains("PartitionFilters") && p.contains("src_bucket"),
+      s"expected src_bucket in PartitionFilters (pruned hop scan):\n$p")
+    assert(p.contains("PushedFilters") && p.contains("src"),
+      s"expected the src filter pushed to the scan:\n$p")
+    assert(hop.count() > 0)
+    assert(hop.count() < spark.read.parquet(idx).count())
+  }
+
   test("IVF-PQ partitioned search: probed-cell read prunes partitions") {
     import graft.operators.{Ann, Pq}
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
