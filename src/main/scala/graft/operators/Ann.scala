@@ -111,7 +111,7 @@ object Ann {
       .orderBy(desc("_qsim"), col(cIdCol))
       .limit(nprobe)
       .select(col(cIdCol))
-      .collect().map(_.get(0))
+      .collect().map(_.get(0)).toIndexedSeq
     spark.read.parquet(indexDir)
       .filter(col("cell_id").isin(probeCells: _*))
       .withColumn("sim", cosine(col(vecCol), q))
@@ -269,24 +269,31 @@ object Ann {
                m: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val a = assigned.select(col("cell_id"), col(idCol).as("src"), col(vecCol).as("_sv"))
-    val b = assigned.select(col("cell_id"), col(idCol).as("dst"), col(vecCol).as("dst_vec"))
+    val b = assigned.select(col("cell_id"), col(idCol).as("dst"), col(vecCol).as("_dv"))
     val w = Window.partitionBy("src").orderBy(desc("_sim"), col("dst"))
-    val pairs = a.join(b, Seq("cell_id"))
+    // the QUADRATIC pair set is projected to (src, dst, sim) triples
+    // BEFORE the window's src-shuffle — only ~24-byte rows ride the
+    // |cell|²-sized exchange (the cosine itself is computed map-side in
+    // the cell-join stage); vectors re-attach afterwards by one LINEAR
+    // |E|-row equi-join against the id→vec projection
+    val topm = a.join(b, Seq("cell_id"))
       .filter(col("src") =!= col("dst"))
-      .withColumn("_sim", cosine(col("_sv"), col("dst_vec")))
+      .select(col("src"), col("dst"), cosine(col("_sv"), col("_dv")).as("_sim"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= m)
-    val incell = pairs.select("src", "dst", "dst_vec")
-      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst"),
-        col("_sv").as("dst_vec")))
-    val up = assigned
-      .join(centroids.select(col(cIdCol), col(cVecCol)), col("cell_id") === col(cIdCol))
-      .filter(col(idCol) =!= col(cIdCol))
-      .select(col(idCol).as("src"), col(cIdCol).as("dst"), col(cVecCol).as("dst_vec"))
+      .select("src", "dst")
+    val up = assigned.filter(col(idCol) =!= col("cell_id"))
+      .select(col(idCol).as("src"), col("cell_id").as("dst"))
     val clique = centroids.select(col(cIdCol).as("src"))
-      .crossJoin(centroids.select(col(cIdCol).as("dst"), col(cVecCol).as("dst_vec")))
+      .crossJoin(centroids.select(col(cIdCol).as("dst")))
       .filter(col("src") =!= col("dst"))
-    incell.unionByName(up).unionByName(clique).dropDuplicates("src", "dst")
+    val ids = topm
+      .unionByName(topm.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(up)
+      .unionByName(clique)
+      .distinct()
+    val vecs = assigned.select(col(idCol).as("dst"), col(vecCol).as("dst_vec"))
+    ids.join(vecs, "dst").select("src", "dst", "dst_vec")
   }
 
   /** Greedy beam search over a [[knnGraph]]: enter at the `beamWidth`

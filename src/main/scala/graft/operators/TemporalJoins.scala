@@ -50,7 +50,7 @@ object TemporalJoins {
     unioned
       .withColumn("_asof", last(col("_asof_pay"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         payloadCols.map(c => col(s"_asof.$c").as(c)): _*)
   }
 

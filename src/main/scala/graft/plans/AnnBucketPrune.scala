@@ -148,7 +148,7 @@ object AnnBucketPrune extends Rule[LogicalPlan] {
 
   private def evalArray(e: Expression): Option[Array[Double]] =
     try e.eval() match {
-      case a: ArrayData => Some(a.toDoubleArray)
+      case a: ArrayData => Some(a.toDoubleArray())
       case _ => None
     } catch { case _: Exception => None }
 
