@@ -1044,6 +1044,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Deterministic epoch shuffle: every doc lands in exactly one of 8
+    // shards with a dense in-shard position — the reproducible
+    // training-order permutation (salt varies per epoch).
+    "q_shuffle_shards" -> ((s, dir) => {
+      Sampling.shuffleShards(
+          t(s, dir, "documents").select("doc_id"), "doc_id", nShards = 8, salt = "ep0")
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    }),
+
     // Temperature mixing: budget-40 α=0.5 allocation across sources,
     // each source's quota filled by its lowest-md5-uniform docs (ties
     // by id). Output = the SELECTED documents, so the oracle gates
@@ -2818,6 +2828,23 @@ object SparkEntry {
            |                      WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
            |                      ELSE 0.0 END
            |GROUP BY source ORDER BY source""".stripMargin
+      },
+
+      // Epoch shuffle: shard = 16-bit md5 bucket of 'ep0'||id mod 8,
+      // pos = rank within shard by (full md5 hex, id).
+      "q_shuffle_shards" -> {
+        def h(i: Int) = dHexVal(s"substr(hx, $i, 1)")
+        s"""WITH t AS (
+           |  SELECT doc_id, md5('ep0' || CAST(doc_id AS VARCHAR)) AS hx FROM documents
+           |),
+           |s AS (
+           |  SELECT doc_id, hx,
+           |         CAST((((${h(1)} * 16 + ${h(2)}) * 16 + ${h(3)}) * 16 + ${h(4)}) % 8 AS BIGINT) AS shard
+           |  FROM t
+           |)
+           |SELECT doc_id, shard,
+           |       row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS pos
+           |FROM s ORDER BY shard, pos""".stripMargin
       },
 
       // Targets: floor((budget · √n_i) / Σ√n_j) with the total folded

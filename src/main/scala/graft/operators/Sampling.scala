@@ -30,6 +30,28 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.filter(uniformByHash(col(idCol)) < lit(rate))
 
+  /** Deterministic global shuffle into `nShards` ordered shards — the
+    * training-order primitive: a model must not see the corpus in
+    * storage order, yet the shuffle must be reproducible across reruns,
+    * engines, and cluster sizes (rand(seed) is none of those). Each row
+    * gets `shard` = its 16-bit md5 bucket of (salt ++ id) mod nShards
+    * (map-only) and `pos` = its rank within the shard by full md5 hex
+    * (ties by id), via ONE shard-partitioned window — no global sort,
+    * no single-partition stage. A writer emitting each shard in pos
+    * order materializes the epoch order; vary `salt` per epoch for a
+    * fresh permutation. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    salt: String = ""): DataFrame = {
+    require(nShards > 0, s"shuffleShards: nShards must be positive, got $nShards")
+    val h = md5(concat(lit(salt), col(idCol).cast("string")).cast("binary"))
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(conv(substring(col("_h"), 1, 4), 16, 10).cast("long"),
+        lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("_h"), col(idCol))).cast("long"))
+      .drop("_h")
+  }
+
   /** Per-stratum sampling rates — the data-mixing primitive (e.g. keep
     * 100% of one source, 10% of a crawl). Strata absent from `rates`
     * are dropped (rate 0). */

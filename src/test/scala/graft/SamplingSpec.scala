@@ -181,6 +181,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == single)
   }
 
+  test("shuffleShards: a reproducible, partitioning-proof permutation into dense shards") {
+    val docs = spark.range(0, 500).toDF("id")
+    val out = Sampling.shuffleShards(docs, "id", nShards = 8, salt = "ep0")
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect().toSeq
+    // permutation: every id exactly once, shards in range
+    assert(out.map(_._1).sorted == (0L until 500L))
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    // dense in-shard positions 1..n, no gaps or collisions
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size), s"shard $sh positions not dense")
+    }
+    // every shard is genuinely used at n=500, and not too lopsided
+    val sizes = out.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.size == 8)
+    assert(sizes.values.min > 20, s"suspiciously skewed shards: $sizes")
+    // reproducible regardless of input partitioning
+    val repart = Sampling.shuffleShards(docs.repartition(13), "id", 8, "ep0")
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(repart.toSet == out.toSet)
+    // a different salt is a genuinely different permutation
+    val ep1 = Sampling.shuffleShards(docs, "id", 8, "ep1")
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(ep1.toSet != out.toSet)
+    // the order WITHIN a shard differs too (not just shard assignment)
+    val posByIdEp0 = out.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(ep1.exists(r => posByIdEp0(r._1) != ((r._2, r._3))))
+    Seq(0, -3).foreach { bad =>
+      intercept[IllegalArgumentException](Sampling.shuffleShards(docs, "id", bad))
+    }
+  }
+
   test("packShards: greedy budget layout — contiguous, full, bounded overrun") {
     val docs = spark.range(0, 500).toDF("id")
       .withColumn("s", concat(lit("g"), pmod(col("id"), lit(2))))
