@@ -106,6 +106,38 @@ object ScaleProbe {
       vecs.unpersist()
     }
 
+    // graph-ANN scaling: build is cell-confined pairwise (Σ|cell|² —
+    // sizing the codebook with the corpus keeps it linear-ish), and a
+    // beam walk against the src-bucketed store reads only the
+    // frontier's buckets per hop, so search latency must stay ~flat as
+    // the graph grows.
+    {
+      val e0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      for (n <- Seq(1, 4)) {
+        val vecs = (0 until n).map(i => e0.select(
+            (col("vec_id") + lit(i * 1000000)).as("vec_id"), col("embedding")))
+          .reduce(_ unionByName _).repartition(32).persist()
+        val nv = vecs.count()
+        val k = 8 * n // codebook sized with the corpus: |cell| stays ~constant
+        val cents = vecs.filter(col("vec_id") < 250 * n) // spread across copies
+          .orderBy("vec_id").limit(k)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+        val assigned = operators.Ann.assignCells(vecs, "vec_id", "embedding",
+          cents, "centroid_id", "centroid_vec")
+        val edges = operators.Ann.knnGraph(assigned, "vec_id", "embedding",
+          cents, "centroid_id", "centroid_vec", m = 4)
+        time(s"knn_graph build $nv vecs, $k cells")(edges.count())
+        val idx = java.nio.file.Files.createTempDirectory("graft_knng_probe").toString + "/idx"
+        operators.Ann.writeGraphIndex(edges, idx, nBuckets = 64)
+        val qv = e0.filter(col("vec_id") === 9)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        time(s"graph search (store) $nv vecs")(
+          operators.Ann.graphSearchPartitioned(spark, idx, 64,
+            cents, "centroid_id", "centroid_vec", qv, beamWidth = 8, hops = 3).count())
+        vecs.unpersist()
+      }
+    }
+
     // vector-scan throughput: exact top-k over 1M replicated vectors
     val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val big = e.crossJoin(spark.range(500).select(col("id").as("_rep")))
