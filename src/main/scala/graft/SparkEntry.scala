@@ -135,6 +135,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // JL dimensionality reduction: 64→16 deterministic Rademacher
+    // projection (md5-sign matrix — engine-portable, no RNG). First 4
+    // output components pin the matrix and the dot fold.
+    "q_dim_reduce" -> ((s, dir) => {
+      val planes = graft.functions.VectorFunctions.rademacherPlanes(
+        Schemas.EmbeddingDim, 16)
+      graft.functions.VectorFunctions.withRandomProjection(
+          t(s, dir, "embeddings").select("vec_id", "embedding"), "embedding", "proj", planes)
+        .select(col("vec_id"),
+          stableRound(element_at(col("proj"), 1)).as("p0"),
+          stableRound(element_at(col("proj"), 2)).as("p1"),
+          stableRound(element_at(col("proj"), 3)).as("p2"),
+          stableRound(element_at(col("proj"), 4)).as("p3"))
+        .orderBy("vec_id")
+    }),
+
     // Relational core: TPC-H Q1-flavor pricing summary (decimal-exact).
     "q1_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -453,6 +469,31 @@ object SparkEntry {
          |       round(${dNorm("embedding")} + 1.2345e-9, 6) AS norm,
          |       round(CAST(embedding[1] AS DOUBLE) / (${dNorm("embedding")} + 1e-9) + 1.2345e-9, 6) AS first_elem
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // Rademacher projection: rebuild the md5-sign matrix (entry (i,j) =
+    // dMd5Sign('i_j')), fold each component in ascending-j order like
+    // the Scala DotProduct, scale by 1/sqrt(16).
+    "q_dim_reduce" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |           FROM embeddings),
+         |m AS (
+         |  SELECT i.range AS i, j.range AS j,
+         |         ${dMd5Sign(s"(CAST(i.range AS VARCHAR) || '_' || CAST(j.range AS VARCHAR))")} AS s
+         |  FROM range(0, 4) i, range(0, ${Schemas.EmbeddingDim}) j
+         |),
+         |p AS (SELECT i, list(s ORDER BY j) AS svec FROM m GROUP BY i),
+         |proj AS (
+         |  SELECT e.vec_id, p.i,
+         |         list_sum(list_transform(range(1, ${Schemas.EmbeddingDim + 1}),
+         |           j -> p.svec[j] * e.vec[j])) / sqrt(16.0) AS v
+         |  FROM e, p
+         |)
+         |SELECT vec_id,
+         |       round(max(CASE WHEN i = 0 THEN v END) + 1.2345e-9, 6) AS p0,
+         |       round(max(CASE WHEN i = 1 THEN v END) + 1.2345e-9, 6) AS p1,
+         |       round(max(CASE WHEN i = 2 THEN v END) + 1.2345e-9, 6) AS p2,
+         |       round(max(CASE WHEN i = 3 THEN v END) + 1.2345e-9, 6) AS p3
+         |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

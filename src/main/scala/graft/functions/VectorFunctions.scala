@@ -75,4 +75,36 @@ object VectorFunctions {
   /** Hamming distance between two equal-length bit arrays (ints 0/1). */
   def hammingDistance(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => when(x =!= y, 1).otherwise(0)), lit(0), (s, x) => s + x)
+
+  /** Deterministic Rademacher (±1) projection planes — the Achlioptas
+    * form of a Johnson-Lindenstrauss random projection, with the RNG
+    * replaced by the engine's md5-sign discipline (entry (i,j) takes the
+    * sign of md5("salt" + "i_j")'s third hex digit, exactly
+    * [[TextFunctions]]' md5Sign / the oracle's dMd5Sign) so the matrix
+    * is reproducible across engines and SQL-replayable. */
+  def rademacherPlanes(fromDim: Int, toDim: Int, salt: String = ""): Seq[Array[Double]] = {
+    require(fromDim > 0 && toDim > 0,
+      s"rademacherPlanes: dims must be positive, got $fromDim -> $toDim")
+    (0 until toDim).map { i =>
+      Array.tabulate(fromDim) { j =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$salt${i}_$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (Character.digit(hex.charAt(2), 16) % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Project `vecCol` (fromDim) onto `planes.length` dims: out_i =
+    * dot(v, plane_i) / √k. Planes ride as broadcast literals, each
+    * component is the codegen'd [[DotProduct]] — map-only, no shuffle;
+    * at 100 TB a 64→16 cut shrinks every downstream ANN/dedup scan 4×
+    * while JL-preserving pairwise geometry in expectation. */
+  def withRandomProjection(df: DataFrame, vecCol: String, outCol: String,
+                           planes: Seq[Array[Double]]): DataFrame = {
+    require(planes.nonEmpty, "withRandomProjection: needs at least one plane")
+    val scale = lit(math.sqrt(planes.length.toDouble))
+    df.withColumn(outCol,
+      array(planes.map(p => dot(col(vecCol), lit(p)) / scale): _*))
+  }
 }

@@ -98,4 +98,29 @@ class VectorSpec extends AnyFunSuite {
       .select(hammingDistance(col("a"), col("b"))).head().getInt(0)
     assert(d == 2)
   }
+
+  test("rademacher projection: deterministic matrix, JL norm concentration, map-only") {
+    val planes = rademacherPlanes(64, 16)
+    assert(planes.length == 16 && planes.forall(_.length == 64))
+    assert(planes.forall(_.forall(s => s == 1.0 || s == -1.0)))
+    // same salt → same matrix; different salt → different matrix
+    assert(planes.map(_.toSeq) == rademacherPlanes(64, 16).map(_.toSeq))
+    assert(planes.map(_.toSeq) != rademacherPlanes(64, 16, salt = "s2").map(_.toSeq))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val proj = withRandomProjection(e, "embedding", "proj", planes)
+    // E[||proj||²] = ||v||² (Achlioptas): mean ratio concentrates near 1
+    val meanRatio = proj
+      .withColumn("_n2", dot(col("embedding"), col("embedding")))
+      .filter(col("_n2") > 0)
+      .select(avg(dot(col("proj"), col("proj")) / col("_n2")))
+      .head().getDouble(0)
+    assert(meanRatio > 0.75 && meanRatio < 1.25,
+      s"projected norms do not concentrate: mean ratio $meanRatio")
+    // map-only: planes are literals, projection adds no exchange
+    val p = proj.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    intercept[IllegalArgumentException](rademacherPlanes(0, 4))
+    intercept[IllegalArgumentException](withRandomProjection(e, "embedding", "p", Seq.empty))
+  }
 }
