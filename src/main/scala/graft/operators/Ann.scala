@@ -353,6 +353,54 @@ object Ann {
       .withColumn("src_bucket", pmod(col("src"), lit(nBuckets)))
       .write.mode("overwrite").partitionBy("src_bucket").parquet(indexDir)
 
+  /** Incremental insert into a [[knnGraph]] — the HNSW-insert analog
+    * (the reference appends new uploads to its vector index at any
+    * time, app/embedding_gen.py:315-409). For a batch B against the
+    * existing node set E (both cell-assigned with the SAME codebook):
+    *
+    *  - each b∈B gets its top-`m` neighbors among the same cell's
+    *    (E ∪ B) \ {b} — the batch is self-aware, so intra-batch dups
+    *    link to each other;
+    *  - each such neighbor gets the REVERSE edge back to b (HNSW's
+    *    bidirectional link; an existing node's degree grows unpruned —
+    *    search stays correct, it only sees more candidates);
+    *  - each b gets its centroid up-link. The clique already exists.
+    *
+    * Returns the NEW edge rows only; callers append them to the store
+    * (`mode("append")` under the same `partitionBy` — bucket dirs
+    * absorb the new files, no rewrite of existing data). Work is
+    * |B|·|cell| pairwise, never |E|²: inserting into a 100 TB graph
+    * costs the batch, not the corpus. */
+  def graphInsert(existingAssigned: DataFrame, newAssigned: DataFrame,
+                  idCol: String, vecCol: String, m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = existingAssigned.select(col("cell_id"), col(idCol), col(vecCol))
+      .unionByName(newAssigned.select(col("cell_id"), col(idCol), col(vecCol)))
+    val b = newAssigned.select(col("cell_id"), col(idCol).as("src"), col(vecCol).as("_sv"))
+    val cand = all.select(col("cell_id"), col(idCol).as("dst"), col(vecCol).as("_dv"))
+    val w = Window.partitionBy("src").orderBy(desc("_sim"), col("dst"))
+    val topm = b.join(cand, Seq("cell_id"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), cosine(col("_sv"), col("_dv")).as("_sim"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= m)
+      .select("src", "dst")
+    val up = newAssigned.filter(col(idCol) =!= col("cell_id"))
+      .select(col(idCol).as("src"), col("cell_id").as("dst"))
+    val ids = topm
+      .unionByName(topm.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(up)
+      .distinct()
+    val vecs = all.select(col(idCol).as("dst"), col(vecCol).as("dst_vec"))
+    ids.join(vecs, "dst").select("src", "dst", "dst_vec")
+  }
+
+  /** Append [[graphInsert]] edges to a [[writeGraphIndex]] store. */
+  def appendGraphIndex(newEdges: DataFrame, indexDir: String, nBuckets: Int = 64): Unit =
+    newEdges
+      .withColumn("src_bucket", pmod(col("src"), lit(nBuckets)))
+      .write.mode("append").partitionBy("src_bucket").parquet(indexDir)
+
   /** [[graphSearch]] over a [[writeGraphIndex]] store: each hop filters
     * on the frontier's buckets (partition pruning at the file listing)
     * then the exact src set. Same visited set as the in-memory walk. */

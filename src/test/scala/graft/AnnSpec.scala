@@ -204,6 +204,34 @@ class AnnSpec extends AnyFunSuite {
     assert(partWalk == memWalk, "bucketed-store walk diverged from the in-memory walk")
   }
 
+  test("graph insert: appended batch is searchable; existing edges untouched") {
+    val e = embeddings.select("vec_id", "embedding")
+    val existing = e.filter(col("vec_id") < 400)
+    val batch = e.filter(col("vec_id") >= 400)
+    val cents = existing.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val asgE = Ann.assignCells(existing, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+    val asgB = Ann.assignCells(batch, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+    val edges0 = Ann.knnGraph(asgE, "vec_id", "embedding", cents, "centroid_id", "centroid_vec", m = 4)
+    val idx = java.nio.file.Files.createTempDirectory("graft_knng_ins").toString + "/idx"
+    Ann.writeGraphIndex(edges0, idx, nBuckets = 16)
+    val n0 = spark.read.parquet(idx).count()
+    val newEdges = Ann.graphInsert(asgE, asgB, "vec_id", "embedding", m = 4)
+    // insert cost is the batch's: every new edge touches a batch node
+    assert(newEdges.filter(col("src") < 400 && col("dst") < 400).count() == 0)
+    Ann.appendGraphIndex(newEdges, idx, nBuckets = 16)
+    // pure append: old rows still there, exactly the new rows added
+    assert(spark.read.parquet(idx).count() == n0 + newEdges.count())
+    // an inserted node is reachable by searching for its own vector
+    val qv = e.filter(col("vec_id") === 450)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val got = Ann.graphSearchPartitioned(spark, idx, 16,
+        cents, "centroid_id", "centroid_vec", qv, beamWidth = 8, hops = 4)
+      .orderBy(desc("sim"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.contains(450L), s"inserted node 450 not found; got $got")
+  }
+
   test("projected coarse search + exact re-rank: recall@10 >= 0.7 at 4x cheaper scans") {
     import graft.functions.VectorFunctions.{rademacherPlanes, withRandomProjection}
     val e01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
