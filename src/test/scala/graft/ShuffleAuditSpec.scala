@@ -126,6 +126,30 @@ class ShuffleAuditSpec extends AnyFunSuite {
       s"near-dup increment shuffled ${s.writeBytes} vs corpus $corpusTextBytes")
   }
 
+  test("graph-ANN build shuffles pair TRIPLES through the quadratic exchange, not vectors") {
+    import graft.operators.Ann
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val assigned = Ann.assignCells(emb, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec")
+    // the quadratic term: Σ|cell|² candidate pairs feed the top-m window
+    val nPairs = assigned.groupBy("cell_id").count()
+      .select(sum(col("count") * col("count"))).head().getLong(0)
+    val vecRowBytes = 64L * 8 + 16 // one double-cast vector row
+    val s = ShuffleAudit.of(Ann.knnGraph(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = 4))
+    assert(s.writeBytes > 0)
+    // a build that carried vectors through the pair exchange would cost
+    // ≈ nPairs × vecRowBytes; the triple form costs ≈ nPairs × ~30 B
+    // plus linear vector passes (cell join + final edge join)
+    val pairVecCost = nPairs * vecRowBytes
+    assert(s.writeBytes < pairVecCost / 4,
+      s"graph build shuffled ${s.writeBytes} B — within 4x of the " +
+        s"vector-carrying pair cost $pairVecCost B; triples expected")
+  }
+
   test("incremental semantic probe shuffles index rows once, never a cross product") {
     import graft.operators.{Ann, SemanticDedup}
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
