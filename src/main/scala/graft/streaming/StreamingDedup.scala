@@ -423,4 +423,74 @@ object StreamingDedup {
     if (!fs.exists(cbPath))
       cur.coalesce(1).write.mode("overwrite").parquet(cbPath.toString)
   }
+
+  /** The GRAPH incremental loop — live maintenance of the HNSW-analog
+    * k-NN graph (the reference appends uploads to its OpenSearch HNSW
+    * index at any time, app/embedding_gen.py:315-409): each micro-batch
+    * cell-assigns its vectors under the pinned codebook, links them via
+    * [[graft.operators.Ann.graphInsert]] against the accumulated node
+    * index (the batch is self-aware — intra-batch near-dups link), and
+    * writes (a) its node rows and (b) its new edge rows, both
+    * batch-keyed partition overwrites for exactly-once replay. Edges
+    * nest `src_bucket` partitions INSIDE each batch partition, so
+    * [[graft.operators.Ann.graphSearchPartitioned]] over `edgeDir`
+    * keeps its per-hop partition pruning through the batch layout.
+    * Codebook drift is refused via the same `_codebook` sidecar as the
+    * semantic loop (byte-equality on ids AND vectors). */
+  def incrementalGraphStream(vecs: DataFrame, idCol: String, vecCol: String,
+                             centroids: DataFrame, cIdCol: String, cVecCol: String,
+                             nodeDir: String, edgeDir: String, checkpoint: String,
+                             m: Int, nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processGraphIncrement(batch, batchId, idCol, vecCol,
+          centroids, cIdCol, cVecCol, nodeDir, edgeDir, m, nBuckets)
+      }
+      .start()
+
+  /** One micro-batch of [[incrementalGraphStream]] — testable replay
+    * contract, as with the other three loops. */
+  private[graft] def processGraphIncrement(batch: DataFrame, batchId: Long,
+                                           idCol: String, vecCol: String,
+                                           centroids: DataFrame,
+                                           cIdCol: String, cVecCol: String,
+                                           nodeDir: String, edgeDir: String,
+                                           m: Int, nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val nodePath = new org.apache.hadoop.fs.Path(nodeDir)
+    val fs = nodePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = centroids.select(col(cIdCol).as("cell_id"), col(cVecCol).as("cvec"))
+    val cbPath = new org.apache.hadoop.fs.Path(s"$nodeDir/_codebook")
+    if (fs.exists(cbPath)) {
+      val stored = spark.read.parquet(cbPath.toString)
+      val drift = stored.exceptAll(cur).count() + cur.exceptAll(stored).count()
+      require(drift == 0,
+        s"incrementalGraphStream: graph at $nodeDir was built under a " +
+          s"different codebook than this batch's ($drift centroid rows " +
+          "differ) — linking into it would mis-route nodes to wrong cells")
+    }
+    val existing: DataFrame =
+      if (fs.exists(nodePath))
+        spark.read.parquet(nodeDir)
+          .filter(col("batch_id") < batchId)
+          .select(col(idCol), col(vecCol), col("cell_id"))
+      else {
+        val cType = centroids.schema(centroids.schema.fieldIndex(cIdCol)).dataType
+        batch.select(col(idCol), col(vecCol)).limit(0)
+          .withColumn("cell_id", lit(null).cast(cType))
+      }
+    val asgB = graft.operators.Ann.assignCells(
+        batch.select(col(idCol), col(vecCol)), idCol, vecCol,
+        centroids, cIdCol, cVecCol)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+    val newEdges = graft.operators.Ann.graphInsert(existing, asgB, idCol, vecCol, m)
+    newEdges
+      .withColumn("src_bucket", pmod(col("src"), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("src_bucket")
+      .parquet(s"$edgeDir/batch_id=$batchId")
+    asgB.write.mode("overwrite").parquet(s"$nodeDir/batch_id=$batchId")
+    if (!fs.exists(cbPath))
+      cur.coalesce(1).write.mode("overwrite").parquet(cbPath.toString)
+  }
 }

@@ -469,4 +469,86 @@ class StreamingDedupSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("different codebook"), e.getMessage)
   }
+
+  // ---- graph incremental loop (live HNSW-analog index maintenance) ----
+
+  test("graph loop: streamed batches stay searchable; later batches link to earlier ones") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Ann
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_gloop").toFile.getAbsolutePath
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingDedup.incrementalGraphStream(
+      input.toDF().toDF("vec_id", "vec"), "vec_id", "vec",
+      semCents, "cid", "cvec",
+      s"$root/nodes", s"$root/edges", s"$root/ckpt", m = 2, nBuckets = 4)
+    input.addData((1L, onCircle(0)), (2L, onCircle(90)), (3L, onCircle(10)))
+    q.processAllAvailable()
+    input.addData((4L, onCircle(5)), (5L, onCircle(80)))
+    q.processAllAvailable()
+    q.stop()
+    // node index holds every streamed vector, batch-keyed
+    val nodes = spark.read.parquet(s"$root/nodes")
+      .select("vec_id", "batch_id").as[(Long, Long)].collect().toMap
+    assert(nodes == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+    // batch-1 node 4 linked across batches: its top-m in cell 0 is {1, 3}
+    val e4 = spark.read.parquet(s"$root/edges")
+      .filter(col("src") === 4L).select("dst").as[Long].collect().toSet
+    assert(e4.contains(1L) || e4.contains(3L), s"node 4 edges: $e4")
+    // the store is searchable end-to-end with per-hop bucket pruning
+    val got = Ann.graphSearchPartitioned(spark, s"$root/edges", 4,
+        semCents, "cid", "cvec", onCircle(6), beamWidth = 2, hops = 2)
+      .orderBy(desc("sim"), col("vec_id")).limit(3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.contains(4L), s"search missed the streamed near-neighbor: $got")
+  }
+
+  test("graph loop: crash between edge and node writes, restart → sinks ≡ clean run") {
+    import graft.operators.Ann
+    val b0 = Seq((1L, onCircle(0)), (2L, onCircle(90))).toDF("vec_id", "vec")
+    val b1 = Seq((3L, onCircle(5)), (4L, onCircle(85))).toDF("vec_id", "vec")
+    def run(root: String, b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingDedup.processGraphIncrement(b, id, "vec_id", "vec",
+        semCents, "cid", "cvec", s"$root/nodes", s"$root/edges", m = 2, nBuckets = 4)
+    def sinks(root: String) = (
+      spark.read.parquet(s"$root/nodes").select("vec_id", "cell_id", "batch_id")
+        .collect().map(_.toString).sorted.toSeq,
+      spark.read.parquet(s"$root/edges").select("src", "dst", "batch_id")
+        .collect().map(_.toString).sorted.toSeq)
+
+    val clean = Files.createTempDirectory("graft_gclean").toFile.getAbsolutePath
+    run(clean, b0, 0L); run(clean, b1, 1L)
+
+    // crashed run: batch 1 dies AFTER its edge write, BEFORE its node
+    // write — reproduce that torn state literally, then restart
+    val crash = Files.createTempDirectory("graft_gcrash").toFile.getAbsolutePath
+    run(crash, b0, 0L)
+    val prior = spark.read.parquet(s"$crash/nodes")
+      .filter(col("batch_id") < 1L).select("vec_id", "vec", "cell_id")
+    val asgB = Ann.assignCells(b1, "vec_id", "vec", semCents, "cid", "cvec")
+      .select(col("vec_id"), col("vec"), col("cell_id"))
+    Ann.graphInsert(prior, asgB, "vec_id", "vec", m = 2)
+      .withColumn("src_bucket", pmod(col("src"), lit(4)))
+      .write.mode("overwrite").partitionBy("src_bucket")
+      .parquet(s"$crash/edges/batch_id=1")
+    assert(!new java.io.File(s"$crash/nodes/batch_id=1").exists,
+      "precondition: the crash left no node partition for batch 1")
+    run(crash, b1, 1L)
+    assert(sinks(crash) == sinks(clean),
+      "restart after a mid-batch crash must converge to the clean run")
+  }
+
+  test("graph loop: codebook drift is refused by the sidecar") {
+    val root = Files.createTempDirectory("graft_gdrift").toFile.getAbsolutePath
+    val b0 = Seq((1L, onCircle(0))).toDF("vec_id", "vec")
+    StreamingDedup.processGraphIncrement(b0, 0L, "vec_id", "vec",
+      semCents, "cid", "cvec", s"$root/nodes", s"$root/edges", m = 2, nBuckets = 4)
+    val drifted = Seq((0L, Seq(0.6, 0.8)), (1L, Seq(0.0, 1.0))).toDF("cid", "cvec")
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.processGraphIncrement(
+        Seq((2L, onCircle(90))).toDF("vec_id", "vec"), 1L, "vec_id", "vec",
+        drifted, "cid", "cvec", s"$root/nodes", s"$root/edges", m = 2, nBuckets = 4)
+    }
+    assert(e.getMessage.contains("different codebook"), e.getMessage)
+  }
 }
