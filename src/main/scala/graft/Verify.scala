@@ -13,8 +13,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which the Parquet reader
-      // rejects by default; read as long nanos (SparkEntry converts).
+      // some testdata generations write TIMESTAMP(NANOS), which the
+      // Parquet reader rejects by default; read as long nanos —
+      // sources.TableLoader folds every drift shape (int64 nanos,
+      // TIMESTAMP_NTZ, plain TIMESTAMP) back to the canonical schema.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
