@@ -70,6 +70,24 @@ class BpeSpec extends AnyFunSuite {
     assert(out(3L).length < 6, s"fox not compressed: ${out(3L)}")
   }
 
+  test("end-to-end: learned-BPE token counts feed sequence packing") {
+    import graft.operators.Sampling
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    val merges = Bpe.train(df, "text", numMerges = 20)
+    val counted = Bpe.withBpeTokens(df, "text", "bpe", merges)
+      .select(col("doc_id"), lit("corpus").as("strat"),
+        size(col("bpe")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val packed = Sampling.packSequences(counted, "strat", "doc_id", "n_tokens", seqLen = 128L)
+    // spans cover every doc's tokens exactly once
+    val spanTotal = packed
+      .agg(sum(col("tok_end") - col("tok_begin"))).head().getLong(0)
+    val tokTotal = counted.agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(spanTotal == tokTotal,
+      s"packed spans ($spanTotal) must tile the BPE token count ($tokTotal)")
+  }
+
   test("real-corpus merges compress the corpus tokenization") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
