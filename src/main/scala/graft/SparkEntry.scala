@@ -104,6 +104,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE ENCODE with a fixed merge list (training is spec-gated — the
+    // iterative merge selection isn't SQL-replayable — but encoding a
+    // FIXED rank list is: DuckDB replace() has exactly mergeOnce's
+    // left-to-right non-overlapping scan, and chr(2)/chr(3) symbol
+    // brackets make cross-symbol matches impossible).
+    "q_bpe_encode" -> ((s, dir) => {
+      val enc = graft.operators.Bpe.withBpeTokens(
+        wide(s, dir, "documents").select("doc_id", "text"), "text", "bpe", FixedBpeMerges)
+      enc.select(col("doc_id"),
+          size(col("bpe")).cast("long").as("n_tok"),
+          get(col("bpe"), lit(0)).as("head_tok"))
+        .orderBy("doc_id")
+    }),
+
     // F-1/O-11/O-18: exact top-10 cosine retrieval for one query vector.
     "q_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -441,6 +455,27 @@ object SparkEntry {
          |       CAST(len(${dTokens("text")}) AS BIGINT) AS n_tokens,
          |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subwords
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // BPE encode with the fixed rank list: each word's chars are
+    // bracketed chr(2)<sym>chr(3) so replace() can only fuse WHOLE
+    // adjacent symbols, and replace()'s left-to-right non-overlapping
+    // scan is exactly Bpe.mergeOnce. n_tok counts chr(2) markers;
+    // head_tok reads word 1's first symbol.
+    "q_bpe_encode" -> {
+      def b(sym: String) = s"chr(2) || '$sym' || chr(3)"
+      val spaced = "regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g')"
+      val chain = FixedBpeMerges.foldLeft(spaced) { case (acc, (x, y)) =>
+        s"replace($acc, ${b(x)} || ${b(y)}, ${b(x + y)})"
+      }
+      s"""WITH t AS (SELECT doc_id, ${dTokens("lower(text)")} AS words FROM documents),
+         |e AS (SELECT doc_id, words, list_transform(words, w -> $chain) AS encs FROM t)
+         |SELECT doc_id,
+         |       CAST(coalesce(list_sum(list_transform(encs,
+         |         s -> length(s) - length(replace(s, chr(2), '')))), 0) AS BIGINT) AS n_tok,
+         |       CASE WHEN len(words) = 0 THEN NULL
+         |            ELSE string_split(replace(encs[1], chr(2), ''), chr(3))[1] END AS head_tok
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
 
     "q_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1881,6 +1916,12 @@ object SparkEntry {
     }))
 
   private val RagQueryText = "fast table scan merge join"
+
+  /** Fixed merge ranks for q_bpe_encode (corpus-independent, so the
+    * oracle SQL stays static across scale factors). Applied in order;
+    * later merges consume earlier ones' outputs ('a n' → 'an d'). */
+  private val FixedBpeMerges: Seq[(String, String)] =
+    Seq(("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"), ("an", "d"))
 
   /** The gate rule set shared by q_quality_rules / q_quality_survival
     * (thresholds tuned to split the synthetic corpus; see query doc). */
