@@ -119,7 +119,11 @@ object ScaleProbe {
           .reduce(_ unionByName _).repartition(32).persist()
         val nv = vecs.count()
         val k = 8 * n // codebook sized with the corpus: |cell| stays ~constant
-        val cents = vecs.filter(col("vec_id") < 250 * n) // spread across copies
+        // centroids come from copy 0 only (copies start at i*1000000, so
+        // vec_id < 250*n never reaches them) — fine for the probe: it
+        // needs k distinct centroids, not cross-copy spread, and copies
+        // are vector-identical to copy 0 anyway
+        val cents = vecs.filter(col("vec_id") < 250 * n)
           .orderBy("vec_id").limit(k)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
         val assigned = operators.Ann.assignCells(vecs, "vec_id", "embedding",

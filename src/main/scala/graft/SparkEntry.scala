@@ -467,7 +467,9 @@ object SparkEntry {
       val chain = FixedBpeMerges.foldLeft(spaced) { case (acc, (x, y)) =>
         s"replace($acc, ${b(x)} || ${b(y)}, ${b(x + y)})"
       }
-      s"""WITH t AS (SELECT doc_id, ${dTokens("lower(text)")} AS words FROM documents),
+      s"""WITH t AS (SELECT doc_id,
+         |              ${dTokens("regexp_replace(lower(text), '[\\x02\\x03]', '', 'g')")} AS words
+         |            FROM documents),
          |e AS (SELECT doc_id, words, list_transform(words, w -> $chain) AS encs FROM t)
          |SELECT doc_id,
          |       CAST(coalesce(list_sum(list_transform(encs,

@@ -25,9 +25,16 @@ import graft.functions.TextFunctions.{cleanText, tokens}
   */
 object Bpe {
 
+  /** The BPE word stream: lowercase, cleaned, whitespace-tokenized, with
+    * U+0002/U+0003 (STX/ETX — the oracle's symbol brackets, and raw
+    * control bytes no tokenizer should preserve) stripped at the text
+    * level. Shared by train and encode so they can never drift. */
+  private def bpeWords(textCol: String) =
+    tokens(lower(cleanText(regexp_replace(col(textCol), "[\\u0002\\u0003]", ""))))
+
   /** Word-type counts — the one corpus-sized aggregation. */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(tokens(lower(cleanText(col(textCol))))).as("w"))
+    docs.select(explode(bpeWords(textCol)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
 
   /** Standard left-to-right single-merge application. */
@@ -99,13 +106,18 @@ object Bpe {
     * batched embedder's mapPartitions). */
   def withBpeTokens(docs: DataFrame, textCol: String, outCol: String,
                     merges: Seq[(String, String)]): DataFrame = {
-    // words come from the SAME tokenizer expression train() used, so
-    // encode and train can never drift on tokenization rules
-    val withWords = docs.withColumn("_bpe_words", tokens(lower(cleanText(col(textCol)))))
+    // words come from the SAME tokenizer expression train() used
+    // (bpeWords), so encode and train can never drift on tokenization
+    // rules — including the STX/ETX strip that keeps the word stream
+    // byte-identical to the bracketed-replace oracle.
+    val withWords = docs.withColumn("_bpe_words", bpeWords(textCol))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(withWords.schema.add(outCol, "array<string>"))
     withWords.map { row =>
-      val words = row.getAs[scala.collection.Seq[String]]("_bpe_words")
+      // null text -> null word array -> encode to zero tokens (the
+      // oracle's coalesce(n_tok, 0) / NULL head_tok shape)
+      val words = Option(row.getAs[scala.collection.Seq[String]]("_bpe_words"))
+        .getOrElse(scala.collection.Seq.empty[String])
       val toks = words.toIndexedSeq.flatMap(w => encodeWord(w, merges))
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ toks)
     }(enc).drop("_bpe_words")

@@ -34,6 +34,12 @@ object TableLoader {
       case StructField(name, TimestampNTZType, _, _) => name
     }
     if (ntz.isEmpty) df
+    else if (df.sparkSession.conf.get("spark.sql.session.timeZone") != "UTC") {
+      // Belt-and-braces: force the invariant rather than silently shifting
+      // wall-clock on a misconfigured entrypoint.
+      df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+      normalize(df)
+    }
     else df.select(df.schema.fieldNames.map { n =>
       if (ntz.contains(n)) col(n).cast(TimestampType).as(n) else col(n)
     }.toIndexedSeq: _*)

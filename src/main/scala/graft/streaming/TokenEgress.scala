@@ -46,9 +46,6 @@ object TokenEgress {
     tokens.foreach { t =>
       if (t.seq >= prior.next_seq && !buf.contains(t.seq)) buf += t.seq -> t.token
     }
-    require(buf.size <= maxBuffer,
-      s"token egress: answer $answerId buffers ${buf.size} out-of-order tokens " +
-        s"(> $maxBuffer) — upstream is not delivering seq ${prior.next_seq}")
     val out = Seq.newBuilder[TokenOut]
     var next = prior.next_seq
     while (buf.contains(next)) {
@@ -56,6 +53,12 @@ object TokenEgress {
       buf -= next
       next += 1
     }
+    // Enforce the bound only on what remains gap-blocked AFTER draining:
+    // a fully in-order group of any length passes (it drains to empty);
+    // only a genuine hole with > maxBuffer stranded successors fails.
+    require(buf.size <= maxBuffer,
+      s"token egress: answer $answerId buffers ${buf.size} out-of-order tokens " +
+        s"(> $maxBuffer) — upstream is not delivering seq $next")
     state.update(EgressState(next, buf))
     out.result().iterator
   }

@@ -70,6 +70,20 @@ class BpeSpec extends AnyFunSuite {
     assert(out(3L).length < 6, s"fox not compressed: ${out(3L)}")
   }
 
+  test("null text and STX/ETX control bytes are safe to encode") {
+    val df = Seq((1L, "ab ab"), (2L, null), (3L, "a\u0002b \u0003\u0002 ab"))
+      .toDF("doc_id", "text")
+    val out = Bpe.withBpeTokens(df, "text", "bpe", Seq(("a", "b")))
+      .select("doc_id", "bpe").as[(Long, Seq[String])].collect().toMap
+    // null text encodes to zero tokens (no NPE), matching the oracle's
+    // coalesce(n_tok, 0) shape
+    assert(out(2L) == Seq.empty)
+    // U+0002/U+0003 (the oracle's symbol brackets) are stripped at the
+    // text level, so 'a<STX>b' merges exactly like 'ab'
+    assert(out(1L) == Seq("ab", "ab"))
+    assert(out(3L) == Seq("ab", "ab"))
+  }
+
   test("end-to-end: learned-BPE token counts feed sequence packing") {
     import graft.operators.Sampling
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

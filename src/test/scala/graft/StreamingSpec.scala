@@ -350,6 +350,17 @@ class StreamingSpec extends AnyFunSuite {
       TokenEgress.relay(2)(8L,
         Iterator(TokenIn(8, 5, "x"), TokenIn(8, 6, "y"), TokenIn(8, 7, "z")), s2)
     }
+    // a fully IN-ORDER answer longer than maxBuffer in one group must NOT
+    // trip the cap — the bound applies to gap-blocked residue, not to the
+    // contiguous run being drained (batch Datasets deliver whole answers
+    // in one group)
+    val s3 = TestGroupState.create[EgressState](
+      Optional.empty[EgressState](), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[Long](), hasTimedOut = false)
+    val long = (0 until 10).map(i => TokenIn(9, i.toLong, s"t$i"))
+    val out3 = TokenEgress.relay(2)(9L, long.iterator, s3).toSeq
+    assert(out3.map(_.seq) == (0L until 10L))
+    assert(s3.get.next_seq == 10L && s3.get.buffered.isEmpty)
   }
 
   test("live token egress streams in order across micro-batches (RocksDB)") {
