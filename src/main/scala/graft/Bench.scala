@@ -8,9 +8,13 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line. A JVM/codegen warmup action runs first so the
   * first measured query doesn't absorb session startup.
   *
-  * Trial scheduling is INTERLEAVED (round-5 verdict item 1): pass 1 runs
-  * all queries once in sorted name order, then pass 2, then pass 3, and
-  * each query reports the min across passes. The previous schedule (3
+  * Trial scheduling is INTERLEAVED (round-5 verdict item 1): an untimed
+  * WARMUP pass runs every query once (codegen compiled, JIT settled),
+  * then pass 1 runs all queries once in sorted name order, then pass 2,
+  * then pass 3, and each query reports the min across measured passes;
+  * queries whose min is sub-second get 2 extra back-to-back trials
+  * (min-of-5) because that's where single-draw JIT variance created
+  * phantom baseline flags (round-8 q_chunk 1.78x on byte-identical code). The previous schedule (3
   * back-to-back trials per query) let a single multi-minute host
   * disturbance land on ALL trials of whichever queries it overlapped —
   * the round-5 driver artifact recorded 11 false regressions up to 26.9×
@@ -39,6 +43,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val RegressionRatio = 1.6
   private val Passes = 3
+  // Queries whose min lands under this get extra back-to-back trials:
+  // sub-second timings are where a single favorable JIT draw in a
+  // BASELINE run created phantom 1.6-1.8x flags (q_chunk, r7/r8) — more
+  // draws tighten the min estimator exactly where it's noisiest.
+  private val SubSecondCutoff = 1.0
+  private val ExtraTrials = 2
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -91,18 +101,34 @@ object Bench {
         -1.0 // a failed query must not report as a near-zero (fast) time
       }
     }
+    // WARMUP PASS (untimed, discarded): every query runs once before any
+    // measurement, so pass 1 no longer pays per-query codegen compile +
+    // cold JIT. Round 8's last red mark (q_chunk 1.78x) was adjudicated
+    // as a favorable-draw BASELINE min meeting an ordinary later min —
+    // warming before measuring removes the cold/warm asymmetry that
+    // makes such draws possible.
+    named.foreach { case (n, f) => timeOne(n, f) }
     // pass-major order: every query once per pass, min across passes
     val passTimes: Seq[Seq[Double]] =
       (1 to Passes).map(_ => named.map { case (n, f) => timeOne(n, f) })
-    val results = named.zipWithIndex.map { case ((name, _), i) =>
-      val times = passTimes.map(_(i))
-      val failed = times.exists(_ < 0)
-      val spread = if (failed) -1.0 else {
-        // spread over passes 2..N (pass 1 is codegen warmup, always high)
-        val steady = times.drop(1)
-        (steady.max - steady.min) / math.max(steady.min, 1e-9)
+    val prelim = named.zipWithIndex.map { case ((name, fn), i) =>
+      (name, fn, passTimes.map(_(i)))
+    }
+    // extra back-to-back draws for sub-second queries: min-of-5 instead
+    // of min-of-3 where single-draw variance is largest relative to the
+    // measurement (costs ~ sum of sub-second mins — tens of seconds)
+    val results = prelim.map { case (name, fn, base) =>
+      val failed = base.exists(_ < 0)
+      val times =
+        if (!failed && base.min < SubSecondCutoff)
+          base ++ (1 to ExtraTrials).map(_ => timeOne(name, fn))
+        else base
+      val anyFailed = times.exists(_ < 0)
+      val spread = if (anyFailed) -1.0 else {
+        // spread over the measured (post-warmup) passes only
+        (base.max - base.min) / math.max(base.min, 1e-9)
       }
-      (name, if (failed) -1.0 else times.min, spread, times)
+      (name, if (anyFailed) -1.0 else times.min, spread, times)
     }
 
     def r3(v: Double) = math.round(v * 1000).toDouble / 1000
@@ -143,7 +169,7 @@ object Bench {
         s"""{"query":"$n","prev_min":${r3(p)},"min":${r3(c)},"ratio":${r3(ratio)}}"""
       }.mkString("[", ",", "]")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",
-         |"runs":$Passes,"policy":"min-of-$Passes-interleaved","steady_spread_p90":${r3(p90)},
+         |"runs":$Passes,"policy":"warmup+min-of-$Passes-interleaved+subsec-min-of-${Passes + ExtraTrials}","steady_spread_p90":${r3(p90)},
          |"regression_ratio_gate":$RegressionRatio,"baseline":"$baselineSrc",
          |"failed":[${failedQs.map("\"" + _ + "\"").mkString(",")}],
          |"regressions_vs_prev":${diffJson(regressions)},
@@ -161,7 +187,7 @@ object Bench {
     val qsLine = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsLine,""" +
-      s""""runs":$Passes,"policy":"min-of-$Passes-interleaved","steady_spread_p90":${r3(p90)},""" +
+      s""""runs":$Passes,"policy":"warmup+min-of-$Passes-interleaved+subsec-min-of-${Passes + ExtraTrials}","steady_spread_p90":${r3(p90)},""" +
       s""""failed":[${failedQs.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""full_artifact":"$outFile","baseline":"$baselineSrc","sf":"$sfDir"}""")
     spark.stop()
