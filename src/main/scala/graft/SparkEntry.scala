@@ -1263,6 +1263,36 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // BATCHED graph ANN: three queries walk the bucketed store TOGETHER
+    // — per hop, ONE partition-pruned edge read serves the union of all
+    // queries' frontiers (the concurrent-ask serving shape; per-query
+    // results are pinned identical to the solo walk by AnnSpec). Oracle:
+    // the same hop-by-hop CTE replay, parameterized by query id.
+    "q_ann_graph_batch" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+      val edges = Ann.knnGraph(assigned, "vec_id", "embedding",
+        cents, "centroid_id", "centroid_vec", m = 4)
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_knngb$safe").getAbsolutePath
+      Ann.writeGraphIndex(edges, idx, nBuckets = 16)
+      val queries = e.filter(col("vec_id").isin(9L, 17L, 25L))
+      val visited = Ann.graphSearchBatchPartitioned(s, idx, 16,
+        cents, "centroid_id", "centroid_vec",
+        queries, "vec_id", "embedding", beamWidth = 4, hops = 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+      visited
+        .select(col("query_id"), col("vec_id"), stableRound(col("sim")).as("sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "sim")
+        .orderBy("query_id", "rank")
+    }),
+
     // Graph ANN over the src-BUCKETED edge store: identical walk, but
     // each hop's edge lookup goes through partitionBy(src_bucket) +
     // partition pruning — the 100 TB layout (the q_ann_ivf_part of the
@@ -1433,12 +1463,19 @@ object SparkEntry {
     // here (oracle-able); the 100 TB path swaps countDistinct for
     // approx_count_distinct (HLL sketch, no exact-distinct shuffle of
     // every token) — TfIdfSpec bounds the sketch's error vs this exact.
+    // TWO-LEVEL agg, not countDistinct+count in one: the mixed
+    // distinct/non-distinct form plans an Expand that doubles every
+    // exploded token row through the shuffle; grouping by (source, tok)
+    // first gets map-side combine (shuffle rows = per-partition distinct
+    // tokens, not instances), then n_vocab = count of groups and
+    // n_tokens = sum of counts fall out of one second agg. PlanSpec
+    // pins the Expand-free shape.
     "q_vocab_stats" -> ((s, dir) => {
       wide(s, dir, "documents")
         .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("_c"))
         .groupBy("source")
-        .agg(countDistinct(col("tok")).as("n_vocab"),
-          count(lit(1)).as("n_tokens"))
+        .agg(count(lit(1)).as("n_vocab"), sum(col("_c")).as("n_tokens"))
         .withColumn("type_token_ratio",
           stableRound(col("n_vocab").cast("double") / col("n_tokens")))
         .orderBy("source")
@@ -2232,6 +2269,71 @@ object SparkEntry {
        |SELECT id AS vec_id, round(sim + 1.2345e-9, 6) AS sim
        |FROM v3 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /** q_ann_graph_batch: the same hop-by-hop walk replay as
+    * [[annGraphOracle]], but every walk CTE carries `qid` — three
+    * queries traverse in parallel, frontier windows partition by qid.
+    * Frontier selection compares RAW sims (dCosine replays the exact
+    * fold, so raw doubles agree bitwise); only the final rank uses the
+    * rounded sim, mirroring the Spark side's round-then-rank. */
+  private def annGraphBatchOracle: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (9, 17, 25)),
+       |asg AS (
+       |  SELECT vec_id, embedding, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+       |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+       |               ${dCosine("e.embedding", "c.cv")} AS csim
+       |        FROM embeddings e, c)
+       |),
+       |cells AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1),
+       |pair AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |           ORDER BY ${dCosine("a.embedding", "b.embedding")} DESC, b.vec_id) AS rn
+       |  FROM cells a JOIN cells b
+       |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+       |),
+       |edges AS (
+       |  SELECT src, dst FROM pair WHERE rn <= 4
+       |  UNION
+       |  SELECT dst, src FROM pair WHERE rn <= 4
+       |  UNION
+       |  SELECT vec_id, cell_id FROM cells WHERE vec_id <> cell_id
+       |  UNION
+       |  SELECT c1.cid, c2.cid FROM c c1, c c2 WHERE c1.cid <> c2.cid
+       |),
+       |sims AS (SELECT qs.qid, e.vec_id AS id, ${dCosine("e.embedding", "qs.qv")} AS sim
+       |         FROM embeddings e, qs),
+       |v0 AS (SELECT qid, id, sim FROM (
+       |         SELECT qid, id, sim,
+       |                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+       |         FROM sims WHERE id < 8) WHERE rn <= 4),
+       |f0 AS (SELECT qid, id FROM v0),
+       |v1 AS (SELECT DISTINCT s.qid, s.id, s.sim FROM sims s
+       |       WHERE EXISTS (SELECT 1 FROM v0 WHERE v0.qid = s.qid AND v0.id = s.id)
+       |          OR EXISTS (SELECT 1 FROM f0 JOIN edges ON edges.src = f0.id
+       |                     WHERE f0.qid = s.qid AND edges.dst = s.id)),
+       |f1 AS (SELECT qid, id FROM (
+       |         SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+       |         FROM v1) WHERE rn <= 4),
+       |v2 AS (SELECT DISTINCT s.qid, s.id, s.sim FROM sims s
+       |       WHERE EXISTS (SELECT 1 FROM v1 WHERE v1.qid = s.qid AND v1.id = s.id)
+       |          OR EXISTS (SELECT 1 FROM f1 JOIN edges ON edges.src = f1.id
+       |                     WHERE f1.qid = s.qid AND edges.dst = s.id)),
+       |f2 AS (SELECT qid, id FROM (
+       |         SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+       |         FROM v2) WHERE rn <= 4),
+       |v3 AS (SELECT DISTINCT s.qid, s.id, s.sim FROM sims s
+       |       WHERE EXISTS (SELECT 1 FROM v2 WHERE v2.qid = s.qid AND v2.id = s.id)
+       |          OR EXISTS (SELECT 1 FROM f2 JOIN edges ON edges.src = f2.id
+       |                     WHERE f2.qid = s.qid AND edges.dst = s.id)),
+       |r AS (SELECT qid, id, round(sim + 1.2345e-9, 6) AS rsim,
+       |             row_number() OVER (PARTITION BY qid
+       |               ORDER BY round(sim + 1.2345e-9, 6) DESC, id) AS rank
+       |      FROM v3)
+       |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, id AS vec_id, rsim AS sim
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** DuckDB: the fixed-codebook PQ machinery shared by q_pq_search and
     * q_ivfpq (m=8 subspaces × subDim=8 over dim 64, k=16). Rebuilds the
     * head-16 seed codebook (≡ [[graft.operators.Pq.headCodebooks]]),
@@ -2715,6 +2817,7 @@ object SparkEntry {
       // node once, so hop CTEs select ids only; sim per id is functional
       // and identical to Spark's per-edge recompute.
       "q_ann_graph" -> annGraphOracle,
+      "q_ann_graph_batch" -> annGraphBatchOracle,
 
       // identical result contract: the src-bucketed store changes the
       // physical layout, never the walk

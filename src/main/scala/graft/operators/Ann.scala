@@ -342,6 +342,98 @@ object Ann {
     visited.toSeq.toDF("vec_id", "sim")
   }
 
+  /** BATCHED beam search — many queries walk the graph TOGETHER (the
+    * reference serves many concurrent ask() calls against one HNSW;
+    * ref app/main.py:616-647 holds N open sessions). The driver keeps
+    * per-query beam state, but each hop issues ONE edge lookup for the
+    * UNION of all queries' frontiers — per-hop store reads do not scale
+    * with query count, only the (tiny) frontier-pair broadcast does.
+    * Scoring runs data-side: candidate edges join the broadcast
+    * (query_id, src) frontier pairs, then the broadcast query vectors,
+    * and the codegen cosine scores (query_id, dst) rows — the collect
+    * is scores only (≤ queries·beam·degree rows), never vectors.
+    * Each query's visited set is EXACTLY what [[graphSearch]] would
+    * produce alone (AnnSpec pins equality), because per-query frontier
+    * selection and dedup are keyed by query_id throughout.
+    * Returns (query_id, vec_id, sim) for every visited node. */
+  def graphSearchBatch(spark: SparkSession, edges: DataFrame,
+                       centroids: DataFrame, cIdCol: String, cVecCol: String,
+                       queries: DataFrame, qIdCol: String, qVecCol: String,
+                       beamWidth: Int, hops: Int): DataFrame = {
+    val cached = edges.persist()
+    val out = batchBeamWalk(spark, centroids, cIdCol, cVecCol,
+      queries, qIdCol, qVecCol, beamWidth, hops,
+      frontier => cached.filter(col("src").isin(frontier.map(Long.box): _*)))
+    cached.unpersist()
+    out
+  }
+
+  /** [[graphSearchBatch]] over a [[writeGraphIndex]] store: one
+    * partition-pruned read per hop serves every query's frontier. */
+  def graphSearchBatchPartitioned(spark: SparkSession, indexDir: String, nBuckets: Int,
+                                  centroids: DataFrame, cIdCol: String, cVecCol: String,
+                                  queries: DataFrame, qIdCol: String, qVecCol: String,
+                                  beamWidth: Int, hops: Int): DataFrame =
+    batchBeamWalk(spark, centroids, cIdCol, cVecCol,
+      queries, qIdCol, qVecCol, beamWidth, hops, { frontier =>
+        val buckets = frontier.map(id => Long.box(((id % nBuckets) + nBuckets) % nBuckets)).distinct
+        spark.read.parquet(indexDir)
+          .filter(col("src_bucket").isin(buckets: _*))
+          .filter(col("src").isin(frontier.map(Long.box): _*))
+      })
+
+  /** The shared multi-query walk behind [[graphSearchBatch]].
+    * (package-visible so AnnSpec can count lookup invocations — the
+    * reads-per-hop-don't-scale-with-queries claim is asserted there.) */
+  private[graft] def batchBeamWalk(spark: SparkSession,
+                            centroids: DataFrame, cIdCol: String, cVecCol: String,
+                            queries: DataFrame, qIdCol: String, qVecCol: String,
+                            beamWidth: Int, hops: Int,
+                            lookup: Seq[Long] => DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(qIdCol).cast("long").as("query_id"),
+      col(qVecCol).cast("array<double>").as("_qv"))
+    val perQuery = Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))
+    // entry: every query scores the (codebook-sized) centroid set in one
+    // crossJoin action; per-query top-beam via window
+    var visited: Map[Long, Map[Long, Double]] = centroids
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col(cIdCol).cast("long").as("id"),
+        cosine(col(cVecCol), col("_qv")).as("sim"))
+      .withColumn("_rn", row_number().over(perQuery))
+      .filter(col("_rn") <= beamWidth)
+      .select("query_id", "id", "sim")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap }
+    for (_ <- 0 until hops) {
+      val frontierPairs = visited.toSeq.flatMap { case (qid, vs) =>
+        vs.toSeq.sortBy { case (id, s) => (-s, id) }
+          .take(beamWidth).map { case (id, _) => (qid, id) }
+      }
+      val srcs = frontierPairs.map(_._2).distinct
+      val fDf = frontierPairs.toDF("query_id", "src")
+      val cand = lookup(srcs) // ONE read for ALL queries' frontiers
+        .join(broadcast(fDf), "src")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("dst").cast("long").as("id"),
+          cosine(col("dst_vec"), col("_qv")).as("sim"))
+        .dropDuplicates("query_id", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val byQid = cand.groupBy(_._1)
+      visited = visited.map { case (qid, vs) =>
+        // re-scored ids recompute the same value — map overwrite is safe
+        qid -> (vs ++ byQid.getOrElse(qid, Array.empty)
+          .map { case (_, id, s) => id -> s })
+      }
+    }
+    visited.toSeq
+      .flatMap { case (qid, vs) => vs.toSeq.map { case (id, s) => (qid, id, s) } }
+      .toDF("query_id", "vec_id", "sim")
+  }
+
   /** Persist a [[knnGraph]] partitioned by `pmod(src, nBuckets)`: at
     * 100 TB the edge table is itself big (|V|·(2m+1) rows carrying
     * vectors), and a beam hop needs only the frontier's ≤ beamWidth

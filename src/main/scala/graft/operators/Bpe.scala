@@ -15,8 +15,9 @@ import graft.functions.TextFunctions.{cleanText, tokens}
   * collected TYPE table, which is vocab-sized (unique words, counts) —
   * the same "collect is correct here" call as the PQ codebooks: GPT-2's
   * own trainer is a single process over exactly this table. `maxTypes`
-  * caps driver memory explicitly (most-frequent types first;
-  * deterministic ties by word).
+  * guards driver memory: past it, training switches to a
+  * distributed-exact per-round pair-count aggregation instead of
+  * truncating (see [[train]]) — identical merges, no dropped mass.
   *
   * Determinism: merge selection ties break (count desc, pair
   * lexicographic asc); merge application is the standard left-to-right
@@ -51,15 +52,42 @@ object Bpe {
   }
 
   /** Learn `numMerges` merges from the corpus. Stops early when no pair
-    * reaches `minPairCount` (weighted by type frequency). */
+    * reaches `minPairCount` (weighted by type frequency).
+    *
+    * `maxTypes` is a driver-memory GUARD, not an approximation knob:
+    * when the type table fits, the merge loop runs driver-side over the
+    * collected table (GPT-2's own trainer is a single process over
+    * exactly this table); when it does NOT fit, training switches to
+    * the DISTRIBUTED-EXACT path — one `(pair, count)` aggregation per
+    * round over the full type table — so no type mass is ever silently
+    * dropped at any corpus size. Both paths use the identical
+    * (count desc, pair asc) tie order, so they learn the same merges
+    * (BpeSpec pins equality across the switch; ASCII tokens — the
+    * lowercased word stream — order identically under Java-String and
+    * UTF8-binary comparison). */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             minPairCount: Long = 2L, maxTypes: Int = 1000000): Seq[(String, String)] = {
     require(numMerges >= 0, s"train: numMerges must be >= 0, got $numMerges")
-    val types: Array[(IndexedSeq[String], Long)] =
-      wordCounts(docs, textCol)
-        .orderBy(desc("n"), col("w")).limit(maxTypes)
-        .collect()
-        .map(r => (r.getString(0).map(_.toString).toIndexedSeq, r.getLong(1)))
+    val wc = wordCounts(docs, textCol).persist()
+    try {
+      val nTypes = wc.count()
+      if (nTypes <= maxTypes) {
+        val types: Array[(IndexedSeq[String], Long)] = wc
+          .collect()
+          .map(r => (r.getString(0).map(_.toString).toIndexedSeq, r.getLong(1)))
+        trainDriverSide(types, numMerges, minPairCount)
+      } else {
+        System.err.println(s"[bpe] type table has $nTypes types > maxTypes=$maxTypes " +
+          "driver cap; switching to distributed-exact merge learning " +
+          "(one pair-count aggregation per round, no truncation)")
+        trainDistributed(wc, numMerges, minPairCount)
+      }
+    } finally wc.unpersist()
+  }
+
+  /** The collected-table merge loop (vocab-sized driver work). */
+  private def trainDriverSide(types: Array[(IndexedSeq[String], Long)],
+                              numMerges: Int, minPairCount: Long): Seq[(String, String)] = {
     var cur = types
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
@@ -86,6 +114,54 @@ object Bpe {
           round += 1
       }
     }
+    merges.result()
+  }
+
+  /** Distributed-exact merge learning for type tables beyond the driver
+    * cap: the symbolized type table stays a cached Dataset; each round
+    * is ONE adjacent-pair explode + map-side-combined `(pair, n)` sum
+    * (counts, never text, through the shuffle) and a 1-row argmax
+    * collect, then a map-only merge application. Cost per round is a
+    * types-table-sized aggregation — the price of exactness past the
+    * cap; under it the driver loop is strictly faster, which is why
+    * this is the fallback and not the default. */
+  private def trainDistributed(wc: DataFrame, numMerges: Int,
+                               minPairCount: Long): Seq[(String, String)] = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    var cur = wc.select(col("w"), col("n")).as[(String, Long)]
+      .map { case (w, n) => (w.map(_.toString): Seq[String], n) }
+      .toDF("syms", "n").persist()
+    cur.count()
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val best = cur.filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(element_at(syms, i + 1) AS a, element_at(syms, i + 2) AS b))")).as("p"),
+          col("n"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .filter(col("cnt") >= minPairCount)
+        .orderBy(desc("cnt"), col("a"), col("b"))
+        .limit(1).collect().headOption
+      best match {
+        case None => done = true
+        case Some(r) =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          merges += ((a, b))
+          val next = cur.as[(Seq[String], Long)]
+            .map { case (syms, n) => (mergeOnce(syms.toIndexedSeq, a, b): Seq[String], n) }
+            .toDF("syms", "n").persist()
+          next.count() // materialize before dropping the parent cache
+          cur.unpersist()
+          cur = next
+          round += 1
+      }
+    }
+    cur.unpersist()
     merges.result()
   }
 

@@ -204,6 +204,49 @@ class AnnSpec extends AnyFunSuite {
     assert(partWalk == memWalk, "bucketed-store walk diverged from the in-memory walk")
   }
 
+  test("batched graph search == solo walks; lookups per hop don't scale with query count") {
+    val e = embeddings.select("vec_id", "embedding")
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+    val edges = Ann.knnGraph(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = 4)
+    val idx = java.nio.file.Files.createTempDirectory("graft_knng_batch").toString + "/idx"
+    Ann.writeGraphIndex(edges, idx, nBuckets = 16)
+    val qids = Seq(9L, 17L, 25L)
+    val queries = e.filter(col("vec_id").isin(qids.map(Long.box): _*))
+    val batch = Ann.graphSearchBatchPartitioned(spark, idx, 16,
+        cents, "centroid_id", "centroid_vec",
+        queries, "vec_id", "embedding", beamWidth = 4, hops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    assert(batch.keySet == qids.toSet, s"batch lost queries: ${batch.keySet}")
+    // every query's visited set (ids AND sims) is exactly the solo walk's
+    for (qid <- qids) {
+      val qv = e.filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val solo = Ann.graphSearchPartitioned(spark, idx, 16,
+          cents, "centroid_id", "centroid_vec", qv, beamWidth = 4, hops = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val got = batch(qid).map(t => t._2 -> t._3).toMap
+      assert(got == solo, s"batch walk for query $qid diverged from solo walk")
+    }
+    // the serving claim: a hop issues ONE edge lookup for the union
+    // frontier — lookup count is `hops`, independent of query count
+    def countLookups(qs: org.apache.spark.sql.DataFrame): Int = {
+      var n = 0
+      Ann.batchBeamWalk(spark, cents, "centroid_id", "centroid_vec",
+        qs, "vec_id", "embedding", 4, 3,
+        { frontier => n += 1
+          edges.filter(col("src").isin(frontier.map(Long.box): _*)) }).count()
+      n
+    }
+    val one = countLookups(queries.limit(1))
+    val three = countLookups(queries)
+    assert(one == 3 && three == 3,
+      s"per-hop lookups must not scale with query count: 1-query=$one 3-query=$three")
+  }
+
   test("graph insert: appended batch is searchable; existing edges untouched") {
     val e = embeddings.select("vec_id", "embedding")
     val existing = e.filter(col("vec_id") < 400)

@@ -70,6 +70,18 @@ class BpeSpec extends AnyFunSuite {
     assert(out(3L).length < 6, s"fox not compressed: ${out(3L)}")
   }
 
+  test("maxTypes below |types| switches to the distributed-exact path: same merges") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").limit(30)
+    val nTypes = Bpe.wordCounts(df, "text").count()
+    assert(nTypes > 5, s"corpus too small for the cap test: $nTypes types")
+    // uncapped driver-side reference vs capped (forced distributed) run
+    val driver = Bpe.train(df, "text", numMerges = 6)
+    val distributed = Bpe.train(df, "text", numMerges = 6, maxTypes = 5)
+    assert(distributed == driver,
+      s"distributed-exact fallback learned different merges:\n  driver=$driver\n  dist=$distributed")
+  }
+
   test("null text and STX/ETX control bytes are safe to encode") {
     val df = Seq((1L, "ab ab"), (2L, null), (3L, "a\u0002b \u0003\u0002 ab"))
       .toDF("doc_id", "text")

@@ -48,6 +48,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("vocab stats aggregate without an Expand (no countDistinct row doubling)") {
+    val p = plan(SparkEntry.queries("q_vocab_stats")(spark, sf))
+    assert(!p.contains("Expand"),
+      s"q_vocab_stats must use the two-level agg, not countDistinct+count Expand:\n$p")
+    // map-side combine before the (source, tok) exchange: a partial
+    // HashAggregate must appear below the shuffle
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+  }
+
   test("chunking is map-only: no exchange below the generate") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     val p = plan(Ingest.chunk(docs, "text", 32))
