@@ -204,6 +204,42 @@ class AnnSpec extends AnyFunSuite {
     assert(partWalk == memWalk, "bucketed-store walk diverged from the in-memory walk")
   }
 
+  test("graph ANN high-recall point: mean recall@10 >= 0.9 at m=16, beam=16, hops=3") {
+    // The RecallSweep-chosen setting (ROUND_NOTES round 9 records the
+    // full recall-vs-cost surface): the reference runs its HNSW in a
+    // high-recall regime (m=64, ef_construction=500, app/main.py:272-277),
+    // so the committed bar is >= 0.9, not the navigability-smoke 0.7.
+    // Sweep observation: recall rides m and beam; hops saturate at 2-3
+    // because the all-centroid entry scan already plays HNSW's
+    // upper-layer role (measured 0.96 at this point on this corpus).
+    val e = embeddings.select("vec_id", "embedding")
+    val n = e.count()
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+    val edges = Ann.knnGraph(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = 16)
+    val qids = (0 until 10).map(i => 9L + i * (n / 10))
+    val queries = e.filter(col("vec_id").isin(qids.map(Long.box): _*))
+    val visited = Ann.graphSearchBatch(spark, edges,
+        cents, "centroid_id", "centroid_vec",
+        queries, "vec_id", "embedding", beamWidth = 16, hops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val recalls = qids.map { qid =>
+      val qv = e.filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", qv, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val got = visited.getOrElse(qid, Array.empty)
+        .sortBy { case (_, id, s) => (-s, id) }.take(10).map(_._2).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean < 0.9 at m=16/beam=16/hops=3 " +
+      s"(per-query: ${qids.zip(recalls).mkString(", ")})")
+  }
+
   test("batched graph search == solo walks; lookups per hop don't scale with query count") {
     val e = embeddings.select("vec_id", "embedding")
     val cents = e.filter(col("vec_id") < 8)
