@@ -42,6 +42,67 @@ object PmcDemo {
     val (res2, _) = operators.AskPipeline.ask(spark, index, cache1, query, queryVec = Some(qv))
     println(f"ASK2 fromCache=${res2.fromCache} in ${(System.nanoTime() - t2) / 1e9}%.1f s")
 
+    // GRAPH-ROUTED ASK — the reference's actual serving architecture
+    // (HNSW behind the ask, app/main.py:262-283/347-373): build the
+    // graph store ONCE at ingest, then answer the same README query
+    // through the partition-pruned beam walk instead of the exact scan.
+    val tG = System.nanoTime()
+    val gdir = java.nio.file.Files.createTempDirectory("pmc_graph").toString
+    val h = operators.GraphIndex.build(spark, index, Seq("doc_id", "chunk_idx"),
+      "embedding", gdir, nCentroids = 64, m = 16, nBuckets = 64,
+      beamWidth = 32, hops = 3)
+    println(f"GRAPH BUILD in ${(System.nanoTime() - tG) / 1e9}%.1f s")
+    val tGA = System.nanoTime()
+    val (resG, _) = operators.AskPipeline.ask(spark, index, emptyCache, query,
+      queryVec = Some(qv), graph = Some(h))
+    println(f"GRAPH ASK fromCache=${resG.fromCache} in ${(System.nanoTime() - tGA) / 1e9}%.1f s " +
+      s"answerMatchesExact=${resG.answer == res.answer}")
+    println("GRAPH ANSWER: " + resG.answer.take(300))
+
+    // LIVE TOKEN EGRESS — the reference's WS streaming loop
+    // (app/main.py:616-647) end-to-end on the real answer: tokens leave
+    // the engine one by one, strictly in seq order, through the
+    // RocksDB-backed relay, even though arrivals are scrambled across
+    // micro-batches (batch 1 delivers seqs 0-4 plus 8-9 early; batch 2
+    // fills the 5-7 hole, which releases the buffered run).
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.TokenEgress
+      import graft.streaming.TokenEgress.TokenIn
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      implicit val sqlCtx = s2.sqlContext
+      val toks = resG.answer.split("\\s+").zipWithIndex
+        .map { case (t, i) => TokenIn(1L, i.toLong, t) }
+      val batches: Seq[Seq[TokenIn]] =
+        if (toks.length > 10)
+          Seq(toks.slice(0, 5).toSeq ++ toks.slice(8, 10), // hole at 5-7
+              toks.slice(5, 8).toSeq,                      // gap fills → drain
+              toks.drop(10).toSeq)
+        else Seq(toks.toSeq)
+      val input = MemoryStream[TokenIn]
+      val q2 = TokenEgress.tokenEgress(input.toDS())
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("pmc_tokens").start()
+      var emitted = 0L
+      batches.zipWithIndex.foreach { case (b, i) =>
+        input.addData(b: _*)
+        q2.processAllAvailable()
+        val rows = s2.table("pmc_tokens").orderBy("seq")
+          .collect().map(_.getString(2))
+        println(s"EGRESS batch ${i + 1}: +${rows.length - emitted} tokens -> " +
+          rows.mkString(" ").take(160))
+        emitted = rows.length
+      }
+      q2.stop()
+      val finalTokens = s2.table("pmc_tokens").orderBy("seq")
+        .collect().map(_.getString(2))
+      println("EGRESS in-order=" +
+        (finalTokens.toSeq == toks.map(_.token).toSeq) + s" (${finalTokens.length} tokens)")
+    }
+
     // Hybrid retrieval on the real corpus: BM25 chunk leg ⊕ the TF-IDF
     // cosine leg, RRF-fused — exact-term grounding for the same README
     // query, at ask-pipeline latency.

@@ -1882,6 +1882,29 @@ object SparkEntry {
         .limit(5)
     }),
 
+    // §3.1 retrieval routed through the GRAPH-ANN STORE (the ref's
+    // serving split: HNSW behind the ask, app/main.py:262-283/347-373):
+    // chunk → embed → GraphIndex.build (md5-uid ids, 8 entry centroids,
+    // m=4 k-NN graph, src-bucketed store) → 3-hop beam-4 walk for the
+    // flagship query → top-5. The oracle replays EVERYTHING — embedding,
+    // uid derivation, graph construction, and the hop-by-hop walk — so
+    // the full ingest+serve path is hash-checked, not just rows-counted.
+    "q_rag_graph" -> ((s, dir) => {
+      val chunks = Ingest.chunk(wide(s, dir, "documents").select("doc_id", "text"), "text", 32)
+        .select("doc_id", "chunk_idx", "chunk_text")
+      val embedded = Embed.withEmbedding(chunks, "chunk_text", "embedding")
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val gdir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_raggraph$safe").getAbsolutePath
+      val h = GraphIndex.build(s, embedded, Seq("doc_id", "chunk_idx"), "embedding",
+        gdir, nCentroids = 8, m = 4, nBuckets = 16, beamWidth = 4, hops = 3)
+      GraphIndex.search(s, h, Embed.embedQuery(s, RagQueryText).toSeq)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))
+        .limit(5)
+    }),
+
     // Retrieve → rerank: BM25 top-20 candidates rescored by the batched
     // RerankClient (mapPartitions, per-partition setup — the real
     // cross-encoder plumbing; the deterministic md5 stand-in scorer is
@@ -2073,6 +2096,13 @@ object SparkEntry {
     s"((${dHexVal(s"substr(md5($e), 1, 1)")} * 16 + ${dHexVal(s"substr(md5($e), 2, 1)")}) % $n)"
   private def dMd5Sign(e: String) =
     s"(CASE WHEN ${dHexVal(s"substr(md5($e), 3, 1)")} % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+
+  /** DuckDB: the 60-bit md5-prefix row id of [[GraphIndex.uidFor]] —
+    * big-endian fold of the first 15 md5 hex chars into a BIGINT
+    * (mirrors Spark's conv(substring(md5(e),1,15),16,10)). */
+  private def dMd5Long(e: String): String =
+    (1 to 15).map(i => dHexVal(s"substr(md5($e), $i, 1)"))
+      .foldLeft("CAST(0 AS BIGINT)")((acc, h) => s"($acc * 16 + $h)")
 
   /** DuckDB: distinct word n-gram shingle set over a token list. */
   /** Mirrors TextFunctions.shingleSet INCLUDING the empty-token guard:
@@ -3722,37 +3752,116 @@ object SparkEntry {
              |ORDER BY rerank_score DESC, b.doc_id LIMIT 5""".stripMargin)
       },
 
-      "q_rag_topk" -> {
-        val embedVec =
-          s"""list_transform(range(0, ${Schemas.EmbeddingDim}), j ->
-             |        coalesce(list_sum(list_transform(pr, e -> CASE WHEN e.b = j THEN e.s ELSE 0.0 END)), 0.0))""".stripMargin
-        s"""WITH t AS (SELECT doc_id, ${dTokens("text")} AS words FROM documents),
-           |c AS (SELECT doc_id, words,
-           |        unnest(range(0, CAST(ceil(len(words) / 32.0) AS BIGINT))) AS chunk_idx
-           |      FROM t),
-           |ct AS (SELECT doc_id, chunk_idx,
-           |         list_transform(list_slice(words, chunk_idx * 32 + 1, chunk_idx * 32 + 32),
-           |                        x -> lower(x)) AS ctoks
-           |       FROM c),
-           |cp AS (SELECT doc_id, chunk_idx, list_transform(ctoks, x ->
-           |         struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
-           |                     s := ${dMd5Sign("x")})) AS pr FROM ct),
-           |cv AS (SELECT doc_id, chunk_idx, $embedVec AS vec FROM cp),
-           |cn AS (SELECT doc_id, chunk_idx,
-           |         list_transform(vec, x -> x / (sqrt(list_sum(list_transform(vec, y -> y * y))) + 1e-9)) AS nv
-           |       FROM cv),
-           |qt AS (SELECT ${dTokens(s"lower('$RagQueryText')")} AS toks),
-           |qp AS (SELECT list_transform(toks, x ->
-           |         struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
-           |                     s := ${dMd5Sign("x")})) AS pr FROM qt),
-           |qv AS (SELECT $embedVec AS vec FROM qp),
-           |qn AS (SELECT list_transform(vec, x -> x / (sqrt(list_sum(list_transform(vec, y -> y * y))) + 1e-9)) AS nv
-           |       FROM qv),
+      "q_rag_topk" ->
+        s"""WITH $dChunkEmbedCtes,
            |s AS (SELECT cn.doc_id, cn.chunk_idx, ${dCosine("cn.nv", "q.nv")} AS sim
            |      FROM cn, qn q)
            |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
            |       round(sim + 1.2345e-9, 6) AS sim
-           |FROM s ORDER BY sim DESC, doc_id, chunk_idx LIMIT 5""".stripMargin
+           |FROM s ORDER BY sim DESC, doc_id, chunk_idx LIMIT 5""".stripMargin,
+
+      // Graph-routed retrieval: the same chunk/embed CTEs, then the FULL
+      // GraphIndex replay — md5-uid ids, 8 lowest-uid entry centroids,
+      // nearest-cell assignment, undirected in-cell top-4 edges +
+      // up-links + centroid clique, and the 3-hop beam-4 walk (the
+      // annGraphOracle CTE chain, re-keyed to chunk uids).
+      "q_rag_graph" -> {
+        val uid = dMd5Long("doc_id || '#' || CAST(chunk_idx AS VARCHAR)")
+        s"""WITH u AS MATERIALIZED (
+           |  WITH $dChunkOnlyCtes
+           |  SELECT doc_id, chunk_idx, nv, $uid AS uid FROM cn),
+           |qn AS MATERIALIZED (
+           |  WITH ${dQueryEmbedCtes("qn0")}
+           |  SELECT nv FROM qn0),
+           |cents AS (SELECT uid AS cid, nv AS cv FROM u ORDER BY uid LIMIT 8),
+           |asg AS (
+           |  SELECT uid, nv, cid,
+           |         row_number() OVER (PARTITION BY uid ORDER BY csim DESC, cid) AS rn
+           |  FROM (SELECT u.uid, u.nv, c.cid, ${dCosine("u.nv", "c.cv")} AS csim
+           |        FROM u, cents c)
+           |),
+           |cells AS MATERIALIZED (SELECT uid, nv, cid AS cell_id FROM asg WHERE rn = 1),
+           |pair AS MATERIALIZED (
+           |  -- sim is PROJECTED before the window so the sort carries
+           |  -- (src, dst, sim) triples, not two 64-double vectors per
+           |  -- pair row — without this (and the MATERIALIZED marks that
+           |  -- stop CTE-inlining re-computation) DuckDB's spill on the
+           |  -- sf0.1 quadratic pair set exceeded 80 GB
+           |  SELECT src, dst, rn FROM (
+           |    SELECT src, dst,
+           |           row_number() OVER (PARTITION BY src
+           |             ORDER BY sim DESC, dst) AS rn
+           |    FROM (SELECT a.uid AS src, b.uid AS dst,
+           |                 ${dCosine("a.nv", "b.nv")} AS sim
+           |          FROM cells a JOIN cells b
+           |            ON a.cell_id = b.cell_id AND a.uid <> b.uid))
+           |),
+           |edges AS MATERIALIZED (
+           |  SELECT src, dst FROM pair WHERE rn <= 4
+           |  UNION
+           |  SELECT dst, src FROM pair WHERE rn <= 4
+           |  UNION
+           |  SELECT uid, cell_id FROM cells WHERE uid <> cell_id
+           |  UNION
+           |  SELECT c1.cid, c2.cid FROM cents c1, cents c2 WHERE c1.cid <> c2.cid
+           |),
+           |sims AS MATERIALIZED (
+           |  SELECT u.uid AS id, u.doc_id, u.chunk_idx, ${dCosine("u.nv", "q.nv")} AS sim
+           |  FROM u, qn q),
+           |v0 AS (SELECT id, sim FROM sims WHERE id IN (SELECT cid FROM cents)
+           |       ORDER BY sim DESC, id LIMIT 4),
+           |f0 AS (SELECT id FROM v0 ORDER BY sim DESC, id LIMIT 4),
+           |v1 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v0)
+           |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f0))),
+           |f1 AS (SELECT id FROM v1 ORDER BY sim DESC, id LIMIT 4),
+           |v2 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v1)
+           |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f1))),
+           |f2 AS (SELECT id FROM v2 ORDER BY sim DESC, id LIMIT 4),
+           |v3 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v2)
+           |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f2)))
+           |SELECT s.doc_id, CAST(s.chunk_idx AS BIGINT) AS chunk_idx,
+           |       round(v3.sim + 1.2345e-9, 6) AS sim
+           |FROM v3 JOIN sims s ON s.id = v3.id
+           |ORDER BY sim DESC, doc_id, chunk_idx LIMIT 5""".stripMargin
       })
   }
+
+  private def dEmbedVec: String =
+    s"""list_transform(range(0, ${Schemas.EmbeddingDim}), j ->
+       |        coalesce(list_sum(list_transform(pr, e -> CASE WHEN e.b = j THEN e.s ELSE 0.0 END)), 0.0))""".stripMargin
+
+  /** DuckDB: 32-word chunks of cleaned documents text, hashed-BoW
+    * embedding, L2 normalize (ε=1e-9) — yields `cn(doc_id, chunk_idx,
+    * nv)`. */
+  private def dChunkOnlyCtes: String =
+    s"""t AS (SELECT doc_id, ${dTokens("text")} AS words FROM documents),
+       |c AS (SELECT doc_id, words,
+       |        unnest(range(0, CAST(ceil(len(words) / 32.0) AS BIGINT))) AS chunk_idx
+       |      FROM t),
+       |ct AS (SELECT doc_id, chunk_idx,
+       |         list_transform(list_slice(words, chunk_idx * 32 + 1, chunk_idx * 32 + 32),
+       |                        x -> lower(x)) AS ctoks
+       |       FROM c),
+       |cp AS (SELECT doc_id, chunk_idx, list_transform(ctoks, x ->
+       |         struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
+       |                     s := ${dMd5Sign("x")})) AS pr FROM ct),
+       |cv AS (SELECT doc_id, chunk_idx, $dEmbedVec AS vec FROM cp),
+       |cn AS (SELECT doc_id, chunk_idx,
+       |         list_transform(vec, x -> x / (sqrt(list_sum(list_transform(vec, y -> y * y))) + 1e-9)) AS nv
+       |       FROM cv)""".stripMargin
+
+  /** DuckDB: the embedded + normalized flagship query, as CTE `<out>(nv)`. */
+  private def dQueryEmbedCtes(out: String): String =
+    s"""qt AS (SELECT ${dTokens(s"lower('$RagQueryText')")} AS toks),
+       |qp AS (SELECT list_transform(toks, x ->
+       |         struct_pack(b := ${dMd5Bucket("x", Schemas.EmbeddingDim)},
+       |                     s := ${dMd5Sign("x")})) AS pr FROM qt),
+       |qv AS (SELECT $dEmbedVec AS vec FROM qp),
+       |$out AS (SELECT list_transform(vec, x -> x / (sqrt(list_sum(list_transform(vec, y -> y * y))) + 1e-9)) AS nv
+       |       FROM qv)""".stripMargin
+
+  /** The combined chunk + query replay (`cn` and `qn`) — the shared
+    * prefix of the retrieval oracles. */
+  private def dChunkEmbedCtes: String =
+    dChunkOnlyCtes + ",\n" + dQueryEmbedCtes("qn")
 }

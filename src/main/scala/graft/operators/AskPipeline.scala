@@ -40,13 +40,21 @@ object AskPipeline {
     * `index` is the embedded chunk index (doc_id, chunk_idx, chunk_text,
     * embedding); `cache` follows Schemas.cacheEntry. The early-exit gate
     * is driver-side `if` around actions — exactly the reference's control
-    * flow (cheap: the probe is a broadcast argmax over ≤1000 rows). */
+    * flow (cheap: the probe is a broadcast argmax over ≤1000 rows).
+    *
+    * With `graph` set, retrieval routes through the pre-built
+    * [[GraphIndex]] store instead of the exact corpus scan — the
+    * reference's real serving shape (HNSW behind the ask): per-query
+    * work becomes a frontier-pruned beam walk whose cost is independent
+    * of index size, and `index` is only consulted by the fallback
+    * (None) path. */
   def ask(spark: SparkSession, index: DataFrame, cache: DataFrame, query: String,
           history: Option[String] = None, topK: Int = Schemas.DefaultTopK,
           threshold: Double = Schemas.CacheThreshold,
           capacity: Int = Schemas.CacheCapacity,
           dim: Int = Schemas.EmbeddingDim,
-          queryVec: Option[Array[Double]] = None): (AskResult, DataFrame) = {
+          queryVec: Option[Array[Double]] = None,
+          graph: Option[GraphIndex.Handle] = None): (AskResult, DataFrame) = {
     // queryVec overrides the default embedder — e.g. a TF-IDF-space vector
     // from Embed.embedQueryTfIdf when the index was built in that space
     val qVec = queryVec.getOrElse(Embed.embedQuery(spark, query, dim))
@@ -62,8 +70,12 @@ object AskPipeline {
         (AskResult(query, row.getString(1), fromCache = true, prompt = ""), updated)
 
       case None =>
-        val hits = Similarity.topK(index, "embedding", qVec.toSeq, topK,
-          tieBreak = Seq("doc_id", "chunk_idx"))
+        val hits = (graph match {
+          case Some(h) => GraphIndex.topK(spark, h, qVec.toSeq, topK,
+            tieBreak = Seq("doc_id", "chunk_idx"))
+          case None => Similarity.topK(index, "embedding", qVec.toSeq, topK,
+            tieBreak = Seq("doc_id", "chunk_idx"))
+        })
           .withColumn("rank", row_number().over(
             org.apache.spark.sql.expressions.Window
               .orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))))

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The graph-ANN store BEHIND the ask pipeline — the reference's actual
+  * serving architecture: ingest builds an HNSW index once
+  * (app/main.py:262-283, m=64/ef_construction=500) and every `/ask`
+  * searches that index (app/main.py:347-373); nothing at query time
+  * ever scans the corpus.
+  *
+  * [[build]] is the ingest-time half: give each embedded chunk a stable
+  * 60-bit id (md5-derived — map-only, no global sort, deterministic
+  * across runs and engines), pick entry centroids, build the k-NN graph
+  * ([[Ann.knnGraph]]) and persist it src-bucketed
+  * ([[Ann.writeGraphIndex]]) next to the id→chunk sidecar and the
+  * centroid table. [[search]] is the query-time half: a
+  * partition-pruned beam walk ([[Ann.graphSearchPartitioned]]) whose
+  * per-hop reads touch only the frontier's buckets — ask latency rides
+  * beam·degree, independent of index size, which is exactly why the
+  * reference puts an HNSW (not a scan) behind its hot path.
+  */
+object GraphIndex {
+
+  /** A built store: everything needed to search lives under `dir`
+    * (`edges/` src-bucketed, `chunks/` id→row sidecar, `centroids/`),
+    * so a handle is just the location + layout constants — serving
+    * processes re-open it without re-reading the corpus. */
+  final case class Handle(dir: String, nBuckets: Int,
+                          beamWidth: Int = 8, hops: Int = 3) {
+    def edgesDir: String = dir + "/edges"
+    def chunksDir: String = dir + "/chunks"
+    def centroidsDir: String = dir + "/centroids"
+    def centroids(spark: SparkSession): DataFrame =
+      spark.read.parquet(centroidsDir)
+    def chunks(spark: SparkSession): DataFrame =
+      spark.read.parquet(chunksDir)
+  }
+
+  /** Stable 60-bit row id from the natural key columns: the first 15
+    * md5 hex chars as a long. Map-only (a global row_number would
+    * single-partition 100 TB through one sort); deterministic across
+    * runs AND replayable in the SQL oracle (md5 hex text is
+    * engine-identical). 2^60 space makes collisions negligible at any
+    * plausible chunk count. */
+  def uidFor(keyCols: Seq[String]): org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws("#", keyCols.map(c => col(c).cast("string")): _*)),
+      1, 15), 16, 10).cast("long")
+
+  /** Ingest-time build over an embedded index (any schema with `vecCol`
+    * plus natural-key `keyCols`). Entry centroids are the `nCentroids`
+    * lowest-uid rows — with hashed uids that is a deterministic random
+    * sample (the same role [[Ann.headCentroids]] plays for IVF;
+    * [[Ann.kmeansRefine]] drops in upstream when data-aware cells are
+    * worth the extra passes). The whole build is the one corpus-sized
+    * job; everything after reads the store. */
+  def build(spark: SparkSession, index: DataFrame, keyCols: Seq[String],
+            vecCol: String, dir: String, nCentroids: Int = 8, m: Int = 4,
+            nBuckets: Int = 16, beamWidth: Int = 8, hops: Int = 3): Handle = {
+    val withUid = index.withColumn("uid", uidFor(keyCols))
+    withUid.write.mode("overwrite").parquet(dir + "/chunks")
+    val stored = spark.read.parquet(dir + "/chunks")
+    val cents = stored.orderBy("uid").limit(nCentroids)
+      .select(col("uid").as("centroid_id"), col(vecCol).as("centroid_vec"))
+    cents.write.mode("overwrite").parquet(dir + "/centroids")
+    val storedCents = spark.read.parquet(dir + "/centroids")
+    val assigned = Ann.assignCells(stored, "uid", vecCol,
+      storedCents, "centroid_id", "centroid_vec")
+    val edges = Ann.knnGraph(assigned, "uid", vecCol,
+      storedCents, "centroid_id", "centroid_vec", m)
+    Ann.writeGraphIndex(edges, dir + "/edges", nBuckets)
+    Handle(dir, nBuckets, beamWidth, hops)
+  }
+
+  /** Every node the beam walk visits, scored, re-joined to its chunk
+    * row — shaped like the exact-retrieval candidate set (original
+    * columns + `sim`), so downstream context assembly cannot tell which
+    * retriever ran. Callers apply their own top-k / rounding. */
+  def search(spark: SparkSession, h: Handle, queryVec: Seq[Double]): DataFrame = {
+    val visited = Ann.graphSearchPartitioned(spark, h.edgesDir, h.nBuckets,
+      h.centroids(spark), "centroid_id", "centroid_vec",
+      queryVec, h.beamWidth, h.hops)
+    // visited is KB-scale (beam·degree·hops rows); broadcast it against
+    // the chunk sidecar so the re-attach join never shuffles the corpus
+    h.chunks(spark).join(broadcast(visited.withColumnRenamed("vec_id", "uid")), "uid")
+  }
+
+  /** Graph-ANN top-k in [[Similarity.topK]]'s output shape. */
+  def topK(spark: SparkSession, h: Handle, queryVec: Seq[Double], k: Int,
+           tieBreak: Seq[String]): DataFrame =
+    search(spark, h, queryVec)
+      .orderBy(desc("sim") +: tieBreak.map(col): _*)
+      .limit(k)
+      .drop("uid")
+}

@@ -135,9 +135,15 @@ object Retrieval {
     val qVec = Embed.embedQuery(spark, query, dim)
     val hits = Similarity.topK(embedded, "embedding", qVec.toSeq, topK,
       tieBreak = Seq("doc_id", "chunk_idx"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))))
-    val ctx = renderContext(assembleContext(hits, "doc_id", "rank", "chunk_text"), "doc_id")
+    promptFromHits(hits, query)
+  }
+
+  /** Top-k hits (doc_id, chunk_idx, chunk_text, sim) → ranked context →
+    * one prompt row — the shared tail of every ask variant. */
+  private def promptFromHits(hits: DataFrame, query: String): DataFrame = {
+    val ranked = hits.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))))
+    val ctx = renderContext(assembleContext(ranked, "doc_id", "rank", "chunk_text"), "doc_id")
     val oneCtx = ctx
       .agg(array_join(
         transform(
@@ -146,6 +152,24 @@ object Retrieval {
         "\n\n").as("context"))
       .withColumn("query", lit(query))
     buildPrompt(oneCtx, "query", "context")
+  }
+
+  /** [[ask]] routed through a pre-built [[GraphIndex]] store — the
+    * reference's serving split (HNSW behind the ask): the corpus-sized
+    * chunk/embed/graph work ran ONCE at ingest ([[GraphIndex.build]]);
+    * this per-query half embeds the query and beam-walks the
+    * partition-pruned edge store, so its cost rides beam·degree·hops,
+    * not index size. Same context/prompt tail as [[ask]] — on queries
+    * where the walk's top-k equals exact top-k (the common case; see
+    * AnnSpec's recall pin) the emitted prompt is identical. */
+  def askGraph(spark: SparkSession, graph: GraphIndex.Handle, query: String,
+               topK: Int = graft.Schemas.DefaultTopK,
+               dim: Int = graft.Schemas.EmbeddingDim,
+               queryVec: Option[Seq[Double]] = None): DataFrame = {
+    val qVec = queryVec.getOrElse(Embed.embedQuery(spark, query, dim).toSeq)
+    val hits = GraphIndex.topK(spark, graph, qVec, topK,
+      tieBreak = Seq("doc_id", "chunk_idx"))
+    promptFromHits(hits, query)
   }
 
   /** Pluggable reranker client — the cross-encoder slot of a
