@@ -13,21 +13,26 @@ import org.apache.spark.sql.functions._
   * 60-bit id (md5-derived — map-only, no global sort, deterministic
   * across runs and engines), pick entry centroids, build the k-NN graph
   * ([[Ann.knnGraph]]) and persist it src-bucketed
-  * ([[Ann.writeGraphIndex]]) next to the id→chunk sidecar and the
-  * centroid table. [[search]] is the query-time half: a
+  * ([[Ann.writeGraphIndex]]) next to the uid-bucketed id→chunk sidecar
+  * and the centroid table. [[search]] is the query-time half: a
   * partition-pruned beam walk ([[Ann.graphSearchPartitioned]]) whose
-  * per-hop reads touch only the frontier's buckets — ask latency rides
-  * beam·degree, independent of index size, which is exactly why the
-  * reference puts an HNSW (not a scan) behind its hot path.
+  * per-hop reads touch only the frontier's buckets, then a
+  * partition-pruned sidecar read for the visited set — ask latency
+  * rides beam·degree, independent of index size, which is exactly why
+  * the reference puts an HNSW (not a scan) behind its hot path.
+  * [[insert]] is the live-upload half (ref app/embedding_gen.py:315-409
+  * appends new docs to the running index): batch-vs-cell work only,
+  * append-only writes.
   */
 object GraphIndex {
 
   /** A built store: everything needed to search lives under `dir`
-    * (`edges/` src-bucketed, `chunks/` id→row sidecar, `centroids/`),
-    * so a handle is just the location + layout constants — serving
-    * processes re-open it without re-reading the corpus. */
+    * (`edges/` src-bucketed, `chunks/` uid-bucketed id→row sidecar with
+    * the cell assignment, `centroids/`), so a handle is just the
+    * location + layout/build constants — serving processes re-open it
+    * without re-reading the corpus. */
   final case class Handle(dir: String, nBuckets: Int,
-                          beamWidth: Int = 8, hops: Int = 3) {
+                          beamWidth: Int = 8, hops: Int = 3, m: Int = 4) {
     def edgesDir: String = dir + "/edges"
     def chunksDir: String = dir + "/chunks"
     def centroidsDir: String = dir + "/centroids"
@@ -47,29 +52,38 @@ object GraphIndex {
     conv(substring(md5(concat_ws("#", keyCols.map(c => col(c).cast("string")): _*)),
       1, 15), 16, 10).cast("long")
 
+  private def bucketOf(uid: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(uid, lit(nBuckets))
+
   /** Ingest-time build over an embedded index (any schema with `vecCol`
     * plus natural-key `keyCols`). Entry centroids are the `nCentroids`
     * lowest-uid rows — with hashed uids that is a deterministic random
     * sample (the same role [[Ann.headCentroids]] plays for IVF;
     * [[Ann.kmeansRefine]] drops in upstream when data-aware cells are
-    * worth the extra passes). The whole build is the one corpus-sized
-    * job; everything after reads the store. */
+    * worth the extra passes). The sidecar is written
+    * `partitionBy(uid_bucket)` — the search-path access (fetch ~beam·
+    * degree uids) partition-prunes; it also carries `cell_id` so
+    * [[insert]] can read a cell's members with a pushed filter instead
+    * of re-assigning the corpus. The whole build is the one
+    * corpus-sized job; everything after reads the store. */
   def build(spark: SparkSession, index: DataFrame, keyCols: Seq[String],
             vecCol: String, dir: String, nCentroids: Int = 8, m: Int = 4,
             nBuckets: Int = 16, beamWidth: Int = 8, hops: Int = 3): Handle = {
     val withUid = index.withColumn("uid", uidFor(keyCols))
-    withUid.write.mode("overwrite").parquet(dir + "/chunks")
-    val stored = spark.read.parquet(dir + "/chunks")
-    val cents = stored.orderBy("uid").limit(nCentroids)
+    val cents = withUid.orderBy("uid").limit(nCentroids)
       .select(col("uid").as("centroid_id"), col(vecCol).as("centroid_vec"))
     cents.write.mode("overwrite").parquet(dir + "/centroids")
     val storedCents = spark.read.parquet(dir + "/centroids")
-    val assigned = Ann.assignCells(stored, "uid", vecCol,
+    val assigned = Ann.assignCells(withUid, "uid", vecCol,
       storedCents, "centroid_id", "centroid_vec")
-    val edges = Ann.knnGraph(assigned, "uid", vecCol,
+    assigned.drop("cell_sim")
+      .withColumn("uid_bucket", bucketOf(col("uid"), nBuckets))
+      .write.mode("overwrite").partitionBy("uid_bucket").parquet(dir + "/chunks")
+    val stored = spark.read.parquet(dir + "/chunks")
+    val edges = Ann.knnGraph(stored, "uid", vecCol,
       storedCents, "centroid_id", "centroid_vec", m)
     Ann.writeGraphIndex(edges, dir + "/edges", nBuckets)
-    Handle(dir, nBuckets, beamWidth, hops)
+    Handle(dir, nBuckets, beamWidth, hops, m)
   }
 
   /** Every node the beam walk visits, scored, re-joined to its chunk
@@ -80,9 +94,17 @@ object GraphIndex {
     val visited = Ann.graphSearchPartitioned(spark, h.edgesDir, h.nBuckets,
       h.centroids(spark), "centroid_id", "centroid_vec",
       queryVec, h.beamWidth, h.hops)
-    // visited is KB-scale (beam·degree·hops rows); broadcast it against
-    // the chunk sidecar so the re-attach join never shuffles the corpus
-    h.chunks(spark).join(broadcast(visited.withColumnRenamed("vec_id", "uid")), "uid")
+    // the visited set is KB-scale (beam·degree·hops rows): prune the
+    // sidecar read to its uid buckets (partition pruning at the file
+    // listing — without this the re-attach is a full corpus scan per
+    // query, undoing the walk's whole point), then broadcast-join so
+    // nothing shuffles
+    val ids = visited.select("vec_id").collect().map(_.getLong(0))
+    val buckets = ids.map(id => Long.box(((id % h.nBuckets) + h.nBuckets) % h.nBuckets)).distinct
+    h.chunks(spark)
+      .filter(col("uid_bucket").isin(buckets: _*))
+      .join(broadcast(visited.withColumnRenamed("vec_id", "uid")), "uid")
+      .drop("uid_bucket")
   }
 
   /** Graph-ANN top-k in [[Similarity.topK]]'s output shape. */
@@ -91,5 +113,36 @@ object GraphIndex {
     search(spark, h, queryVec)
       .orderBy(desc("sim") +: tieBreak.map(col): _*)
       .limit(k)
-      .drop("uid")
+      .drop("uid", "cell_id")
+
+  /** Live incremental ingest (the reference's upload path: new docs
+    * join the running index without a rebuild). New rows are uid'd and
+    * cell-assigned against the STORED centroids, linked by
+    * [[Ann.graphInsert]] (batch-aware top-m + reverse edges + up-links)
+    * against ONLY the members of the touched cells — read from the
+    * sidecar with a pushed `cell_id` filter, never a corpus re-scan —
+    * and both stores grow by `mode("append")` files: existing data is
+    * never rewritten. Cost is |batch|·|touched cells|, independent of
+    * index size. Returns the number of edge rows appended. */
+  def insert(spark: SparkSession, h: Handle, newRows: DataFrame,
+             keyCols: Seq[String], vecCol: String): Long = {
+    val cents = h.centroids(spark)
+    val newAssigned = Ann.assignCells(
+      newRows.withColumn("uid", uidFor(keyCols)), "uid", vecCol,
+      cents, "centroid_id", "centroid_vec")
+    val touched = newAssigned.select("cell_id").distinct()
+      .collect().map(_.getLong(0))
+    val existing = h.chunks(spark)
+      .filter(col("cell_id").isin(touched.map(Long.box): _*))
+      .select(col("cell_id"), col("uid"), col(vecCol))
+    val newEdges = Ann.graphInsert(existing,
+      newAssigned.select(col("cell_id"), col("uid"), col(vecCol)),
+      "uid", vecCol, h.m)
+    val n = newEdges.count()
+    Ann.appendGraphIndex(newEdges, h.edgesDir, h.nBuckets)
+    newAssigned.drop("cell_sim")
+      .withColumn("uid_bucket", bucketOf(col("uid"), h.nBuckets))
+      .write.mode("append").partitionBy("uid_bucket").parquet(h.chunksDir)
+    n
+  }
 }

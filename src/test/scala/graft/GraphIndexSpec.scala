@@ -17,7 +17,10 @@ class GraphIndexSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   private lazy val embedded = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    // doc_id's physical type has drifted across testdata generations
+    // (string ↔ int64) — pin it to string so the fixture is stable
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
     val chunks = Ingest.chunk(docs.filter(operators.Ingest.nonBlank(col("text"))), "text", 32)
       .select("doc_id", "chunk_idx", "chunk_text")
     Embed.withEmbedding(chunks, "chunk_text", "embedding").persist()
@@ -78,6 +81,42 @@ class GraphIndexSpec extends AnyFunSuite {
     val (hit, c2) = AskPipeline.ask(spark, embedded, c1, q, graph = Some(handle))
     assert(hit.fromCache && hit.answer == graphRes.answer)
     assert(c2.select("freq").as[Int].head() == 2)
+  }
+
+  test("insert: uploaded docs join the live index and become retrievable") {
+    import operators.{GraphIndex => GI}
+    // build over the corpus MINUS one held-out doc, then upload it —
+    // the reference's live-index append (app/embedding_gen.py:315-409)
+    val held = embedded.select("doc_id").orderBy("doc_id").head().getString(0)
+    val base = embedded.filter(col("doc_id") =!= held)
+    val upload = embedded.filter(col("doc_id") === held)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gins").toString
+    val h = GI.build(spark, base, Seq("doc_id", "chunk_idx"), "embedding",
+      dir, nCentroids = 16, m = 16, nBuckets = 16, beamWidth = 32, hops = 3)
+    // query with the held-out doc's own first chunk text: a perfect-sim
+    // self-match once the doc is in the index
+    val qText = upload.orderBy("chunk_idx").select("chunk_text").head().getString(0)
+    val qv = Embed.embedQuery(spark, qText).toSeq
+    val before = GI.topK(spark, h, qv, 1, tieBreak = Seq("doc_id", "chunk_idx"))
+      .select("doc_id").as[String].collect()
+    assert(!before.contains(held))
+    val oldTop = GI.topK(spark, h, Embed.embedQuery(spark, demoQueries.head).toSeq,
+        3, tieBreak = Seq("doc_id", "chunk_idx"))
+      .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSeq
+    val nEdges = GI.insert(spark, h, upload, Seq("doc_id", "chunk_idx"), "embedding")
+    assert(nEdges > 0)
+    // edge-budget sanity: appended rows ≤ |B|·(2m+1) (top-m + reverses + up-link)
+    val b = upload.count()
+    assert(nEdges <= b * (2 * h.m + 1))
+    val after = GI.topK(spark, h, qv, 1, tieBreak = Seq("doc_id", "chunk_idx"))
+      .select("doc_id", "sim").as[(String, Double)].collect()
+    assert(after.head._1 == held && after.head._2 > 0.99,
+      s"uploaded doc not retrieved: $after")
+    // results for unrelated existing queries are unchanged
+    val oldTopAfter = GI.topK(spark, h, Embed.embedQuery(spark, demoQueries.head).toSeq,
+        3, tieBreak = Seq("doc_id", "chunk_idx"))
+      .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSeq
+    assert(oldTopAfter == oldTop)
   }
 
   test("handle re-opened cold serves the same results (ingest/serve split)") {
