@@ -186,6 +186,27 @@ class PlanSpec extends AnyFunSuite {
     assert(hop.count() < spark.read.parquet(idx).count())
   }
 
+  test("GraphIndex serving: sidecar re-attach prunes to the visited uid buckets") {
+    import graft.operators.GraphIndex
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gidx_plan").toString
+    val h = GraphIndex.build(spark, e, Seq("vec_id"), "embedding", dir,
+      nCentroids = 8, m = 4, nBuckets = 16, beamWidth = 4, hops = 2)
+    val qv = e.filter(col("vec_id") === 9)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val res = GraphIndex.search(spark, h, qv)
+    val p = plan(res)
+    // the per-query chunk fetch must be a partition-pruned read (without
+    // it, every ask re-scans the corpus-sized sidecar) + a broadcast
+    // join against the KB-sized visited set (nothing shuffles)
+    assert(p.contains("PartitionFilters") && p.contains("uid_bucket"),
+      s"expected uid_bucket in PartitionFilters (pruned sidecar fetch):\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected the visited set broadcast against the sidecar:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"re-attach must not shuffle the sidecar:\n$p")
+    assert(res.count() > 0)
+  }
+
   test("IVF-PQ partitioned search: probed-cell read prunes partitions") {
     import graft.operators.{Ann, Pq}
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
