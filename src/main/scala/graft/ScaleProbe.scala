@@ -142,6 +142,32 @@ object ScaleProbe {
       }
     }
 
+    // GraphIndex SERVING flatness: the full ask-side path (pruned edge
+    // walk + bucket-pruned sidecar re-attach) against stores built at
+    // 1x and 4x the corpus with a corpus-scaled codebook — per-query
+    // latency must stay ~flat because every read is frontier-bounded.
+    {
+      val e0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val qv = e0.filter(col("vec_id") === 9)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      for (n <- Seq(1, 4)) {
+        val vecs = (0 until n).map(i => e0.select(
+            (col("vec_id") + lit(i * 1000000)).as("vec_id"), col("embedding")))
+          .reduce(_ unionByName _).repartition(32).persist()
+        val nv = vecs.count()
+        val dir = java.nio.file.Files.createTempDirectory("graft_gidx_probe").toString
+        time(s"GraphIndex build $nv vecs")(
+          { operators.GraphIndex.build(spark, vecs, Seq("vec_id"), "embedding",
+              dir, nCentroids = 8 * n, m = 4, nBuckets = 64, beamWidth = 8, hops = 3); nv })
+        val h = operators.GraphIndex.Handle(dir, 64, beamWidth = 8, hops = 3, m = 4)
+        time(s"GraphIndex serve (cold) $nv vecs")(
+          operators.GraphIndex.topK(spark, h, qv, 10, tieBreak = Seq("uid")).count())
+        time(s"GraphIndex serve (warm) $nv vecs")(
+          operators.GraphIndex.topK(spark, h, qv, 10, tieBreak = Seq("uid")).count())
+        vecs.unpersist()
+      }
+    }
+
     // vector-scan throughput: exact top-k over 1M replicated vectors
     val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val big = e.crossJoin(spark.range(500).select(col("id").as("_rep")))

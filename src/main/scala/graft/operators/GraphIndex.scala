@@ -69,7 +69,19 @@ object GraphIndex {
   def build(spark: SparkSession, index: DataFrame, keyCols: Seq[String],
             vecCol: String, dir: String, nCentroids: Int = 8, m: Int = 4,
             nBuckets: Int = 16, beamWidth: Int = 8, hops: Int = 3): Handle = {
+    require(nCentroids >= 1 && m >= 1 && nBuckets >= 1 && beamWidth >= 1 && hops >= 0,
+      s"GraphIndex.build: nCentroids=$nCentroids m=$m nBuckets=$nBuckets " +
+        s"beamWidth=$beamWidth hops=$hops must all be positive (hops >= 0)")
     val withUid = index.withColumn("uid", uidFor(keyCols))
+    // duplicate natural keys (or a 2^-60 hash collision) would silently
+    // merge two chunks into one graph node — fail the one-time build
+    // loudly instead. One extra aggregation over data build already scans.
+    val Array(n, nDistinct) = withUid
+      .agg(count(lit(1)), countDistinct(col("uid"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(n == nDistinct,
+      s"GraphIndex.build: ${n - nDistinct} duplicate uid(s) — keyCols " +
+        s"${keyCols.mkString("(", ",", ")")} are not unique over the index")
     val cents = withUid.orderBy("uid").limit(nCentroids)
       .select(col("uid").as("centroid_id"), col(vecCol).as("centroid_vec"))
     cents.write.mode("overwrite").parquet(dir + "/centroids")
@@ -114,6 +126,40 @@ object GraphIndex {
       .orderBy(desc("sim") +: tieBreak.map(col): _*)
       .limit(k)
       .drop("uid", "cell_id")
+
+  /** Batched serving — many queries walk the store TOGETHER (the
+    * reference holds N open ask sessions against one HNSW,
+    * app/main.py:616-647). One partition-pruned edge read per hop
+    * serves the union of every query's frontier
+    * ([[Ann.graphSearchBatchPartitioned]] — per-hop store reads do not
+    * scale with query count) and ONE bucket-pruned sidecar read
+    * re-attaches all visited sets. `queries` is the per-request side
+    * (small, broadcast); returns (query_id, chunk columns, sim). */
+  def searchBatch(spark: SparkSession, h: Handle, queries: DataFrame,
+                  qIdCol: String, qVecCol: String): DataFrame = {
+    val visited = Ann.graphSearchBatchPartitioned(spark, h.edgesDir, h.nBuckets,
+      h.centroids(spark), "centroid_id", "centroid_vec",
+      queries, qIdCol, qVecCol, h.beamWidth, h.hops)
+    val ids = visited.select("vec_id").distinct().collect().map(_.getLong(0))
+    val buckets = ids.map(id => Long.box(((id % h.nBuckets) + h.nBuckets) % h.nBuckets)).distinct
+    h.chunks(spark)
+      .filter(col("uid_bucket").isin(buckets: _*))
+      .join(broadcast(visited.withColumnRenamed("vec_id", "uid")), "uid")
+      .drop("uid_bucket")
+  }
+
+  /** Per-query top-k over [[searchBatch]] (window rank keyed by
+    * query_id — the q_knn_batch shape). */
+  def topKBatch(spark: SparkSession, h: Handle, queries: DataFrame,
+                qIdCol: String, qVecCol: String, k: Int,
+                tieBreak: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("sim") +: tieBreak.map(col): _*)
+    searchBatch(spark, h, queries, qIdCol, qVecCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("uid", "cell_id")
+  }
 
   /** Live incremental ingest (the reference's upload path: new docs
     * join the running index without a rebuild). New rows are uid'd and

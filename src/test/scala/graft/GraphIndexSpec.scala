@@ -83,6 +83,37 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(c2.select("freq").as[Int].head() == 2)
   }
 
+  test("batched serving equals solo search per query (shared per-hop reads)") {
+    import spark.implicits._
+    val qdf = demoQueries.zipWithIndex
+      .map { case (q, i) => (i.toLong, Embed.embedQuery(spark, q).toSeq) }
+      .toDF("query_id", "qvec")
+    val batched = GraphIndex.topKBatch(spark, handle, qdf, "query_id", "qvec",
+        3, tieBreak = Seq("doc_id", "chunk_idx"))
+      .select("query_id", "rank", "doc_id", "chunk_idx")
+      .as[(Long, Int, String, Int)].collect().toSeq.sorted
+    val solo = demoQueries.zipWithIndex.flatMap { case (q, i) =>
+      GraphIndex.topK(spark, handle, Embed.embedQuery(spark, q).toSeq, 3,
+          tieBreak = Seq("doc_id", "chunk_idx"))
+        .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))))
+        .select("doc_id", "chunk_idx", "rank")
+        .as[(String, Int, Int)].collect()
+        .map { case (d, c, r) => (i.toLong, r, d, c) }
+    }.sorted
+    assert(batched == solo)
+  }
+
+  test("build refuses duplicate natural keys (silent node merge)") {
+    val dup = embedded.limit(4).unionAll(embedded.limit(2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gdup").toString
+    val e = intercept[IllegalArgumentException] {
+      GraphIndex.build(spark, dup, Seq("doc_id", "chunk_idx"), "embedding", dir)
+    }
+    assert(e.getMessage.contains("duplicate uid"))
+  }
+
   test("insert: uploaded docs join the live index and become retrievable") {
     import operators.{GraphIndex => GI}
     // build over the corpus MINUS one held-out doc, then upload it —
