@@ -59,6 +59,30 @@ object PmcDemo {
       s"answerMatchesExact=${resG.answer == res.answer}")
     println("GRAPH ANSWER: " + resG.answer.take(300))
 
+    // WARM GRAPH ASK — the reference's steady state: HNSW resident in
+    // RAM, no disk access per /ask. warm() loads the store once (the
+    // serving-process startup cost); after that each hop filters cached
+    // batches instead of launching a parquet listing+scan job — the
+    // per-hop job overhead that made the cold walk lose to the exact
+    // scan at this corpus size.
+    val tW = System.nanoTime()
+    val wh = operators.GraphIndex.warm(spark, h)
+    println(f"GRAPH WARM (store load) in ${(System.nanoTime() - tW) / 1e9}%.1f s")
+    val tWA = System.nanoTime()
+    val (resW, _) = operators.AskPipeline.ask(spark, index, emptyCache, query,
+      queryVec = Some(qv), graph = Some(wh))
+    println(f"WARM GRAPH ASK fromCache=${resW.fromCache} in ${(System.nanoTime() - tWA) / 1e9}%.1f s " +
+      s"answerMatchesExact=${resW.answer == res.answer}")
+    // second warm ask on a fresh query vector: steady-state serving
+    // latency with codegen/caches hot
+    val tWA2 = System.nanoTime()
+    val (resW2, _) = operators.AskPipeline.ask(spark, index, emptyCache,
+      "role of leptin in appetite", queryVec = Some(operators.Embed.embedQueryTfIdf(
+        spark, "role of leptin in appetite", dfreq, nDocs2, dim = 1024)),
+      graph = Some(wh))
+    println(f"WARM GRAPH ASK2 fromCache=${resW2.fromCache} in ${(System.nanoTime() - tWA2) / 1e9}%.1f s")
+    wh.cool()
+
     // LIVE TOKEN EGRESS — the reference's WS streaming loop
     // (app/main.py:616-647) end-to-end on the real answer: tokens leave
     // the engine one by one, strictly in seq order, through the

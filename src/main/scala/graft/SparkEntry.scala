@@ -1263,6 +1263,37 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // WARM graph ANN serving: the same store-backed walk as
+    // q_ann_graph_part, but the edge list is persisted once and every
+    // hop filters cached batches (Ann.graphSearchResident — the
+    // GraphIndex.warm serving posture: the reference holds its HNSW in
+    // RAM and never touches disk per /ask). Same oracle: the lookup
+    // medium changes, the walk does not.
+    "q_ann_graph_warm" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+      val edges = Ann.knnGraph(assigned, "vec_id", "embedding",
+        cents, "centroid_id", "centroid_vec", m = 4)
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_knngw$safe").getAbsolutePath
+      Ann.writeGraphIndex(edges, idx, nBuckets = 16)
+      val resident = s.read.parquet(idx).persist()
+      resident.count()
+      // the walk runs eagerly (driver beam loop), so the returned
+      // frame is a local collection — safe to release the cache here
+      val out = Ann.graphSearchResident(s, resident,
+          cents, "centroid_id", "centroid_vec",
+          collectVec(e, 9), beamWidth = 4, hops = 3)
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(10)
+      resident.unpersist()
+      out
+    }),
+
     // BATCHED graph ANN: three queries walk the bucketed store TOGETHER
     // — per hop, ONE partition-pruned edge read serves the union of all
     // queries' frontiers (the concurrent-ask serving shape; per-query
@@ -2852,6 +2883,10 @@ object SparkEntry {
       // identical result contract: the src-bucketed store changes the
       // physical layout, never the walk
       "q_ann_graph_part" -> annGraphOracle,
+
+      // identical result contract again: warm serving changes the hop
+      // lookup medium (cached batches vs parquet reads), never the walk
+      "q_ann_graph_warm" -> annGraphOracle,
 
       // Fixed-codebook PQ search: ADC top-100 candidates, exact cosine
       // re-rank top-10 (was rows-only while the codebook came from

@@ -308,11 +308,24 @@ object Ann {
                   centroids: DataFrame, cIdCol: String, cVecCol: String,
                   queryVec: Seq[Double], beamWidth: Int, hops: Int): DataFrame = {
     val cached = edges.persist()
-    val out = beamWalk(spark, centroids, cIdCol, cVecCol, queryVec, beamWidth, hops,
-      frontier => cached.filter(col("src").isin(frontier.map(Long.box): _*)))
+    val out = graphSearchResident(spark, cached, centroids, cIdCol, cVecCol,
+      queryVec, beamWidth, hops)
     cached.unpersist()
     out
   }
+
+  /** [[graphSearch]] over an edge DataFrame the CALLER keeps resident
+    * (persisted once, reused across many queries — the warm-serving
+    * path, [[GraphIndex.warm]]): no per-call persist/unpersist churn,
+    * and a hop's lookup filters cached batches (in-memory min/max
+    * stats skip non-frontier batches) instead of launching a parquet
+    * listing + scan job. Identical visited set to [[graphSearch]] by
+    * construction (same [[beamWalk]]). */
+  def graphSearchResident(spark: SparkSession, edges: DataFrame,
+                          centroids: DataFrame, cIdCol: String, cVecCol: String,
+                          queryVec: Seq[Double], beamWidth: Int, hops: Int): DataFrame =
+    beamWalk(spark, centroids, cIdCol, cVecCol, queryVec, beamWidth, hops,
+      frontier => edges.filter(col("src").isin(frontier.map(Long.box): _*)))
 
   /** The shared walk: entry at the nearest centroids, then `hops`
     * expand-the-beam rounds over whatever `lookup` returns for a
@@ -361,12 +374,22 @@ object Ann {
                        queries: DataFrame, qIdCol: String, qVecCol: String,
                        beamWidth: Int, hops: Int): DataFrame = {
     val cached = edges.persist()
-    val out = batchBeamWalk(spark, centroids, cIdCol, cVecCol,
-      queries, qIdCol, qVecCol, beamWidth, hops,
-      frontier => cached.filter(col("src").isin(frontier.map(Long.box): _*)))
+    val out = graphSearchBatchResident(spark, cached, centroids, cIdCol, cVecCol,
+      queries, qIdCol, qVecCol, beamWidth, hops)
     cached.unpersist()
     out
   }
+
+  /** [[graphSearchBatch]] over caller-resident edges — the batched
+    * twin of [[graphSearchResident]] (one in-memory lookup per hop for
+    * the union of all queries' frontiers). */
+  def graphSearchBatchResident(spark: SparkSession, edges: DataFrame,
+                               centroids: DataFrame, cIdCol: String, cVecCol: String,
+                               queries: DataFrame, qIdCol: String, qVecCol: String,
+                               beamWidth: Int, hops: Int): DataFrame =
+    batchBeamWalk(spark, centroids, cIdCol, cVecCol,
+      queries, qIdCol, qVecCol, beamWidth, hops,
+      frontier => edges.filter(col("src").isin(frontier.map(Long.box): _*)))
 
   /** [[graphSearchBatch]] over a [[writeGraphIndex]] store: one
     * partition-pruned read per hop serves every query's frontier. */

@@ -54,7 +54,7 @@ object AskPipeline {
           capacity: Int = Schemas.CacheCapacity,
           dim: Int = Schemas.EmbeddingDim,
           queryVec: Option[Array[Double]] = None,
-          graph: Option[GraphIndex.Handle] = None): (AskResult, DataFrame) = {
+          graph: Option[GraphIndex.Serving] = None): (AskResult, DataFrame) = {
     // queryVec overrides the default embedder — e.g. a TF-IDF-space vector
     // from Embed.embedQueryTfIdf when the index was built in that space
     val qVec = queryVec.getOrElse(Embed.embedQuery(spark, query, dim))
@@ -71,7 +71,7 @@ object AskPipeline {
 
       case None =>
         val hits = (graph match {
-          case Some(h) => GraphIndex.topK(spark, h, qVec.toSeq, topK,
+          case Some(h) => h.topK(spark, qVec.toSeq, topK,
             tieBreak = Seq("doc_id", "chunk_idx"))
           case None => Similarity.topK(index, "embedding", qVec.toSeq, topK,
             tieBreak = Seq("doc_id", "chunk_idx"))

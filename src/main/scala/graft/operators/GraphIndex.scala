@@ -26,13 +26,80 @@ import org.apache.spark.sql.functions._
   */
 object GraphIndex {
 
+  /** Anything the ask pipeline can retrieve against: the cold
+    * store-backed [[Handle]] (every hop is a partition-pruned parquet
+    * read) or the RAM-resident [[Warm]] (the reference's actual serving
+    * posture — app/main.py loads its HNSW once at startup and serves
+    * every /ask from memory). Both produce identical rows for the same
+    * store by construction (the walk and re-attach are shared; only the
+    * lookup medium differs), so `AskPipeline.ask(graph = …)` accepts
+    * either. */
+  sealed trait Serving {
+    def handle: Handle
+
+    /** Every node the beam walk visits, scored, re-joined to its chunk
+      * row — shaped like the exact-retrieval candidate set (original
+      * columns + `sim`), so downstream context assembly cannot tell
+      * which retriever ran. Callers apply their own top-k / rounding. */
+    def search(spark: SparkSession, queryVec: Seq[Double]): DataFrame
+
+    /** Batched serving — many queries walk the store TOGETHER (the
+      * reference holds N open ask sessions against one HNSW,
+      * app/main.py:616-647). One edge lookup per hop serves the union
+      * of every query's frontier and ONE pruned sidecar read
+      * re-attaches all visited sets; returns (query_id, chunk columns,
+      * sim). */
+    def searchBatch(spark: SparkSession, queries: DataFrame,
+                    qIdCol: String, qVecCol: String): DataFrame
+
+    /** Graph-ANN top-k in [[Similarity.topK]]'s output shape. */
+    def topK(spark: SparkSession, queryVec: Seq[Double], k: Int,
+             tieBreak: Seq[String]): DataFrame =
+      search(spark, queryVec)
+        .orderBy(desc("sim") +: tieBreak.map(col): _*)
+        .limit(k)
+        .drop("uid", "cell_id")
+
+    /** Per-query top-k over [[searchBatch]] (window rank keyed by
+      * query_id — the q_knn_batch shape). */
+    def topKBatch(spark: SparkSession, queries: DataFrame,
+                  qIdCol: String, qVecCol: String, k: Int,
+                  tieBreak: Seq[String]): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("sim") +: tieBreak.map(col): _*)
+      searchBatch(spark, queries, qIdCol, qVecCol)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .drop("uid", "cell_id")
+    }
+
+    /** Shared sidecar re-attach: the visited set is KB-scale
+      * (beam·degree·hops rows per query), so prune the sidecar to its
+      * uid buckets (partition pruning at the file listing cold;
+      * cached-batch stats skip warm — without this the re-attach is a
+      * full corpus scan per query, undoing the walk's whole point),
+      * then broadcast-join so nothing shuffles. */
+    protected def attach(chunks: DataFrame, visited: DataFrame): DataFrame = {
+      val ids = visited.select("vec_id").distinct().collect().map(_.getLong(0))
+      val nb = handle.nBuckets
+      val buckets = ids.map(id => Long.box(((id % nb) + nb) % nb)).distinct
+      chunks.filter(col("uid_bucket").isin(buckets: _*))
+        .join(broadcast(visited.withColumnRenamed("vec_id", "uid")), "uid")
+        .drop("uid_bucket")
+    }
+  }
+
   /** A built store: everything needed to search lives under `dir`
     * (`edges/` src-bucketed, `chunks/` uid-bucketed id→row sidecar with
     * the cell assignment, `centroids/`), so a handle is just the
     * location + layout/build constants — serving processes re-open it
-    * without re-reading the corpus. */
+    * without re-reading the corpus. Search here is the COLD path:
+    * every hop launches a partition-pruned parquet read. [[warm]] it
+    * for resident serving. */
   final case class Handle(dir: String, nBuckets: Int,
-                          beamWidth: Int = 8, hops: Int = 3, m: Int = 4) {
+                          beamWidth: Int = 8, hops: Int = 3, m: Int = 4)
+      extends Serving {
+    def handle: Handle = this
     def edgesDir: String = dir + "/edges"
     def chunksDir: String = dir + "/chunks"
     def centroidsDir: String = dir + "/centroids"
@@ -40,6 +107,71 @@ object GraphIndex {
       spark.read.parquet(centroidsDir)
     def chunks(spark: SparkSession): DataFrame =
       spark.read.parquet(chunksDir)
+
+    def search(spark: SparkSession, queryVec: Seq[Double]): DataFrame = {
+      val visited = Ann.graphSearchPartitioned(spark, edgesDir, nBuckets,
+        centroids(spark), "centroid_id", "centroid_vec",
+        queryVec, beamWidth, hops)
+      attach(chunks(spark), visited)
+    }
+
+    def searchBatch(spark: SparkSession, queries: DataFrame,
+                    qIdCol: String, qVecCol: String): DataFrame = {
+      val visited = Ann.graphSearchBatchPartitioned(spark, edgesDir, nBuckets,
+        centroids(spark), "centroid_id", "centroid_vec",
+        queries, qIdCol, qVecCol, beamWidth, hops)
+      attach(chunks(spark), visited)
+    }
+  }
+
+  /** A RAM-resident serving handle — the reference's steady state: its
+    * HNSW lives in process memory and every /ask is served without
+    * touching disk (app/main.py:262-283 loads the index once at
+    * startup). [[GraphIndex.warm]] reads each store component ONCE,
+    * persists it, and materializes the cache eagerly so the first ask
+    * doesn't pay the load; after that a hop's lookup filters cached
+    * batches (in-memory min/max stats skip non-frontier batches)
+    * instead of launching a parquet listing + scan job per hop — the
+    * per-query job overhead that made the cold walk lose to an exact
+    * scan at demo scale. The edge list is |V|·(2m+1) fixed-width rows
+    * — far smaller than the corpus, and MEMORY_AND_DISK spills
+    * gracefully if a 100 TB corpus's edges still exceed cluster RAM.
+    * The chunk sidecar (text + vectors — corpus-scale) is cached only
+    * when `warm(cacheChunks = true)`: right for serving tiers that fit
+    * it, while `cacheChunks = false` keeps the one per-query sidecar
+    * access a partition-pruned disk read (the 100 TB posture).
+    *
+    * A Warm is an immutable SNAPSHOT: rows [[GraphIndex.insert]]ed
+    * after warming are invisible to it until the caller re-warms
+    * (cold [[Handle]] reads see appends immediately) — the same
+    * refresh discipline as any serving replica behind a live index. */
+  final case class Warm(handle: Handle, edges: DataFrame,
+                        chunks: DataFrame, cents: DataFrame) extends Serving {
+    def search(spark: SparkSession, queryVec: Seq[Double]): DataFrame =
+      attach(chunks, Ann.graphSearchResident(spark, edges,
+        cents, "centroid_id", "centroid_vec",
+        queryVec, handle.beamWidth, handle.hops))
+
+    def searchBatch(spark: SparkSession, queries: DataFrame,
+                    qIdCol: String, qVecCol: String): DataFrame =
+      attach(chunks, Ann.graphSearchBatchResident(spark, edges,
+        cents, "centroid_id", "centroid_vec",
+        queries, qIdCol, qVecCol, handle.beamWidth, handle.hops))
+
+    /** Release the cached store (a no-op on never-cached components). */
+    def cool(): Unit = { edges.unpersist(); cents.unpersist(); chunks.unpersist() }
+  }
+
+  /** Load a built store into executor memory for resident serving (the
+    * per-process startup step; see [[Warm]] for the cost model and the
+    * `cacheChunks` scale trade-off). */
+  def warm(spark: SparkSession, h: Handle, cacheChunks: Boolean = true,
+           level: org.apache.spark.storage.StorageLevel =
+             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Warm = {
+    def resident(df: DataFrame): DataFrame = { val c = df.persist(level); c.count(); c }
+    Warm(h, resident(spark.read.parquet(h.edgesDir)),
+      if (cacheChunks) resident(h.chunks(spark)) else h.chunks(spark),
+      resident(h.centroids(spark)))
   }
 
   /** Stable 60-bit row id from the natural key columns: the first 15
@@ -98,68 +230,23 @@ object GraphIndex {
     Handle(dir, nBuckets, beamWidth, hops, m)
   }
 
-  /** Every node the beam walk visits, scored, re-joined to its chunk
-    * row — shaped like the exact-retrieval candidate set (original
-    * columns + `sim`), so downstream context assembly cannot tell which
-    * retriever ran. Callers apply their own top-k / rounding. */
-  def search(spark: SparkSession, h: Handle, queryVec: Seq[Double]): DataFrame = {
-    val visited = Ann.graphSearchPartitioned(spark, h.edgesDir, h.nBuckets,
-      h.centroids(spark), "centroid_id", "centroid_vec",
-      queryVec, h.beamWidth, h.hops)
-    // the visited set is KB-scale (beam·degree·hops rows): prune the
-    // sidecar read to its uid buckets (partition pruning at the file
-    // listing — without this the re-attach is a full corpus scan per
-    // query, undoing the walk's whole point), then broadcast-join so
-    // nothing shuffles
-    val ids = visited.select("vec_id").collect().map(_.getLong(0))
-    val buckets = ids.map(id => Long.box(((id % h.nBuckets) + h.nBuckets) % h.nBuckets)).distinct
-    h.chunks(spark)
-      .filter(col("uid_bucket").isin(buckets: _*))
-      .join(broadcast(visited.withColumnRenamed("vec_id", "uid")), "uid")
-      .drop("uid_bucket")
-  }
+  // object-method API predating [[Serving]] — thin delegates kept so
+  // call sites read the same whichever style they use
+  def search(spark: SparkSession, h: Handle, queryVec: Seq[Double]): DataFrame =
+    h.search(spark, queryVec)
 
-  /** Graph-ANN top-k in [[Similarity.topK]]'s output shape. */
   def topK(spark: SparkSession, h: Handle, queryVec: Seq[Double], k: Int,
            tieBreak: Seq[String]): DataFrame =
-    search(spark, h, queryVec)
-      .orderBy(desc("sim") +: tieBreak.map(col): _*)
-      .limit(k)
-      .drop("uid", "cell_id")
+    h.topK(spark, queryVec, k, tieBreak)
 
-  /** Batched serving — many queries walk the store TOGETHER (the
-    * reference holds N open ask sessions against one HNSW,
-    * app/main.py:616-647). One partition-pruned edge read per hop
-    * serves the union of every query's frontier
-    * ([[Ann.graphSearchBatchPartitioned]] — per-hop store reads do not
-    * scale with query count) and ONE bucket-pruned sidecar read
-    * re-attaches all visited sets. `queries` is the per-request side
-    * (small, broadcast); returns (query_id, chunk columns, sim). */
   def searchBatch(spark: SparkSession, h: Handle, queries: DataFrame,
-                  qIdCol: String, qVecCol: String): DataFrame = {
-    val visited = Ann.graphSearchBatchPartitioned(spark, h.edgesDir, h.nBuckets,
-      h.centroids(spark), "centroid_id", "centroid_vec",
-      queries, qIdCol, qVecCol, h.beamWidth, h.hops)
-    val ids = visited.select("vec_id").distinct().collect().map(_.getLong(0))
-    val buckets = ids.map(id => Long.box(((id % h.nBuckets) + h.nBuckets) % h.nBuckets)).distinct
-    h.chunks(spark)
-      .filter(col("uid_bucket").isin(buckets: _*))
-      .join(broadcast(visited.withColumnRenamed("vec_id", "uid")), "uid")
-      .drop("uid_bucket")
-  }
+                  qIdCol: String, qVecCol: String): DataFrame =
+    h.searchBatch(spark, queries, qIdCol, qVecCol)
 
-  /** Per-query top-k over [[searchBatch]] (window rank keyed by
-    * query_id — the q_knn_batch shape). */
   def topKBatch(spark: SparkSession, h: Handle, queries: DataFrame,
                 qIdCol: String, qVecCol: String, k: Int,
-                tieBreak: Seq[String]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("sim") +: tieBreak.map(col): _*)
-    searchBatch(spark, h, queries, qIdCol, qVecCol)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .drop("uid", "cell_id")
-  }
+                tieBreak: Seq[String]): DataFrame =
+    h.topKBatch(spark, queries, qIdCol, qVecCol, k, tieBreak)
 
   /** Live incremental ingest (the reference's upload path: new docs
     * join the running index without a rebuild). New rows are uid'd and

@@ -162,12 +162,12 @@ object Retrieval {
     * not index size. Same context/prompt tail as [[ask]] — on queries
     * where the walk's top-k equals exact top-k (the common case; see
     * AnnSpec's recall pin) the emitted prompt is identical. */
-  def askGraph(spark: SparkSession, graph: GraphIndex.Handle, query: String,
+  def askGraph(spark: SparkSession, graph: GraphIndex.Serving, query: String,
                topK: Int = graft.Schemas.DefaultTopK,
                dim: Int = graft.Schemas.EmbeddingDim,
                queryVec: Option[Seq[Double]] = None): DataFrame = {
     val qVec = queryVec.getOrElse(Embed.embedQuery(spark, query, dim).toSeq)
-    val hits = GraphIndex.topK(spark, graph, qVec, topK,
+    val hits = graph.topK(spark, qVec, topK,
       tieBreak = Seq("doc_id", "chunk_idx"))
     promptFromHits(hits, query)
   }

@@ -150,6 +150,69 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(oldTopAfter == oldTop)
   }
 
+  test("warm serving: resident store equals cold store on search, batch, and ask") {
+    val w = GraphIndex.warm(spark, handle)
+    try {
+      // solo: full visited set + sims, not just top-k — the walk and
+      // re-attach must be identical row for row
+      demoQueries.foreach { q =>
+        val qv = Embed.embedQuery(spark, q).toSeq
+        val cold = GraphIndex.search(spark, handle, qv)
+          .select("doc_id", "chunk_idx", "sim")
+          .as[(String, Int, Double)].collect().toSeq.sorted
+        val warmRows = w.search(spark, qv)
+          .select("doc_id", "chunk_idx", "sim")
+          .as[(String, Int, Double)].collect().toSeq.sorted
+        assert(warmRows == cold, s"warm visited set diverged for '$q'")
+      }
+      // batched: same per-query rows as the cold batch path
+      val qdf = demoQueries.zipWithIndex
+        .map { case (q, i) => (i.toLong, Embed.embedQuery(spark, q).toSeq) }
+        .toDF("query_id", "qvec")
+      val coldBatch = GraphIndex.topKBatch(spark, handle, qdf, "query_id", "qvec",
+          3, tieBreak = Seq("doc_id", "chunk_idx"))
+        .select("query_id", "rank", "doc_id", "chunk_idx")
+        .as[(Long, Int, String, Int)].collect().toSeq.sorted
+      val warmBatch = w.topKBatch(spark, qdf, "query_id", "qvec",
+          3, tieBreak = Seq("doc_id", "chunk_idx"))
+        .select("query_id", "rank", "doc_id", "chunk_idx")
+        .as[(Long, Int, String, Int)].collect().toSeq.sorted
+      assert(warmBatch == coldBatch)
+      // the ask pipeline accepts a Warm wherever a Handle goes
+      val q = demoQueries.head
+      val coldPrompt = Retrieval.askGraph(spark, handle, q, topK = 3)
+        .select("prompt").head().getString(0)
+      val warmPrompt = Retrieval.askGraph(spark, w, q, topK = 3)
+        .select("prompt").head().getString(0)
+      assert(warmPrompt == coldPrompt)
+    } finally w.cool()
+  }
+
+  test("warm with cacheChunks=false (100 TB posture: sidecar stays on disk) still matches") {
+    val w = GraphIndex.warm(spark, handle, cacheChunks = false)
+    try {
+      val qv = Embed.embedQuery(spark, demoQueries.head).toSeq
+      val cold = GraphIndex.topK(spark, handle, qv, 3, tieBreak = Seq("doc_id", "chunk_idx"))
+        .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSeq
+      val viaWarm = w.topK(spark, qv, 3, tieBreak = Seq("doc_id", "chunk_idx"))
+        .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSeq
+      assert(viaWarm == cold)
+      assert(w.chunks.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "cacheChunks=false must not cache the corpus-scale sidecar")
+      assert(w.edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "the hop hot path must be resident")
+    } finally w.cool()
+  }
+
+  test("cool() releases the cached store") {
+    val w = GraphIndex.warm(spark, handle)
+    assert(w.edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    w.cool()
+    assert(w.edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(w.chunks.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(w.cents.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("handle re-opened cold serves the same results (ingest/serve split)") {
     val qv = Embed.embedQuery(spark, demoQueries.head).toSeq
     val warm = GraphIndex.topK(spark, handle, qv, 3, tieBreak = Seq("doc_id", "chunk_idx"))
