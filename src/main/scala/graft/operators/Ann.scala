@@ -466,6 +466,11 @@ object Ann {
   def writeGraphIndex(edges: DataFrame, indexDir: String, nBuckets: Int = 64): Unit =
     edges
       .withColumn("src_bucket", pmod(col("src"), lit(nBuckets)))
+      // cluster writers by the partition column — one file per bucket
+      // dir, so a hop's pruned read opens one file, not one per
+      // upstream partition (small-file sprawl is what kills bucketed
+      // stores at scale)
+      .repartition(col("src_bucket"))
       .write.mode("overwrite").partitionBy("src_bucket").parquet(indexDir)
 
   /** Incremental insert into a [[knnGraph]] — the HNSW-insert analog

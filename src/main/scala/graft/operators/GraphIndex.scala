@@ -204,7 +204,11 @@ object GraphIndex {
     require(nCentroids >= 1 && m >= 1 && nBuckets >= 1 && beamWidth >= 1 && hops >= 0,
       s"GraphIndex.build: nCentroids=$nCentroids m=$m nBuckets=$nBuckets " +
         s"beamWidth=$beamWidth hops=$hops must all be positive (hops >= 0)")
-    val withUid = index.withColumn("uid", uidFor(keyCols))
+    // build takes three actions over the input (key guard, centroid
+    // pick, sidecar write) — materialize the uid'd index ONCE so an
+    // expensive upstream (chunk → embed is the usual caller) doesn't
+    // re-run per action
+    val withUid = graft.Materialize(index.withColumn("uid", uidFor(keyCols)))
     // duplicate natural keys (or a 2^-60 hash collision) would silently
     // merge two chunks into one graph node — fail the one-time build
     // loudly instead. One extra aggregation over data build already scans.
@@ -219,14 +223,26 @@ object GraphIndex {
     cents.write.mode("overwrite").parquet(dir + "/centroids")
     val storedCents = spark.read.parquet(dir + "/centroids")
     val assigned = Ann.assignCells(withUid, "uid", vecCol,
-      storedCents, "centroid_id", "centroid_vec")
-    assigned.drop("cell_sim")
+      storedCents, "centroid_id", "centroid_vec").drop("cell_sim")
+    assigned
       .withColumn("uid_bucket", bucketOf(col("uid"), nBuckets))
+      // cluster writers by the partition column: one file per bucket
+      // dir instead of (input partitions × nBuckets) shards — the
+      // search path partition-prunes, so its latency rides files-per-
+      // bucket, and small-file sprawl is the classic partitioned-store
+      // failure mode at 100 TB
+      .repartition(col("uid_bucket"))
       .write.mode("overwrite").partitionBy("uid_bucket").parquet(dir + "/chunks")
-    val stored = spark.read.parquet(dir + "/chunks")
-    val edges = Ann.knnGraph(stored, "uid", vecCol,
+    // knnGraph over the SAME materialized lineage, not a store
+    // re-read: the quadratic stage then runs at the input's
+    // parallelism (the sidecar's nBuckets dirs would cap it at
+    // nBuckets tasks — measurably slower whenever nBuckets < cores),
+    // and the map-only cell assignment recomputed per branch is
+    // cheaper than another corpus read
+    val edges = Ann.knnGraph(assigned, "uid", vecCol,
       storedCents, "centroid_id", "centroid_vec", m)
     Ann.writeGraphIndex(edges, dir + "/edges", nBuckets)
+    withUid.unpersist() // no-op under localCheckpoint; frees the persist path
     Handle(dir, nBuckets, beamWidth, hops, m)
   }
 
