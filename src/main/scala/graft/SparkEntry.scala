@@ -1346,6 +1346,69 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // MARK-DELETE over the graph store (the HNSW tombstone discipline:
+    // hnswlib's mark_deleted, OpenSearch's delete-until-segment-merge).
+    // Every vec_id ≡ 3 (mod 10) is tombstoned — including centroid 3,
+    // the structural case: marked nodes still ROUTE the walk (the
+    // traversal below is byte-identical to q_ann_graph_part's), the
+    // bucket-pruned serve-time filter just keeps them out of results.
+    "q_graph_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+      val edges = Ann.knnGraph(assigned, "vec_id", "embedding",
+        cents, "centroid_id", "centroid_vec", m = 4)
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_knngdel$safe").getAbsolutePath
+      Ann.writeGraphIndex(edges, idx, nBuckets = 16)
+      // the mark store is append-only in production; wipe it here so
+      // repeated executions (bench warmup + passes) stay deterministic
+      val tomb = idx + "_tomb"
+      val tp = new org.apache.hadoop.fs.Path(tomb)
+      tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
+      Ann.writeGraphTombstones(e.filter(col("vec_id") % 10 === 3).select("vec_id"),
+        "vec_id", tomb, nBuckets = 16)
+      val visited = Ann.graphSearchPartitioned(s, idx, 16,
+        cents, "centroid_id", "centroid_vec", collectVec(e, 9), beamWidth = 4, hops = 3)
+      Ann.filterTombstoned(s, visited, "vec_id", tomb, nBuckets = 16)
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // COMPACTION — the segment-merge half: tombstones applied
+    // PHYSICALLY (marked non-centroids lose their edges and stop
+    // routing — the walk itself changes, and the oracle replays the
+    // reduced edge set), per-batch small files merged back to one per
+    // bucket, and the mark store shrunk to just the structural
+    // (centroid) marks, which the serve-time filter still drops.
+    "q_graph_compact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+      val edges = Ann.knnGraph(assigned, "vec_id", "embedding",
+        cents, "centroid_id", "centroid_vec", m = 4)
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_knngcmp$safe").getAbsolutePath
+      Ann.writeGraphIndex(edges, idx, nBuckets = 16)
+      val tomb = idx + "_tomb"
+      val tp = new org.apache.hadoop.fs.Path(tomb)
+      tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
+      Ann.writeGraphTombstones(e.filter(col("vec_id") % 10 === 3).select("vec_id"),
+        "vec_id", tomb, nBuckets = 16)
+      Ann.compactGraphIndex(s, idx, 16, tomb, protectedIds = (0L until 8L))
+      val visited = Ann.graphSearchPartitioned(s, idx, 16,
+        cents, "centroid_id", "centroid_vec", collectVec(e, 9), beamWidth = 4, hops = 3)
+      Ann.filterTombstoned(s, visited, "vec_id", tomb, nBuckets = 16)
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(10)
+    }),
+
     // LSH ANN via the OPTIMIZER REWRITE (graft.plans.AnnBucketPrune):
     // the query below is written as the EXACT form — score everything,
     // sort desc, limit — with no bucket filter anywhere; the opt-in rule
@@ -2284,11 +2347,18 @@ object SparkEntry {
        |SELECT vec_id, round(sim + 1.2345e-9, 6) AS sim
        |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
 
-  /** Shared by q_ann_graph and q_ann_graph_part (the bucketed edge
-    * store changes physical layout only): replay the exact beam walk —
-    * build the edge set, score every node once (`sims`), then chain
-    * frontier (f) / visited (v) CTEs per hop. */
-  private def annGraphOracle: String =
+  /** Shared by q_ann_graph / q_ann_graph_part / q_ann_graph_warm (store
+    * layout / lookup medium change, the walk doesn't) and, filtered, by
+    * the lifecycle queries: replay the exact beam walk — build the edge
+    * set, score every node once (`sims`), then chain frontier (f) /
+    * visited (v) CTEs per hop. `edgeCond` filters the edge set
+    * (q_graph_compact replays PHYSICAL deletion — the walk itself
+    * changes); `resultCond` filters the final visited set
+    * (q_graph_delete replays MARK deletion — tombstoned nodes still
+    * route, they just never surface). */
+  private def annGraphOracleWhere(edgeCond: String, resultCond: String): String = {
+    val edgeWhere = if (edgeCond.isEmpty) "" else s" WHERE $edgeCond"
+    val resultWhere = if (resultCond.isEmpty) "" else s" WHERE $resultCond"
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 9),
        |asg AS (
@@ -2306,7 +2376,7 @@ object SparkEntry {
        |  FROM cells a JOIN cells b
        |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
        |),
-       |edges AS (
+       |edges0 AS (
        |  SELECT src, dst FROM pair WHERE rn <= 4
        |  UNION
        |  SELECT dst, src FROM pair WHERE rn <= 4
@@ -2315,6 +2385,7 @@ object SparkEntry {
        |  UNION
        |  SELECT c1.cid, c2.cid FROM c c1, c c2 WHERE c1.cid <> c2.cid
        |),
+       |edges AS (SELECT src, dst FROM edges0$edgeWhere),
        |sims AS (SELECT e.vec_id AS id, ${dCosine("e.embedding", "q.qv")} AS sim
        |         FROM embeddings e, q),
        |v0 AS (SELECT id, sim FROM sims WHERE id < 8 ORDER BY sim DESC, id LIMIT 4),
@@ -2328,7 +2399,10 @@ object SparkEntry {
        |v3 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v2)
        |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f2)))
        |SELECT id AS vec_id, round(sim + 1.2345e-9, 6) AS sim
-       |FROM v3 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+       |FROM v3$resultWhere ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  private def annGraphOracle: String = annGraphOracleWhere("", "")
 
   /** q_ann_graph_batch: the same hop-by-hop walk replay as
     * [[annGraphOracle]], but every walk CTE carries `qid` — three
@@ -2878,6 +2952,17 @@ object SparkEntry {
       // node once, so hop CTEs select ids only; sim per id is functional
       // and identical to Spark's per-edge recompute.
       "q_ann_graph" -> annGraphOracle,
+
+      // mark-delete: the walk is untouched (tombstoned nodes still
+      // route); only the final visited set is filtered
+      "q_graph_delete" -> annGraphOracleWhere("", "id % 10 <> 3"),
+
+      // compaction: marked NON-centroids (id >= 8) lose their edges —
+      // the walk replays over the reduced edge set — while marked
+      // centroids keep routing (structural) and are filtered at the end
+      "q_graph_compact" -> annGraphOracleWhere(
+        "NOT (src >= 8 AND src % 10 = 3) AND NOT (dst >= 8 AND dst % 10 = 3)",
+        "id % 10 <> 3"),
       "q_ann_graph_batch" -> annGraphBatchOracle,
 
       // identical result contract: the src-bucketed store changes the

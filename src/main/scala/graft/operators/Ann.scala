@@ -535,6 +535,117 @@ object Ann {
     })
 
   // ------------------------------------------------------------------ //
+  // Index lifecycle: tombstone delete + compaction                     //
+  // ------------------------------------------------------------------ //
+
+  /** Mark-delete ids from a graph index — the HNSW tombstone discipline
+    * (hnswlib's `mark_deleted`, and what the reference's OpenSearch does
+    * internally for deleted docs until a segment merge): a marked node
+    * keeps ROUTING the walk — physically unlinking it mid-serve could
+    * strand whole graph regions — but never surfaces in results.
+    *
+    * Tombstones live in their own store partitioned by the SAME
+    * `pmod(id, nBuckets)` bucketing as the edge store, so the serve-time
+    * filter ([[filterTombstoned]]) partition-prunes to just the visited
+    * set's buckets — at 100 TB, years of accumulated deletes cost a
+    * query only the few bucket dirs its KB-sized visited set touches.
+    * Append-only (the [[appendGraphIndex]] discipline): no existing
+    * data is rewritten until [[compactGraphIndex]] applies the marks
+    * physically. Duplicate marks are harmless (anti-join semantics). */
+  def writeGraphTombstones(ids: DataFrame, idCol: String, tombDir: String,
+                           nBuckets: Int): Unit =
+    ids.select(col(idCol).cast("long").as("tomb_id")).distinct()
+      .withColumn("tomb_bucket", pmod(col("tomb_id"), lit(nBuckets)))
+      .repartition(col("tomb_bucket"))
+      .write.mode("append").partitionBy("tomb_bucket").parquet(tombDir)
+
+  /** Serve-time tombstone filter: drop marked ids from a walk's visited
+    * set before results leave the engine. The visited side is KB-scale
+    * (beam·degree·hops rows), so the tombstone read prunes to exactly
+    * the visited buckets and the anti-join never sees the full mark
+    * set. A missing store (nothing ever deleted) is a no-op. */
+  def filterTombstoned(spark: SparkSession, visited: DataFrame, idCol: String,
+                       tombDir: String, nBuckets: Int): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(tombDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return visited
+    // the walk's result is a driver-local collection (beamWalk), so
+    // this collect re-reads KBs, never the index
+    val ids = visited.select(col(idCol).cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val buckets = ids.map(id => Long.box(((id % nBuckets) + nBuckets) % nBuckets)).distinct
+    val tombs = spark.read.parquet(tombDir)
+      .filter(col("tomb_bucket").isin(buckets: _*))
+      .select(col("tomb_id").as(idCol))
+    visited.join(tombs, Seq(idCol), "left_anti")
+  }
+
+  /** Physically apply tombstones to a [[writeGraphIndex]] edge store and
+    * merge per-append files back to one file per bucket dir — the
+    * segment-merge half of the delete story, and the answer to the
+    * small-file sprawl [[appendGraphIndex]] accrues (every insert batch
+    * adds a file to each touched bucket; a year of hourly batches makes
+    * a hop's pruned read open thousands of files).
+    *
+    * A non-protected tombstoned id loses ALL its edges — it stops
+    * routing and stops surfacing. `protectedIds` (the entry centroids:
+    * structural nodes the clique and up-links hang off — codebook-scale
+    * by contract) keep their edges and remain tombstone-filtered at
+    * serve time instead: dropping a centroid's clique row could strand
+    * its whole cell. Connectivity for everyone else survives by
+    * construction: every remaining node keeps its undirected centroid
+    * up-link, so it stays reachable within two hops of the entry scan.
+    *
+    * The rewrite stages through a sibling dir and re-reads it for the
+    * overwrite — both steps plain retryable file writes. Single
+    * writer assumed, like every file-store mutation here; a real
+    * deployment fronts this with a table format's commit protocol. */
+  def compactGraphIndex(spark: SparkSession, edgesDir: String, nBuckets: Int,
+                        tombDir: String, protectedIds: Seq[Long] = Nil): Unit = {
+    val tombPath = new org.apache.hadoop.fs.Path(tombDir)
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val edges = spark.read.parquet(edgesDir)
+    val kept =
+      if (!fs.exists(tombPath)) edges
+      else {
+        // dead = marked minus protected. At scale both anti-joins are
+        // bucket-aligned (edge src_bucket == tombstone bucket for the
+        // src side), so AQE can plan them shuffle-light; the dst side
+        // is the one genuine corpus-sized shuffle, and it runs in the
+        // amortized maintenance pass, not on the serve path.
+        val dead = spark.read.parquet(tombDir).select(col("tomb_id"))
+          .filter(!col("tomb_id").isin(protectedIds.map(Long.box): _*))
+        edges
+          .join(dead.select(col("tomb_id").as("src")), Seq("src"), "left_anti")
+          .join(dead.select(col("tomb_id").as("dst")), Seq("dst"), "left_anti")
+      }
+    rewriteStore(spark, kept, edgesDir, "src_bucket")
+    // surviving marks: only protected (centroid) ids still need the
+    // serve-time filter — everyone else is physically gone
+    if (fs.exists(tombPath)) {
+      val protTombs = spark.read.parquet(tombDir)
+        .filter(col("tomb_id").isin(protectedIds.map(Long.box): _*))
+      if (protTombs.isEmpty) fs.delete(tombPath, true)
+      else rewriteStore(spark, protTombs, tombDir, "tomb_bucket")
+    }
+  }
+
+  /** Rewrite a partitioned store in place: cluster writers by the
+    * partition column (one file per partition dir), stage through a
+    * sibling `<dir>__compact` path, then overwrite. Shared by the
+    * compaction paths; content-preserving by construction. */
+  private[graft] def rewriteStore(spark: SparkSession, rows: DataFrame,
+                                  dir: String, partitionCol: String): Unit = {
+    val staging = dir.stripSuffix("/") + "__compact"
+    rows.repartition(col(partitionCol))
+      .write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+  }
+
+  // ------------------------------------------------------------------ //
   // MLlib scale path — the library algorithms behind the same API      //
   // ------------------------------------------------------------------ //
 

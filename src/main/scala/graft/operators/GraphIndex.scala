@@ -73,13 +73,23 @@ object GraphIndex {
         .drop("uid", "cell_id")
     }
 
+    /** Tombstone filter for a walk's visited set — [[GraphIndex.delete]]
+      * marks live here until [[GraphIndex.compact]] applies them
+      * physically. Marked nodes still ROUTE the walk (the HNSW
+      * mark-delete discipline — unlinking mid-serve could strand graph
+      * regions); this is the serve-time gate that keeps them out of
+      * results. Cold reads the (bucket-pruned) mark store per query;
+      * [[Warm]] snapshots it at warm time. */
+    protected def dropTombstoned(spark: SparkSession, visited: DataFrame): DataFrame
+
     /** Shared sidecar re-attach: the visited set is KB-scale
       * (beam·degree·hops rows per query), so prune the sidecar to its
       * uid buckets (partition pruning at the file listing cold;
       * cached-batch stats skip warm — without this the re-attach is a
       * full corpus scan per query, undoing the walk's whole point),
       * then broadcast-join so nothing shuffles. */
-    protected def attach(chunks: DataFrame, visited: DataFrame): DataFrame = {
+    protected def attach(chunks: DataFrame, visited0: DataFrame): DataFrame = {
+      val visited = dropTombstoned(chunks.sparkSession, visited0)
       val ids = visited.select("vec_id").distinct().collect().map(_.getLong(0))
       val nb = handle.nBuckets
       val buckets = ids.map(id => Long.box(((id % nb) + nb) % nb)).distinct
@@ -103,6 +113,7 @@ object GraphIndex {
     def edgesDir: String = dir + "/edges"
     def chunksDir: String = dir + "/chunks"
     def centroidsDir: String = dir + "/centroids"
+    def tombstonesDir: String = dir + "/tombstones"
     def centroids(spark: SparkSession): DataFrame =
       spark.read.parquet(centroidsDir)
     def chunks(spark: SparkSession): DataFrame =
@@ -122,6 +133,9 @@ object GraphIndex {
         queries, qIdCol, qVecCol, beamWidth, hops)
       attach(chunks(spark), visited)
     }
+
+    protected def dropTombstoned(spark: SparkSession, visited: DataFrame): DataFrame =
+      Ann.filterTombstoned(spark, visited, "vec_id", tombstonesDir, nBuckets)
   }
 
   /** A RAM-resident serving handle — the reference's steady state: its
@@ -146,7 +160,8 @@ object GraphIndex {
     * (cold [[Handle]] reads see appends immediately) — the same
     * refresh discipline as any serving replica behind a live index. */
   final case class Warm(handle: Handle, edges: DataFrame,
-                        chunks: DataFrame, cents: DataFrame) extends Serving {
+                        chunks: DataFrame, cents: DataFrame,
+                        tombs: Option[DataFrame] = None) extends Serving {
     def search(spark: SparkSession, queryVec: Seq[Double]): DataFrame =
       attach(chunks, Ann.graphSearchResident(spark, edges,
         cents, "centroid_id", "centroid_vec",
@@ -158,8 +173,22 @@ object GraphIndex {
         cents, "centroid_id", "centroid_vec",
         queries, qIdCol, qVecCol, handle.beamWidth, handle.hops))
 
+    protected def dropTombstoned(spark: SparkSession, visited: DataFrame): DataFrame =
+      tombs match {
+        // snapshot discipline, like every other Warm component: deletes
+        // marked after warming are invisible until re-warm. No broadcast
+        // hint: the planner sees the cached frame's true size, and a
+        // mark set grown past the threshold should shuffle, not OOM.
+        case Some(t) => visited.join(
+          t.select(col("tomb_id").as("vec_id")), Seq("vec_id"), "left_anti")
+        case None => visited
+      }
+
     /** Release the cached store (a no-op on never-cached components). */
-    def cool(): Unit = { edges.unpersist(); cents.unpersist(); chunks.unpersist() }
+    def cool(): Unit = {
+      edges.unpersist(); cents.unpersist(); chunks.unpersist()
+      tombs.foreach(_.unpersist())
+    }
   }
 
   /** Load a built store into executor memory for resident serving (the
@@ -169,9 +198,13 @@ object GraphIndex {
            level: org.apache.spark.storage.StorageLevel =
              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Warm = {
     def resident(df: DataFrame): DataFrame = { val c = df.persist(level); c.count(); c }
+    val tombPath = new org.apache.hadoop.fs.Path(h.tombstonesDir)
+    val tombFs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Warm(h, resident(spark.read.parquet(h.edgesDir)),
       if (cacheChunks) resident(h.chunks(spark)) else h.chunks(spark),
-      resident(h.centroids(spark)))
+      resident(h.centroids(spark)),
+      if (tombFs.exists(tombPath)) Some(resident(spark.read.parquet(h.tombstonesDir)))
+      else None)
   }
 
   /** Stable 60-bit row id from the natural key columns: the first 15
@@ -293,5 +326,65 @@ object GraphIndex {
       .withColumn("uid_bucket", bucketOf(col("uid"), h.nBuckets))
       .write.mode("append").partitionBy("uid_bucket").parquet(h.chunksDir)
     n
+  }
+
+  /** Mark-delete documents from the index by natural key (the
+    * reference's delete-by-`_id` — OpenSearch likewise only MARKS until
+    * a segment merge). Append-only ([[Ann.writeGraphTombstones]]): the
+    * marked nodes keep routing walks but stop appearing in results the
+    * moment this returns (cold handles see marks immediately; a [[Warm]]
+    * is a snapshot — re-warm to see them). Physical removal happens at
+    * the next [[compact]]. Re-ingesting a deleted document is an
+    * [[insert]] under a NEW natural key (the reference's doc ids carry
+    * an upload timestamp — O-3 — so re-uploads never reuse a uid);
+    * un-deleting a marked uid is not supported, matching the
+    * tombstone-until-merge model. Returns the number of marked uids. */
+  def delete(spark: SparkSession, h: Handle, keys: DataFrame,
+             keyCols: Seq[String]): Long =
+    deleteByUid(spark, h, keys.select(uidFor(keyCols).as("uid")))
+
+  /** [[delete]] for callers that already hold uids. */
+  def deleteByUid(spark: SparkSession, h: Handle, uids: DataFrame): Long = {
+    val distinctUids = uids.select(col("uid").cast("long")).distinct()
+    val n = distinctUids.count()
+    Ann.writeGraphTombstones(distinctUids, "uid", h.tombstonesDir, h.nBuckets)
+    n
+  }
+
+  /** Apply accumulated tombstones physically and merge the per-batch
+    * small files [[insert]] accrues — the segment-merge maintenance
+    * pass (run it on the same cadence the reference's OpenSearch runs
+    * force-merge). After compaction:
+    *
+    *  - the chunk sidecar drops every marked row (ONE file per uid
+    *    bucket again), so a deleted doc can no longer surface — the
+    *    re-attach inner join is itself the filter;
+    *  - the edge store drops all edges of marked NON-centroid nodes
+    *    (they stop routing) and goes back to one file per src bucket;
+    *    marked centroids keep their edges — they are structural (the
+    *    clique + up-links hang off them; unlinking could strand their
+    *    cell) — and stay filtered by the serve-time tombstone gate;
+    *  - the tombstone store shrinks to just those structural marks
+    *    (usually empty → the gate becomes a free no-op).
+    *
+    * Serving correctness across the swap follows the store's existing
+    * single-writer discipline; a [[Warm]] opened before compaction
+    * keeps serving its snapshot unaffected. Deleted docs may free beam
+    * slots, so post-compact walks can only see MORE live candidates
+    * than the marked walk did — never fewer. */
+  def compact(spark: SparkSession, h: Handle): Unit = {
+    val tombPath = new org.apache.hadoop.fs.Path(h.tombstonesDir)
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val chunks = h.chunks(spark)
+    val keptChunks =
+      if (!fs.exists(tombPath)) chunks
+      else chunks.join(
+        spark.read.parquet(h.tombstonesDir).select(col("tomb_id").as("uid")),
+        Seq("uid"), "left_anti")
+    Ann.rewriteStore(spark, keptChunks, h.chunksDir, "uid_bucket")
+    val protectedIds = h.centroids(spark)
+      .select(col("centroid_id").cast("long")).collect().map(_.getLong(0)).toSeq
+    Ann.compactGraphIndex(spark, h.edgesDir, h.nBuckets, h.tombstonesDir,
+      protectedIds)
   }
 }

@@ -82,6 +82,68 @@ object IndexStore {
     sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
   }
 
+  /** Delete a tenant's documents from the index — the reference's
+    * delete-by-`_id` on the per-tenant OpenSearch index, and the
+    * building block of a data-subject erasure request: read ONLY the
+    * tenant's partition, drop the named docs' chunks, rewrite ONLY that
+    * partition (dynamic partition overwrite through the same staged
+    * underscore dir as [[upsertTenantDocs]] — no other tenant's files
+    * are read or written). Deleting a tenant's LAST doc falls through
+    * to [[purgeTenant]]: dynamic overwrite writes only partitions
+    * present in the output, so an all-deleted tenant must drop its dir
+    * explicitly or the old files would silently survive. */
+  def deleteTenantDocs(spark: SparkSession, indexDir: String, userId: String,
+                       docIds: DataFrame): Unit = {
+    val survivors = readTenant(spark, indexDir, userId)
+      .join(broadcast(docIds.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
+    if (survivors.isEmpty) purgeTenant(spark, indexDir, userId)
+    else {
+      val staging = s"$indexDir/_upsert_staging"
+      survivors.write.mode("overwrite").parquet(staging)
+      spark.read.parquet(staging)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("user_id")
+        .parquet(indexDir)
+      val sp = new org.apache.hadoop.fs.Path(staging)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    }
+  }
+
+  /** Erase a tenant entirely (account deletion): drop the partition
+    * dir. O(1) metadata work — no read, no rewrite, no other tenant
+    * touched; the next append recreates the dir lazily. */
+  def purgeTenant(spark: SparkSession, indexDir: String, userId: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/user_id=$userId")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** Merge the per-append small files of a partitioned store back to
+    * one file per partition dir — [[appendToIndex]] adds a file set per
+    * upload batch, and a year of uploads makes every tenant-pruned read
+    * open thousands of tiny files (the classic partitioned-store
+    * failure mode at 100 TB; the reference's OpenSearch runs segment
+    * force-merge for exactly this reason). Content-preserving by
+    * construction: read everything, cluster writers by the partition
+    * columns, stage through the underscore dir (invisible to parquet
+    * readers), dynamic-overwrite each partition from the stage. Both
+    * steps are plain retryable file writes; single writer assumed. */
+  def compactPartitioned(spark: SparkSession, dir: String,
+                         partitionCols: Seq[String]): Unit = {
+    val staging = s"$dir/_compact_staging"
+    spark.read.parquet(dir)
+      .repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+  }
+
   /** Cluster a table for stats-based scan pruning: range-repartition on
     * the cluster key (each output file covers a narrow, NON-OVERLAPPING
     * key range), then sort within partitions (tight per-row-group min/max
