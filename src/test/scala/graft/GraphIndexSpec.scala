@@ -213,6 +213,128 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(w.cents.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  // -------------------- lifecycle: delete + compact -------------------- //
+
+  /** A private store per lifecycle test — these mutate, and the shared
+    * `handle` must stay pristine for the serving tests. */
+  private def freshHandle(): GraphIndex.Handle = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_glc").toString
+    GraphIndex.build(spark, embedded, Seq("doc_id", "chunk_idx"), "embedding",
+      dir, nCentroids = 16, m = 16, nBuckets = 16, beamWidth = 32, hops = 3)
+  }
+
+  private def topIds(h: GraphIndex.Serving, qv: Seq[Double], k: Int): Seq[(String, Int)] =
+    h.topK(spark, qv, k, tieBreak = Seq("doc_id", "chunk_idx"))
+      .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSeq
+
+  test("delete: marked chunk vanishes from results at once; compact removes it physically") {
+    val h = freshHandle()
+    val qv = Embed.embedQuery(spark, demoQueries.head).toSeq
+    val before = topIds(h, qv, 3)
+    // victim = the best-ranked NON-centroid hit (centroid marks are the
+    // structural case, covered separately below)
+    val centIds = h.centroids(spark).select("centroid_id").as[Long].collect().toSet
+    val uidOf = h.chunks(spark).select("doc_id", "chunk_idx", "uid")
+      .as[(String, Int, Long)].collect()
+      .map { case (d, c, u) => (d, c) -> u }.toMap
+    val victim = before.find(k => !centIds.contains(uidOf(k))).get
+    val n = GraphIndex.delete(spark, h,
+      Seq(victim).toDF("doc_id", "chunk_idx"), Seq("doc_id", "chunk_idx"))
+    assert(n == 1)
+    val after = topIds(h, qv, 3)
+    assert(!after.contains(victim), "marked chunk still surfaced")
+    // mark-delete result == exact top-3 over the survivors: the walk
+    // still visits the victim (it routes), only the gate drops it
+    val exactSurvivors = Similarity.topK(
+        embedded.filter(!(col("doc_id") === victim._1 && col("chunk_idx") === victim._2)),
+        "embedding", qv, 3, tieBreak = Seq("doc_id", "chunk_idx"))
+      .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSeq
+    assert(after == exactSurvivors)
+    GraphIndex.compact(spark, h)
+    // physically gone: no chunk row, no edge endpoint, no tombstone left
+    val vUid = uidOf(victim)
+    assert(h.chunks(spark).filter(col("uid") === vUid).isEmpty)
+    assert(spark.read.parquet(h.edgesDir)
+      .filter(col("src") === vUid || col("dst") === vUid).isEmpty)
+    assert(!new java.io.File(h.tombstonesDir).exists,
+      "non-structural marks must clear after compaction")
+    assert(topIds(h, qv, 3) == exactSurvivors, "post-compact results diverged")
+  }
+
+  test("deleting a centroid: filtered from results, edges kept structural through compact") {
+    val h = freshHandle()
+    val centId = h.centroids(spark).orderBy("centroid_id").head().getLong(0)
+    val key = h.chunks(spark).filter(col("uid") === centId)
+      .select("doc_id", "chunk_idx").as[(String, Int)].head()
+    GraphIndex.delete(spark, h,
+      Seq(key).toDF("doc_id", "chunk_idx"), Seq("doc_id", "chunk_idx"))
+    // query with the centroid chunk's own text — a perfect self-match if
+    // the gate leaked
+    val qText = embedded.filter(col("doc_id") === key._1 && col("chunk_idx") === key._2)
+      .select("chunk_text").head().getString(0)
+    val qv = Embed.embedQuery(spark, qText).toSeq
+    assert(!topIds(h, qv, 3).contains(key), "marked centroid surfaced")
+    GraphIndex.compact(spark, h)
+    // structural: the centroid keeps routing (clique + up-links intact)…
+    assert(spark.read.parquet(h.edgesDir).filter(col("src") === centId).count() > 0,
+      "compaction stripped a structural centroid's edges")
+    // …its chunk row is gone, and its mark survives compaction
+    assert(h.chunks(spark).filter(col("uid") === centId).isEmpty)
+    assert(spark.read.parquet(h.tombstonesDir)
+      .filter(col("tomb_id") === centId).count() == 1)
+    assert(!topIds(h, qv, 3).contains(key), "centroid resurfaced after compact")
+  }
+
+  test("warm serving is a snapshot: deletes after warming appear only on re-warm") {
+    val h = freshHandle()
+    val qv = Embed.embedQuery(spark, demoQueries.head).toSeq
+    val w = GraphIndex.warm(spark, h)
+    try {
+      val victim = topIds(w, qv, 1).head
+      GraphIndex.delete(spark, h,
+        Seq(victim).toDF("doc_id", "chunk_idx"), Seq("doc_id", "chunk_idx"))
+      assert(topIds(w, qv, 1).head == victim,
+        "a Warm must keep serving its snapshot")
+      assert(!topIds(h, qv, 3).contains(victim),
+        "cold handles must see marks immediately")
+      val w2 = GraphIndex.warm(spark, h)
+      try assert(!topIds(w2, qv, 3).contains(victim), "re-warm missed the mark")
+      finally w2.cool()
+    } finally w.cool()
+  }
+
+  test("compact merges per-insert small files back to one per bucket, results unchanged") {
+    import operators.{GraphIndex => GI}
+    // build over part of the corpus, then two insert batches — each
+    // append adds a file set to every touched bucket dir
+    val docIds = embedded.select("doc_id").distinct().orderBy("doc_id")
+      .as[String].collect()
+    val (heldOut, baseIds) = docIds.splitAt(2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gcmp").toString
+    val h = GI.build(spark, embedded.filter(col("doc_id").isin(baseIds: _*)),
+      Seq("doc_id", "chunk_idx"), "embedding",
+      dir, nCentroids = 16, m = 16, nBuckets = 16, beamWidth = 32, hops = 3)
+    heldOut.foreach { d =>
+      GI.insert(spark, h, embedded.filter(col("doc_id") === d),
+        Seq("doc_id", "chunk_idx"), "embedding")
+    }
+    def filesPerBucket(dir: String): Map[String, Int] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory && !f.getName.startsWith("_"))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+    }
+    assert(filesPerBucket(h.edgesDir).values.max > 1, "inserts should have sprawled files")
+    val qv = Embed.embedQuery(spark, demoQueries.head).toSeq
+    val before = topIds(h, qv, 3)
+    GraphIndex.compact(spark, h) // no tombstones: pure segment merge
+    assert(filesPerBucket(h.edgesDir).values.forall(_ == 1),
+      "edge buckets not merged to one file")
+    assert(filesPerBucket(h.chunksDir).values.forall(_ == 1),
+      "chunk buckets not merged to one file")
+    assert(topIds(h, qv, 3) == before, "pure compaction changed results")
+  }
+
   test("handle re-opened cold serves the same results (ingest/serve split)") {
     val qv = Embed.embedQuery(spark, demoQueries.head).toSeq
     val warm = GraphIndex.topK(spark, handle, qv, 3, tieBreak = Seq("doc_id", "chunk_idx"))

@@ -92,6 +92,59 @@ class SourcesSpec extends AnyFunSuite {
     assert(IndexStore.readTenant(spark, idx, "bob").count() == 1)
   }
 
+  test("tenant delete: named docs drop, last-doc delete purges the partition dir") {
+    val idx = Files.createTempDirectory("graft_del").toString + "/index"
+    IndexStore.appendToIndex(Seq(
+      ("d1", 0, "erase me c0", Seq(1f, 0f), "alice"),
+      ("d1", 1, "erase me c1", Seq(1f, 1f), "alice"),
+      ("d2", 0, "keep me", Seq(0f, 1f), "alice"),
+      ("d9", 0, "bob doc", Seq(0f, 0f), "bob"))
+      .toDF("doc_id", "chunk_idx", "text", "embedding", "user_id"), idx)
+    IndexStore.deleteTenantDocs(spark, idx, "alice", Seq("d1").toDF("doc_id"))
+    assert(IndexStore.readTenant(spark, idx, "alice")
+      .select("doc_id").as[String].collect().toSeq == Seq("d2"))
+    assert(IndexStore.readTenant(spark, idx, "bob").count() == 1)
+    assert(!new java.io.File(s"$idx/_upsert_staging").exists)
+    // erasing the tenant's LAST doc must remove the partition dir too —
+    // dynamic overwrite alone would leave the old files behind
+    IndexStore.deleteTenantDocs(spark, idx, "alice", Seq("d2").toDF("doc_id"))
+    assert(!new java.io.File(s"$idx/user_id=alice").exists)
+    assert(IndexStore.readTenant(spark, idx, "bob").count() == 1)
+    // full account erasure is a directory drop
+    IndexStore.purgeTenant(spark, idx, "bob")
+    assert(!new java.io.File(s"$idx/user_id=bob").exists)
+  }
+
+  test("compactPartitioned: per-append small files merge, content and pruning intact") {
+    val idx = Files.createTempDirectory("graft_cmp").toString + "/index"
+    // three upload batches = three file sets per tenant dir
+    (0 until 3).foreach { i =>
+      IndexStore.appendToIndex(Seq(
+        (s"a$i", 0, s"alice batch $i", Seq(i.toFloat, 0f), "alice"),
+        (s"b$i", 0, s"bob batch $i", Seq(0f, i.toFloat), "bob"))
+        .toDF("doc_id", "chunk_idx", "text", "embedding", "user_id"), idx)
+    }
+    def files(tenant: String): Int =
+      new java.io.File(s"$idx/user_id=$tenant")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files("alice") == 3 && files("bob") == 3)
+    val before = spark.read.parquet(idx)
+      .select("doc_id", "chunk_idx", "text", "user_id")
+      .as[(String, Int, String, String)].collect().toSet
+    IndexStore.compactPartitioned(spark, idx, Seq("user_id"))
+    assert(files("alice") == 1 && files("bob") == 1,
+      "compaction must leave one file per tenant dir")
+    val after = spark.read.parquet(idx)
+      .select("doc_id", "chunk_idx", "text", "user_id")
+      .as[(String, Int, String, String)].collect().toSet
+    assert(after == before, "compaction changed store content")
+    assert(!new java.io.File(s"$idx/_compact_staging").exists)
+    // tenant pruning still works on the compacted layout
+    val plan = IndexStore.readTenant(spark, idx, "alice")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("user_id"))
+  }
+
   test("clustered layout: disjoint per-file key ranges + pushed key filter") {
     val dir = Files.createTempDirectory("graft_clustered").toString + "/tbl"
     val rows = spark.range(0, 10000).toDF("k")
