@@ -168,6 +168,49 @@ object ScaleProbe {
       }
     }
 
+    // compaction payoff: incremental inserts append a file set to every
+    // touched bucket, and a cold walk's pruned hop opens EVERY file in
+    // its buckets — serve latency rides files-per-bucket, which is the
+    // whole case for the segment-merge pass. Build on half the corpus,
+    // drip the other half in as 20 insert batches, serve, compact,
+    // serve again: latency must drop and content must be unchanged.
+    {
+      val e0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val dir = java.nio.file.Files.createTempDirectory("graft_gcmp_probe").toString
+      val batchSize = 50
+      operators.GraphIndex.build(spark,
+        e0.filter(col("vec_id") >= 20 * batchSize), Seq("vec_id"), "embedding",
+        dir, nCentroids = 16, m = 4, nBuckets = 16, beamWidth = 8, hops = 3)
+      val h = operators.GraphIndex.Handle(dir, 16, beamWidth = 8, hops = 3, m = 4)
+      time("graph insert x20 batches")({
+        for (b <- 0 until 20)
+          operators.GraphIndex.insert(spark, h,
+            e0.filter(col("vec_id") >= b * batchSize && col("vec_id") < (b + 1) * batchSize),
+            Seq("vec_id"), "embedding")
+        20L * batchSize
+      })
+      def maxFiles(d: String): Int =
+        new java.io.File(d).listFiles()
+          .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+          .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+      val qv = e0.filter(col("vec_id") === 9)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      println(s"  sprawled: ${maxFiles(dir + "/edges")} files/bucket (edges), " +
+        s"${maxFiles(dir + "/chunks")} (chunks)")
+      val sprawled = operators.GraphIndex.topK(spark, h, qv, 10, tieBreak = Seq("uid"))
+        .collect().map(_.getLong(0)).toSeq
+      time("serve sprawled store (cold)")(
+        operators.GraphIndex.topK(spark, h, qv, 10, tieBreak = Seq("uid")).count())
+      time("compact store")({ operators.GraphIndex.compact(spark, h); 1L })
+      println(s"  compacted: ${maxFiles(dir + "/edges")} files/bucket (edges), " +
+        s"${maxFiles(dir + "/chunks")} (chunks)")
+      val compacted = operators.GraphIndex.topK(spark, h, qv, 10, tieBreak = Seq("uid"))
+        .collect().map(_.getLong(0)).toSeq
+      time("serve compacted store (cold)")(
+        operators.GraphIndex.topK(spark, h, qv, 10, tieBreak = Seq("uid")).count())
+      println(s"  compaction preserved results: ${sprawled == compacted} (must be true)")
+    }
+
     // vector-scan throughput: exact top-k over 1M replicated vectors
     val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val big = e.crossJoin(spark.range(500).select(col("id").as("_rep")))

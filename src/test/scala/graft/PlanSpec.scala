@@ -207,6 +207,25 @@ class PlanSpec extends AnyFunSuite {
     assert(res.count() > 0)
   }
 
+  test("tombstone gate: the mark-store read prunes to the visited buckets") {
+    import graft.operators.Ann
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_tomb_plan").toString + "/t"
+    Ann.writeGraphTombstones((0L until 64L).toDF("vec_id"), "vec_id", idx, 16)
+    // the exact shape filterTombstoned issues for a KB-sized visited set
+    val visited = Seq((3L, 0.9), (19L, 0.8)).toDF("vec_id", "sim")
+    val gated = Ann.filterTombstoned(spark, visited, "vec_id", idx, 16)
+    val p = plan(gated)
+    // years of accumulated deletes must cost a query only its own
+    // buckets: the mark scan partition-prunes, the anti-join never sees
+    // the full mark set
+    assert(p.contains("PartitionFilters") && p.contains("tomb_bucket"),
+      s"expected tomb_bucket in PartitionFilters (pruned mark scan):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the KB-sized visited set must not shuffle against the marks:\n$p")
+    assert(gated.count() == 0) // both visited ids are marked
+  }
+
   test("IVF-PQ partitioned search: probed-cell read prunes partitions") {
     import graft.operators.{Ann, Pq}
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
