@@ -312,6 +312,18 @@ object GraphIndex {
     val newAssigned = Ann.assignCells(
       newRows.withColumn("uid", uidFor(keyCols)), "uid", vecCol,
       cents, "centroid_id", "centroid_vec")
+    // a marked uid must not be re-inserted: the serve-time gate would
+    // silently suppress the new rows (delete wins over insert until
+    // compaction). Re-uploads use a fresh natural key by contract
+    // (O-3 ids carry the upload timestamp); anything else is a caller
+    // bug — fail loudly. The check reads the mark store pruned to the
+    // BATCH's uids (batch-sized, never index-sized).
+    val marked = Ann.filterTombstoned(spark,
+      newAssigned.select(col("uid").as("vec_id")), "vec_id",
+      h.tombstonesDir, h.nBuckets).count()
+    require(marked == newAssigned.count(),
+      "GraphIndex.insert: batch contains tombstoned uid(s) — deleted " +
+        "documents must re-ingest under a new natural key (see delete())")
     val touched = newAssigned.select("cell_id").distinct()
       .collect().map(_.getLong(0))
     val existing = h.chunks(spark)

@@ -436,7 +436,16 @@ object StreamingDedup {
     * [[graft.operators.Ann.graphSearchPartitioned]] over `edgeDir`
     * keeps its per-hop partition pruning through the batch layout.
     * Codebook drift is refused via the same `_codebook` sidecar as the
-    * semantic loop (byte-equality on ids AND vectors). */
+    * semantic loop (byte-equality on ids AND vectors).
+    *
+    * Maintenance: the batch-keyed dirs accrue one file set per input
+    * partition per batch. Compact with
+    * `IndexStore.compactPartitioned(edgeDir, Seq("batch_id", "src_bucket"))`
+    * — a FILE-level merge that keeps the batch_id layout, so the
+    * exactly-once replay contract (a re-run batch overwrites its own
+    * `batch_id=N` dir) survives compaction. Do NOT fold batch dirs
+    * together: a crash-replayed batch would then re-add its rows next
+    * to the folded copy. */
   def incrementalGraphStream(vecs: DataFrame, idCol: String, vecCol: String,
                              centroids: DataFrame, cIdCol: String, cVecCol: String,
                              nodeDir: String, edgeDir: String, checkpoint: String,

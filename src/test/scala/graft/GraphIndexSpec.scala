@@ -285,6 +285,28 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(!topIds(h, qv, 3).contains(key), "centroid resurfaced after compact")
   }
 
+  test("insert refuses a tombstoned uid (delete wins until re-key)") {
+    val h = freshHandle()
+    val qv = Embed.embedQuery(spark, demoQueries.head).toSeq
+    val victim = topIds(h, qv, 1).head
+    GraphIndex.delete(spark, h,
+      Seq(victim).toDF("doc_id", "chunk_idx"), Seq("doc_id", "chunk_idx"))
+    // re-inserting the SAME natural key would be silently suppressed by
+    // the serve-time gate — the guard fails loudly instead
+    val e = intercept[IllegalArgumentException] {
+      GraphIndex.insert(spark, h,
+        embedded.filter(col("doc_id") === victim._1 && col("chunk_idx") === victim._2),
+        Seq("doc_id", "chunk_idx"), "embedding")
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // a fresh natural key (the O-3 re-upload path) goes through fine
+    val reUpload = embedded
+      .filter(col("doc_id") === victim._1 && col("chunk_idx") === victim._2)
+      .withColumn("doc_id", concat(col("doc_id"), lit("_v2")))
+    assert(GraphIndex.insert(spark, h, reUpload,
+      Seq("doc_id", "chunk_idx"), "embedding") > 0)
+  }
+
   test("warm serving is a snapshot: deletes after warming appear only on re-warm") {
     val h = freshHandle()
     val qv = Embed.embedQuery(spark, demoQueries.head).toSeq
