@@ -83,6 +83,30 @@ object PmcDemo {
     println(f"WARM GRAPH ASK2 fromCache=${resW2.fromCache} in ${(System.nanoTime() - tWA2) / 1e9}%.1f s")
     wh.cool()
 
+    // INDEX LIFECYCLE on the live store — the reference's delete-by-_id
+    // plus OpenSearch's segment merge: erase the answer's top source
+    // document, re-ask (mark-delete: it vanishes from retrieval the
+    // moment delete() returns), then compact (physical removal + file
+    // merge) and re-ask (post-delete answer is stable across the swap).
+    locally {
+      val topDoc = operators.GraphIndex.topK(spark, h, qv.toSeq, 1,
+        tieBreak = Seq("doc_id", "chunk_idx")).select("doc_id").head().getString(0)
+      val keys = index.filter(col("doc_id") === topDoc).select("doc_id", "chunk_idx")
+      val tDel = System.nanoTime()
+      val nDel = operators.GraphIndex.delete(spark, h, keys, Seq("doc_id", "chunk_idx"))
+      val (resD, _) = operators.AskPipeline.ask(spark, index, emptyCache, query,
+        queryVec = Some(qv), graph = Some(h))
+      println(f"DELETE top source $topDoc ($nDel chunks) in " +
+        f"${(System.nanoTime() - tDel) / 1e9}%.1f s; " +
+        s"sourceGoneFromAnswer=${resD.answer != resG.answer}")
+      val tCmp = System.nanoTime()
+      operators.GraphIndex.compact(spark, h)
+      val tCmpDone = (System.nanoTime() - tCmp) / 1e9
+      val (resC, _) = operators.AskPipeline.ask(spark, index, emptyCache, query,
+        queryVec = Some(qv), graph = Some(h))
+      println(f"COMPACT in $tCmpDone%.1f s; answerStableAcrossCompact=${resC.answer == resD.answer}")
+    }
+
     // LIVE TOKEN EGRESS — the reference's WS streaming loop
     // (app/main.py:616-647) end-to-end on the real answer: tokens leave
     // the engine one by one, strictly in seq order, through the

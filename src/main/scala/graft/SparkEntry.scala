@@ -1280,17 +1280,22 @@ object SparkEntry {
       val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_knngw$safe").getAbsolutePath
       Ann.writeGraphIndex(edges, idx, nBuckets = 16)
-      val resident = s.read.parquet(idx).persist()
-      resident.count()
+      // the NORMALIZED resident layout GraphIndex.warm serves from:
+      // (src,dst) ids + one vector row per node — O(|V|·dim + |E|) RAM
+      // instead of the store's denormalized O(|E|·dim)
+      val raw = s.read.parquet(idx)
+      val edgeIds = raw.select("src", "dst").persist()
+      val vecs = raw.select("dst", "dst_vec").dropDuplicates("dst").persist()
+      edgeIds.count(); vecs.count()
       // the walk runs eagerly (driver beam loop), so the returned
       // frame is a local collection — safe to release the cache here
-      val out = Ann.graphSearchResident(s, resident,
+      val out = Ann.graphSearchResidentNormalized(s, edgeIds, vecs,
           cents, "centroid_id", "centroid_vec",
           collectVec(e, 9), beamWidth = 4, hops = 3)
         .select(col("vec_id"), stableRound(col("sim")).as("sim"))
         .orderBy(desc("sim"), col("vec_id"))
         .limit(10)
-      resident.unpersist()
+      edgeIds.unpersist(); vecs.unpersist()
       out
     }),
 

@@ -327,6 +327,24 @@ object Ann {
     beamWalk(spark, centroids, cIdCol, cVecCol, queryVec, beamWidth, hops,
       frontier => edges.filter(col("src").isin(frontier.map(Long.box): _*)))
 
+  /** [[graphSearchResident]] over the NORMALIZED resident layout:
+    * `edgeIds` carries (src, dst) only and `vecs` ONE (dst, dst_vec)
+    * row per node. The DISK store denormalizes dst_vec so a pruned hop
+    * read needs no join; held resident that costs O(|E|·dim) RAM — m×
+    * the nodes themselves (1024-dim × m=16 on a 33k-chunk corpus:
+    * ~9 GB of cache vs ~300 MB normalized — the difference between a
+    * servable warm index and an OOM). The hop becomes an in-memory
+    * join of the frontier's edges against the cached node table, which
+    * reproduces exactly the denormalized rows — same visited set by
+    * construction. */
+  def graphSearchResidentNormalized(spark: SparkSession, edgeIds: DataFrame,
+                                    vecs: DataFrame,
+                                    centroids: DataFrame, cIdCol: String, cVecCol: String,
+                                    queryVec: Seq[Double], beamWidth: Int, hops: Int): DataFrame =
+    beamWalk(spark, centroids, cIdCol, cVecCol, queryVec, beamWidth, hops,
+      frontier => edgeIds.filter(col("src").isin(frontier.map(Long.box): _*))
+        .join(vecs, "dst"))
+
   /** The shared walk: entry at the nearest centroids, then `hops`
     * expand-the-beam rounds over whatever `lookup` returns for a
     * frontier (an in-memory filter, or a partition-pruned store read —
@@ -390,6 +408,19 @@ object Ann {
     batchBeamWalk(spark, centroids, cIdCol, cVecCol,
       queries, qIdCol, qVecCol, beamWidth, hops,
       frontier => edges.filter(col("src").isin(frontier.map(Long.box): _*)))
+
+  /** Batched twin of [[graphSearchResidentNormalized]] — same
+    * O(|V|·dim + |E|) resident footprint, one joined lookup per hop
+    * for the union of all queries' frontiers. */
+  def graphSearchBatchResidentNormalized(spark: SparkSession, edgeIds: DataFrame,
+                                         vecs: DataFrame,
+                                         centroids: DataFrame, cIdCol: String, cVecCol: String,
+                                         queries: DataFrame, qIdCol: String, qVecCol: String,
+                                         beamWidth: Int, hops: Int): DataFrame =
+    batchBeamWalk(spark, centroids, cIdCol, cVecCol,
+      queries, qIdCol, qVecCol, beamWidth, hops,
+      frontier => edgeIds.filter(col("src").isin(frontier.map(Long.box): _*))
+        .join(vecs, "dst"))
 
   /** [[graphSearchBatch]] over a [[writeGraphIndex]] store: one
     * partition-pruned read per hop serves every query's frontier. */

@@ -107,7 +107,8 @@ object GraphIndex {
     * every hop launches a partition-pruned parquet read. [[warm]] it
     * for resident serving. */
   final case class Handle(dir: String, nBuckets: Int,
-                          beamWidth: Int = 8, hops: Int = 3, m: Int = 4)
+                          beamWidth: Int = 8, hops: Int = 3, m: Int = 4,
+                          vecCol: String = "embedding")
       extends Serving {
     def handle: Handle = this
     def edgesDir: String = dir + "/edges"
@@ -147,9 +148,12 @@ object GraphIndex {
     * batches (in-memory min/max stats skip non-frontier batches)
     * instead of launching a parquet listing + scan job per hop — the
     * per-query job overhead that made the cold walk lose to an exact
-    * scan at demo scale. The edge list is |V|·(2m+1) fixed-width rows
-    * — far smaller than the corpus, and MEMORY_AND_DISK spills
-    * gracefully if a 100 TB corpus's edges still exceed cluster RAM.
+    * scan at demo scale. The resident copy is NORMALIZED — (src, dst)
+    * id pairs plus ONE vector row per node — so RAM is
+    * O(|V|·dim + |E|), not the store's denormalized O(|E|·dim) (m×
+    * larger; at 1024-dim × m=16 the difference between ~300 MB and an
+    * ~9 GB cache for a 33k-chunk corpus), and MEMORY_AND_DISK spills
+    * gracefully if a 100 TB corpus's graph still exceeds cluster RAM.
     * The chunk sidecar (text + vectors — corpus-scale) is cached only
     * when `warm(cacheChunks = true)`: right for serving tiers that fit
     * it, while `cacheChunks = false` keeps the one per-query sidecar
@@ -159,17 +163,17 @@ object GraphIndex {
     * after warming are invisible to it until the caller re-warms
     * (cold [[Handle]] reads see appends immediately) — the same
     * refresh discipline as any serving replica behind a live index. */
-  final case class Warm(handle: Handle, edges: DataFrame,
+  final case class Warm(handle: Handle, edges: DataFrame, vecs: DataFrame,
                         chunks: DataFrame, cents: DataFrame,
                         tombs: Option[DataFrame] = None) extends Serving {
     def search(spark: SparkSession, queryVec: Seq[Double]): DataFrame =
-      attach(chunks, Ann.graphSearchResident(spark, edges,
+      attach(chunks, Ann.graphSearchResidentNormalized(spark, edges, vecs,
         cents, "centroid_id", "centroid_vec",
         queryVec, handle.beamWidth, handle.hops))
 
     def searchBatch(spark: SparkSession, queries: DataFrame,
                     qIdCol: String, qVecCol: String): DataFrame =
-      attach(chunks, Ann.graphSearchBatchResident(spark, edges,
+      attach(chunks, Ann.graphSearchBatchResidentNormalized(spark, edges, vecs,
         cents, "centroid_id", "centroid_vec",
         queries, qIdCol, qVecCol, handle.beamWidth, handle.hops))
 
@@ -186,7 +190,7 @@ object GraphIndex {
 
     /** Release the cached store (a no-op on never-cached components). */
     def cool(): Unit = {
-      edges.unpersist(); cents.unpersist(); chunks.unpersist()
+      edges.unpersist(); vecs.unpersist(); cents.unpersist(); chunks.unpersist()
       tombs.foreach(_.unpersist())
     }
   }
@@ -200,7 +204,19 @@ object GraphIndex {
     def resident(df: DataFrame): DataFrame = { val c = df.persist(level); c.count(); c }
     val tombPath = new org.apache.hadoop.fs.Path(h.tombstonesDir)
     val tombFs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Warm(h, resident(spark.read.parquet(h.edgesDir)),
+    // resident layout is NORMALIZED (see graphSearchResidentNormalized):
+    // the store's denormalized dst_vec — right for pruned disk hops —
+    // would cost O(|E|·dim) RAM. The node-vector table comes from the
+    // CHUNK SIDECAR (one row per node by construction — a map-only
+    // projection, never a dedup shuffle of the m×-wider edge table),
+    // plus the centroid rows so compacted-away structural marks keep
+    // routing identically to the cold path.
+    Warm(h, resident(spark.read.parquet(h.edgesDir).select("src", "dst")),
+      resident(h.chunks(spark)
+        .select(col("uid").as("dst"), col(h.vecCol).as("dst_vec"))
+        .unionByName(h.centroids(spark)
+          .select(col("centroid_id").as("dst"), col("centroid_vec").as("dst_vec")))
+        .dropDuplicates("dst")),
       if (cacheChunks) resident(h.chunks(spark)) else h.chunks(spark),
       resident(h.centroids(spark)),
       if (tombFs.exists(tombPath)) Some(resident(spark.read.parquet(h.tombstonesDir)))

@@ -202,6 +202,29 @@ class AnnSpec extends AnyFunSuite {
       .orderBy(desc("sim"), col("vec_id")).limit(10)
       .select("vec_id").as[Long].collect().toSeq
     assert(partWalk == memWalk, "bucketed-store walk diverged from the in-memory walk")
+    // the NORMALIZED resident layout (edge ids + one vec row per node —
+    // the O(|V|·dim + |E|) warm-serving footprint) reproduces the same
+    // walk: the hop join reconstructs exactly the denormalized rows
+    val edgeIds = edges.select("src", "dst")
+    val vecs = edges.select("dst", "dst_vec").dropDuplicates("dst")
+    assert(vecs.count() < edges.count(), "one vector row per node, not per edge")
+    val normWalk = Ann.graphSearchResidentNormalized(spark, edgeIds, vecs,
+        cents, "centroid_id", "centroid_vec", qv, beamWidth = 8, hops = 4)
+      .orderBy(desc("sim"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(normWalk == memWalk, "normalized resident walk diverged")
+    // batched twin: same per-query rows as the denormalized batch walk
+    val qdf = e.filter(col("vec_id").isin(9L, 17L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batchDenorm = Ann.graphSearchBatchResident(spark, edges,
+        cents, "centroid_id", "centroid_vec", qdf, "qid", "qv", 8, 4)
+      .select("query_id", "vec_id", "sim")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val batchNorm = Ann.graphSearchBatchResidentNormalized(spark, edgeIds, vecs,
+        cents, "centroid_id", "centroid_vec", qdf, "qid", "qv", 8, 4)
+      .select("query_id", "vec_id", "sim")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(batchNorm == batchDenorm, "normalized batched walk diverged")
   }
 
   test("graph ANN high-recall point: mean recall@10 >= 0.9 at m=16, beam=16, hops=3") {

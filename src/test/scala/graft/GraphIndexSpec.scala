@@ -204,11 +204,22 @@ class GraphIndexSpec extends AnyFunSuite {
     } finally w.cool()
   }
 
+  test("warm resident layout is normalized: edge ids + one vector row per node") {
+    val w = GraphIndex.warm(spark, handle)
+    try {
+      assert(w.edges.columns.toSeq == Seq("src", "dst"),
+        "the resident edge cache must not carry vectors (O(|E|·dim) RAM)")
+      assert(w.vecs.count() < w.edges.count(), "expected one vector row per node")
+      assert(w.vecs.select("dst").distinct().count() == w.vecs.count())
+    } finally w.cool()
+  }
+
   test("cool() releases the cached store") {
     val w = GraphIndex.warm(spark, handle)
     assert(w.edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
     w.cool()
     assert(w.edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(w.vecs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
     assert(w.chunks.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
     assert(w.cents.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
