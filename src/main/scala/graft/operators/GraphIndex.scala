@@ -267,6 +267,18 @@ object GraphIndex {
     require(n == nDistinct,
       s"GraphIndex.build: ${n - nDistinct} duplicate uid(s) — keyCols " +
         s"${keyCols.mkString("(", ",", ")")} are not unique over the index")
+    val h = buildFromUid(spark, withUid, vecCol, dir, nCentroids, m,
+      nBuckets, beamWidth, hops)
+    withUid.unpersist() // no-op under localCheckpoint; frees the persist path
+    h.copy(vecCol = vecCol)
+  }
+
+  /** The store-writing core shared by [[build]] and [[rebuild]]: input
+    * is already uid'd and unique-keyed. */
+  private def buildFromUid(spark: SparkSession, withUid: DataFrame,
+                           vecCol: String, dir: String, nCentroids: Int,
+                           m: Int, nBuckets: Int, beamWidth: Int,
+                           hops: Int): Handle = {
     val cents = withUid.orderBy("uid").limit(nCentroids)
       .select(col("uid").as("centroid_id"), col(vecCol).as("centroid_vec"))
     cents.write.mode("overwrite").parquet(dir + "/centroids")
@@ -291,7 +303,6 @@ object GraphIndex {
     val edges = Ann.knnGraph(assigned, "uid", vecCol,
       storedCents, "centroid_id", "centroid_vec", m)
     Ann.writeGraphIndex(edges, dir + "/edges", nBuckets)
-    withUid.unpersist() // no-op under localCheckpoint; frees the persist path
     Handle(dir, nBuckets, beamWidth, hops, m)
   }
 
@@ -414,5 +425,50 @@ object GraphIndex {
       .select(col("centroid_id").cast("long")).collect().map(_.getLong(0)).toSeq
     Ann.compactGraphIndex(spark, h.edgesDir, h.nBuckets, h.tombstonesDir,
       protectedIds)
+  }
+
+  /** Re-index the store from its own sidecar — the structural half of
+    * maintenance, where [[compact]] is the physical half (HNSW
+    * deployments rebuild on the same cadence reasoning: [[insert]]
+    * links a batch against the cells as they were, existing nodes'
+    * reverse degree grows unpruned, and the entry centroids go stale
+    * as the corpus drifts; the reference re-creates its OpenSearch
+    * index likewise). Reads ONLY the sidecar — never the corpus — so
+    * at 100 TB it is an index-sized job, and it subsumes compaction:
+    * tombstoned rows (structural or not) are dropped on the way in,
+    * the mark store is cleared, and every store comes back one file
+    * per bucket.
+    *
+    * THE invariant (pinned by GraphIndexSpec): rebuilding after any
+    * insert history yields row-identical stores to a fresh [[build]]
+    * over the same surviving rows — centroid pick (lowest uids),
+    * assignment, and [[Ann.knnGraph]] are all deterministic in the
+    * row set alone. Incremental inserts are thus a provably bounded
+    * approximation: rebuild periodically and the index is exactly
+    * what a from-scratch ingest would have produced. */
+  def rebuild(spark: SparkSession, h: Handle, nCentroids: Int,
+              m: Int = 4, nBuckets: Int = 16, beamWidth: Int = 8,
+              hops: Int = 3): Handle = {
+    val tombPath = new org.apache.hadoop.fs.Path(h.tombstonesDir)
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = {
+      val c = h.chunks(spark).drop("uid_bucket", "cell_id")
+      if (!fs.exists(tombPath)) c
+      else c.join(
+        spark.read.parquet(h.tombstonesDir).select(col("tomb_id").as("uid")),
+        Seq("uid"), "left_anti")
+    }
+    // stage the survivors as REAL files before overwriting the stores
+    // they were read from (the upsert staging discipline — an in-memory
+    // materialization with lineage could recompute from the overwritten
+    // store after a lost block)
+    val staging = h.dir + "/_rebuild_staging"
+    rows.write.mode("overwrite").parquet(staging)
+    val out = buildFromUid(spark, spark.read.parquet(staging), h.vecCol,
+      h.dir, nCentroids, m, nBuckets, beamWidth, hops)
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    if (fs.exists(tombPath)) fs.delete(tombPath, true)
+    out.copy(vecCol = h.vecCol)
   }
 }

@@ -336,6 +336,50 @@ class GraphIndexSpec extends AnyFunSuite {
     } finally w.cool()
   }
 
+  test("rebuild after inserts equals a fresh build over the same rows; subsumes compaction") {
+    import operators.{GraphIndex => GI}
+    val docIds = embedded.select("doc_id").distinct().orderBy("doc_id")
+      .as[String].collect()
+    val (heldOut, baseIds) = docIds.splitAt(2)
+    // incremental history: build on the base, insert the held-out docs
+    val incDir = java.nio.file.Files.createTempDirectory("graft_grb_inc").toString
+    val hInc = GI.build(spark, embedded.filter(col("doc_id").isin(baseIds: _*)),
+      Seq("doc_id", "chunk_idx"), "embedding",
+      incDir, nCentroids = 16, m = 16, nBuckets = 16, beamWidth = 32, hops = 3)
+    heldOut.foreach { d =>
+      GI.insert(spark, hInc, embedded.filter(col("doc_id") === d),
+        Seq("doc_id", "chunk_idx"), "embedding")
+    }
+    // plus a delete, so the rebuild also has marks to apply
+    val qv = Embed.embedQuery(spark, demoQueries.head).toSeq
+    val victim = topIds(hInc, qv, 1).head
+    GI.delete(spark, hInc,
+      Seq(victim).toDF("doc_id", "chunk_idx"), Seq("doc_id", "chunk_idx"))
+    val hReb = GI.rebuild(spark, hInc, nCentroids = 16, m = 16,
+      nBuckets = 16, beamWidth = 32, hops = 3)
+    // fresh-build twin over exactly the surviving rows
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_grb_fresh").toString
+    val hFresh = GI.build(spark,
+      embedded.filter(!(col("doc_id") === victim._1 && col("chunk_idx") === victim._2)),
+      Seq("doc_id", "chunk_idx"), "embedding",
+      freshDir, nCentroids = 16, m = 16, nBuckets = 16, beamWidth = 32, hops = 3)
+    // THE invariant: rebuild ≡ fresh build, store by store (insert is a
+    // provably bounded approximation that rebuild trues up exactly)
+    def edgeSet(h: GI.Handle) = spark.read.parquet(h.edgesDir)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    def centSet(h: GI.Handle) = h.centroids(spark)
+      .select("centroid_id").as[Long].collect().toSet
+    def chunkSet(h: GI.Handle) = h.chunks(spark)
+      .select("uid", "cell_id").as[(Long, Long)].collect().toSet
+    assert(centSet(hReb) == centSet(hFresh), "rebuild picked different centroids")
+    assert(chunkSet(hReb) == chunkSet(hFresh), "rebuild sidecar diverged")
+    assert(edgeSet(hReb) == edgeSet(hFresh), "rebuild edges diverged")
+    // marks applied: tombstone store cleared, victim gone, search equal
+    assert(!new java.io.File(hReb.tombstonesDir).exists)
+    assert(topIds(hReb, qv, 3) == topIds(hFresh, qv, 3))
+    assert(!topIds(hReb, qv, 3).contains(victim))
+  }
+
   test("compact merges per-insert small files back to one per bucket, results unchanged") {
     import operators.{GraphIndex => GI}
     // build over part of the corpus, then two insert batches — each
