@@ -104,4 +104,92 @@ object AskPipeline {
         (AskResult(query, answer, fromCache = false, prompt), updated)
     }
   }
+
+  /** N concurrent asks against ONE cache snapshot — the reference holds
+    * N open sessions at a time (app/main.py:616-647). Every stage is
+    * batched: one per-query-argmax cache probe, ONE retrieval serving
+    * all misses (the graph path walks the store once per hop for the
+    * union of frontiers — [[GraphIndex.Serving.topKBatch]]), one keyed
+    * context aggregation, one prompt projection. Cache semantics are
+    * CONCURRENT-ARRIVAL: every query probes the initial snapshot (two
+    * near-identical misses in one batch both generate, exactly as
+    * racing requests do against the reference's Redis), then effects
+    * merge in input order — hit-freq bumps first, one LFU put per miss
+    * — so for queries that would not cross-hit, results AND the final
+    * cache equal the sequential [[ask]] loop (spec-pinned).
+    * Returns results in input order plus the updated cache. */
+  def askBatch(spark: SparkSession, index: DataFrame, cache: DataFrame,
+               queries: Seq[String], topK: Int = Schemas.DefaultTopK,
+               threshold: Double = Schemas.CacheThreshold,
+               capacity: Int = Schemas.CacheCapacity,
+               dim: Int = Schemas.EmbeddingDim,
+               queryVecs: Option[Seq[Array[Double]]] = None,
+               graph: Option[GraphIndex.Serving] = None): (Seq[AskResult], DataFrame) = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty, "askBatch: empty query batch")
+    val qVecs = queryVecs.getOrElse(queries.map(q => Embed.embedQuery(spark, q, dim)))
+    require(qVecs.length == queries.length,
+      s"askBatch: ${queries.length} queries but ${qVecs.length} vectors")
+    val qdf = qVecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("query_id", "_qv")
+    // batched cache probe: per-query argmax over the ≤capacity-row
+    // cache, same hit rule as cacheLookup (ties → newest entry)
+    val pw = Window.partitionBy("query_id").orderBy(desc("_sim"), col("entry_id").desc)
+    val hitRows = cache.crossJoin(broadcast(qdf))
+      .withColumn("_sim", cosine(col("embedding"), col("_qv")))
+      .withColumn("_rn", row_number().over(pw))
+      .filter(col("_rn") === 1 && col("_sim") >= threshold)
+      .select("query_id", "entry_id", "response")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val missIdx = queries.indices.filterNot(i => hitRows.contains(i.toLong))
+    val missAnswers: Map[Long, (String, String)] = // qid -> (answer, prompt)
+      if (missIdx.isEmpty) Map.empty
+      else {
+        val missDf = missIdx.map(i => (i.toLong, qVecs(i).toSeq)).toDF("query_id", "_qv")
+        val hits = (graph match {
+          case Some(h) => h.topKBatch(spark, missDf, "query_id", "_qv", topK,
+            tieBreak = Seq("doc_id", "chunk_idx"))
+          case None => Similarity.knnJoin(missDf, "query_id", "_qv",
+            index, "doc_id", "embedding", topK, tieBreak = Seq("doc_id", "chunk_idx"))
+        }).select(col("query_id"), col("doc_id"), col("rank"), col("chunk_text"))
+        val ctx = Retrieval.renderContext(
+          Retrieval.assembleContextKeyed(hits, Seq("query_id", "doc_id"),
+            "rank", "chunk_text"), "doc_id")
+        val blocksByQid = ctx.orderBy("query_id", "best_rank")
+          .select("query_id", "context_block").collect()
+          .groupBy(_.getLong(0))
+          .map { case (qid, rows) => qid -> rows.map(_.getString(1)).toSeq }
+        val pdf = missIdx.map { i =>
+          (i.toLong, queries(i), blocksByQid.getOrElse(i.toLong, Seq("")).mkString("\n\n"))
+        }.toDF("query_id", "query", "context")
+        val prompts = Retrieval.buildPrompt(pdf, "query", "context")
+          .select("query_id", "prompt").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        missIdx.map { i =>
+          val blocks = blocksByQid.getOrElse(i.toLong, Seq.empty)
+          i.toLong -> ((generateStub(blocks.headOption.getOrElse("")), prompts(i.toLong)))
+        }.toMap
+      }
+    // merge cache effects in input order: freq bumps for the hits (a
+    // twice-hit entry bumps twice), then one LFU put per miss — put's
+    // own eviction rule applies per insert, as sequential asks would
+    val afterTouch = queries.indices.flatMap(i => hitRows.get(i.toLong))
+      .foldLeft(cache)((c, hit) => CacheLfu.touchById(c, hit._1))
+    val nextId = cache.agg(coalesce(max("entry_id"), lit(0L)).as("m")).head().getLong(0) + 1
+    val updated = missIdx.zipWithIndex.foldLeft(afterTouch) { case (c, (i, j)) =>
+      val entry = Seq((nextId + j, qVecs(i).map(_.toFloat).toSeq, missAnswers(i.toLong)._1, 1))
+        .toDF("entry_id", "embedding", "response", "freq")
+      CacheLfu.put(c, entry, capacity)
+    }
+    val results = queries.indices.map { i =>
+      hitRows.get(i.toLong) match {
+        case Some((_, resp)) => AskResult(queries(i), resp, fromCache = true, prompt = "")
+        case None =>
+          val (ans, prompt) = missAnswers(i.toLong)
+          AskResult(queries(i), ans, fromCache = false, prompt)
+      }
+    }
+    (results, updated)
+  }
 }

@@ -21,8 +21,16 @@ object Retrieval {
   /** Group ranked hits by doc, concatenate texts in rank order. */
   def assembleContext(hits: DataFrame, docCol: String, rankCol: String,
                       textCol: String): DataFrame =
+    assembleContextKeyed(hits, Seq(docCol), rankCol, textCol)
+
+  /** [[assembleContext]] under a compound grouping key — the batched
+    * ask ([[AskPipeline.askBatch]]) assembles EVERY query's context in
+    * one aggregation by keying on (query_id, doc). Same
+    * shuffle-order-proof in-row sort. */
+  def assembleContextKeyed(hits: DataFrame, keyCols: Seq[String], rankCol: String,
+                           textCol: String): DataFrame =
     hits
-      .groupBy(col(docCol))
+      .groupBy(keyCols.map(col): _*)
       .agg(
         min(col(rankCol)).as("best_rank"),
         array_join(

@@ -75,4 +75,45 @@ class AskPipelineSpec extends AnyFunSuite {
     assert(res.prompt.contains("Conversation so far:"))
     assert(res.prompt.indexOf("Conversation so far") < res.prompt.indexOf("User Query"))
   }
+
+  private val batchQueries = Seq(
+    "spark join tuning", "pizza dough recipe", "broadcast strategies")
+
+  test("askBatch equals the sequential ask loop on non-cross-hitting queries") {
+    val (seqResults, seqCache) = batchQueries.foldLeft(
+        (Seq.empty[AskPipeline.AskResult], emptyCache)) { case ((rs, c), q) =>
+      val (r, c2) = AskPipeline.ask(spark, index, c, q)
+      (rs :+ r, c2)
+    }
+    // precondition for the equivalence: no sequential ask cross-hit a
+    // previous one's fresh entry
+    assert(seqResults.forall(!_.fromCache))
+    val (batchResults, batchCache) = AskPipeline.askBatch(spark, index, emptyCache, batchQueries)
+    assert(batchResults.map(_.answer) == seqResults.map(_.answer))
+    assert(batchResults.map(_.prompt) == seqResults.map(_.prompt))
+    assert(batchResults.forall(!_.fromCache))
+    val entries = (c: org.apache.spark.sql.DataFrame) =>
+      c.select("entry_id", "response", "freq").as[(Long, String, Int)].collect().toSet
+    assert(entries(batchCache) == entries(seqCache), "merged cache diverged from sequential")
+  }
+
+  test("askBatch: hits serve from the snapshot and bump freq; misses retrieve") {
+    val (_, c1) = AskPipeline.ask(spark, index, emptyCache, "spark join tuning")
+    val (rs, c2) = AskPipeline.askBatch(spark, index, c1,
+      Seq("spark join tuning", "pizza dough recipe"))
+    assert(rs(0).fromCache && !rs(1).fromCache)
+    assert(c2.count() == 2)
+    assert(c2.filter($"entry_id" === 1L).select("freq").as[Int].head() == 2)
+  }
+
+  test("askBatch routed through the graph store equals the exact batch") {
+    val gdir = java.nio.file.Files.createTempDirectory("graft_askb").toString
+    val h = operators.GraphIndex.build(spark, index, Seq("doc_id", "chunk_idx"),
+      "embedding", gdir, nCentroids = 4, m = 4, nBuckets = 8, beamWidth = 16, hops = 3)
+    val (exact, _) = AskPipeline.askBatch(spark, index, emptyCache, batchQueries)
+    val (viaGraph, _) = AskPipeline.askBatch(spark, index, emptyCache, batchQueries,
+      graph = Some(h))
+    assert(viaGraph.map(_.answer) == exact.map(_.answer))
+    assert(viaGraph.map(_.prompt) == exact.map(_.prompt))
+  }
 }
