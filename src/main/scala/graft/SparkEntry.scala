@@ -2030,6 +2030,24 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // BM25 over the PERSISTED lexical index (Lucene's layout as a
+    // term-bucketed parquet store; postings denormalize tf+dl+df so the
+    // probe is ONE pruned read with zero joins). Same oracle as q_bm25:
+    // the serving layout changes, the scores don't — ad-hoc bm25()
+    // tokenizes the whole corpus per query, the index probe reads only
+    // the query terms' buckets.
+    "q_bm25_index" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_bm25$safe").getAbsolutePath
+      Retrieval.writeBm25Index(wide(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", idx, nBuckets = 32)
+      Retrieval.bm25FromIndex(s, idx, "doc_id", RagQueryText, nBuckets = 32)
+        .select(col("doc_id"), stableRound(col("score")).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(10)
+    }),
+
     // Hybrid retrieval: RRF fusion of the BM25 top-20 with the
     // doc-embedding cosine top-20 (both legs cut on ROUNDED scores so
     // the cut and the ranks are engine-portable).
@@ -3838,6 +3856,12 @@ object SparkEntry {
       // constants fold identically ((k1+1)=2.2, (1−b)=0.25 land on the
       // same doubles as the literals), so scores hash-match.
       "q_bm25" -> dBm25Query(
+        s"""SELECT doc_id, round(score + 1.2345e-9, 6) AS score
+           |FROM bm ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+
+      // identical result contract: the persisted postings store changes
+      // the serving layout only (bucketed probe vs corpus scan)
+      "q_bm25_index" -> dBm25Query(
         s"""SELECT doc_id, round(score + 1.2345e-9, 6) AS score
            |FROM bm ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
 

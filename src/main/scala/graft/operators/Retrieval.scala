@@ -111,6 +111,85 @@ object Retrieval {
         lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
   }
 
+  /** Spark-side md5 term bucket — engine-portable, in lockstep with the
+    * driver-side [[termBucket]] the probe prunes with. */
+  private def termBucketCol(t: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(nBuckets))
+
+  /** Driver-side twin of [[termBucketCol]]: bucket of one query term. */
+  private[graft] def termBucket(term: String, nBuckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % nBuckets
+  }
+
+  /** Build the persisted lexical index behind [[bm25]] — the serving
+    * answer to bm25()'s per-query corpus cost: called ad hoc, bm25
+    * tokenizes the WHOLE corpus for every query (fine for one-shot
+    * analytics, wrong for an ask hot path — at 100 TB that is a full
+    * scan per request). This is Lucene's layout re-expressed as a
+    * partitioned parquet store:
+    *
+    *  - `postings/`: one row per (term, doc) carrying tf, AND the
+    *    denormalized per-doc length and per-term df — so a probe is ONE
+    *    pruned read with zero joins (the graph edge store's
+    *    denormalize-on-disk discipline);
+    *  - partitioned by the md5 term bucket: a query's ≤|terms| buckets
+    *    prune at the file listing, the term filter pushes to parquet;
+    *  - `stats/`: the one (N, Σdl) row.
+    *
+    * Denormalizing df/N trades append-ability for probe speed: new docs
+    * shift df and N globally, so this index REBUILDS on a cadence (like
+    * [[GraphIndex.rebuild]]) rather than appending — the classic
+    * Lucene segment-merge trade re-expressed. */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     dir: String, nBuckets: Int = 64): Unit = {
+    import graft.functions.TextFunctions.alnumTokens
+    val withDl = docs
+      .select(col(idCol), alnumTokens(col(textCol)).as("_toks"))
+      .withColumn("_dl", size(col("_toks")).cast("long"))
+    withDl.agg(count(lit(1)).as("_N"), sum(col("_dl")).as("_sumdl"))
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/stats")
+    val tf = withDl
+      .select(col(idCol), col("_dl"), explode(col("_toks")).as("_t"))
+      .groupBy(col(idCol), col("_dl"), col("_t"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfT = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    tf.join(dfT, "_t")
+      .withColumn("_bucket", termBucketCol(col("_t"), nBuckets))
+      .repartition(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(dir + "/postings")
+  }
+
+  /** [[bm25]] served from a [[writeBm25Index]] store: identical scores
+    * (same longs, same fold order), but per-query work is one
+    * bucket-pruned postings read sized by the matched (doc × term)
+    * rows — never the corpus. */
+  def bm25FromIndex(spark: SparkSession, dir: String, idCol: String,
+                    queryText: String, nBuckets: Int = 64,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryText.toLowerCase.trim.replace('\n', ' ')
+      .split("\\s+").map(_.replaceAll("[^a-z0-9]", ""))
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "query has no terms")
+    val buckets = terms.map(termBucket(_, nBuckets)).distinct.map(Long.box)
+    val post = spark.read.parquet(dir + "/postings")
+      .filter(col("_bucket").isin(buckets: _*))
+      .filter(col("_t").isin(terms: _*))
+    val stats = spark.read.parquet(dir + "/stats")
+    post.crossJoin(broadcast(stats))
+      .withColumn("_avgdl", col("_sumdl").cast("double") / col("_N"))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_N") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))))
+      .withColumn("_s",
+        col("_idf") * (col("_tf") * lit(k1 + 1.0)) /
+          (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("_t").as("t"), col("_s").as("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+  }
+
   /** Reciprocal-rank fusion of two ranked legs (the standard hybrid
     * combiner, Cormack et al. 2009): rrf(d) = Σ_leg 1/(kRrf + rank_leg),
     * missing legs contribute 0. Inputs are (id, score) frames ALREADY

@@ -90,6 +90,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("bm25 index probe equals the ad-hoc scan bitwise; serving reads prune") {
+    val docs = Seq(
+      (1L, "spark spark spark spark filler filler filler filler"),
+      (2L, "spark join"),
+      (3L, "join of the tables in the warehouse by the planner"),
+      (4L, "nothing relevant here at all"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    Retrieval.writeBm25Index(docs, "doc_id", "text", idx, nBuckets = 8)
+    val adhoc = Retrieval.bm25(docs, "doc_id", "text", "spark join")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val probe = Retrieval.bm25FromIndex(spark, idx, "doc_id", "spark join", nBuckets = 8)
+    assert(probe.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap == adhoc,
+      "index probe diverged from the ad-hoc scores")
+    // the probe's postings read must partition-prune to the query
+    // terms' buckets and push the term filter — never scan the store
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_bucket"),
+      s"expected _bucket partition pruning in:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("_t"),
+      s"expected the term filter pushed to the scan:\n$plan")
+  }
+
   test("bm25: punctuation-robust matching (Ghrelin? matches ghrelin,)") {
     val docs = Seq(
       (1L, "Ghrelin, a peptide hormone; ghrelin regulates appetite."),
