@@ -342,7 +342,8 @@ object Retrieval {
                 topK: Int = graft.Schemas.DefaultTopK, chunkSize: Int = 64,
                 dim: Int = graft.Schemas.EmbeddingDim, legN: Int = 50,
                 reranker: Option[() => RerankClient] = None,
-                rerankN: Int = 20): DataFrame = {
+                rerankN: Int = 20,
+                bm25IndexDir: Option[String] = None): DataFrame = {
     val chunks = Ingest.chunk(documents.filter(Ingest.nonBlank(col("text"))), "text", chunkSize)
       .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
       .withColumn("_ck", concat(col("doc_id"), lit("#"), col("chunk_idx")))
@@ -353,7 +354,13 @@ object Retrieval {
       .select(col("_ck"),
         graft.functions.VectorFunctions.cosine(col("embedding"), lit(qVec)).as("score"))
       .orderBy(desc("score"), col("_ck")).limit(legN)
-    val legLex = bm25(embedded, "_ck", "chunk_text", query)
+    // lexical leg: ad hoc over this call's chunks, or a bucket-pruned
+    // probe of a pre-built [[writeBm25Index]] store keyed on the same
+    // `_ck` chunk keys — identical scores, serving-sized read
+    val legLex = (bm25IndexDir match {
+      case Some(d) => bm25FromIndex(spark, d, "_ck", query)
+      case None => bm25(embedded, "_ck", "chunk_text", query)
+    })
       .orderBy(desc("score"), col("_ck")).limit(legN)
     val fused = rrfFuse(legLex, legCos, "_ck")
     val win = org.apache.spark.sql.expressions.Window

@@ -140,6 +140,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(prompt.contains("Answer:"))
   }
 
+  test("askHybrid with a persisted lexical index emits the identical prompt") {
+    import graft.operators.Ingest
+    val docs = Seq(
+      (1L, "the planner chooses a broadcast hash join for small tables"),
+      (2L, "vectors are normalized before the cosine scoring step runs"),
+      (3L, "ERRCODE_7731 is raised when the shuffle file is missing"))
+      .toDF("doc_id", "text")
+    // the store is keyed on the same chunk keys askHybrid derives
+    val chunks = Ingest.chunk(docs.filter(Ingest.nonBlank(col("text"))), "text", 8)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+      .withColumn("_ck", concat(col("doc_id"), lit("#"), col("chunk_idx")))
+    val idx = java.nio.file.Files.createTempDirectory("graft_hyidx").toString
+    Retrieval.writeBm25Index(chunks, "_ck", "chunk_text", idx, nBuckets = 8)
+    val adhoc = Retrieval.askHybrid(spark, docs, "ERRCODE_7731 shuffle", topK = 2,
+      chunkSize = 8).select("prompt").head().getString(0)
+    val viaIdx = Retrieval.askHybrid(spark, docs, "ERRCODE_7731 shuffle", topK = 2,
+      chunkSize = 8, bm25IndexDir = Some(idx)).select("prompt").head().getString(0)
+    assert(viaIdx == adhoc, "index-served lexical leg changed the hybrid prompt")
+  }
+
   test("rerank: batched client ≡ column expression, any batch size / partitioning") {
     import org.apache.spark.sql.functions._
     val docs = (0 until 57).map(i => (i.toLong, s"candidate text number $i with words"))
