@@ -211,6 +211,29 @@ object ScaleProbe {
       println(s"  compaction preserved results: ${sprawled == compacted} (must be true)")
     }
 
+    // BM25 serving split: the ad-hoc scorer tokenizes the WHOLE corpus
+    // per query (cost grows with corpus size); the persisted postings
+    // probe reads only the query terms' buckets (cost rides matched
+    // rows). Same scores by construction (RetrievalSpec pins bitwise).
+    {
+      for (n <- Seq(1, 4)) {
+        val docs = stack(n).persist(); val nd = docs.count()
+        time(s"bm25 ad-hoc scan ${nd} docs")(
+          operators.Retrieval.bm25(docs, "doc_id", "text",
+            "vector window agg filter").count())
+        val idx = java.nio.file.Files.createTempDirectory("graft_bm25_probe").toString
+        time(s"bm25 index build ${nd} docs")(
+          { operators.Retrieval.writeBm25Index(docs, "doc_id", "text", idx, 64); nd })
+        time(s"bm25 index probe ${nd} docs")(
+          operators.Retrieval.bm25FromIndex(spark, idx, "doc_id",
+            "vector window agg filter", 64).count())
+        time(s"bm25 index probe ${nd} docs (2nd)")(
+          operators.Retrieval.bm25FromIndex(spark, idx, "doc_id",
+            "vector window agg filter", 64).count())
+        docs.unpersist()
+      }
+    }
+
     // vector-scan throughput: exact top-k over 1M replicated vectors
     val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val big = e.crossJoin(spark.range(500).select(col("id").as("_rep")))
