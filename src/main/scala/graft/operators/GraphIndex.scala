@@ -351,6 +351,21 @@ object GraphIndex {
     require(marked == newAssigned.count(),
       "GraphIndex.insert: batch contains tombstoned uid(s) — deleted " +
         "documents must re-ingest under a new natural key (see delete())")
+    // nor may a LIVE uid be re-inserted (a retried failed insert, or a
+    // re-upload under the same key): appends are not idempotent, so a
+    // duplicate would put two sidecar rows behind one graph node and
+    // every hit would surface twice — the same silent-merge class
+    // [[build]]'s duplicate-uid guard refuses. Bucket-pruned,
+    // batch-sized probe, like the tombstone check above.
+    val batchUids = newAssigned.select("uid").distinct()
+    val batchBuckets = batchUids.collect().map(r =>
+      Long.box(((r.getLong(0) % h.nBuckets) + h.nBuckets) % h.nBuckets)).distinct
+    val clash = h.chunks(spark)
+      .filter(col("uid_bucket").isin(batchBuckets: _*))
+      .join(broadcast(batchUids), "uid").count()
+    require(clash == 0,
+      s"GraphIndex.insert: $clash uid(s) already in the index — re-upload " +
+        "under a fresh natural key, or delete() + compact()/rebuild() first")
     val touched = newAssigned.select("cell_id").distinct()
       .collect().map(_.getLong(0))
     val existing = h.chunks(spark)

@@ -318,6 +318,16 @@ class GraphIndexSpec extends AnyFunSuite {
       Seq("doc_id", "chunk_idx"), "embedding") > 0)
   }
 
+  test("insert refuses a uid already in the index (retry / same-key re-upload)") {
+    val h = freshHandle()
+    val someDoc = embedded.select("doc_id").orderBy("doc_id").head().getString(0)
+    val e = intercept[IllegalArgumentException] {
+      GraphIndex.insert(spark, h, embedded.filter(col("doc_id") === someDoc),
+        Seq("doc_id", "chunk_idx"), "embedding")
+    }
+    assert(e.getMessage.contains("already in the index"))
+  }
+
   test("warm serving is a snapshot: deletes after warming appear only on re-warm") {
     val h = freshHandle()
     val qv = Embed.embedQuery(spark, demoQueries.head).toSeq
