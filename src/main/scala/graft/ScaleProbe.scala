@@ -226,10 +226,10 @@ object ScaleProbe {
           { operators.Retrieval.writeBm25Index(docs, "doc_id", "text", idx, 64); nd })
         time(s"bm25 index probe ${nd} docs")(
           operators.Retrieval.bm25FromIndex(spark, idx, "doc_id",
-            "vector window agg filter", 64).count())
+            "vector window agg filter").count())
         time(s"bm25 index probe ${nd} docs (2nd)")(
           operators.Retrieval.bm25FromIndex(spark, idx, "doc_id",
-            "vector window agg filter", 64).count())
+            "vector window agg filter").count())
         docs.unpersist()
       }
     }

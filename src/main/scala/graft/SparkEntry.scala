@@ -2042,7 +2042,7 @@ object SparkEntry {
         s"graft_bm25$safe").getAbsolutePath
       Retrieval.writeBm25Index(wide(s, dir, "documents").select("doc_id", "text"),
         "doc_id", "text", idx, nBuckets = 32)
-      Retrieval.bm25FromIndex(s, idx, "doc_id", RagQueryText, nBuckets = 32)
+      Retrieval.bm25FromIndex(s, idx, "doc_id", RagQueryText)
         .select(col("doc_id"), stableRound(col("score")).as("score"))
         .orderBy(desc("score"), col("doc_id"))
         .limit(10)

@@ -335,34 +335,46 @@ object GraphIndex {
     * index size. Returns the number of edge rows appended. */
   def insert(spark: SparkSession, h: Handle, newRows: DataFrame,
              keyCols: Seq[String], vecCol: String): Long = {
+    import spark.implicits._
     val cents = h.centroids(spark)
-    val newAssigned = Ann.assignCells(
+    // many actions consume the assigned batch (three guards, the
+    // touched-cell probe, the edge build, two writes) — materialize it
+    // ONCE, the build() discipline, so the assignment cross-product
+    // never recomputes per action
+    val newAssigned = graft.Materialize(Ann.assignCells(
       newRows.withColumn("uid", uidFor(keyCols)), "uid", vecCol,
-      cents, "centroid_id", "centroid_vec")
-    // a marked uid must not be re-inserted: the serve-time gate would
-    // silently suppress the new rows (delete wins over insert until
-    // compaction). Re-uploads use a fresh natural key by contract
-    // (O-3 ids carry the upload timestamp); anything else is a caller
-    // bug — fail loudly. The check reads the mark store pruned to the
-    // BATCH's uids (batch-sized, never index-sized).
+      cents, "centroid_id", "centroid_vec"))
+    val nRows = newAssigned.count()
+    val batchUids = newAssigned.select("uid").distinct()
+      .collect().map(_.getLong(0))
+    // guard 1 — duplicate natural keys WITHIN the batch: the same
+    // silent-merge class build() refuses (two sidecar rows behind one
+    // node → every hit surfaces twice)
+    require(batchUids.length == nRows,
+      s"GraphIndex.insert: ${nRows - batchUids.length} duplicate uid(s) " +
+        s"within the batch — keyCols ${keyCols.mkString("(", ",", ")")} " +
+        "are not unique over the upload")
+    val batchUidDf = batchUids.toSeq.toDF("uid")
+    // guard 2 — a marked uid must not be re-inserted: the serve-time
+    // gate would silently suppress the new rows (delete wins until
+    // compaction). Re-uploads use a fresh natural key by contract (O-3
+    // ids carry the upload timestamp); anything else is a caller bug —
+    // fail loudly. Bucket-pruned, batch-sized mark read.
     val marked = Ann.filterTombstoned(spark,
-      newAssigned.select(col("uid").as("vec_id")), "vec_id",
+      batchUidDf.select(col("uid").as("vec_id")), "vec_id",
       h.tombstonesDir, h.nBuckets).count()
-    require(marked == newAssigned.count(),
+    require(marked == batchUids.length,
       "GraphIndex.insert: batch contains tombstoned uid(s) — deleted " +
         "documents must re-ingest under a new natural key (see delete())")
-    // nor may a LIVE uid be re-inserted (a retried failed insert, or a
-    // re-upload under the same key): appends are not idempotent, so a
-    // duplicate would put two sidecar rows behind one graph node and
-    // every hit would surface twice — the same silent-merge class
-    // [[build]]'s duplicate-uid guard refuses. Bucket-pruned,
-    // batch-sized probe, like the tombstone check above.
-    val batchUids = newAssigned.select("uid").distinct()
-    val batchBuckets = batchUids.collect().map(r =>
-      Long.box(((r.getLong(0) % h.nBuckets) + h.nBuckets) % h.nBuckets)).distinct
+    // guard 3 — nor may a LIVE uid be re-inserted (retried failed
+    // insert, same-key re-upload): appends are not idempotent, so a
+    // duplicate lands a second sidecar row behind the node. Same
+    // bucket-pruned probe shape.
+    val batchBuckets = batchUids.map(u =>
+      Long.box(((u % h.nBuckets) + h.nBuckets) % h.nBuckets)).distinct
     val clash = h.chunks(spark)
       .filter(col("uid_bucket").isin(batchBuckets: _*))
-      .join(broadcast(batchUids), "uid").count()
+      .join(broadcast(batchUidDf), "uid").count()
     require(clash == 0,
       s"GraphIndex.insert: $clash uid(s) already in the index — re-upload " +
         "under a fresh natural key, or delete() + compact()/rebuild() first")
@@ -379,6 +391,7 @@ object GraphIndex {
     newAssigned.drop("cell_sim")
       .withColumn("uid_bucket", bucketOf(col("uid"), h.nBuckets))
       .write.mode("append").partitionBy("uid_bucket").parquet(h.chunksDir)
+    newAssigned.unpersist() // no-op under localCheckpoint; frees the persist path
     n
   }
 
@@ -397,12 +410,35 @@ object GraphIndex {
              keyCols: Seq[String]): Long =
     deleteByUid(spark, h, keys.select(uidFor(keyCols).as("uid")))
 
-  /** [[delete]] for callers that already hold uids. */
+  /** [[delete]] for callers that already hold uids. Every uid must
+    * exist in the index (or already be marked — retried deletes are
+    * idempotent until the next compact): a mistyped key would
+    * otherwise write a mark that silently blocks that key's FIRST
+    * legitimate insert, with nothing ever surfacing the bad delete.
+    * Delete requests are request-sized, so the existence probe is the
+    * same bucket-pruned batch-sized read as insert's guards. */
   def deleteByUid(spark: SparkSession, h: Handle, uids: DataFrame): Long = {
-    val distinctUids = uids.select(col("uid").cast("long")).distinct()
-    val n = distinctUids.count()
-    Ann.writeGraphTombstones(distinctUids, "uid", h.tombstonesDir, h.nBuckets)
-    n
+    import spark.implicits._
+    val uidArr = uids.select(col("uid").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val uidDf = uidArr.toSeq.toDF("uid")
+    val buckets = uidArr.map(u =>
+      Long.box(((u % h.nBuckets) + h.nBuckets) % h.nBuckets)).distinct
+    val live = h.chunks(spark)
+      .filter(col("uid_bucket").isin(buckets: _*))
+      .join(broadcast(uidDf), "uid")
+      .select("uid").as[Long].collect().toSet
+    val unmarked = Ann.filterTombstoned(spark,
+        uidDf.select(col("uid").as("vec_id")), "vec_id",
+        h.tombstonesDir, h.nBuckets)
+      .as[Long].collect().toSet
+    val unknown = uidArr.filter(u => !live(u) && unmarked(u))
+    require(unknown.isEmpty,
+      s"GraphIndex.delete: ${unknown.length} uid(s) not in the index " +
+        "(not a chunk row, not an existing mark) — refusing a delete " +
+        "that could only poison a future insert of that key")
+    Ann.writeGraphTombstones(uidDf, "uid", h.tombstonesDir, h.nBuckets)
+    uidArr.length.toLong
   }
 
   /** Apply accumulated tombstones physically and merge the per-batch
@@ -461,9 +497,17 @@ object GraphIndex {
     * row set alone. Incremental inserts are thus a provably bounded
     * approximation: rebuild periodically and the index is exactly
     * what a from-scratch ingest would have produced. */
+  /** [[rebuild]] keeping the handle's own topology (m, buckets, beam,
+    * hops) — the safe default: other serving processes hold Handles
+    * with the SAME layout constants, and a rebuild that silently
+    * changed nBuckets would make their pruned reads name partitions
+    * that no longer exist. */
+  def rebuild(spark: SparkSession, h: Handle, nCentroids: Int): Handle =
+    rebuild(spark, h, nCentroids, h.m, h.nBuckets, h.beamWidth, h.hops)
+
   def rebuild(spark: SparkSession, h: Handle, nCentroids: Int,
-              m: Int = 4, nBuckets: Int = 16, beamWidth: Int = 8,
-              hops: Int = 3): Handle = {
+              m: Int, nBuckets: Int, beamWidth: Int,
+              hops: Int): Handle = {
     val tombPath = new org.apache.hadoop.fs.Path(h.tombstonesDir)
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rows = {

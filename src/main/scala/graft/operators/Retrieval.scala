@@ -148,6 +148,12 @@ object Retrieval {
     val withDl = docs
       .select(col(idCol), alnumTokens(col(textCol)).as("_toks"))
       .withColumn("_dl", size(col("_toks")).cast("long"))
+    // the bucket count is part of the layout: persist it so a probe can
+    // NEVER hash terms with a different modulus than the store's
+    // partitioning (a mismatch silently prunes every partition away —
+    // an empty lexical leg, not an error)
+    withDl.sparkSession.range(1).select(lit(nBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/meta")
     withDl.agg(count(lit(1)).as("_N"), sum(col("_dl")).as("_sumdl"))
       .coalesce(1).write.mode("overwrite").parquet(dir + "/stats")
     val tf = withDl
@@ -164,14 +170,17 @@ object Retrieval {
   /** [[bm25]] served from a [[writeBm25Index]] store: identical scores
     * (same longs, same fold order), but per-query work is one
     * bucket-pruned postings read sized by the matched (doc × term)
-    * rows — never the corpus. */
+    * rows — never the corpus. The bucket modulus comes from the
+    * store's own meta sidecar, so it cannot drift from the layout. */
   def bm25FromIndex(spark: SparkSession, dir: String, idCol: String,
-                    queryText: String, nBuckets: Int = 64,
+                    queryText: String,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = queryText.toLowerCase.trim.replace('\n', ' ')
       .split("\\s+").map(_.replaceAll("[^a-z0-9]", ""))
       .filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "query has no terms")
+    val nBuckets = spark.read.parquet(dir + "/meta")
+      .select(col("n_buckets").cast("int")).head().getInt(0)
     val buckets = terms.map(termBucket(_, nBuckets)).distinct.map(Long.box)
     val post = spark.read.parquet(dir + "/postings")
       .filter(col("_bucket").isin(buckets: _*))

@@ -71,8 +71,24 @@ object IndexStore {
     val survivors = readTenant(spark, indexDir, userId)
       .join(broadcast(replacedIds), Seq("doc_id"), "left_anti")
     val merged = survivors.unionByName(newChunks.withColumn("user_id", lit(userId)))
-    val staging = s"$indexDir/_upsert_staging"
-    merged.write.mode("overwrite").parquet(staging)
+    rewriteTenantPartition(spark, indexDir, userId, merged)
+  }
+
+  /** The shared staged rewrite behind [[upsertTenantDocs]] and
+    * [[deleteTenantDocs]]: write the tenant's full replacement content
+    * as real files under an underscore dir (invisible to parquet
+    * readers — a write cannot overwrite the path it reads), then
+    * dynamic-overwrite ONLY that tenant's partition from the stage.
+    * The staging path is keyed by an md5 of the tenant id (ids may
+    * contain path-hostile characters), so the documented
+    * single-writer-PER-TENANT model holds across tenants: concurrent
+    * operations on different tenants never share a staging dir. */
+  private def rewriteTenantPartition(spark: SparkSession, indexDir: String,
+                                     userId: String, rows: DataFrame): Unit = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(userId.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val staging = s"$indexDir/_staging_$key"
+    rows.write.mode("overwrite").parquet(staging)
     spark.read.parquet(staging)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -97,17 +113,7 @@ object IndexStore {
     val survivors = readTenant(spark, indexDir, userId)
       .join(broadcast(docIds.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
     if (survivors.isEmpty) purgeTenant(spark, indexDir, userId)
-    else {
-      val staging = s"$indexDir/_upsert_staging"
-      survivors.write.mode("overwrite").parquet(staging)
-      spark.read.parquet(staging)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("user_id")
-        .parquet(indexDir)
-      val sp = new org.apache.hadoop.fs.Path(staging)
-      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
-    }
+    else rewriteTenantPartition(spark, indexDir, userId, survivors)
   }
 
   /** Erase a tenant entirely (account deletion): drop the partition

@@ -61,12 +61,22 @@ object AskServing {
     val spark = batch.sparkSession
     val cacheRoot = new Path(s"$serveDir/cache")
     val fs = cacheRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prevIds: Seq[Long] =
+    val allIds: Seq[Long] =
       if (!fs.exists(cacheRoot)) Seq.empty
       else fs.listStatus(cacheRoot).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("batch_id="))
         .map(_.stripPrefix("batch_id=").toLong)
-        .filter(_ < batchId).sorted
+    // snapshots AHEAD of this batch can only come from another
+    // incarnation (a new checkpoint pointed at an old serveDir): batch
+    // ids would eventually catch up and silently serve the previous
+    // run's cache. A snapshot AT batchId is legitimate — the replay of
+    // a batch that crashed after its own write. Fail loudly.
+    require(allIds.forall(_ <= batchId),
+      s"AskServing: cache snapshots ${allIds.filter(_ > batchId).sorted.mkString(",")} " +
+        s"are ahead of micro-batch $batchId — this serveDir belongs to a " +
+        "different stream incarnation; use a fresh serveDir (or the " +
+        "original checkpoint)")
+    val prevIds = allIds.filter(_ < batchId).sorted
     val cache = prevIds.lastOption match {
       case Some(n) => spark.read.parquet(s"$serveDir/cache/batch_id=$n")
       case None => spark.createDataFrame(java.util.List.of[Row](), cacheSchema)

@@ -73,5 +73,17 @@ class AskServingSpec extends AnyFunSuite {
     val (r1, c1) = AskPipeline.ask(spark, index, Seq.empty[(Long, Seq[Float], String, Int)]
       .toDF("entry_id", "embedding", "response", "freq"), "spark join tuning")
     assert(answers(1L)._1 == r1.answer)
+
+    // a serveDir from ANOTHER incarnation (snapshots ahead of the
+    // batch id — e.g. a fresh checkpoint pointed at an old serveDir)
+    // must fail loudly, not silently serve the previous run's cache
+    val e = intercept[IllegalArgumentException] {
+      AskServing.processAskMicroBatch(
+        Seq((9L, "pizza dough recipe")).toDF("query_id", "query"),
+        batchId = 0, index, serveDir, graph = None,
+        topK = graft.Schemas.DefaultTopK, threshold = graft.Schemas.CacheThreshold,
+        capacity = graft.Schemas.CacheCapacity, dim = graft.Schemas.EmbeddingDim)
+    }
+    assert(e.getMessage.contains("different stream incarnation"))
   }
 }

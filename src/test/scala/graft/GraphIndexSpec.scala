@@ -326,6 +326,30 @@ class GraphIndexSpec extends AnyFunSuite {
         Seq("doc_id", "chunk_idx"), "embedding")
     }
     assert(e.getMessage.contains("already in the index"))
+    // duplicate keys WITHIN one batch are the same silent-merge class
+    val fresh = embedded.filter(col("doc_id") === someDoc)
+      .withColumn("doc_id", concat(col("doc_id"), lit("_dup")))
+    val e2 = intercept[IllegalArgumentException] {
+      GraphIndex.insert(spark, h, fresh.unionAll(fresh),
+        Seq("doc_id", "chunk_idx"), "embedding")
+    }
+    assert(e2.getMessage.contains("within the batch"))
+  }
+
+  test("delete refuses uids that are neither indexed nor already marked") {
+    val h = freshHandle()
+    val e = intercept[IllegalArgumentException] {
+      GraphIndex.delete(spark, h,
+        Seq(("no_such_doc", 999)).toDF("doc_id", "chunk_idx"),
+        Seq("doc_id", "chunk_idx"))
+    }
+    assert(e.getMessage.contains("not in the index"))
+    // a RETRIED delete of an already-marked key stays idempotent
+    val qv = Embed.embedQuery(spark, demoQueries.head).toSeq
+    val victim = topIds(h, qv, 1).head
+    val keys = Seq(victim).toDF("doc_id", "chunk_idx")
+    GraphIndex.delete(spark, h, keys, Seq("doc_id", "chunk_idx"))
+    assert(GraphIndex.delete(spark, h, keys, Seq("doc_id", "chunk_idx")) == 1)
   }
 
   test("warm serving is a snapshot: deletes after warming appear only on re-warm") {

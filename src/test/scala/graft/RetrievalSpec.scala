@@ -101,7 +101,7 @@ class RetrievalSpec extends AnyFunSuite {
     Retrieval.writeBm25Index(docs, "doc_id", "text", idx, nBuckets = 8)
     val adhoc = Retrieval.bm25(docs, "doc_id", "text", "spark join")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val probe = Retrieval.bm25FromIndex(spark, idx, "doc_id", "spark join", nBuckets = 8)
+    val probe = Retrieval.bm25FromIndex(spark, idx, "doc_id", "spark join")
     assert(probe.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap == adhoc,
       "index probe diverged from the ad-hoc scores")
     // the probe's postings read must partition-prune to the query
@@ -158,6 +158,12 @@ class RetrievalSpec extends AnyFunSuite {
     val viaIdx = Retrieval.askHybrid(spark, docs, "ERRCODE_7731 shuffle", topK = 2,
       chunkSize = 8, bm25IndexDir = Some(idx)).select("prompt").head().getString(0)
     assert(viaIdx == adhoc, "index-served lexical leg changed the hybrid prompt")
+    // liveness, not coincidence: the probe itself must match rows — an
+    // EMPTY index read (the failure mode of a bucket-modulus mismatch,
+    // now impossible since the modulus lives in the store's meta) would
+    // let the prompt equality above pass on the cosine leg alone
+    assert(Retrieval.bm25FromIndex(spark, idx, "_ck", "ERRCODE_7731 shuffle").count() > 0,
+      "index probe matched no postings — the lexical leg was never exercised")
   }
 
   test("rerank: batched client ≡ column expression, any batch size / partitioning") {

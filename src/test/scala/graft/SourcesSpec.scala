@@ -79,7 +79,7 @@ class SourcesSpec extends AnyFunSuite {
     assert(IndexStore.readTenant(spark, idx, "bob")
       .select("text").as[String].collect().toSeq == Seq("bob doc"))
     // staging dir cleaned up
-    assert(!new java.io.File(s"$idx/_upsert_staging").exists)
+    assert(!new java.io.File(idx).listFiles().exists(_.getName.startsWith("_staging")), "staging dir cleaned up")
 
     // first upload from a BRAND-NEW tenant through the same upsert path
     // (the reference's lazy index creation): adds carol, touches no one
@@ -104,7 +104,7 @@ class SourcesSpec extends AnyFunSuite {
     assert(IndexStore.readTenant(spark, idx, "alice")
       .select("doc_id").as[String].collect().toSeq == Seq("d2"))
     assert(IndexStore.readTenant(spark, idx, "bob").count() == 1)
-    assert(!new java.io.File(s"$idx/_upsert_staging").exists)
+    assert(!new java.io.File(idx).listFiles().exists(_.getName.startsWith("_staging")), "staging dir cleaned up")
     // erasing the tenant's LAST doc must remove the partition dir too —
     // dynamic overwrite alone would leave the old files behind
     IndexStore.deleteTenantDocs(spark, idx, "alice", Seq("d2").toDF("doc_id"))
