@@ -273,12 +273,29 @@ object GraphIndex {
     h.copy(vecCol = vecCol)
   }
 
+  /** Re-open a built store from its own meta sidecar — a serving
+    * process needs only the path; every layout constant a prober must
+    * agree on (bucket modulus above all: a mismatched one silently
+    * prunes every partition away) travels WITH the store, exactly like
+    * the BM25 index's meta. [[build]] and [[rebuild]] both (re)write
+    * the sidecar, so an open() after a topology-changing rebuild sees
+    * the new layout. */
+  def open(spark: SparkSession, dir: String): Handle = {
+    val r = spark.read.parquet(dir + "/meta").head()
+    Handle(dir, r.getAs[Int]("n_buckets"), r.getAs[Int]("beam_width"),
+      r.getAs[Int]("hops"), r.getAs[Int]("m"), r.getAs[String]("vec_col"))
+  }
+
   /** The store-writing core shared by [[build]] and [[rebuild]]: input
     * is already uid'd and unique-keyed. */
   private def buildFromUid(spark: SparkSession, withUid: DataFrame,
                            vecCol: String, dir: String, nCentroids: Int,
                            m: Int, nBuckets: Int, beamWidth: Int,
                            hops: Int): Handle = {
+    spark.range(1).select(lit(nBuckets).as("n_buckets"), lit(m).as("m"),
+        lit(beamWidth).as("beam_width"), lit(hops).as("hops"),
+        lit(vecCol).as("vec_col"))
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/meta")
     val cents = withUid.orderBy("uid").limit(nCentroids)
       .select(col("uid").as("centroid_id"), col(vecCol).as("centroid_vec"))
     cents.write.mode("overwrite").parquet(dir + "/centroids")

@@ -450,7 +450,10 @@ class GraphIndexSpec extends AnyFunSuite {
     val qv = Embed.embedQuery(spark, demoQueries.head).toSeq
     val warm = GraphIndex.topK(spark, handle, qv, 3, tieBreak = Seq("doc_id", "chunk_idx"))
       .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSeq
-    val cold = GraphIndex.Handle(handle.dir, handle.nBuckets, handle.beamWidth, handle.hops)
+    // a serving process re-opens from the PATH alone: every layout
+    // constant (bucket modulus above all) travels in the meta sidecar
+    val cold = GraphIndex.open(spark, handle.dir)
+    assert(cold == handle, "open() must reconstruct the builder's handle exactly")
     val viaCold = GraphIndex.topK(spark, cold, qv, 3, tieBreak = Seq("doc_id", "chunk_idx"))
       .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSeq
     assert(viaCold == warm)
