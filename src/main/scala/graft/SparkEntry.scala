@@ -31,12 +31,21 @@ object SparkEntry {
     graft.sources.TableLoader.load(spark, dir, name)
 
   /** Small single-file tables arrive as ONE input split, serializing any
-    * compute-heavy per-row work; spread them across the cores first. The
-    * repartition round-trip is negligible next to the saved wall-clock,
-    * and at cluster scale real inputs arrive pre-split (AQE coalesces
-    * any excess). Used only by expression-heavy text/vector queries. */
+    * compute-heavy per-row work; spread them across the cores first —
+    * but ONLY when the scan is actually under-split. The guard makes
+    * the 100 TB posture code-enforced rather than caller-discipline: a
+    * cluster input that already yields ≥ parallelism splits passes
+    * through untouched (no Exchange — PlanSpec pins this), so calling
+    * the helper on a petabyte table can never trigger a full-corpus
+    * shuffle. Used only by expression-heavy text/vector queries. */
+  private[graft] def widen(spark: SparkSession, df: DataFrame): DataFrame = {
+    val parallelism = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= parallelism) df
+    else df.repartition(parallelism)
+  }
+
   private def wide(spark: SparkSession, dir: String, name: String): DataFrame =
-    t(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+    widen(spark, t(spark, dir, name))
 
   /** events.parquet has shipped as TIMESTAMP(NANOS)→BIGINT-nanos,
     * TIMESTAMP_NTZ, and plain TIMESTAMP across driver rounds;
@@ -2378,9 +2387,15 @@ object SparkEntry {
     * (q_graph_compact replays PHYSICAL deletion — the walk itself
     * changes); `resultCond` filters the final visited set
     * (q_graph_delete replays MARK deletion — tombstoned nodes still
-    * route, they just never surface). */
-  private def annGraphOracleWhere(edgeCond: String, resultCond: String): String = {
+    * route, they just never surface). `edgesCtes`, when set, REPLACES
+    * the `edges` CTE wholesale (still reading from `edges0`) — used by
+    * q_graph_compact to replay the compaction's orphan re-anchoring on
+    * top of the physical drop. */
+  private def annGraphOracleWhere(edgeCond: String, resultCond: String,
+                                  edgesCtes: Option[String] = None): String = {
     val edgeWhere = if (edgeCond.isEmpty) "" else s" WHERE $edgeCond"
+    val edgesBlock = edgesCtes.getOrElse(
+      s"edges AS (SELECT src, dst FROM edges0$edgeWhere)")
     val resultWhere = if (resultCond.isEmpty) "" else s" WHERE $resultCond"
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 9),
@@ -2408,7 +2423,7 @@ object SparkEntry {
        |  UNION
        |  SELECT c1.cid, c2.cid FROM c c1, c c2 WHERE c1.cid <> c2.cid
        |),
-       |edges AS (SELECT src, dst FROM edges0$edgeWhere),
+       |$edgesBlock,
        |sims AS (SELECT e.vec_id AS id, ${dCosine("e.embedding", "q.qv")} AS sim
        |         FROM embeddings e, q),
        |v0 AS (SELECT id, sim FROM sims WHERE id < 8 ORDER BY sim DESC, id LIMIT 4),
@@ -2982,10 +2997,21 @@ object SparkEntry {
 
       // compaction: marked NON-centroids (id >= 8) lose their edges —
       // the walk replays over the reduced edge set — while marked
-      // centroids keep routing (structural) and are filtered at the end
-      "q_graph_compact" -> annGraphOracleWhere(
-        "NOT (src >= 8 AND src % 10 = 3) AND NOT (dst >= 8 AND dst % 10 = 3)",
-        "id % 10 <> 3"),
+      // centroids keep routing (structural) and are filtered at the
+      // end. The orphan-repair CTEs replay compactGraphIndex's
+      // re-anchoring: a live id whose every in-edge rode a dead src
+      // (`orph`) gets one down-link back from the smallest surviving
+      // protected dst among its own out-edges (`anch`).
+      "q_graph_compact" -> annGraphOracleWhere("", "id % 10 <> 3", Some(
+        """edges1 AS (SELECT src, dst FROM edges0
+          |  WHERE NOT (src >= 8 AND src % 10 = 3)
+          |    AND NOT (dst >= 8 AND dst % 10 = 3)),
+          |orph AS (SELECT DISTINCT dst FROM edges0
+          |  WHERE NOT (dst >= 8 AND dst % 10 = 3)
+          |    AND dst NOT IN (SELECT dst FROM edges1)),
+          |anch AS (SELECT src AS o, min(dst) AS a FROM edges1
+          |  WHERE src IN (SELECT dst FROM orph) AND dst < 8 GROUP BY src),
+          |edges AS (SELECT src, dst FROM edges1 UNION SELECT a, o FROM anch)""".stripMargin)),
       "q_ann_graph_batch" -> annGraphBatchOracle,
 
       // identical result contract: the src-bucketed store changes the

@@ -623,9 +623,18 @@ object Ann {
     * structural nodes the clique and up-links hang off — codebook-scale
     * by contract) keep their edges and remain tombstone-filtered at
     * serve time instead: dropping a centroid's clique row could strand
-    * its whole cell. Connectivity for everyone else survives by
-    * construction: every remaining node keeps its undirected centroid
-    * up-link, so it stays reachable within two hops of the entry scan.
+    * its whole cell.
+    *
+    * Reachability repair (HNSW-repair style): the centroid up-link is
+    * DIRECTED node→centroid, so a live node whose every in-edge rode a
+    * dead src would lose its last in-edge here and walk-silently
+    * vanish until the next rebuild. Such orphans get ONE
+    * centroid→node down-link back: the anchor is the smallest
+    * surviving protected dst among the orphan's own out-edges — its
+    * up-link target, which survives by the protected contract — so
+    * every node reachable before compaction stays reachable after it.
+    * With `protectedIds = Nil` no anchor exists and orphans stay
+    * unrepaired (reachability can shrink until rebuild).
     *
     * The rewrite stages through a sibling dir and re-reads it for the
     * overwrite — both steps plain retryable file writes. Single
@@ -646,9 +655,28 @@ object Ann {
         // amortized maintenance pass, not on the serve path.
         val dead = spark.read.parquet(tombDir).select(col("tomb_id"))
           .filter(!col("tomb_id").isin(protectedIds.map(Long.box): _*))
-        edges
+        val dropped = edges
           .join(dead.select(col("tomb_id").as("src")), Seq("src"), "left_anti")
           .join(dead.select(col("tomb_id").as("dst")), Seq("dst"), "left_anti")
+        // orphans: live ids that had an in-edge before the drop (their
+        // dst_vec rides on exactly those rows) but none after — the
+        // reachability casualties the docstring's repair re-anchors.
+        // Corpus-sized joins, but maintenance-pass amortized like the
+        // drop itself.
+        val orphanVecs = edges.select(col("dst"), col("dst_vec"))
+          .join(dead.select(col("tomb_id").as("dst")), Seq("dst"), "left_anti")
+          .join(dropped.select("dst").distinct(), Seq("dst"), "left_anti")
+          .dropDuplicates("dst") // every copy of a dst's vec is identical
+        val anchors = dropped
+          .join(orphanVecs.select(col("dst").as("src")), Seq("src"))
+          .filter(col("dst").isin(protectedIds.map(Long.box): _*))
+          .groupBy(col("src")).agg(min(col("dst")).as("_anchor"))
+          .select(col("src").as("dst"), col("_anchor"))
+        val repair = orphanVecs
+          .join(anchors, Seq("dst"))
+          .select(col("_anchor").as("src"), col("dst"), col("dst_vec"))
+          .withColumn("src_bucket", pmod(col("src"), lit(nBuckets)))
+        dropped.unionByName(repair)
       }
     rewriteStore(spark, kept, edgesDir, "src_bucket")
     // surviving marks: only protected (centroid) ids still need the
@@ -664,9 +692,22 @@ object Ann {
   /** Rewrite a partitioned store in place: cluster writers by the
     * partition column (one file per partition dir), stage through a
     * sibling `<dir>__compact` path, then overwrite. Shared by the
-    * compaction paths; content-preserving by construction. */
+    * compaction paths; content-preserving by construction.
+    *
+    * ZERO surviving rows deletes the store dir outright (the posture
+    * the tombstone store already uses): `repartition(col)` on empty
+    * input emits no part files, and a dir holding only `_SUCCESS`
+    * poisons every later read with a schema-inference failure. An
+    * absent dir is the well-defined empty state — serve-time readers
+    * that tolerate absence ([[filterTombstoned]]) keep working, and
+    * the next append recreates the partitioned layout cleanly. */
   private[graft] def rewriteStore(spark: SparkSession, rows: DataFrame,
                                   dir: String, partitionCol: String): Unit = {
+    if (rows.isEmpty) {
+      val dp = new org.apache.hadoop.fs.Path(dir)
+      dp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dp, true)
+      return
+    }
     val staging = dir.stripSuffix("/") + "__compact"
     rows.repartition(col(partitionCol))
       .write.mode("overwrite").parquet(staging)

@@ -151,8 +151,17 @@ object Retrieval {
     // the bucket count is part of the layout: persist it so a probe can
     // NEVER hash terms with a different modulus than the store's
     // partitioning (a mismatch silently prunes every partition away —
-    // an empty lexical leg, not an error)
-    withDl.sparkSession.range(1).select(lit(nBuckets).as("n_buckets"))
+    // an empty lexical leg, not an error). The sidecar also records the
+    // corpus identity (id column name, row count, order-independent id
+    // fingerprint): a probe against a store built over DIFFERENT rows
+    // would not error on its own — [[rrfFuse]] scores missing legs 0 —
+    // so hybrid callers verify this via [[requireBm25IndexMatches]],
+    // the same drift-refusal discipline as the PQ codebook sidecar.
+    docs.agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(xxhash64(col(idCol)).cast("decimal(38,0)")).cast("string").as("id_hash"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .withColumn("id_col", lit(idCol))
       .coalesce(1).write.mode("overwrite").parquet(dir + "/meta")
     withDl.agg(count(lit(1)).as("_N"), sum(col("_dl")).as("_sumdl"))
       .coalesce(1).write.mode("overwrite").parquet(dir + "/stats")
@@ -165,6 +174,31 @@ object Retrieval {
       .withColumn("_bucket", termBucketCol(col("_t"), nBuckets))
       .repartition(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(dir + "/postings")
+  }
+
+  /** Drift guard for a [[writeBm25Index]] store: require that the store
+    * was built over exactly this corpus — same id column, same row
+    * count, same order-independent id fingerprint (decimal-accumulated
+    * xxhash64: exact, overflow-free, row-order-invariant). A stale or
+    * foreign store never errors on its own (missing lexical hits just
+    * score 0 downstream), so an erasure-grade silent skew becomes a
+    * loud refusal instead. One aggregate over the probe corpus's id
+    * projection — the hybrid callers run it over an already-
+    * materialized chunk set. */
+  def requireBm25IndexMatches(spark: SparkSession, dir: String,
+                              docs: DataFrame, idCol: String): Unit = {
+    val meta = spark.read.parquet(dir + "/meta").head()
+    val mine = docs.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(xxhash64(col(idCol)).cast("decimal(38,0)")).cast("string").as("h")).head()
+    require(meta.getAs[String]("id_col") == idCol &&
+        meta.getAs[Long]("n_docs") == mine.getLong(0) &&
+        meta.getAs[String]("id_hash") == mine.getString(1),
+      s"bm25 index at '$dir' was built over a different corpus than this " +
+        s"probe's (store: id_col=${meta.getAs[String]("id_col")}, " +
+        s"n_docs=${meta.getAs[Long]("n_docs")}; probe: id_col=$idCol, " +
+        s"n_docs=${mine.getLong(0)}) — a mismatched store silently zeroes " +
+        "or skews the lexical leg; rebuild it with writeBm25Index")
   }
 
   /** [[bm25]] served from a [[writeBm25Index]] store: identical scores
@@ -365,9 +399,14 @@ object Retrieval {
       .orderBy(desc("score"), col("_ck")).limit(legN)
     // lexical leg: ad hoc over this call's chunks, or a bucket-pruned
     // probe of a pre-built [[writeBm25Index]] store keyed on the same
-    // `_ck` chunk keys — identical scores, serving-sized read
+    // `_ck` chunk keys — identical scores, serving-sized read. The
+    // drift guard refuses a store built over different chunks (stale
+    // corpus, other chunkSize): rrfFuse would otherwise silently zero
+    // the lexical leg for every miss.
     val legLex = (bm25IndexDir match {
-      case Some(d) => bm25FromIndex(spark, d, "_ck", query)
+      case Some(d) =>
+        requireBm25IndexMatches(spark, d, embedded.select("_ck"), "_ck")
+        bm25FromIndex(spark, d, "_ck", query)
       case None => bm25(embedded, "_ck", "chunk_text", query)
     })
       .orderBy(desc("score"), col("_ck")).limit(legN)

@@ -118,11 +118,28 @@ object IndexStore {
 
   /** Erase a tenant entirely (account deletion): drop the partition
     * dir. O(1) metadata work — no read, no rewrite, no other tenant
-    * touched; the next append recreates the dir lazily. */
+    * touched; the next append recreates the dir lazily.
+    *
+    * The partition value is escaped EXACTLY the way Spark's writer
+    * escaped it when naming the dir (ExternalCatalogUtils.escapePathName
+    * — `%XX` for path-hostile characters): a raw `user_id=$userId`
+    * path misses for such tenants and the erasure would silently leave
+    * their files on disk. Belt-and-braces for an erasure primitive: if
+    * the dir cannot be located but the tenant's rows are still
+    * readable, fail loudly rather than return as if purged. */
   def purgeTenant(spark: SparkSession, indexDir: String, userId: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/user_id=$userId")
+    val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(userId)
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/user_id=$escaped")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) { fs.delete(p, true); () }
+    else {
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      require(!fs.exists(root) || readTenant(spark, indexDir, userId).isEmpty,
+        s"purgeTenant: partition dir for tenant '$userId' not found at " +
+          s"'$p' but the tenant's rows are still readable — refusing to " +
+          "report an erasure that did not happen")
+    }
   }
 
   /** Merge the per-append small files of a partitioned store back to

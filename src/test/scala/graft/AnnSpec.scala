@@ -334,6 +334,56 @@ class AnnSpec extends AnyFunSuite {
     assert(got.contains(450L), s"inserted node 450 not found; got $got")
   }
 
+  test("compaction repair: orphaned live node gets a centroid down-link, stays reachable") {
+    // m=1 cell {c=0, a=1, x=2}: the up-links are DIRECTED node→centroid
+    // and c's top-1 is a, so x's ONLY in-edge is a→x — deleting a
+    // orphans x unless compaction re-anchors it.
+    val e = Seq(
+      (0L, Seq(1.0, 0.0)), // centroid c
+      (1L, Seq(0.5, 1.0)), // a — nearest neighbor of both c and x
+      (2L, Seq(0.4, 1.0))) // x — in-linked only from a
+      .toDF("vec_id", "embedding")
+    val cents = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+    val edges = Ann.knnGraph(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = 1)
+    assert(edges.filter(col("dst") === 2).select("src").as[Long].collect().toSeq == Seq(1L),
+      "precondition: x's in-edges must be exactly {a→x} or this test proves nothing")
+    val dir = java.nio.file.Files.createTempDirectory("graft_knng_rep").toString
+    val idx = dir + "/idx"; val tomb = dir + "/tomb"
+    Ann.writeGraphIndex(edges, idx, nBuckets = 4)
+    Ann.writeGraphTombstones(Seq(1L).toDF("vec_id"), "vec_id", tomb, nBuckets = 4)
+    Ann.compactGraphIndex(spark, idx, 4, tomb, protectedIds = Seq(0L))
+    val kept = spark.read.parquet(idx)
+    val rep = kept.filter(col("src") === 0 && col("dst") === 2)
+    assert(rep.count() == 1,
+      s"expected the repair down-link 0→2; store: ${kept.collect().toSeq}")
+    assert(rep.select(col("dst_vec").cast("array<double>")).head()
+      .getSeq[Double](0) == Seq(0.4, 1.0), "repair edge must carry x's vector")
+    val got = Ann.graphSearchPartitioned(spark, idx, 4,
+        cents, "centroid_id", "centroid_vec", Seq(0.4, 1.0), beamWidth = 2, hops = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.contains(2L), s"orphaned node 2 unreachable after compaction: $got")
+  }
+
+  test("compacting a fully-tombstoned store deletes it, never leaves an unreadable dir") {
+    val e = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.5, 1.0))).toDF("vec_id", "embedding")
+    val cents = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+    val edges = Ann.knnGraph(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_knng_empty").toString
+    val idx = dir + "/idx"; val tomb = dir + "/tomb"
+    Ann.writeGraphIndex(edges, idx, nBuckets = 4)
+    Ann.writeGraphTombstones(Seq(0L, 1L).toDF("vec_id"), "vec_id", tomb, nBuckets = 4)
+    Ann.compactGraphIndex(spark, idx, 4, tomb, protectedIds = Nil)
+    assert(!new java.io.File(idx).exists,
+      "empty store must be deleted outright — a _SUCCESS-only dir poisons later reads")
+    assert(!new java.io.File(tomb).exists, "no marks survive a full physical purge")
+  }
+
   test("projected coarse search + exact re-rank: recall@10 >= 0.7 at 4x cheaper scans") {
     import graft.functions.VectorFunctions.{rademacherPlanes, withRandomProjection}
     val e01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")

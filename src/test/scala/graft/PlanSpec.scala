@@ -31,6 +31,23 @@ class PlanSpec extends AnyFunSuite {
       s"scan should not read unused columns:\n$p")
   }
 
+  test("widen() is split-aware: pre-split input passes through with no Exchange") {
+    val par = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("graft_widen").toString + "/t"
+    spark.range(10000).selectExpr("id", "cast(id as string) as s")
+      .repartition(par).write.parquet(dir)
+    val preSplit = spark.read.parquet(dir)
+    val wide = SparkEntry.widen(spark, preSplit)
+    assert(!plan(wide).contains("Exchange"),
+      s"a scan already yielding >= parallelism splits must NOT reshuffle:\n${plan(wide)}")
+    // the single-file case still spreads across the cores
+    val oneFile = spark.read.parquet(s"$sf/documents.parquet")
+    assert(oneFile.rdd.getNumPartitions < par, "precondition: single-split input")
+    val spread = SparkEntry.widen(spark, oneFile)
+    assert(spread.rdd.getNumPartitions == par,
+      "an under-split input must be spread to defaultParallelism")
+  }
+
   test("small dimension tables broadcast in the join pipeline") {
     val p = plan(SparkEntry.queries("q_join_revenue")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")

@@ -166,6 +166,39 @@ class RetrievalSpec extends AnyFunSuite {
       "index probe matched no postings — the lexical leg was never exercised")
   }
 
+  test("askHybrid refuses a bm25 store built over a different corpus (drift guard)") {
+    import graft.operators.Ingest
+    val docs = Seq(
+      (1L, "the planner chooses a broadcast hash join for small tables"),
+      (2L, "vectors are normalized before the cosine scoring step runs"),
+      (3L, "ERRCODE_7731 is raised when the shuffle file is missing"))
+      .toDF("doc_id", "text")
+    // a stale store: built over a SUBSET of the corpus (doc 3 missing —
+    // exactly the doc the lexical leg exists to surface). Without the
+    // guard this would not error: rrfFuse scores the missing leg 0 and
+    // the skew is silent.
+    val stale = Ingest.chunk(docs.filter(col("doc_id") < 3), "text", 8)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+      .withColumn("_ck", concat(col("doc_id"), lit("#"), col("chunk_idx")))
+    val idx = java.nio.file.Files.createTempDirectory("graft_hydrift").toString
+    Retrieval.writeBm25Index(stale, "_ck", "chunk_text", idx, nBuckets = 8)
+    val err = intercept[IllegalArgumentException] {
+      Retrieval.askHybrid(spark, docs, "ERRCODE_7731 shuffle", topK = 2,
+        chunkSize = 8, bm25IndexDir = Some(idx))
+    }
+    assert(err.getMessage.contains("different corpus"), err.getMessage)
+    // same-key different-content drift (re-chunked at another size ⇒
+    // different _ck set) is refused too
+    val rechunked = Ingest.chunk(docs, "text", 4)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+      .withColumn("_ck", concat(col("doc_id"), lit("#"), col("chunk_idx")))
+    Retrieval.writeBm25Index(rechunked, "_ck", "chunk_text", idx, nBuckets = 8)
+    intercept[IllegalArgumentException] {
+      Retrieval.askHybrid(spark, docs, "ERRCODE_7731 shuffle", topK = 2,
+        chunkSize = 8, bm25IndexDir = Some(idx))
+    }
+  }
+
   test("rerank: batched client ≡ column expression, any batch size / partitioning") {
     import org.apache.spark.sql.functions._
     val docs = (0 until 57).map(i => (i.toLong, s"candidate text number $i with words"))

@@ -115,6 +115,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$idx/user_id=bob").exists)
   }
 
+  test("purgeTenant: path-hostile tenant id (Spark percent-escapes the dir) still erases") {
+    val idx = Files.createTempDirectory("graft_esc").toString + "/index"
+    // ':' and ' ' are in Spark's escapePathName charset — the partition
+    // dir on disk is NOT literally "user_id=ten:ant 7"
+    val hostile = "ten:ant 7"
+    IndexStore.appendToIndex(Seq(
+      ("d1", 0, "escape me", Seq(1f, 0f), hostile),
+      ("d9", 0, "bob doc", Seq(0f, 1f), "bob"))
+      .toDF("doc_id", "chunk_idx", "text", "embedding", "user_id"), idx)
+    assert(IndexStore.readTenant(spark, idx, hostile).count() == 1)
+    assert(!new java.io.File(s"$idx/user_id=$hostile").exists,
+      "precondition: the raw-id dir must not be the on-disk layout, or this test proves nothing")
+    IndexStore.purgeTenant(spark, idx, hostile)
+    assert(IndexStore.readTenant(spark, idx, hostile).isEmpty, "tenant rows erased")
+    assert(IndexStore.readTenant(spark, idx, "bob").count() == 1, "other tenant untouched")
+    // last-doc delete routes through purgeTenant — same escaping path
+    IndexStore.appendToIndex(Seq(("d2", 0, "again", Seq(1f, 1f), hostile))
+      .toDF("doc_id", "chunk_idx", "text", "embedding", "user_id"), idx)
+    IndexStore.deleteTenantDocs(spark, idx, hostile, Seq("d2").toDF("doc_id"))
+    assert(IndexStore.readTenant(spark, idx, hostile).isEmpty, "last-doc erasure erases")
+  }
+
   test("compactPartitioned: per-append small files merge, content and pruning intact") {
     val idx = Files.createTempDirectory("graft_cmp").toString + "/index"
     // three upload batches = three file sets per tenant dir
