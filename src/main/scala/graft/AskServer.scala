@@ -1,0 +1,186 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{AskPipeline, Embed, GraphIndex}
+
+/** A live network serving surface for the ask pipeline — the one
+  * reference entry point that previously had no runnable counterpart:
+  *
+  *  - `POST /ask` (app/main.py:587-608): JSON
+  *    `{user_id?, chat_id?, query, top_k?}` → `{"query": q,
+  *    "answer": a, "from_cache": b, "n_history_turns": n}` (the
+  *    reference returns query+answer; the two extra fields are
+  *    observability, not behavior);
+  *  - `POST /ask/stream` (the WS `/ws/ask` analog, app/main.py:650-735):
+  *    chunked NDJSON — one `{"token": t}` line per answer token as the
+  *    relay emits it, then `{"done": true, "from_cache": b}` — the
+  *    per-token egress shape a WebSocket client consumes. (The tokens
+  *    relay the COMPLETED ask's answer; a deployment that wires
+  *    [[operators.HttpGenerateClient.generateStream]] through
+  *    [[streaming.TokenEgress]] relays true LLM deltas with the same
+  *    line protocol.)
+  *
+  * Serving state mirrors the reference's:
+  *  - the LFU semantic cache EVOLVES across requests (hit → freq bump,
+  *    miss → insert with eviction), localCheckpoint'd each ask so the
+  *    ≤capacity-row table never accrues lineage;
+  *  - per-chat conversation memory (app/main.py:483-489), rendered
+  *    into the prompt as `Human:/AI:` turns ([[streaming.SessionState]]'s
+  *    format), bounded to `historyTurns` — and INITIALIZED on first
+  *    use, deliberately not replicating the reference's
+  *    uninitialized-store crash.
+  *
+  * Requests serialize through one lock (single-writer cache/memory —
+  * the file-store discipline; the reference's Redis serializes the
+  * same mutations server-side). Retrieval inside the ask is still the
+  * fully distributed plan. JDK HttpServer — no new dependency, no
+  * default exposure (bind 127.0.0.1, ephemeral port unless given).
+  */
+final class AskServer(spark: SparkSession, index: DataFrame,
+                      graph: Option[GraphIndex.Serving] = None,
+                      generate: Option[String => String] = None,
+                      dim: Int = Schemas.EmbeddingDim,
+                      defaultTopK: Int = Schemas.DefaultTopK,
+                      capacity: Int = Schemas.CacheCapacity,
+                      threshold: Double = Schemas.CacheThreshold,
+                      historyTurns: Int = 5,
+                      bindPort: Int = 0) {
+  import spark.implicits._
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val lock = new Object
+  private var cache: DataFrame = Seq.empty[(Long, Seq[Float], String, Int)]
+    .toDF("entry_id", "embedding", "response", "freq")
+  private val memory = scala.collection.mutable.Map.empty[String, Vector[(String, String)]]
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+  server.createContext("/ask", (ex: HttpExchange) => safely(ex)(handleAsk))
+  server.createContext("/ask/stream", (ex: HttpExchange) => safely(ex)(handleStream))
+  // the pool must be shut down with the server or its non-daemon
+  // threads outlive main and the JVM never exits
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
+  def port: Int = server.getAddress.getPort
+
+  private def safely(ex: HttpExchange)(f: HttpExchange => Unit): Unit =
+    try f(ex)
+    catch {
+      case e: IllegalArgumentException => respond(ex, 400,
+        s"""{"error":${quote(e.getMessage)}}""")
+      case scala.util.control.NonFatal(e) => respond(ex, 500,
+        s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+    }
+
+  private def quote(s: String): String = mapper.writeValueAsString(s)
+
+  private case class AskReq(chatId: String, query: String, topK: Int)
+
+  private def parseReq(ex: HttpExchange): AskReq = {
+    require(ex.getRequestMethod == "POST", "POST only")
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val root = try mapper.readTree(body)
+      catch { case scala.util.control.NonFatal(_) =>
+        throw new IllegalArgumentException("request body is not JSON") }
+    val query = root.path("query").asText("")
+    require(query.trim.nonEmpty, "missing required field: query")
+    AskReq(root.path("chat_id").asText("default"), query,
+      root.path("top_k").asInt(defaultTopK))
+  }
+
+  /** One serialized ask round against the evolving cache + memory;
+    * returns (answer, fromCache, historyTurnsUsed). */
+  private def askOnce(r: AskReq): (String, Boolean, Int) = lock.synchronized {
+    val turns = memory.getOrElse(r.chatId, Vector.empty)
+    val history = if (turns.isEmpty) None
+      else Some(turns.map(t => s"Human: ${t._1}\nAI: ${t._2}").mkString("\n"))
+    val (res, updated) = AskPipeline.ask(spark, index, cache, r.query,
+      history = history, topK = r.topK, threshold = threshold,
+      capacity = capacity, dim = dim,
+      queryVec = Some(Embed.embedQuery(spark, r.query, dim)),
+      graph = graph, generate = generate)
+    cache = updated.localCheckpoint() // capacity-bounded rows; lineage capped
+    memory(r.chatId) = (turns :+ (r.query, res.answer)).takeRight(historyTurns)
+    (res.answer, res.fromCache, turns.length)
+  }
+
+  private def handleAsk(ex: HttpExchange): Unit = {
+    val r = parseReq(ex)
+    val (answer, fromCache, nTurns) = askOnce(r)
+    respond(ex, 200,
+      s"""{"query":${quote(r.query)},"answer":${quote(answer)},""" +
+        s""""from_cache":$fromCache,"n_history_turns":$nTurns}""")
+  }
+
+  private def handleStream(ex: HttpExchange): Unit = {
+    val r = parseReq(ex)
+    val (answer, fromCache, _) = askOnce(r)
+    ex.getResponseHeaders.add("Content-Type", "application/x-ndjson")
+    ex.sendResponseHeaders(200, 0) // chunked
+    val out = ex.getResponseBody
+    answer.split("(?<= )").filter(_.nonEmpty).foreach { tok =>
+      out.write((s"""{"token":${quote(tok)}}""" + "\n").getBytes(StandardCharsets.UTF_8))
+      out.flush() // one chunk per token — the WS relay cadence
+    }
+    out.write((s"""{"done":true,"from_cache":$fromCache}""" + "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+}
+
+/** Demo main: serve the sf0.001 corpus through the full pipeline
+  * (chunk → embed → warm graph index → HTTP), self-smoke two asks
+  * (miss then hit) against the live socket, print them, and exit —
+  * CI-safe, loopback-only. `runMain graft.AskServer [--keep-alive]`
+  * leaves the server up for manual poking. */
+object AskServer {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions.col
+    val docs = sources.TableLoader.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+    val chunks = operators.Ingest.chunk(
+        docs.filter(operators.Ingest.nonBlank(col("text"))), "text", 64)
+      .select("doc_id", "chunk_idx", "chunk_text")
+    val index = Materialize(Embed.withEmbedding(chunks, "chunk_text", "embedding"))
+    val gdir = java.nio.file.Files.createTempDirectory("askserver_graph").toString
+    val h = operators.GraphIndex.build(spark, index, Seq("doc_id", "chunk_idx"),
+      "embedding", gdir, nCentroids = 8, m = 8, nBuckets = 16, beamWidth = 8, hops = 3)
+    val srv = new AskServer(spark, index, graph = Some(operators.GraphIndex.warm(spark, h)))
+    val port = srv.start()
+    println(s"ASK SERVER listening on http://127.0.0.1:$port/ask")
+    val http = java.net.http.HttpClient.newHttpClient()
+    def post(path: String, body: String): String =
+      http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    val q = """{"chat_id":"demo","query":"fast table scan merge join"}"""
+    println("ASK1: " + post("/ask", q).take(200))
+    println("ASK2: " + post("/ask", q).take(200))
+    if (args.contains("--keep-alive")) {
+      println("serving until killed"); Thread.currentThread().join()
+    } else { srv.stop(); spark.stop() }
+  }
+}

@@ -54,7 +54,8 @@ object AskPipeline {
           capacity: Int = Schemas.CacheCapacity,
           dim: Int = Schemas.EmbeddingDim,
           queryVec: Option[Array[Double]] = None,
-          graph: Option[GraphIndex.Serving] = None): (AskResult, DataFrame) = {
+          graph: Option[GraphIndex.Serving] = None,
+          generate: Option[String => String] = None): (AskResult, DataFrame) = {
     // queryVec overrides the default embedder — e.g. a TF-IDF-space vector
     // from Embed.embedQueryTfIdf when the index was built in that space
     val qVec = queryVec.getOrElse(Embed.embedQuery(spark, query, dim))
@@ -94,7 +95,13 @@ object AskPipeline {
           "query", "context", history.map(_ => "hist"))
           .select("prompt").head().getString(0)
 
-        val answer = generateStub(blocks.headOption.getOrElse(""))
+        // the replaceable model call (app/main.py:537-541): a real
+        // client (e.g. HttpGenerateClient.generate) receives the FULL
+        // prompt, exactly like the reference's LLM; the default stub
+        // extracts from the top context block so the pipeline stays
+        // deterministic and oracle-gatable
+        val answer = generate.map(g => g(prompt))
+          .getOrElse(generateStub(blocks.headOption.getOrElse("")))
 
         import spark.implicits._
         val nextId = cache.agg(coalesce(max("entry_id"), lit(0L)).as("m")).head().getLong(0) + 1
