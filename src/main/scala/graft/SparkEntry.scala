@@ -2057,6 +2057,28 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // BM25 over the SEGMENTED store (append-without-rebuild: per-batch
+    // segments carry no global df/N; the probe merges them on read).
+    // Docs split into two segments by doc_id parity; scores are
+    // bitwise-identical to the ad-hoc/monolithic forms, so the oracle
+    // is q_bm25's.
+    "q_bm25_segments" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_bm25seg$safe").getAbsolutePath
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = wide(s, dir, "documents").select("doc_id", "text")
+      Retrieval.appendBm25Segment(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", idx, "s0001", nBuckets = 32)
+      Retrieval.appendBm25Segment(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", idx, "s0002", nBuckets = 32)
+      Retrieval.bm25FromSegments(s, idx, "doc_id", RagQueryText)
+        .select(col("doc_id"), stableRound(col("score")).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(10)
+    }),
+
     // Hybrid retrieval: RRF fusion of the BM25 top-20 with the
     // doc-embedding cosine top-20 (both legs cut on ROUNDED scores so
     // the cut and the ranks are engine-portable).
@@ -3888,6 +3910,12 @@ object SparkEntry {
       // identical result contract: the persisted postings store changes
       // the serving layout only (bucketed probe vs corpus scan)
       "q_bm25_index" -> dBm25Query(
+        s"""SELECT doc_id, round(score + 1.2345e-9, 6) AS score
+           |FROM bm ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+
+      // identical result contract: the segmented store + merge-on-read
+      // df/N reproduces the union corpus's scores bitwise
+      "q_bm25_segments" -> dBm25Query(
         s"""SELECT doc_id, round(score + 1.2345e-9, 6) AS score
            |FROM bm ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
 

@@ -176,6 +176,172 @@ object Retrieval {
       .write.mode("overwrite").partitionBy("_bucket").parquet(dir + "/postings")
   }
 
+  // ------------------------------------------------------------------ //
+  // Segmented BM25 store — append without rebuild                      //
+  // ------------------------------------------------------------------ //
+
+  /** Append one SEGMENT to a segmented BM25 store — the append-side
+    * answer to [[writeBm25Index]]'s rebuild-cadence trade: the
+    * monolithic layout denormalizes df and (N, Σdl) onto every posting
+    * row, so ANY new document shifts them globally and the store must
+    * rebuild. Lucene's actual answer is segments + merge-on-read, and
+    * this is that layout on parquet:
+    *
+    *  - `<dir>/meta`: n_buckets + id_col, written by the FIRST append —
+    *    every later segment hashes terms with the same modulus (the
+    *    layout-drift refusal of the monolithic store, enforced here);
+    *  - `<dir>/segments/<name>/postings`: (id, _dl, _t, _tf) bucketed
+    *    and partitioned by the md5 term bucket — NO df, NO corpus
+    *    stats: nothing global lives on segment rows, which is exactly
+    *    what makes the append O(batch);
+    *  - `<dir>/segments/<name>/stats`: the segment's (_N, _sumdl);
+    *  - `<dir>/segments/<name>/meta`: (n_docs, id_hash) fingerprint,
+    *    summed at compaction into the monolithic guard meta.
+    *
+    * Segments must carry DISJOINT documents (single-writer batches, the
+    * upload model); a violation is caught loudly at [[compactBm25Segments]]
+    * (distinct-id count vs summed segment counts). A segment name
+    * reuse is refused — appends never overwrite. */
+  def appendBm25Segment(docs: DataFrame, idCol: String, textCol: String,
+                        dir: String, segment: String,
+                        nBuckets: Int = 64): Unit = {
+    import graft.functions.TextFunctions.alnumTokens
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(dir + "/meta")
+    val buckets =
+      if (!fs.exists(metaPath)) {
+        spark.range(1)
+          .select(lit(nBuckets).as("n_buckets"), lit(idCol).as("id_col"))
+          .coalesce(1).write.mode("overwrite").parquet(dir + "/meta")
+        nBuckets
+      } else {
+        val m = spark.read.parquet(dir + "/meta").head()
+        require(m.getAs[String]("id_col") == idCol,
+          s"segmented bm25 store at '$dir' is keyed by id_col=" +
+            s"'${m.getAs[String]("id_col")}', refusing an append keyed by '$idCol'")
+        m.getAs[Int]("n_buckets")
+      }
+    val segDir = s"$dir/segments/$segment"
+    require(!fs.exists(new org.apache.hadoop.fs.Path(segDir)),
+      s"segment '$segment' already exists in '$dir' — appends never overwrite")
+    val withDl = docs
+      .select(col(idCol), alnumTokens(col(textCol)).as("_toks"))
+      .withColumn("_dl", size(col("_toks")).cast("long"))
+    withDl.agg(count(lit(1)).as("_N"), sum(col("_dl")).as("_sumdl"))
+      .coalesce(1).write.mode("overwrite").parquet(segDir + "/stats")
+    docs.agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(xxhash64(col(idCol)).cast("decimal(38,0)")).cast("string").as("id_hash"))
+      .coalesce(1).write.mode("overwrite").parquet(segDir + "/meta")
+    withDl
+      .select(col(idCol), col("_dl"), explode(col("_toks")).as("_t"))
+      .groupBy(col(idCol), col("_dl"), col("_t"))
+      .agg(count(lit(1)).as("_tf"))
+      .withColumn("_bucket", termBucketCol(col("_t"), buckets))
+      .repartition(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(segDir + "/postings")
+  }
+
+  private def listBm25Segments(spark: SparkSession, dir: String): Seq[String] = {
+    val segRoot = new org.apache.hadoop.fs.Path(dir + "/segments")
+    val fs = segRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(segRoot), s"no segments under '$dir'")
+    fs.listStatus(segRoot).filter(_.isDirectory).map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** [[bm25]] served from an [[appendBm25Segment]] store, merge-on-read:
+    * per-query work is one bucket-pruned, term-filtered postings read
+    * PER SEGMENT (unioned; segment count is bounded by the compaction
+    * cadence), df comes from a (query-term)-sized aggregate over those
+    * matched rows broadcast back, and (N, Σdl) sum over the per-segment
+    * stats sidecars. Because segments carry disjoint docs, the merged
+    * df/N/Σdl are EXACTLY the union corpus's values — scores are
+    * bitwise-identical to [[bm25]] and to a monolithic
+    * [[writeBm25Index]] probe over the same rows (same longs, same
+    * fold order; RetrievalSpec pins all three equal). */
+  def bm25FromSegments(spark: SparkSession, dir: String, idCol: String,
+                       queryText: String,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryText.toLowerCase.trim.replace('\n', ' ')
+      .split("\\s+").map(_.replaceAll("[^a-z0-9]", ""))
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "query has no terms")
+    val meta = spark.read.parquet(dir + "/meta").head()
+    require(meta.getAs[String]("id_col") == idCol,
+      s"store id_col='${meta.getAs[String]("id_col")}' != probe '$idCol'")
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val buckets = terms.map(termBucket(_, nBuckets)).distinct.map(Long.box)
+    val segs = listBm25Segments(spark, dir)
+    val post = segs.map { s =>
+      spark.read.parquet(s + "/postings")
+        .filter(col("_bucket").isin(buckets: _*))
+        .filter(col("_t").isin(terms: _*))
+    }.reduce(_ unionByName _)
+    val stats = segs.map(s => spark.read.parquet(s + "/stats"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("_N")).as("_N"), sum(col("_sumdl")).as("_sumdl"))
+    // df merge-on-read: segments are doc-disjoint, so the global df of
+    // a term is the plain row count of its matched postings
+    val dfT = post.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    post
+      .join(broadcast(dfT), "_t")
+      .crossJoin(broadcast(stats))
+      .withColumn("_avgdl", col("_sumdl").cast("double") / col("_N"))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_N") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))))
+      .withColumn("_s",
+        col("_idf") * (col("_tf") * lit(k1 + 1.0)) /
+          (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("_t").as("t"), col("_s").as("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+  }
+
+  /** Fold a segmented store into the MONOLITHIC [[writeBm25Index]]
+    * layout at `outDir` (df/N denormalized back onto postings — probe
+    * speed restored to one zero-join read) — the segment-merge half of
+    * the append story, run on the compaction cadence. Validates the
+    * disjoint-documents contract loudly: if any document appears in
+    * two segments, the distinct-id count disagrees with the summed
+    * per-segment counts and the merge refuses (df would be silently
+    * inflated otherwise). The guard meta (n_docs + id_hash) is the
+    * exact decimal sum of the segment fingerprints, so
+    * [[requireBm25IndexMatches]] against the union corpus passes. */
+  def compactBm25Segments(spark: SparkSession, dir: String, outDir: String): Unit = {
+    val meta = spark.read.parquet(dir + "/meta").head()
+    val idCol = meta.getAs[String]("id_col")
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val segs = listBm25Segments(spark, dir)
+    val post = segs.map(s => spark.read.parquet(s + "/postings"))
+      .reduce(_ unionByName _)
+    val segMetas = segs.map(s => spark.read.parquet(s + "/meta").head())
+    val nDocs = segMetas.map(_.getAs[Long]("n_docs")).sum
+    val idHash = segMetas.map(m => BigDecimal(m.getAs[String]("id_hash")))
+      .sum.toBigInt.toString
+    val distinctIds = post.select(col(idCol)).distinct().count()
+    require(distinctIds == nDocs,
+      s"segmented bm25 store at '$dir' violates the disjoint-documents " +
+        s"contract: $distinctIds distinct ids across segments vs $nDocs " +
+        "summed segment docs — df/N would be silently wrong; re-ingest " +
+        "the duplicated batch instead of compacting")
+    spark.range(1)
+      .select(lit(nBuckets).as("n_buckets"), lit(idCol).as("id_col"),
+        lit(nDocs).as("n_docs"), lit(idHash).as("id_hash"))
+      .coalesce(1).write.mode("overwrite").parquet(outDir + "/meta")
+    segs.map(s => spark.read.parquet(s + "/stats")).reduce(_ unionByName _)
+      .agg(sum(col("_N")).as("_N"), sum(col("_sumdl")).as("_sumdl"))
+      .coalesce(1).write.mode("overwrite").parquet(outDir + "/stats")
+    val dfT = post.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    post.join(dfT, "_t")
+      .select(col(idCol), col("_dl"), col("_t"), col("_tf"), col("_df"))
+      .withColumn("_bucket", termBucketCol(col("_t"), nBuckets))
+      .repartition(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(outDir + "/postings")
+  }
+
   /** Drift guard for a [[writeBm25Index]] store: require that the store
     * was built over exactly this corpus — same id column, same row
     * count, same order-independent id fingerprint (decimal-accumulated

@@ -166,6 +166,51 @@ class RetrievalSpec extends AnyFunSuite {
       "index probe matched no postings — the lexical leg was never exercised")
   }
 
+  test("segmented bm25: two appends == monolithic scores; compact restores the zero-join layout") {
+    val docs = Seq(
+      (1L, "spark shuffle partitions tune the join"),
+      (2L, "spark spark spark spark filler filler filler filler"),
+      (3L, "spark join"),
+      (4L, "join of the tables in the warehouse by the planner"),
+      (5L, "nothing relevant here at all"))
+      .toDF("doc_id", "text")
+    val segA = docs.filter(col("doc_id") <= 2)
+    val segB = docs.filter(col("doc_id") > 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25seg").toString
+    Retrieval.appendBm25Segment(segA, "doc_id", "text", dir, "s0001", nBuckets = 8)
+    Retrieval.appendBm25Segment(segB, "doc_id", "text", dir, "s0002", nBuckets = 8)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val seg = scores(Retrieval.bm25FromSegments(spark, dir, "doc_id", "spark join"))
+    val adhoc = scores(Retrieval.bm25(docs, "doc_id", "text", "spark join"))
+    assert(seg == adhoc, "merge-on-read df/N must reproduce the union corpus scores bitwise")
+    // the per-segment probe reads stay bucket-pruned + term-pushed
+    val plan = Retrieval.bm25FromSegments(spark, dir, "doc_id", "spark join")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_bucket"), plan)
+    // compaction folds to the monolithic layout: same scores, and the
+    // guard meta equals a from-scratch monolithic build's (drift guard
+    // passes against the union corpus)
+    val out = java.nio.file.Files.createTempDirectory("graft_bm25cmp").toString
+    Retrieval.compactBm25Segments(spark, dir, out)
+    assert(scores(Retrieval.bm25FromIndex(spark, out, "doc_id", "spark join")) == adhoc)
+    Retrieval.requireBm25IndexMatches(spark, out, docs.select("doc_id"), "doc_id")
+    // guards: segment name reuse, id_col drift, duplicated docs
+    intercept[IllegalArgumentException] {
+      Retrieval.appendBm25Segment(segA, "doc_id", "text", dir, "s0001", nBuckets = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.appendBm25Segment(
+        segA.withColumnRenamed("doc_id", "other_id"), "other_id", "text", dir, "s0003")
+    }
+    Retrieval.appendBm25Segment(segA, "doc_id", "text", dir, "s0004", nBuckets = 8)
+    val err = intercept[IllegalArgumentException] {
+      Retrieval.compactBm25Segments(spark, dir,
+        java.nio.file.Files.createTempDirectory("graft_bm25dup").toString)
+    }
+    assert(err.getMessage.contains("disjoint"), err.getMessage)
+  }
+
   test("askHybrid refuses a bm25 store built over a different corpus (drift guard)") {
     import graft.operators.Ingest
     val docs = Seq(
