@@ -47,8 +47,11 @@ object ServeBench {
     val index = embedded.persist()
     val nChunks = index.count()
     val gdir = java.nio.file.Files.createTempDirectory("serve_graph").toString
+    // sqrt-N codebook (PmcRecallProbe: recall@10 = 0.98 here vs 0.32
+    // at the 64-centroid setting this bench first shipped with —
+    // latency numbers are only meaningful at a serving-grade recall)
     val h = operators.GraphIndex.build(spark, index, Seq("doc_id", "chunk_idx"),
-      "embedding", gdir, nCentroids = 64, m = 16, nBuckets = 64,
+      "embedding", gdir, nCentroids = 181, m = 16, nBuckets = 64,
       beamWidth = 32, hops = 3)
     val wh = operators.GraphIndex.warm(spark, h)
     println(f"SETUP chunks=$nChunks ingest+build+warm=${(System.nanoTime() - t0) / 1e9}%.1f s")
