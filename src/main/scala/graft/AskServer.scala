@@ -19,11 +19,14 @@ import graft.operators.{AskPipeline, Embed, GraphIndex}
   *  - `POST /ask/stream` (the WS `/ws/ask` analog, app/main.py:650-735):
   *    chunked NDJSON — one `{"token": t}` line per answer token as the
   *    relay emits it, then `{"done": true, "from_cache": b}` — the
-  *    per-token egress shape a WebSocket client consumes. (The tokens
-  *    relay the COMPLETED ask's answer; a deployment that wires
-  *    [[operators.HttpGenerateClient.generateStream]] through
-  *    [[streaming.TokenEgress]] relays true LLM deltas with the same
-  *    line protocol.)
+  *    per-token egress shape a WebSocket client consumes. With a
+  *    `generateStream` hook (e.g.
+  *    [[operators.HttpGenerateClient.generateStream]]) miss-path
+  *    tokens relay LIVE as the model emits them — the hook runs at
+  *    the pipeline's LLM call site, so the client reads deltas before
+  *    the ask round finishes; without one (or on a cache hit) the
+  *    completed answer is relayed token by token under the same line
+  *    protocol.
   *
   * Serving state mirrors the reference's:
   *  - the LFU semantic cache EVOLVES across requests (hit → freq bump,
@@ -44,6 +47,7 @@ import graft.operators.{AskPipeline, Embed, GraphIndex}
 final class AskServer(spark: SparkSession, index: DataFrame,
                       graph: Option[GraphIndex.Serving] = None,
                       generate: Option[String => String] = None,
+                      generateStream: Option[String => Iterator[String]] = None,
                       dim: Int = Schemas.EmbeddingDim,
                       defaultTopK: Int = Schemas.DefaultTopK,
                       capacity: Int = Schemas.CacheCapacity,
@@ -96,39 +100,64 @@ final class AskServer(spark: SparkSession, index: DataFrame,
   }
 
   /** One serialized ask round against the evolving cache + memory;
-    * returns (answer, fromCache, historyTurnsUsed). */
-  private def askOnce(r: AskReq): (String, Boolean, Int) = lock.synchronized {
+    * returns (answer, fromCache, historyTurnsUsed, streamedLive).
+    *
+    * `onToken`, when set AND a `generateStream` hook is configured AND
+    * the ask is a cache miss, receives each generation delta AS IT
+    * ARRIVES (the hook runs at ask()'s LLM call site, so the client
+    * sees tokens before the ask round finishes — the reference's WS
+    * relay timing); the accumulated text becomes the cached answer.
+    * `streamedLive` tells the caller whether that happened (a cache
+    * hit, or no streaming generator, means the caller must relay the
+    * completed answer itself). */
+  private def askOnce(r: AskReq, onToken: Option[String => Unit] = None)
+      : (String, Boolean, Int, Boolean) = lock.synchronized {
     val turns = memory.getOrElse(r.chatId, Vector.empty)
     val history = if (turns.isEmpty) None
       else Some(turns.map(t => s"Human: ${t._1}\nAI: ${t._2}").mkString("\n"))
+    var streamedLive = false
+    val gen: Option[String => String] = (onToken, generateStream) match {
+      case (Some(emit), Some(gs)) => Some { prompt =>
+        streamedLive = true
+        val sb = new StringBuilder
+        gs(prompt).foreach { t => sb.append(t); emit(t) }
+        sb.toString
+      }
+      case _ => generate
+    }
     val (res, updated) = AskPipeline.ask(spark, index, cache, r.query,
       history = history, topK = r.topK, threshold = threshold,
       capacity = capacity, dim = dim,
       queryVec = Some(Embed.embedQuery(spark, r.query, dim)),
-      graph = graph, generate = generate)
+      graph = graph, generate = gen)
     cache = updated.localCheckpoint() // capacity-bounded rows; lineage capped
     memory(r.chatId) = (turns :+ (r.query, res.answer)).takeRight(historyTurns)
-    (res.answer, res.fromCache, turns.length)
+    (res.answer, res.fromCache, turns.length, streamedLive)
   }
 
   private def handleAsk(ex: HttpExchange): Unit = {
     val r = parseReq(ex)
-    val (answer, fromCache, nTurns) = askOnce(r)
+    val (answer, fromCache, nTurns, _) = askOnce(r)
     respond(ex, 200,
       s"""{"query":${quote(r.query)},"answer":${quote(answer)},""" +
         s""""from_cache":$fromCache,"n_history_turns":$nTurns}""")
   }
 
   private def handleStream(ex: HttpExchange): Unit = {
-    val r = parseReq(ex)
-    val (answer, fromCache, _) = askOnce(r)
+    val r = parseReq(ex) // validation errors become a 400 BEFORE headers
     ex.getResponseHeaders.add("Content-Type", "application/x-ndjson")
     ex.sendResponseHeaders(200, 0) // chunked
     val out = ex.getResponseBody
-    answer.split("(?<= )").filter(_.nonEmpty).foreach { tok =>
+    def emit(tok: String): Unit = {
       out.write((s"""{"token":${quote(tok)}}""" + "\n").getBytes(StandardCharsets.UTF_8))
       out.flush() // one chunk per token — the WS relay cadence
     }
+    // with a generateStream hook, miss-path tokens relay LIVE from the
+    // model stream; otherwise (or on a cache hit) relay the completed
+    // answer token by token — same line protocol either way
+    val (answer, fromCache, _, streamedLive) = askOnce(r, onToken = Some(emit))
+    if (!streamedLive)
+      answer.split("(?<= )").filter(_.nonEmpty).foreach(emit)
     out.write((s"""{"done":true,"from_cache":$fromCache}""" + "\n")
       .getBytes(StandardCharsets.UTF_8))
     out.close()

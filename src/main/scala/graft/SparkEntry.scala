@@ -1907,6 +1907,21 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // The same dedup at a SCALED codebook (|C|=64 ≈ √N at this SF) —
+    // hash-gates the production discipline the sf1 rehearsal measured:
+    // cells shrink to ~N/|C| and the pairwise stage stays sub-quadratic
+    // while the oracle replays the identical assignment + pair rule.
+    "q_semantic_dedup_scaled" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      val cents = base.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      SemanticDedup.dedup(base.unionByName(planted), "vec_id", "embedding",
+          cents, "centroid_id", "cvec", tau = 0.9)
+        .orderBy("vec_id")
+    }),
+
     // Incremental semantic dedup: batch (ids >= 250, plus planted copies
     // of corpus vectors at +20000 → dup_corpus, and of batch vectors at
     // +30000 → dup_batch) probed against the corpus's cell-assigned
@@ -2463,6 +2478,36 @@ object SparkEntry {
   }
 
   private def annGraphOracle: String = annGraphOracleWhere("", "")
+
+  /** q_semantic_dedup / q_semantic_dedup_scaled: replay SemanticDedup
+    * .dedup (nearest-centroid assignment, cell-confined lower-id
+    * tau-pair argmin, left join back) for a head-`nCents` codebook —
+    * the SAME SQL serves any |C|, which is what lets the scaled
+    * (production-discipline) codebook be hash-gated too. */
+  private def semanticDedupOracle(nCents: Int): String =
+    s"""WITH all_v AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100
+       |),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $nCents),
+       |asg AS (
+       |  SELECT vec_id, embedding, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+       |  FROM (SELECT v.vec_id, v.embedding, c.cid,
+       |               ${dCosine("v.embedding", "c.cv")} AS csim
+       |        FROM all_v v, c)
+       |),
+       |cells AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1),
+       |dups AS (
+       |  SELECT x.vec_id, min(y.vec_id) AS dup_of
+       |  FROM cells x JOIN cells y ON x.cell_id = y.cell_id AND y.vec_id < x.vec_id
+       |  WHERE ${dCosine("x.embedding", "y.embedding")} >= 0.9
+       |  GROUP BY 1
+       |)
+       |SELECT cells.vec_id, cells.cell_id, d.dup_of IS NULL AS is_kept, d.dup_of
+       |FROM cells LEFT JOIN dups d ON cells.vec_id = d.vec_id
+       |ORDER BY cells.vec_id""".stripMargin
 
   /** q_ann_graph_batch: the same hop-by-hop walk replay as
     * [[annGraphOracle]], but every walk CTE carries `qid` — three
@@ -3594,30 +3639,12 @@ object SparkEntry {
           |       CAST(sum(CASE WHEN r_repetition THEN 0 ELSE 1 END) AS BIGINT) AS killed_by_repetition
           |FROM rr""".stripMargin),
 
-      "q_semantic_dedup" ->
-        s"""WITH all_v AS (
-           |  SELECT vec_id, embedding FROM embeddings
-           |  UNION ALL
-           |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100
-           |),
-           |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
-           |asg AS (
-           |  SELECT vec_id, embedding, cid,
-           |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-           |  FROM (SELECT v.vec_id, v.embedding, c.cid,
-           |               ${dCosine("v.embedding", "c.cv")} AS csim
-           |        FROM all_v v, c)
-           |),
-           |cells AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1),
-           |dups AS (
-           |  SELECT x.vec_id, min(y.vec_id) AS dup_of
-           |  FROM cells x JOIN cells y ON x.cell_id = y.cell_id AND y.vec_id < x.vec_id
-           |  WHERE ${dCosine("x.embedding", "y.embedding")} >= 0.9
-           |  GROUP BY 1
-           |)
-           |SELECT cells.vec_id, cells.cell_id, d.dup_of IS NULL AS is_kept, d.dup_of
-           |FROM cells LEFT JOIN dups d ON cells.vec_id = d.vec_id
-           |ORDER BY cells.vec_id""".stripMargin,
+      "q_semantic_dedup" -> semanticDedupOracle(8),
+
+      // identical semantics at the SCALED codebook: the oracle replays
+      // assignment + cell-confined pairwise for ANY |C| — the √N
+      // production discipline is hash-gated, not just probe-backed
+      "q_semantic_dedup_scaled" -> semanticDedupOracle(64),
 
       // Incremental semantic dedup: same nearest-centroid assignment CTE
       // shape as q_semantic_dedup (row_number over csim DESC, cid = the

@@ -84,6 +84,31 @@ class AskServerSpec extends AnyFunSuite {
     }
   }
 
+  test("generateStream hook: miss-path tokens relay the MODEL's deltas; cached repeat relays the stored answer") {
+    val deltas = Seq("alpha ", "beta ", "gamma")
+    // the hook runs at the pipeline's LLM call site and receives the
+    // full prompt — assert that contract while we're here
+    @volatile var seenPrompt: String = null
+    val srv = new AskServer(spark, index,
+      generateStream = Some { p => seenPrompt = p; deltas.iterator })
+    val port = srv.start()
+    try {
+      val q = """{"chat_id":"g0","query":"broadcast join tables"}"""
+      val lines = post(port, "/ask/stream", q).body().split("\n").filter(_.nonEmpty)
+      val toks = lines.init.map(l => mapper.readTree(l).path("token").asText()).toSeq
+      assert(toks == deltas, s"live relay must emit the model's own deltas: $toks")
+      assert(!mapper.readTree(lines.last).path("from_cache").asBoolean(true))
+      assert(seenPrompt != null && seenPrompt.contains("broadcast join tables") &&
+        seenPrompt.contains("Context:"), s"hook must receive the full prompt:\n$seenPrompt")
+      // the accumulated stream IS the cached answer: the repeat is a
+      // hit and relays the stored text (split per word, not per delta)
+      val again = post(port, "/ask/stream", q).body().split("\n").filter(_.nonEmpty)
+      assert(mapper.readTree(again.last).path("from_cache").asBoolean(false))
+      val rebuilt = again.init.map(l => mapper.readTree(l).path("token").asText()).mkString
+      assert(rebuilt == deltas.mkString, s"cached relay must replay the accumulated answer: '$rebuilt'")
+    } finally srv.stop()
+  }
+
   test("validation: missing query is a 400, not a crash") {
     withServer { port =>
       val r = post(port, "/ask", """{"chat_id":"x"}""")
