@@ -38,10 +38,20 @@ import graft.operators.{AskPipeline, Embed, GraphIndex}
   *    use, deliberately not replicating the reference's
   *    uninitialized-store crash.
   *
-  * Requests serialize through one lock (single-writer cache/memory —
-  * the file-store discipline; the reference's Redis serializes the
-  * same mutations server-side). Retrieval inside the ask is still the
-  * fully distributed plan. JDK HttpServer — no new dependency, no
+  * Concurrency is the reference's (FastAPI async + a semaphore,
+  * app/main.py:31,186): `concurrency` pool threads serve requests in
+  * parallel, and the single lock guards ONLY the serving-state
+  * snapshot and the effect merge — the distributed retrieval, the LLM
+  * call, and every token write to the client socket run UNLOCKED, so
+  * a slow model or a stalled stream consumer never blocks other asks.
+  * Cache semantics under interleaving are CONCURRENT-ARRIVAL, exactly
+  * [[AskPipeline.askBatch]]'s: each ask probes the snapshot current at
+  * its start; effects ([[AskPipeline.CacheEffect]]) merge serially in
+  * completion order (racing identical misses both generate and both
+  * insert — the same race the reference's Redis clients run). A failed
+  * generation (empty LLM answer) updates NOTHING — no cache insert, no
+  * memory turn — and answers the reference's error string
+  * (app/main.py:541-548). JDK HttpServer — no new dependency, no
   * default exposure (bind 127.0.0.1, ephemeral port unless given).
   */
 final class AskServer(spark: SparkSession, index: DataFrame,
@@ -53,7 +63,8 @@ final class AskServer(spark: SparkSession, index: DataFrame,
                       capacity: Int = Schemas.CacheCapacity,
                       threshold: Double = Schemas.CacheThreshold,
                       historyTurns: Int = 5,
-                      bindPort: Int = 0) {
+                      bindPort: Int = 0,
+                      concurrency: Int = 8) {
   import spark.implicits._
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -67,7 +78,7 @@ final class AskServer(spark: SparkSession, index: DataFrame,
   server.createContext("/ask/stream", (ex: HttpExchange) => safely(ex)(handleStream))
   // the pool must be shut down with the server or its non-daemon
   // threads outlive main and the JVM never exits
-  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
   server.setExecutor(pool)
 
   def start(): Int = { server.start(); server.getAddress.getPort }
@@ -99,8 +110,17 @@ final class AskServer(spark: SparkSession, index: DataFrame,
       root.path("top_k").asInt(defaultTopK))
   }
 
-  /** One serialized ask round against the evolving cache + memory;
+  /** One ask round against the evolving cache + memory;
     * returns (answer, fromCache, historyTurnsUsed, streamedLive).
+    *
+    * Three phases: SNAPSHOT the serving state under the lock (cheap
+    * reference copies), COMPUTE unlocked (cache probe, distributed
+    * retrieval, generation — token emission to the socket happens here,
+    * with no lock held), then MERGE the effect under the lock against
+    * the CURRENT state (concurrent-arrival semantics; both locked
+    * sections act only on ≤capacity-row localCheckpoint'd tables and
+    * driver maps, so the lock is held for milliseconds, never for a
+    * retrieval or a network write).
     *
     * `onToken`, when set AND a `generateStream` hook is configured AND
     * the ask is a cache miss, receives each generation delta AS IT
@@ -111,11 +131,17 @@ final class AskServer(spark: SparkSession, index: DataFrame,
     * hit, or no streaming generator, means the caller must relay the
     * completed answer itself). */
   private def askOnce(r: AskReq, onToken: Option[String => Unit] = None)
-      : (String, Boolean, Int, Boolean) = lock.synchronized {
-    val turns = memory.getOrElse(r.chatId, Vector.empty)
+      : (String, Boolean, Int, Boolean) = {
+    val (cacheSnap, turns) = lock.synchronized(
+      (cache, memory.getOrElse(r.chatId, Vector.empty)))
     val history = if (turns.isEmpty) None
       else Some(turns.map(t => s"Human: ${t._1}\nAI: ${t._2}").mkString("\n"))
     var streamedLive = false
+    // with only a streaming generator configured, the blocking path
+    // drains it — both endpoints answer from the SAME model, and the
+    // shared cache never mixes stub and model answers
+    val blocking = generate.orElse(
+      generateStream.map(gs => (prompt: String) => gs(prompt).mkString))
     val gen: Option[String => String] = (onToken, generateStream) match {
       case (Some(emit), Some(gs)) => Some { prompt =>
         streamedLive = true
@@ -123,15 +149,20 @@ final class AskServer(spark: SparkSession, index: DataFrame,
         gs(prompt).foreach { t => sb.append(t); emit(t) }
         sb.toString
       }
-      case _ => generate
+      case _ => blocking
     }
-    val (res, updated) = AskPipeline.ask(spark, index, cache, r.query,
-      history = history, topK = r.topK, threshold = threshold,
-      capacity = capacity, dim = dim,
+    val (res, effect) = AskPipeline.askStateless(spark, index, cacheSnap, r.query,
+      history = history, topK = r.topK, threshold = threshold, dim = dim,
       queryVec = Some(Embed.embedQuery(spark, r.query, dim)),
       graph = graph, generate = gen)
-    cache = updated.localCheckpoint() // capacity-bounded rows; lineage capped
-    memory(r.chatId) = (turns :+ (r.query, res.answer)).takeRight(historyTurns)
+    if (!res.failed) lock.synchronized {
+      // merge against the CURRENT state, not the snapshot: a Touch on a
+      // concurrently evicted entry no-ops, an Insert allocates its id here
+      cache = AskPipeline.applyCacheEffect(cache, effect, capacity)
+        .localCheckpoint() // capacity-bounded rows; lineage capped
+      memory(r.chatId) = (memory.getOrElse(r.chatId, Vector.empty)
+        :+ (r.query, res.answer)).takeRight(historyTurns)
+    }
     (res.answer, res.fromCache, turns.length, streamedLive)
   }
 
@@ -148,19 +179,30 @@ final class AskServer(spark: SparkSession, index: DataFrame,
     ex.getResponseHeaders.add("Content-Type", "application/x-ndjson")
     ex.sendResponseHeaders(200, 0) // chunked
     val out = ex.getResponseBody
-    def emit(tok: String): Unit = {
-      out.write((s"""{"token":${quote(tok)}}""" + "\n").getBytes(StandardCharsets.UTF_8))
-      out.flush() // one chunk per token — the WS relay cadence
-    }
-    // with a generateStream hook, miss-path tokens relay LIVE from the
-    // model stream; otherwise (or on a cache hit) relay the completed
-    // answer token by token — same line protocol either way
-    val (answer, fromCache, _, streamedLive) = askOnce(r, onToken = Some(emit))
-    if (!streamedLive)
-      answer.split("(?<= )").filter(_.nonEmpty).foreach(emit)
-    out.write((s"""{"done":true,"from_cache":$fromCache}""" + "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    out.close()
+    // headers are gone: any later failure must stay ON this stream as
+    // an {"error":...} line + close — routing through safely()'s
+    // respond() would call sendResponseHeaders twice, and the client
+    // would hang on a truncated stream with no done/error line
+    try {
+      def emit(tok: String): Unit = {
+        out.write((s"""{"token":${quote(tok)}}""" + "\n").getBytes(StandardCharsets.UTF_8))
+        out.flush() // one chunk per token — the WS relay cadence
+      }
+      // with a generateStream hook, miss-path tokens relay LIVE from the
+      // model stream; otherwise (or on a cache hit) relay the completed
+      // answer token by token — same line protocol either way
+      val (answer, fromCache, _, streamedLive) = askOnce(r, onToken = Some(emit))
+      if (!streamedLive)
+        answer.split("(?<= )").filter(_.nonEmpty).foreach(emit)
+      out.write((s"""{"done":true,"from_cache":$fromCache}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // best-effort: the socket itself may be what failed
+        try out.write((s"""{"error":${quote(String.valueOf(e.getMessage))}}""" + "\n")
+          .getBytes(StandardCharsets.UTF_8))
+        catch { case scala.util.control.NonFatal(_) => () }
+    } finally out.close()
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {

@@ -22,7 +22,41 @@ import graft.functions.VectorFunctions._
   */
 object AskPipeline {
 
-  case class AskResult(query: String, answer: String, fromCache: Boolean, prompt: String)
+  case class AskResult(query: String, answer: String, fromCache: Boolean, prompt: String,
+                       failed: Boolean = false)
+
+  /** The reference's error answer when the LLM yields nothing
+    * (app/main.py:541-548) — the one answer that must NEVER enter the
+    * cache or conversation memory, or a transient model failure is
+    * served as a hit until eviction. */
+  val NoResponseAnswer = "Error: No response was generated."
+
+  /** A cache mutation DECOUPLED from the snapshot it was computed
+    * against, so concurrent asks can probe one snapshot in parallel and
+    * serialize only the merge (the reference's Redis discipline: racing
+    * requests both generate, writes serialize server-side). Applying a
+    * Touch whose entry was concurrently evicted is a no-op by
+    * [[CacheLfu.touchById]]'s construction; an Insert allocates its
+    * entry_id at APPLY time, against the cache it lands in. */
+  sealed trait CacheEffect
+  case class TouchEffect(entryId: Long) extends CacheEffect
+  case class InsertEffect(embedding: Seq[Float], answer: String) extends CacheEffect
+  case object NoEffect extends CacheEffect
+
+  /** Merge one ask's cache effect into `cache` (possibly a LATER version
+    * than the snapshot the effect was computed against — see
+    * [[CacheEffect]]). */
+  def applyCacheEffect(cache: DataFrame, effect: CacheEffect,
+                       capacity: Int = Schemas.CacheCapacity): DataFrame = effect match {
+    case NoEffect => cache
+    case TouchEffect(id) => CacheLfu.touchById(cache, id)
+    case InsertEffect(vec, answer) =>
+      import cache.sparkSession.implicits._
+      val nextId = cache.agg(coalesce(max("entry_id"), lit(0L)).as("m")).head().getLong(0) + 1
+      val entry = Seq((nextId, vec, answer, 1))
+        .toDF("entry_id", "embedding", "response", "freq")
+      CacheLfu.put(cache, entry, capacity)
+  }
 
   /** Deterministic stand-in for the LLM call (app/main.py:537-541):
     * extract the first sentence-ish span of the top-ranked context. */
@@ -56,6 +90,25 @@ object AskPipeline {
           queryVec: Option[Array[Double]] = None,
           graph: Option[GraphIndex.Serving] = None,
           generate: Option[String => String] = None): (AskResult, DataFrame) = {
+    val (res, effect) = askStateless(spark, index, cache, query, history, topK,
+      threshold, dim, queryVec, graph, generate)
+    (res, applyCacheEffect(cache, effect, capacity))
+  }
+
+  /** The probe/compute half of [[ask]]: reads `cache` but never derives a
+    * new version from it — mutations come back as a [[CacheEffect]] for
+    * the caller to [[applyCacheEffect]] (immediately, like [[ask]], or
+    * under a serving lock against a possibly-later cache — [[graft.AskServer]]'s
+    * concurrent-arrival merge). A failed generation (empty hook answer)
+    * returns [[NoResponseAnswer]] with `failed = true` and NO effect:
+    * the error never poisons the cache (app/main.py:541-548). */
+  def askStateless(spark: SparkSession, index: DataFrame, cache: DataFrame, query: String,
+                   history: Option[String] = None, topK: Int = Schemas.DefaultTopK,
+                   threshold: Double = Schemas.CacheThreshold,
+                   dim: Int = Schemas.EmbeddingDim,
+                   queryVec: Option[Array[Double]] = None,
+                   graph: Option[GraphIndex.Serving] = None,
+                   generate: Option[String => String] = None): (AskResult, CacheEffect) = {
     // queryVec overrides the default embedder — e.g. a TF-IDF-space vector
     // from Embed.embedQueryTfIdf when the index was built in that space
     val qVec = queryVec.getOrElse(Embed.embedQuery(spark, query, dim))
@@ -67,8 +120,8 @@ object AskPipeline {
       case Some(row) =>
         // cache hit: return cached answer, bump the hit entry's freq
         // (by id — the lookup above already paid for the cosine scan)
-        val updated = CacheLfu.touchById(cache, row.getLong(0))
-        (AskResult(query, row.getString(1), fromCache = true, prompt = ""), updated)
+        (AskResult(query, row.getString(1), fromCache = true, prompt = ""),
+          TouchEffect(row.getLong(0)))
 
       case None =>
         val hits = (graph match {
@@ -103,12 +156,16 @@ object AskPipeline {
         val answer = generate.map(g => g(prompt))
           .getOrElse(generateStub(blocks.headOption.getOrElse("")))
 
-        import spark.implicits._
-        val nextId = cache.agg(coalesce(max("entry_id"), lit(0L)).as("m")).head().getLong(0) + 1
-        val entry = Seq((nextId, qVec.map(_.toFloat).toSeq, answer, 1))
-          .toDF("entry_id", "embedding", "response", "freq")
-        val updated = CacheLfu.put(cache, entry, capacity)
-        (AskResult(query, answer, fromCache = false, prompt), updated)
+        // an empty hook answer is a FAILURE, not content — the real
+        // clients (HttpGenerateClient) degrade to "" on any transport/
+        // LLM error by contract, and caching that would serve the
+        // failure as a hit until eviction (the stub never returns empty)
+        if (answer.trim.isEmpty)
+          (AskResult(query, NoResponseAnswer, fromCache = false, prompt,
+            failed = true), NoEffect)
+        else
+          (AskResult(query, answer, fromCache = false, prompt),
+            InsertEffect(qVec.map(_.toFloat).toSeq, answer))
     }
   }
 

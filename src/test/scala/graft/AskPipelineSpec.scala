@@ -56,6 +56,39 @@ class AskPipelineSpec extends AnyFunSuite {
     assert(!ids.contains(2L), s"expected newest min-freq eviction, cache has $ids")
   }
 
+  test("empty hook answer is a failure: error answer, cache NOT poisoned") {
+    // HttpGenerateClient degrades to "" on any transport/LLM error by
+    // contract; the reference (app/main.py:541-548) answers an error and
+    // skips the cache insert — one transient failure must not become a
+    // cache hit served until eviction
+    val (res, c1) = AskPipeline.ask(spark, index, emptyCache, "spark join tuning",
+      generate = Some(_ => "   "))
+    assert(res.failed && !res.fromCache)
+    assert(res.answer == AskPipeline.NoResponseAnswer)
+    assert(c1.count() == 0, "failed generation must not insert a cache entry")
+    // the model recovers: the SAME query is still a miss and caches normally
+    val (res2, c2) = AskPipeline.ask(spark, index, c1, "spark join tuning",
+      generate = Some(p => "recovered answer"))
+    assert(!res2.fromCache && !res2.failed && res2.answer == "recovered answer")
+    assert(c2.count() == 1)
+  }
+
+  test("askStateless effects merge against a LATER cache (concurrent-arrival)") {
+    // two racing identical misses: both probe the empty snapshot, both
+    // produce an Insert; applying the second against the first's result
+    // allocates a fresh id — the askBatch/Redis race, two entries
+    val (r1, e1) = AskPipeline.askStateless(spark, index, emptyCache, "spark join tuning")
+    val (r2, e2) = AskPipeline.askStateless(spark, index, emptyCache, "spark join tuning")
+    assert(!r1.fromCache && !r2.fromCache && r1.answer == r2.answer)
+    val merged = AskPipeline.applyCacheEffect(
+      AskPipeline.applyCacheEffect(emptyCache, e1), e2)
+    assert(merged.count() == 2)
+    assert(merged.select("entry_id").as[Long].collect().toSet == Set(1L, 2L))
+    // a Touch whose entry was concurrently evicted no-ops instead of erring
+    val touched = AskPipeline.applyCacheEffect(emptyCache, AskPipeline.TouchEffect(99L))
+    assert(touched.count() == 0)
+  }
+
   test("chat memory feeds the next ask's history (S-2 + §3.1 integration)") {
     import graft.streaming.SessionState
     import graft.streaming.SessionState.ChatMessage

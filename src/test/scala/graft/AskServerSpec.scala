@@ -109,6 +109,109 @@ class AskServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("failed generation: error answer, nothing cached, no memory turn") {
+    // hook fails (empty answer) once, then recovers — the failure must
+    // not be served as a later cache hit and must not become a history turn
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val srv = new AskServer(spark, index,
+      generate = Some(_ => if (calls.incrementAndGet() == 1) "" else "real answer"))
+    val port = srv.start()
+    try {
+      val q = """{"chat_id":"f0","query":"broadcast join tables"}"""
+      val r1 = mapper.readTree(post(port, "/ask", q).body())
+      assert(r1.path("answer").asText() == "Error: No response was generated.")
+      assert(!r1.path("from_cache").asBoolean(true))
+      val r2 = mapper.readTree(post(port, "/ask", q).body())
+      assert(!r2.path("from_cache").asBoolean(true),
+        "the failed answer must not have seeded the cache")
+      assert(r2.path("answer").asText() == "real answer")
+      assert(r2.path("n_history_turns").asInt(-1) == 0,
+        "a failed ask must not append a conversation turn")
+      val r3 = mapper.readTree(post(port, "/ask", q).body())
+      assert(r3.path("from_cache").asBoolean(false), "the real answer caches normally")
+      assert(r3.path("n_history_turns").asInt(-1) == 1)
+    } finally srv.stop()
+  }
+
+  test("generateStream-only: /ask answers from the SAME model as /ask/stream") {
+    val srv = new AskServer(spark, index,
+      generateStream = Some(_ => Iterator("model ", "answer")))
+    val port = srv.start()
+    try {
+      // blocking endpoint first: it must drain the stream hook, not fall
+      // back to the stub — otherwise the two endpoints cache different
+      // answers for the same query
+      val q = """{"chat_id":"m0","query":"cosine scoring vectors"}"""
+      val r1 = mapper.readTree(post(port, "/ask", q).body())
+      assert(r1.path("answer").asText() == "model answer")
+      val lines = post(port, "/ask/stream", q).body().split("\n").filter(_.nonEmpty)
+      assert(mapper.readTree(lines.last).path("from_cache").asBoolean(false),
+        "stream repeat must hit the entry /ask cached")
+      val rebuilt = lines.init.map(l => mapper.readTree(l).path("token").asText()).mkString
+      assert(rebuilt == "model answer")
+    } finally srv.stop()
+  }
+
+  test("/ask/stream failure after headers ends the stream with an error line") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val srv = new AskServer(spark, index,
+      generateStream = Some { _ =>
+        if (calls.incrementAndGet() == 1)
+          Iterator("one ") ++ { throw new RuntimeException("model exploded") }
+        else Iterator("recovered")
+      })
+    val port = srv.start()
+    try {
+      val body = post(port, "/ask/stream",
+        """{"chat_id":"e0","query":"shuffle file map task"}""").body()
+      val lines = body.split("\n").filter(_.nonEmpty)
+      val last = mapper.readTree(lines.last)
+      assert(last.has("error"), s"stream must terminate with an error line, got: $body")
+      assert(last.path("error").asText().contains("model exploded"))
+      // the server survives, and the aborted ask cached nothing: the
+      // recovered model's answer is generated fresh
+      val r = mapper.readTree(post(port, "/ask",
+        """{"chat_id":"e0","query":"shuffle file map task"}""").body())
+      assert(r.path("answer").asText() == "recovered")
+      assert(!r.path("from_cache").asBoolean(true))
+    } finally srv.stop()
+  }
+
+  test("concurrent asks: all answered, effects merge, state stays consistent") {
+    withServer { port =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val queries = Seq(
+        "broadcast hash join planner", "cosine scoring of vectors",
+        "shuffle files and reducers", "broadcast hash join planner",
+        "cosine scoring of vectors", "shuffle files and reducers",
+        "broadcast hash join planner", "cosine scoring of vectors")
+      // 8 concurrent asks (3 distinct queries, duplicated) on one chat —
+      // retrieval runs unlocked in parallel; effects merge serially
+      val futs = queries.zipWithIndex.map { case (q, i) => Future {
+        mapper.readTree(post(port, "/ask",
+          s"""{"chat_id":"cc","query":${mapper.writeValueAsString(q)}}""").body())
+      }}
+      val rs = Await.result(Future.sequence(futs), 120.seconds)
+      assert(rs.length == 8 && rs.forall(_.path("answer").asText().nonEmpty))
+      // per-query answers agree across racers (hit or regenerated — the
+      // pipeline is deterministic, so racing misses produce equal text)
+      queries.distinct.foreach { q =>
+        val answers = rs.zip(queries).filter(_._2 == q).map(_._1.path("answer").asText()).toSet
+        assert(answers.size == 1, s"racing asks for '$q' diverged: $answers")
+      }
+      // the merged state serves hits now, and memory kept every turn
+      // (bounded at historyTurns=5)
+      val again = mapper.readTree(post(port, "/ask",
+        """{"chat_id":"cc","query":"broadcast hash join planner"}""").body())
+      assert(again.path("from_cache").asBoolean(false), "post-race repeat must be a hit")
+      assert(again.path("n_history_turns").asInt(-1) == 5,
+        "8 concurrent turns on one chat must leave the bounded window full")
+    }
+  }
+
   test("validation: missing query is a 400, not a crash") {
     withServer { port =>
       val r = post(port, "/ask", """{"chat_id":"x"}""")
