@@ -1272,6 +1272,28 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // The SAME graph build + walk at the PRODUCTION codebook discipline
+    // |C| = ⌊√N⌋ — the configuration that survives sf1 where the
+    // pinned-|C|=8 build OOMs (SCALE.md curve), and the recall-0.98
+    // point on the real corpus (PmcRecallProbe). Everything is derived
+    // from N on BOTH sides (Spark counts the table; DuckDB's scalar
+    // subquery replays it), so one oracle serves every SF. Query vec
+    // 201 is not a centroid at any SF (√N ≤ 141 even at sf1).
+    "q_ann_graph_scaled" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val nCents = math.floor(math.sqrt(e.count().toDouble)).toLong
+      val cents = e.filter(col("vec_id") < nCents)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+      val edges = Ann.knnGraph(assigned, "vec_id", "embedding",
+        cents, "centroid_id", "centroid_vec", m = 4)
+      Ann.graphSearch(s, edges, cents, "centroid_id", "centroid_vec",
+          collectVec(e, 201), beamWidth = 4, hops = 3)
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(10)
+    }),
+
     // WARM graph ANN serving: the same store-backed walk as
     // q_ann_graph_part, but the edge list is persisted once and every
     // hop filters cached batches (Ann.graphSearchResident — the
@@ -2429,13 +2451,15 @@ object SparkEntry {
     * q_graph_compact to replay the compaction's orphan re-anchoring on
     * top of the physical drop. */
   private def annGraphOracleWhere(edgeCond: String, resultCond: String,
-                                  edgesCtes: Option[String] = None): String = {
+                                  edgesCtes: Option[String] = None,
+                                  centPred: String = "vec_id < 8",
+                                  queryId: Long = 9): String = {
     val edgeWhere = if (edgeCond.isEmpty) "" else s" WHERE $edgeCond"
     val edgesBlock = edgesCtes.getOrElse(
       s"edges AS (SELECT src, dst FROM edges0$edgeWhere)")
     val resultWhere = if (resultCond.isEmpty) "" else s" WHERE $resultCond"
-    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
-       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 9),
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE $centPred),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
        |asg AS (
        |  SELECT vec_id, embedding, cid,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
@@ -2463,7 +2487,8 @@ object SparkEntry {
        |$edgesBlock,
        |sims AS (SELECT e.vec_id AS id, ${dCosine("e.embedding", "q.qv")} AS sim
        |         FROM embeddings e, q),
-       |v0 AS (SELECT id, sim FROM sims WHERE id < 8 ORDER BY sim DESC, id LIMIT 4),
+       |v0 AS (SELECT id, sim FROM sims WHERE id IN (SELECT cid FROM c)
+       |       ORDER BY sim DESC, id LIMIT 4),
        |f0 AS (SELECT id FROM v0 ORDER BY sim DESC, id LIMIT 4),
        |v1 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v0)
        |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f0))),
@@ -3057,6 +3082,10 @@ object SparkEntry {
       // node once, so hop CTEs select ids only; sim per id is functional
       // and identical to Spark's per-edge recompute.
       "q_ann_graph" -> annGraphOracle,
+      "q_ann_graph_scaled" -> annGraphOracleWhere("", "",
+        centPred = "vec_id < (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) " +
+          "FROM embeddings)",
+        queryId = 201),
 
       // mark-delete: the walk is untouched (tombstoned nodes still
       // route); only the final visited set is filtered

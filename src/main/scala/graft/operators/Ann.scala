@@ -655,28 +655,46 @@ object Ann {
         // amortized maintenance pass, not on the serve path.
         val dead = spark.read.parquet(tombDir).select(col("tomb_id"))
           .filter(!col("tomb_id").isin(protectedIds.map(Long.box): _*))
-        val dropped = edges
-          .join(dead.select(col("tomb_id").as("src")), Seq("src"), "left_anti")
-          .join(dead.select(col("tomb_id").as("dst")), Seq("dst"), "left_anti")
-        // orphans: live ids that had an in-edge before the drop (their
-        // dst_vec rides on exactly those rows) but none after — the
-        // reachability casualties the docstring's repair re-anchors.
-        // Corpus-sized joins, but maintenance-pass amortized like the
-        // drop itself.
-        val orphanVecs = edges.select(col("dst"), col("dst_vec"))
-          .join(dead.select(col("tomb_id").as("dst")), Seq("dst"), "left_anti")
-          .join(dropped.select("dst").distinct(), Seq("dst"), "left_anti")
-          .dropDuplicates("dst") // every copy of a dst's vec is identical
-        val anchors = dropped
-          .join(orphanVecs.select(col("dst").as("src")), Seq("src"))
-          .filter(col("dst").isin(protectedIds.map(Long.box): _*))
-          .groupBy(col("src")).agg(min(col("dst")).as("_anchor"))
-          .select(col("src").as("dst"), col("_anchor"))
-        val repair = orphanVecs
-          .join(anchors, Seq("dst"))
-          .select(col("_anchor").as("src"), col("dst"), col("dst_vec"))
-          .withColumn("src_bucket", pmod(col("src"), lit(nBuckets)))
-        dropped.unionByName(repair)
+        if (dead.isEmpty) edges // only protected marks: nothing to drop
+        else {
+          val dropped = edges
+            .join(dead.select(col("tomb_id").as("src")), Seq("src"), "left_anti")
+            .join(dead.select(col("tomb_id").as("dst")), Seq("dst"), "left_anti")
+          // Orphan repair, narrowed to the only possible casualties
+          // BEFORE any corpus-wide shuffle: a live node can lose its
+          // last in-edge only if some in-edge rode a dead src, so the
+          // candidate set (`lost`) is bounded by |dead|·degree — the
+          // joins below broadcast it against pushed-filter scans, and
+          // when no candidate actually lost every in-edge the repair
+          // costs two scans and zero shuffles (the common compaction:
+          // tombstones exist, nothing needs re-anchoring).
+          val lost = edges
+            .join(dead.select(col("tomb_id").as("src")), Seq("src"), "left_semi")
+            .join(dead.select(col("tomb_id").as("dst")), Seq("dst"), "left_anti")
+            .select("dst").distinct()
+          val orphans = lost.join(dropped, Seq("dst"), "left_anti")
+          if (orphans.isEmpty) dropped
+          else {
+            // every copy of a dst's vec is identical; dedup only the
+            // orphan-sized slice, never the full edge set
+            val orphanVecs = edges.select(col("dst"), col("dst_vec"))
+              .join(orphans, Seq("dst"), "left_semi")
+              .dropDuplicates("dst")
+            // anchor = smallest surviving protected dst among the
+            // orphan's own out-edges (its up-link target — protected
+            // ids keep their edges by contract, so it survives)
+            val anchors = dropped
+              .join(orphans.select(col("dst").as("src")), Seq("src"), "left_semi")
+              .filter(col("dst").isin(protectedIds.map(Long.box): _*))
+              .groupBy(col("src")).agg(min(col("dst")).as("_anchor"))
+              .select(col("src").as("dst"), col("_anchor"))
+            val repair = orphanVecs
+              .join(anchors, Seq("dst"))
+              .select(col("_anchor").as("src"), col("dst"), col("dst_vec"))
+              .withColumn("src_bucket", pmod(col("src"), lit(nBuckets)))
+            dropped.unionByName(repair)
+          }
+        }
       }
     rewriteStore(spark, kept, edgesDir, "src_bucket")
     // surviving marks: only protected (centroid) ids still need the

@@ -180,6 +180,13 @@ object Retrieval {
   // Segmented BM25 store — append without rebuild                      //
   // ------------------------------------------------------------------ //
 
+  /** Soft cap on uncompacted segments before [[bm25FromSegments]] warns:
+    * each probe pays one pruned read per segment, so latency is linear
+    * in segment count (measured curve in SCALE.md — the per-segment
+    * cost is file-listing + footer overhead, a few ms each locally,
+    * object-store round-trips at 100 TB). */
+  val MaxSegmentsBeforeCompaction = 32
+
   /** Append one SEGMENT to a segmented BM25 store — the append-side
     * answer to [[writeBm25Index]]'s rebuild-cadence trade: the
     * monolithic layout denormalizes df and (N, Σdl) onto every posting
@@ -196,12 +203,17 @@ object Retrieval {
     *    what makes the append O(batch);
     *  - `<dir>/segments/<name>/stats`: the segment's (_N, _sumdl);
     *  - `<dir>/segments/<name>/meta`: (n_docs, id_hash) fingerprint,
-    *    summed at compaction into the monolithic guard meta.
+    *    summed at compaction into the monolithic guard meta;
+    *  - `<dir>/segments/<name>/docs`: the batch's doc ids — the
+    *    disjointness source of truth compaction validates against.
     *
     * Segments must carry DISJOINT documents (single-writer batches, the
     * upload model); a violation is caught loudly at [[compactBm25Segments]]
-    * (distinct-id count vs summed segment counts). A segment name
-    * reuse is refused — appends never overwrite. */
+    * against the per-segment doc-id sidecars written here (ids directly,
+    * NOT posting-derived counts: a doc whose text tokenizes to zero
+    * alnum tokens contributes no postings rows, so a count-based guard
+    * would refuse legal stores and could mask a real duplicate). A
+    * segment name reuse is refused — appends never overwrite. */
   def appendBm25Segment(docs: DataFrame, idCol: String, textCol: String,
                         dir: String, segment: String,
                         nBuckets: Int = 64): Unit = {
@@ -235,6 +247,9 @@ object Retrieval {
         count(lit(1)).cast("long").as("n_docs"),
         sum(xxhash64(col(idCol)).cast("decimal(38,0)")).cast("string").as("id_hash"))
       .coalesce(1).write.mode("overwrite").parquet(segDir + "/meta")
+    // the disjointness source of truth: every doc id in the batch,
+    // including token-less docs that produce no postings rows
+    docs.select(col(idCol)).write.mode("overwrite").parquet(segDir + "/docs")
     withDl
       .select(col(idCol), col("_dl"), explode(col("_toks")).as("_t"))
       .groupBy(col(idCol), col("_dl"), col("_t"))
@@ -274,6 +289,13 @@ object Retrieval {
     val nBuckets = meta.getAs[Int]("n_buckets")
     val buckets = terms.map(termBucket(_, nBuckets)).distinct.map(Long.box)
     val segs = listBm25Segments(spark, dir)
+    // probe latency rides segment count (one pruned read per segment per
+    // query — measured curve in SCALE.md); past this point compaction is
+    // overdue, warn loudly rather than silently degrade
+    if (segs.length > MaxSegmentsBeforeCompaction)
+      System.err.println(s"[bm25] segmented store at '$dir' has ${segs.length} " +
+        s"segments (> $MaxSegmentsBeforeCompaction) — per-query probe cost is " +
+        "per-segment; run compactBm25Segments on the append cadence")
     val post = segs.map { s =>
       spark.read.parquet(s + "/postings")
         .filter(col("_bucket").isin(buckets: _*))
@@ -304,12 +326,15 @@ object Retrieval {
     * layout at `outDir` (df/N denormalized back onto postings — probe
     * speed restored to one zero-join read) — the segment-merge half of
     * the append story, run on the compaction cadence. Validates the
-    * disjoint-documents contract loudly: if any document appears in
-    * two segments, the distinct-id count disagrees with the summed
-    * per-segment counts and the merge refuses (df would be silently
-    * inflated otherwise). The guard meta (n_docs + id_hash) is the
-    * exact decimal sum of the segment fingerprints, so
-    * [[requireBm25IndexMatches]] against the union corpus passes. */
+    * disjoint-documents contract loudly ON DOCUMENT IDS (the per-segment
+    * `docs` sidecars): if any document appears in two segments, the
+    * unioned id multiset has a repeat and the merge refuses (df would be
+    * silently inflated otherwise). Posting-derived counts can't carry
+    * this guard — token-less docs have no postings, so they'd flag legal
+    * stores and could cancel out a real duplicate. The guard meta
+    * (n_docs + id_hash) is the exact decimal sum of the segment
+    * fingerprints, so [[requireBm25IndexMatches]] against the union
+    * corpus passes. */
   def compactBm25Segments(spark: SparkSession, dir: String, outDir: String): Unit = {
     val meta = spark.read.parquet(dir + "/meta").head()
     val idCol = meta.getAs[String]("id_col")
@@ -321,12 +346,14 @@ object Retrieval {
     val nDocs = segMetas.map(_.getAs[Long]("n_docs")).sum
     val idHash = segMetas.map(m => BigDecimal(m.getAs[String]("id_hash")))
       .sum.toBigInt.toString
-    val distinctIds = post.select(col(idCol)).distinct().count()
-    require(distinctIds == nDocs,
+    val idAgg = segs.map(s => spark.read.parquet(s + "/docs"))
+      .reduce(_ unionByName _)
+      .agg(count(lit(1)).as("_n"), count_distinct(col(idCol)).as("_nd")).head()
+    require(idAgg.getLong(0) == idAgg.getLong(1) && idAgg.getLong(0) == nDocs,
       s"segmented bm25 store at '$dir' violates the disjoint-documents " +
-        s"contract: $distinctIds distinct ids across segments vs $nDocs " +
-        "summed segment docs — df/N would be silently wrong; re-ingest " +
-        "the duplicated batch instead of compacting")
+        s"contract: ${idAgg.getLong(1)} distinct ids across segments vs " +
+        s"${idAgg.getLong(0)} total (meta says $nDocs) — df/N would be " +
+        "silently wrong; re-ingest the duplicated batch instead of compacting")
     spark.range(1)
       .select(lit(nBuckets).as("n_buckets"), lit(idCol).as("id_col"),
         lit(nDocs).as("n_docs"), lit(idHash).as("id_hash"))

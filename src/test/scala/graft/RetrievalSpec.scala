@@ -211,6 +211,36 @@ class RetrievalSpec extends AnyFunSuite {
     assert(err.getMessage.contains("disjoint"), err.getMessage)
   }
 
+  test("segmented bm25 disjointness guard runs on doc ids, not posting counts") {
+    // doc 6 tokenizes to ZERO alnum tokens — it has n_docs presence but
+    // no postings rows. A posting-derived guard would (a) refuse this
+    // perfectly legal store and (b) let a real duplicate hide behind the
+    // cancelled count; the id-sidecar guard does neither.
+    val docs = Seq(
+      (1L, "spark shuffle partitions tune the join"),
+      (2L, "spark join"),
+      (6L, "·—·—· ≈≈≈"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25tok").toString
+    Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 1L), "doc_id", "text", dir, "s1")
+    Retrieval.appendBm25Segment(docs.filter(col("doc_id") > 1L), "doc_id", "text", dir, "s2")
+    val out = java.nio.file.Files.createTempDirectory("graft_bm25tokc").toString
+    Retrieval.compactBm25Segments(spark, dir, out) // legal store: must not refuse
+    Retrieval.requireBm25IndexMatches(spark, out, docs.select("doc_id"), "doc_id")
+    // masked duplicate: doc 2 appears AGAIN alongside a token-less doc —
+    // postings gain 1 dup doc while n_docs gains 2, so a distinct-vs-sum
+    // count check could never equal anyway here, but the sharper case is
+    // the sidecar catching the repeat REGARDLESS of posting arithmetic
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_bm25mask").toString
+    Retrieval.appendBm25Segment(docs, "doc_id", "text", dir2, "s1")
+    Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 2L), "doc_id", "text", dir2, "s2")
+    val err = intercept[IllegalArgumentException] {
+      Retrieval.compactBm25Segments(spark, dir2,
+        java.nio.file.Files.createTempDirectory("graft_bm25maskc").toString)
+    }
+    assert(err.getMessage.contains("disjoint"), err.getMessage)
+  }
+
   test("askHybrid refuses a bm25 store built over a different corpus (drift guard)") {
     import graft.operators.Ingest
     val docs = Seq(
