@@ -16,10 +16,17 @@ import graft.operators.{AskPipeline, Embed, GraphIndex}
   *    "answer": a, "from_cache": b, "n_history_turns": n}` (the
   *    reference returns query+answer; the two extra fields are
   *    observability, not behavior);
-  *  - `POST /ask/stream` (the WS `/ws/ask` analog, app/main.py:650-735):
-  *    chunked NDJSON — one `{"token": t}` line per answer token as the
-  *    relay emits it, then `{"done": true, "from_cache": b}` — the
-  *    per-token egress shape a WebSocket client consumes. With a
+  *  - `POST /ask/stream` (the chunked-HTTP analog of the reference's
+  *    WS relay, app/main.py:650-735): NDJSON — one `{"token": t}` line
+  *    per answer token as the relay emits it, then `{"done": true,
+  *    "from_cache": b}` — the per-token egress shape a WebSocket
+  *    client consumes;
+  *  - `WS /ws/ask` ([[wsStart]]; the reference's LITERAL WebSocket
+  *    endpoint, app/main.py:650) on its own loopback port: a minimal
+  *    RFC 6455 server (handshake + text/close/ping frames) speaking
+  *    the same per-token line protocol as `/ask/stream`, one ask per
+  *    received message, connection held open for the next ask —
+  *    sharing THIS server's cache and conversation memory. With a
   *    `generateStream` hook (e.g.
   *    [[operators.HttpGenerateClient.generateStream]]) miss-path
   *    tokens relay LIVE as the model emits them — the hook runs at
@@ -58,6 +65,7 @@ final class AskServer(spark: SparkSession, index: DataFrame,
                       graph: Option[GraphIndex.Serving] = None,
                       generate: Option[String => String] = None,
                       generateStream: Option[String => Iterator[String]] = None,
+                      embedQuery: Option[String => Array[Double]] = None,
                       dim: Int = Schemas.EmbeddingDim,
                       defaultTopK: Int = Schemas.DefaultTopK,
                       capacity: Int = Schemas.CacheCapacity,
@@ -82,8 +90,142 @@ final class AskServer(spark: SparkSession, index: DataFrame,
   server.setExecutor(pool)
 
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = { server.stop(0); pool.shutdown() }
+  def stop(): Unit = {
+    server.stop(0); pool.shutdown()
+    wsSocket.foreach { s => try s.close() catch { case _: Exception => () } }
+  }
   def port: Int = server.getAddress.getPort
+
+  // ---------------------------------------------------------------- //
+  // WS /ws/ask — the reference's literal WebSocket transport         //
+  // (app/main.py:650-735) over a minimal RFC 6455 server: same line  //
+  // protocol as /ask/stream ({"token":t}* then {"done":...}), one    //
+  // ask per received text message, connection stays open for the     //
+  // next ask (the reference's receive loop). Serving state (cache,   //
+  // memory) is THE SAME as the HTTP endpoints' — the lock discipline //
+  // of askOnce applies unchanged, and token frames are written with  //
+  // no lock held. JDK has no WS server, so the handshake + framing   //
+  // live here (~100 lines); the spec drives it with the JDK's real   //
+  // WS *client*. Loopback-only, like the HTTP socket.                //
+  // ---------------------------------------------------------------- //
+
+  private var wsSocket: Option[java.net.ServerSocket] = None
+
+  /** Start the WS listener (idempotent); returns its port. */
+  def wsStart(): Int = synchronized {
+    wsSocket match {
+      case Some(s) => s.getLocalPort
+      case None =>
+        val ss = new java.net.ServerSocket(0, 16,
+          java.net.InetAddress.getByName("127.0.0.1"))
+        wsSocket = Some(ss)
+        val acceptor = new Thread(() => {
+          try while (!ss.isClosed) {
+            val conn = ss.accept()
+            pool.execute(() => try wsHandle(conn) finally {
+              try conn.close() catch { case _: Exception => () }
+            })
+          } catch { case _: Exception => () } // closed socket ends the loop
+        }, "ws-ask-acceptor")
+        acceptor.setDaemon(true)
+        acceptor.start()
+        ss.getLocalPort
+    }
+  }
+
+  private def wsHandle(conn: java.net.Socket): Unit = {
+    val in = new java.io.BufferedInputStream(conn.getInputStream)
+    val out = new java.io.BufferedOutputStream(conn.getOutputStream)
+    // --- handshake: HTTP GET + Upgrade → 101 with the RFC 6455 accept
+    val head = new StringBuilder
+    def headDone = head.length >= 4 && head.substring(head.length - 4) == "\r\n\r\n"
+    var c = in.read()
+    while (c != -1 && !headDone) {
+      head.append(c.toChar)
+      // never read past the terminator — the next byte is frame data
+      if (!headDone) c = in.read()
+    }
+    val lines = head.toString.split("\r\n")
+    val key = lines.collectFirst {
+      case l if l.toLowerCase.startsWith("sec-websocket-key:") => l.split(":", 2)(1).trim
+    }
+    val ok = lines.headOption.exists(_.startsWith("GET /ws/ask")) &&
+      lines.exists(_.toLowerCase.replace(" ", "").startsWith("upgrade:websocket")) &&
+      key.isDefined
+    if (!ok) {
+      out.write("HTTP/1.1 400 Bad Request\r\nConnection: close\r\n\r\n".getBytes(StandardCharsets.UTF_8))
+      out.flush(); return
+    }
+    val accept = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-1").digest(
+        (key.get + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes(StandardCharsets.UTF_8)))
+    out.write(("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+      s"Connection: Upgrade\r\nSec-WebSocket-Accept: $accept\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8))
+    out.flush()
+    // --- frame loop: one ask per client text message, until close
+    def sendFrame(opcode: Int, payload: Array[Byte]): Unit = out.synchronized {
+      out.write(0x80 | opcode)
+      if (payload.length < 126) out.write(payload.length)
+      else if (payload.length < 65536) {
+        out.write(126); out.write(payload.length >> 8); out.write(payload.length & 0xff)
+      } else {
+        out.write(127)
+        (7 to 0 by -1).foreach(i => out.write(((payload.length.toLong >> (8 * i)) & 0xff).toInt))
+      }
+      out.write(payload); out.flush()
+    }
+    def sendText(s: String): Unit = sendFrame(0x1, s.getBytes(StandardCharsets.UTF_8))
+    def readExact(n: Int): Array[Byte] = {
+      val buf = new Array[Byte](n); var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, n - off)
+        if (r < 0) throw new java.io.EOFException("ws: peer closed mid-frame")
+        off += r
+      }
+      buf
+    }
+    var open = true
+    while (open) {
+      val b0 = in.read()
+      if (b0 < 0) open = false
+      else {
+        val opcode = b0 & 0x0f
+        val b1 = in.read()
+        val masked = (b1 & 0x80) != 0
+        var len: Long = b1 & 0x7f
+        if (len == 126) len = ((in.read() & 0xff) << 8) | (in.read() & 0xff)
+        else if (len == 127) len = readExact(8).foldLeft(0L)((a, x) => (a << 8) | (x & 0xff))
+        require(len <= (1 << 20), "ws: frame too large")
+        val mask = if (masked) readExact(4) else Array.emptyByteArray
+        val payload = readExact(len.toInt)
+        if (masked) payload.indices.foreach(i => payload(i) = (payload(i) ^ mask(i % 4)).toByte)
+        opcode match {
+          case 0x8 => // close: echo and end
+            sendFrame(0x8, payload.take(2)); open = false
+          case 0x9 => sendFrame(0xA, payload) // ping → pong
+          case 0x1 =>
+            try {
+              val root = mapper.readTree(new String(payload, StandardCharsets.UTF_8))
+              val query = root.path("query").asText("")
+              require(query.trim.nonEmpty, "missing required field: query")
+              val r = AskReq(root.path("chat_id").asText("default"), query,
+                root.path("top_k").asInt(defaultTopK))
+              val (answer, fromCache, _, streamedLive) =
+                askOnce(r, onToken = Some(t => sendText(s"""{"token":${quote(t)}}""")))
+              if (!streamedLive)
+                answer.split("(?<= )").filter(_.nonEmpty)
+                  .foreach(t => sendText(s"""{"token":${quote(t)}}"""))
+              sendText(s"""{"done":true,"from_cache":$fromCache}""")
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                sendText(s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+            }
+          case _ => () // continuation/binary/pong: ignored (one-message asks)
+        }
+      }
+    }
+  }
 
   private def safely(ex: HttpExchange)(f: HttpExchange => Unit): Unit =
     try f(ex)
@@ -151,9 +293,13 @@ final class AskServer(spark: SparkSession, index: DataFrame,
       }
       case _ => blocking
     }
+    // embedQuery slot = the reference's external embedding service
+    // (query side); default is the deterministic hashed-BoW embedder
+    val qv = embedQuery.map(f => f(r.query))
+      .getOrElse(Embed.embedQuery(spark, r.query, dim))
     val (res, effect) = AskPipeline.askStateless(spark, index, cacheSnap, r.query,
       history = history, topK = r.topK, threshold = threshold, dim = dim,
-      queryVec = Some(Embed.embedQuery(spark, r.query, dim)),
+      queryVec = Some(qv),
       graph = graph, generate = gen)
     if (!res.failed) lock.synchronized {
       // merge against the CURRENT state, not the snapshot: a Touch on a

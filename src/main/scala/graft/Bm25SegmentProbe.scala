@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tooling for the segmented BM25 store's one unbounded axis:
+  * [[operators.Retrieval.bm25FromSegments]] pays one pruned postings
+  * read PER SEGMENT per probe, so probe latency rides the number of
+  * appends since the last compaction. This main measures that curve —
+  * the SAME corpus (sf0.1 documents) split into 1 / 8 / 32 / 128
+  * segments, probe latency min-of-3 after one warmup, plus the
+  * compacted (monolithic) probe as the floor — so the compaction
+  * cadence and the [[operators.Retrieval.MaxSegmentsBeforeCompaction]]
+  * warning threshold are numbers, not guesses.
+  *
+  * Run: `sbt "runMain graft.Bm25SegmentProbe [sfDir]"`. Prints a
+  * markdown table + one JSON line (committed into SCALE.md).
+  */
+object Bm25SegmentProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = sources.TableLoader.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    val query = "distributed query engine shuffle join optimizer"
+
+    def timeProbe(probe: () => org.apache.spark.sql.DataFrame): Double = {
+      probe().write.mode("overwrite").format("noop").save() // warmup
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        probe().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    val counts = Seq(1, 8, 32, 128)
+    val rows = counts.map { k =>
+      val dir = java.nio.file.Files.createTempDirectory(s"bm25segprobe_$k").toString
+      val tb = System.nanoTime()
+      (0 until k).foreach { i =>
+        operators.Retrieval.appendBm25Segment(
+          docs.filter(pmod(col("doc_id"), lit(k)) === i),
+          "doc_id", "text", dir, f"s$i%04d", nBuckets = 32)
+      }
+      val buildS = (System.nanoTime() - tb) / 1e9
+      val probeS = timeProbe(() =>
+        operators.Retrieval.bm25FromSegments(spark, dir, "doc_id", query))
+      val out = java.nio.file.Files.createTempDirectory(s"bm25segprobe_c$k").toString
+      val tc = System.nanoTime()
+      operators.Retrieval.compactBm25Segments(spark, dir, out)
+      val compactS = (System.nanoTime() - tc) / 1e9
+      val monoS = timeProbe(() =>
+        operators.Retrieval.bm25FromIndex(spark, out, "doc_id", query))
+      println(f"segments=$k%4d probe=$probeS%.3f s (mono floor $monoS%.3f) " +
+        f"append-all=$buildS%.1f s compact=$compactS%.1f s")
+      (k, probeS, monoS, buildS, compactS)
+    }
+    println(s"\n| segments | probe s | monolithic floor s | compact s | probe/floor |")
+    println("|---|---|---|---|---|")
+    rows.foreach { case (k, p, m, _, c) =>
+      println(f"| $k | $p%.3f | $m%.3f | $c%.1f | ${p / m}%.1f× |")
+    }
+    val json = rows.map { case (k, p, m, b, c) =>
+      f""""s$k":{"probe":$p%.3f,"mono":$m%.3f,"append_all":$b%.1f,"compact":$c%.1f}"""
+    }.mkString(",")
+    println(s"""{"bench":"bm25_segment_curve","sf":"$sfDir","n_docs":$nDocs,$json}""")
+    spark.stop()
+  }
+}

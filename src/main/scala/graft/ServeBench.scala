@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   *
   * Prints per-mode p50/p95/max and one machine-readable JSON line.
   * Run: `sbt "runMain graft.ServeBench"` (read-only on /root/reference).
+  *
+  * `runMain graft.ServeBench http` measures the LIVE serving surface
+  * instead: an [[AskServer]] over the same warm index, hit by real
+  * loopback HTTP clients at concurrency 1 / 4 / 8 (the reference
+  * serves behind a 5-way semaphore, app/main.py:31,186). Each level
+  * gets a fresh server (fresh cache — retrieval latency, not hit
+  * latency), 64 distinct single-miss asks dispatched work-stealing
+  * across c client threads; reports per-request p50/p95/max plus
+  * wall-clock throughput, and one JSON line.
   */
 object ServeBench {
   private def pct(sorted: Seq[Double], p: Double): Double =
@@ -68,6 +77,11 @@ object ServeBench {
     val emptyCache = Seq.empty[(Long, Seq[Float], String, Int)]
       .toDF("entry_id", "embedding", "response", "freq")
 
+    if (args.contains("http")) {
+      httpConcurrencyBench(spark, index, wh, dfreq, nDocs, queries, nChunks)
+      wh.cool(); spark.stop(); return
+    }
+
     // warmup: JIT + codegen + cached-batch touch, outside every timer
     (0 until 3).foreach { i =>
       operators.AskPipeline.ask(spark, index, emptyCache, queries(i),
@@ -113,5 +127,70 @@ object ServeBench {
       f""""per_ask_p50":{"solo":$s50%.3f,"batch8":${b8p50 / 8}%.3f,"batch32":${b32p50 / 32}%.3f}}""")
     wh.cool()
     spark.stop()
+  }
+
+  /** Concurrency 1/4/8 against a LIVE AskServer: per-request HTTP
+    * latency + wall-clock throughput. Fresh server (fresh cache) per
+    * level; the 64 queries are distinct, so every measured ask is a
+    * full retrieval miss. */
+  private def httpConcurrencyBench(spark: org.apache.spark.sql.SparkSession,
+                                   index: org.apache.spark.sql.DataFrame,
+                                   wh: operators.GraphIndex.Serving,
+                                   dfreq: org.apache.spark.sql.DataFrame,
+                                   nDocs: Long, queries: Seq[String],
+                                   nChunks: Long): Unit = {
+    val http = java.net.http.HttpClient.newHttpClient()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def ask(port: Int, q: String): Unit = {
+      val body = s"""{"chat_id":"bench","query":${mapper.writeValueAsString(q)}}"""
+      val resp = http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/ask"))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200 &&
+        mapper.readTree(resp.body()).path("answer").asText().nonEmpty,
+        s"ask failed (${resp.statusCode()}): ${resp.body().take(200)}")
+    }
+    val levels = Seq(1, 4, 8).map { c =>
+      val srv = new AskServer(spark, index, graph = Some(wh),
+        embedQuery = Some(q =>
+          operators.Embed.embedQueryTfIdf(spark, q, dfreq, nDocs, dim = 1024)),
+        dim = 1024, concurrency = math.max(c, 2))
+      val port = srv.start()
+      try {
+        // warmup asks use throwaway queries so the measured 64 stay misses
+        Seq("graph walk warmup one", "graph walk warmup two", "graph walk warmup three")
+          .foreach(ask(port, _))
+        val next = new java.util.concurrent.atomic.AtomicInteger(0)
+        val lat = java.util.Collections.synchronizedList(
+          new java.util.ArrayList[Double]())
+        val t0 = System.nanoTime()
+        val threads = (0 until c).map { _ =>
+          new Thread(() => {
+            var i = next.getAndIncrement()
+            while (i < queries.length) {
+              val t = System.nanoTime()
+              ask(port, queries(i))
+              lat.add((System.nanoTime() - t) / 1e9)
+              i = next.getAndIncrement()
+            }
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        val wall = (System.nanoTime() - t0) / 1e9
+        import scala.jdk.CollectionConverters._
+        val s = lat.asScala.toSeq.sorted
+        val (p50, p95, mx) = (pct(s, 0.50), pct(s, 0.95), s.last)
+        val thr = queries.length / wall
+        println(f"SERVE http c=$c n=${s.length} p50=$p50%.3f p95=$p95%.3f " +
+          f"max=$mx%.3f s/req wall=$wall%.1f s throughput=$thr%.2f ask/s")
+        (c, p50, p95, mx, wall, thr)
+      } finally srv.stop()
+    }
+    val levelJson = levels.map { case (c, p50, p95, mx, wall, thr) =>
+      f""""c$c":{"p50":$p50%.3f,"p95":$p95%.3f,"max":$mx%.3f,"wall":$wall%.1f,"ask_per_sec":$thr%.2f}"""
+    }.mkString(",")
+    println(s"""{"bench":"serve_http_concurrent","corpus":"PMC","chunks":$nChunks,$levelJson}""")
   }
 }

@@ -212,6 +212,55 @@ class AskServerSpec extends AnyFunSuite {
     }
   }
 
+  test("WS /ws/ask: real JDK WebSocket client — handshake, token relay, shared cache") {
+    val srv = new AskServer(spark, index)
+    srv.start()
+    val wsPort = srv.wsStart()
+    try {
+      val msgs = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val listener = new java.net.http.WebSocket.Listener {
+        private val sb = new StringBuilder
+        override def onText(ws: java.net.http.WebSocket, data: CharSequence,
+                            last: Boolean): java.util.concurrent.CompletionStage[_] = {
+          sb.append(data)
+          if (last) { msgs.add(sb.toString); sb.setLength(0) }
+          ws.request(1); null
+        }
+      }
+      val ws = http.newWebSocketBuilder()
+        .buildAsync(URI.create(s"ws://127.0.0.1:$wsPort/ws/ask"), listener).join()
+      def askWs(q: String): Seq[String] = {
+        ws.sendText(s"""{"chat_id":"w0","query":${mapper.writeValueAsString(q)}}""", true)
+        val got = scala.collection.mutable.ArrayBuffer.empty[String]
+        var done = false
+        while (!done) {
+          val m = msgs.poll(60, java.util.concurrent.TimeUnit.SECONDS)
+          assert(m != null, s"WS relay stalled; got so far: $got")
+          got += m
+          done = mapper.readTree(m).has("done") || mapper.readTree(m).has("error")
+        }
+        got.toSeq
+      }
+      // first ask: miss — token frames then done(from_cache=false)
+      val first = askWs("broadcast hash join planner")
+      val d1 = mapper.readTree(first.last)
+      assert(!d1.path("from_cache").asBoolean(true))
+      val answer = first.init.map(m => mapper.readTree(m).path("token").asText()).mkString
+      assert(answer.nonEmpty)
+      // second ask on the SAME connection: served from the shared cache
+      val second = askWs("broadcast hash join planner")
+      assert(mapper.readTree(second.last).path("from_cache").asBoolean(false))
+      assert(second.init.map(m => mapper.readTree(m).path("token").asText()).mkString == answer)
+      ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "bye").join()
+      // the WS asks share serving state with HTTP: POST /ask hits the
+      // same cache entry the WS miss created
+      val r = mapper.readTree(post(srv.port, "/ask",
+        """{"chat_id":"other","query":"broadcast hash join planner"}""").body())
+      assert(r.path("from_cache").asBoolean(false), "HTTP must hit the WS-seeded cache")
+      assert(r.path("answer").asText() == answer)
+    } finally srv.stop()
+  }
+
   test("validation: missing query is a 400, not a crash") {
     withServer { port =>
       val r = post(port, "/ask", """{"chat_id":"x"}""")
