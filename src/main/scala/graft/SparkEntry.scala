@@ -1252,6 +1252,46 @@ object SparkEntry {
         .limit(5)
     }),
 
+    // SQ8 scalar quantization (Faiss SQ8 / OpenSearch byte-vector
+    // analog): per-vector int8 codes + scale, ranked asymmetrically
+    // (full-precision query vs raw codes — the scale cancels in
+    // cosine). The 4×-less-scan-bandwidth storage tier; quantization
+    // arithmetic (floor(x/scale + 0.5), scale = maxabs/127) is
+    // replayed verbatim by the oracle, so the codes themselves are
+    // hash-pinned, not just the ranking.
+    "q_ann_sq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      Sq.searchTopK(Sq.quantize(e, "embedding"), "vec_id", collectVec(e, 0), 10)
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // Two-tier SQ search: int8 prefilter top-40 → exact float re-rank
+    // of just those ids (pushed-down id filter) → top-10. The
+    // production layout where the wide scan touches only 1-byte codes
+    // and the float column is read for |candidates| rows.
+    "q_ann_sq_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      Sq.searchRerank(Sq.quantize(e, "embedding"), e, "vec_id", "embedding",
+          collectVec(e, 0), k = 10, candidates = 40)
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // Matryoshka truncated-dim two-tier: prefilter ranks on the first
+    // 16 of 64 dims (4× less scan traffic), exact full-dim re-rank of
+    // the top-40 ids. Same contract discipline as q_ann_sq_rerank.
+    "q_ann_truncate" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      Ann.truncatedRerank(e, "vec_id", "embedding",
+          collectVec(e, 0), k = 10, candidates = 40, prefixDim = 16)
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(10)
+    }),
+
     // GRAPH ANN — the HNSW-analog (ref app/main.py:262-283): a
     // deterministic k-NN graph (undirected in-cell top-4 + centroid
     // up-links + centroid clique) walked by a 3-hop beam-4 search from
@@ -1700,6 +1740,16 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, dir) => {
       TextAnalysis.unigramLogprob(wide(s, dir, "documents"),
           "doc_id", "text", vocabSize = 32)
+        .orderBy("doc_id")
+    }),
+
+    // Bigram conditional logprob — the word-order-aware step toward
+    // the CCNet/KenLM n-gram filter. bigramTop = 64 and vocabSize = 32
+    // sit far under the corpus statistics, so the in-model, OOV-bigram,
+    // and OOV-context smoothing paths all fire at every SF.
+    "q_bigram_logprob" -> ((s, dir) => {
+      TextAnalysis.bigramLogprob(wide(s, dir, "documents"),
+          "doc_id", "text", vocabSize = 32, bigramTop = 64)
         .orderBy("doc_id")
     }),
 
@@ -3075,6 +3125,70 @@ object SparkEntry {
       // physical layout, never the candidate set
       "q_ann_ivf_part" -> annIvfOracle,
 
+      // SQ8: replay the quantization itself (maxabs → scale →
+      // floor(x/scale + 0.5) codes; floor(+0.5) because round-half
+      // rules differ across engines) and rank codes against the
+      // full-precision query — the scale cancels in cosine, exactly
+      // as the Spark side never multiplies it back in.
+      "q_ann_sq" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |sc AS (
+           |  SELECT vec_id, embedding,
+           |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+           |  FROM embeddings
+           |),
+           |sq AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding, x -> CASE WHEN s = 0 THEN 0.0
+           |           ELSE floor(CAST(x AS DOUBLE) / s + 0.5) END) AS code
+           |  FROM sc
+           |),
+           |scored AS (SELECT sq.vec_id, ${dCosine("sq.code", "q.qv")} AS sim FROM sq, q)
+           |SELECT vec_id, round(sim + 1.2345e-9, 6) AS sim
+           |FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+      // Matryoshka truncated-dim two-tier: prefilter cosine over the
+      // first-16 list slice, exact full-dim re-rank of the top-40.
+      "q_ann_truncate" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |cand AS (
+           |  SELECT e.vec_id FROM embeddings e, q
+           |  ORDER BY ${dCosine("(e.embedding[1:16])", "(q.qv[1:16])", 16)} DESC, e.vec_id LIMIT 40
+           |),
+           |scored AS (
+           |  SELECT e.vec_id, ${dCosine("e.embedding", "q.qv")} AS sim
+           |  FROM embeddings e JOIN cand USING (vec_id), q
+           |)
+           |SELECT vec_id, round(sim + 1.2345e-9, 6) AS sim
+           |FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+      // Two-tier SQ: int8 top-40 prefilter, exact float re-rank of the
+      // candidate ids, top-10 — the unrounded double sims order both
+      // stages on both engines.
+      "q_ann_sq_rerank" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |sc AS (
+           |  SELECT vec_id, embedding,
+           |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+           |  FROM embeddings
+           |),
+           |sq AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding, x -> CASE WHEN s = 0 THEN 0.0
+           |           ELSE floor(CAST(x AS DOUBLE) / s + 0.5) END) AS code
+           |  FROM sc
+           |),
+           |cand AS (
+           |  SELECT sq.vec_id FROM sq, q
+           |  ORDER BY ${dCosine("sq.code", "q.qv")} DESC, sq.vec_id LIMIT 40
+           |),
+           |scored AS (
+           |  SELECT e.vec_id, ${dCosine("e.embedding", "q.qv")} AS sim
+           |  FROM embeddings e JOIN cand USING (vec_id), q
+           |)
+           |SELECT vec_id, round(sim + 1.2345e-9, 6) AS sim
+           |FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
       // Graph ANN: replay the exact beam walk — edges (in-cell top-4 by
       // cosine + node→centroid up-links + centroid clique), entry = top-4
       // centroids vs the query, then 3 expand-the-beam hops where the
@@ -3563,6 +3677,38 @@ object SparkEntry {
            |       CAST((CAST(sum(n_chars) AS BIGINT) - 1) // 1000 + 1 AS BIGINT) AS n_sequences,
            |       CAST(sum(n_chars) AS BIGINT) AS total_tokens
            |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+      // Bigram conditional logprob: bigrams via the same list ops as
+      // Spark's indexed transform (slice + zip — no positional
+      // self-join); context totals derive FROM the kept top-64 bigram
+      // table so c ≤ ctx and P < 1 by construction; the per-doc fold
+      // replays over the identically sorted (w1, w2, dcnt, lp) list.
+      "q_bigram_logprob" ->
+        s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+           |p AS (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS pr
+           |      FROM d WHERE len(w) >= 2),
+           |bi AS (SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM p),
+           |bg AS (SELECT w1, w2, count(*) AS bcnt FROM bi GROUP BY 1, 2
+           |       ORDER BY bcnt DESC, w1, w2 LIMIT 64),
+           |ctx AS (SELECT w1, sum(bcnt) AS ccnt FROM bg GROUP BY 1),
+           |c AS (SELECT tok, count(*) AS cnt
+           |      FROM (SELECT unnest($W) AS tok FROM documents) GROUP BY 1),
+           |uv AS (SELECT tok FROM c ORDER BY cnt DESC, tok LIMIT 32),
+           |stats AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS v1 FROM uv),
+           |dt AS (SELECT doc_id, w1, w2, count(*) AS dcnt FROM bi GROUP BY 1, 2, 3),
+           |sc AS (SELECT dt.doc_id, dt.w1, dt.w2, dt.dcnt,
+           |              ln((CAST(COALESCE(b.bcnt, 0) AS DOUBLE) + 1.0) /
+           |                 (CAST(COALESCE(c2.ccnt, 0) AS DOUBLE) + s.v1)) AS lp
+           |       FROM dt LEFT JOIN bg b ON dt.w1 = b.w1 AND dt.w2 = b.w2
+           |               LEFT JOIN ctx c2 ON dt.w1 = c2.w1, stats s),
+           |g AS (SELECT doc_id,
+           |             list_sort(list(struct_pack(w1 := w1, w2 := w2, dcnt := dcnt, lp := lp))) AS terms,
+           |             sum(dcnt) AS n_bigrams
+           |      FROM sc GROUP BY doc_id)
+           |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           |       round(list_sum(list_transform(terms, e -> CAST(e.dcnt AS DOUBLE) * e.lp))
+           |             / CAST(n_bigrams AS DOUBLE) + 1.2345e-9, 6) AS logprob
+           |FROM g ORDER BY doc_id""".stripMargin,
 
       "q_unigram_logprob" ->
         s"""WITH t AS (SELECT doc_id, unnest($W) AS tok FROM documents),

@@ -33,6 +33,36 @@ object Ann {
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
 
+  /** Matryoshka-style truncated-dimension two-tier search (Kusupati et
+    * al. 2022: nested representations rank well on a prefix of their
+    * dimensions): prefilter on the first `prefixDim` components only —
+    * a scan that reads prefixDim/d of the vector bytes — then exact
+    * full-dimension re-rank of the k-bounded candidate set through a
+    * pushed-down id filter. The same two-tier shape as
+    * [[Sq.searchRerank]], cutting scan bandwidth by dimension slicing
+    * instead of component narrowing; at 100 TB the two compose
+    * (int8 × d/4 prefix = 16× less prefilter traffic). With a columnar
+    * layout that stores the prefix as its own column the prefilter scan
+    * literally never touches the tail bytes. */
+  def truncatedRerank(index: DataFrame, idCol: String, vecCol: String,
+                      queryVec: Seq[Double], k: Int, candidates: Int,
+                      prefixDim: Int): DataFrame = {
+    require(candidates >= k, s"truncatedRerank: candidates ($candidates) must be >= k ($k)")
+    require(prefixDim > 0 && prefixDim <= queryVec.length,
+      s"truncatedRerank: prefixDim $prefixDim out of range for dim ${queryVec.length}")
+    val qPrefix = queryVec.take(prefixDim)
+    val candIds = index
+      .withColumn("_psim", cosine(slice(col(vecCol), 1, prefixDim), lit(qPrefix.toArray)))
+      .orderBy(desc("_psim"), col(idCol))
+      .limit(candidates)
+      .select(idCol).collect().map(_.get(0))
+    index
+      .filter(col(idCol).isin(candIds: _*))
+      .withColumn("sim", cosine(col(vecCol), lit(queryVec.toArray)))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
   /** Assign each vector to its nearest centroid (max cosine, ties → lowest
     * centroid id). Centroids are small by contract (the coarse-quantizer
     * codebook — at most thousands of rows); collecting them folds the whole

@@ -221,6 +221,66 @@ object TextAnalysis {
           col("target_lp") - col("corpus_lp")))
   }
 
+  /** Bigram conditional log-probability scoring — one modeling step up
+    * from [[unigramLogprob]] toward the CCNet/KenLM n-gram quality
+    * filter (Wenzek et al. 2020 score with a 5-gram KenLM; the bigram
+    * is the largest order whose corpus statistics stay cheaply
+    * broadcastable AND SQL-replayable): score(doc) = mean over bigram
+    * instances of ln P(w2 | w1), with P from the corpus' own top-`bigramTop`
+    * bigram table, add-one smoothed: P = (c(w1,w2)+1) / (ctx(w1)+V+1).
+    * Context totals ctx(w1) are derived FROM the kept bigram table (so
+    * c ≤ ctx always holds and P < 1 even when a context misses the
+    * cut); V is [[unigramVocab]]'s size. Unigram scoring can't see word
+    * order — "the the the" and fluent prose with the same words score
+    * identically; the bigram conditional catches scrambled text.
+    *
+    * Scale shape: bigram extraction is map-only (an indexed `transform`
+    * over the token array — no self-join on position); the model is a
+    * wordcount-shaped hash-agg cut to ≤`bigramTop` rows
+    * (TakeOrderedAndProject, ties → lexicographic), so model and
+    * context tables broadcast at any corpus size; scoring is one
+    * (doc, w1, w2) hash-agg joined to the broadcast model, then one
+    * per-doc fold over the LEXICOGRAPHICALLY SORTED term list
+    * (partitioning-independent float order, the [[scoreUnigram]]
+    * discipline). Docs with fewer than two tokens have no bigram and
+    * are absent (the [[tokenEntropy]] contract).
+    * Returns (idCol, n_bigrams, logprob). */
+  def bigramLogprob(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, vocabSize: Int = 65536,
+                    bigramTop: Int = 65536): org.apache.spark.sql.DataFrame = {
+    val pairs = docs
+      .select(col(idCol), tokens(lower(cleanText(col(textCol)))).as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        """transform(slice(_toks, 1, size(_toks) - 1),
+          |  (x, i) -> struct(x AS w1, element_at(_toks, i + 2) AS w2))"""
+          .stripMargin)).as("_p"))
+      .select(col(idCol), col("_p.w1").as("_w1"), col("_p.w2").as("_w2"))
+    val bg = pairs.groupBy("_w1", "_w2").agg(count(lit(1)).as("_bcnt"))
+      .orderBy(desc("_bcnt"), col("_w1"), col("_w2")).limit(bigramTop)
+    val ctx = bg.groupBy("_w1").agg(sum("_bcnt").as("_ccnt"))
+    val v1 = unigramVocab(docs, textCol, vocabSize)
+      .agg((count(lit(1)) + 1).cast("double").as("_v1"))
+    pairs
+      .groupBy(col(idCol), col("_w1"), col("_w2"))
+      .agg(count(lit(1)).as("_dcnt"))
+      .join(broadcast(bg), Seq("_w1", "_w2"), "left")
+      .join(broadcast(ctx), Seq("_w1"), "left")
+      .crossJoin(broadcast(v1))
+      .withColumn("_lp",
+        log((coalesce(col("_bcnt"), lit(0L)).cast("double") + 1.0) /
+          (coalesce(col("_ccnt"), lit(0L)).cast("double") + col("_v1"))))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("_w1"), col("_w2"),
+          col("_dcnt"), col("_lp")))).as("_terms"),
+        sum(col("_dcnt")).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        graft.functions.VectorFunctions.stableRound(expr(
+          """aggregate(_terms, 0D,
+            |  (acc, e) -> acc + CAST(e._dcnt AS DOUBLE) * e._lp)
+            |  / CAST(n_bigrams AS DOUBLE)""".stripMargin)).as("logprob"))
+  }
+
   /** Shannon entropy (nats) of each doc's unigram distribution — the
     * gibberish/boilerplate quality signal (low = repetitive template
     * text, anomalously high = random noise). Not a per-row expression:
