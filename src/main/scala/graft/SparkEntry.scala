@@ -2166,6 +2166,44 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // BM25 delete lifecycle, pre-compaction: tombstoned docs (id % 7
+    // == 0) leave the hit set immediately while df/N/avgdl keep the
+    // FULL corpus' values — Lucene's delete-until-merge semantics, and
+    // the oracle proves them: it scores with full-corpus statistics
+    // and only filters the marked ids from the result.
+    "q_bm25_delete" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_bm25del$safe").getAbsolutePath
+      val docs = wide(s, dir, "documents").select("doc_id", "text")
+      Retrieval.writeBm25Index(docs, "doc_id", "text", idx, nBuckets = 32)
+      Retrieval.deleteBm25Docs(s, idx, docs.filter(col("doc_id") % 7 === 0))
+      Retrieval.bm25FromIndex(s, idx, "doc_id", RagQueryText)
+        .select(col("doc_id"), stableRound(col("score")).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(10)
+    }),
+
+    // BM25 delete lifecycle, post-compaction: the tombstones fold into
+    // a fresh store whose df/N/avgdl are recomputed EXACTLY over the
+    // survivors — scores are bitwise what a fresh build over the
+    // surviving corpus produces, and the oracle computes exactly that.
+    "q_bm25_compact" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_bm25delc$safe").getAbsolutePath
+      val docs = wide(s, dir, "documents").select("doc_id", "text")
+      Retrieval.writeBm25Index(docs, "doc_id", "text", idx, nBuckets = 32)
+      Retrieval.deleteBm25Docs(s, idx, docs.filter(col("doc_id") % 7 === 0))
+      Retrieval.compactBm25Index(s, idx, idx + "_compacted")
+      Retrieval.requireBm25IndexMatches(s, idx + "_compacted",
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id")
+      Retrieval.bm25FromIndex(s, idx + "_compacted", "doc_id", RagQueryText)
+        .select(col("doc_id"), stableRound(col("score")).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(10)
+    }),
+
     // Hybrid retrieval: RRF fusion of the BM25 top-20 with the
     // doc-embedding cosine top-20 (both legs cut on ROUNDED scores so
     // the cut and the ranks are engine-portable).
@@ -2355,13 +2393,14 @@ object SparkEntry {
     * Σdl), one-division avgdl, term-ordered per-doc sum; the folded
     * constants ((k1+1), (1−b)) print as shortest-round-trip doubles, so
     * both engines parse the identical values. */
-  private def dBm25Query(tail: String, k1: Double = 1.2, b: Double = 0.75): String = {
+  private def dBm25Query(tail: String, k1: Double = 1.2, b: Double = 0.75,
+                         docPred: String = "TRUE"): String = {
     // alnum-normalized terms, mirroring Retrieval.bm25 / alnumTokens
     val terms = RagQueryText.toLowerCase.trim.split("\\s+")
       .map(_.replaceAll("[^a-z0-9]", "")).filter(_.nonEmpty).distinct
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val sep = if (tail.trim.toUpperCase.startsWith("SELECT")) "\n" else ",\n"
-    s"""WITH t AS (SELECT doc_id, ${dTokens("lower(text)")} AS w FROM documents),
+    s"""WITH t AS (SELECT doc_id, ${dTokens("lower(text)")} AS w FROM documents WHERE $docPred),
        |ta AS (
        |  SELECT doc_id,
        |         list_filter(list_transform(w, x -> regexp_replace(x, '[^a-z0-9]', '', 'g')),
@@ -4120,6 +4159,20 @@ object SparkEntry {
       "q_bm25_segments" -> dBm25Query(
         s"""SELECT doc_id, round(score + 1.2345e-9, 6) AS score
            |FROM bm ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+
+      // Lucene delete-until-merge: full-corpus statistics, marked ids
+      // filtered only from the final hit set
+      "q_bm25_delete" -> dBm25Query(
+        s"""SELECT doc_id, round(score + 1.2345e-9, 6) AS score
+           |FROM bm WHERE doc_id % 7 <> 0
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+
+      // post-compaction: every statistic (df, N, avgdl) recomputed over
+      // the surviving corpus — the oracle scores exactly that corpus
+      "q_bm25_compact" -> dBm25Query(
+        s"""SELECT doc_id, round(score + 1.2345e-9, 6) AS score
+           |FROM bm ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+        docPred = "doc_id % 7 <> 0"),
 
       // Rerank stand-in = first-4-hex md5("query|text")/65536 — the
       // engine's md5-uniform arithmetic over the raw text.

@@ -145,6 +145,11 @@ object Retrieval {
   def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
                      dir: String, nBuckets: Int = 64): Unit = {
     import graft.functions.TextFunctions.alnumTokens
+    // a rebuild starts the delete lifecycle over: stale tombstones from
+    // a previous build would silently suppress re-ingested docs
+    val tombPath = new org.apache.hadoop.fs.Path(dir + "/tombstones")
+    tombPath.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(tombPath, true)
     val withDl = docs
       .select(col(idCol), alnumTokens(col(textCol)).as("_toks"))
       .withColumn("_dl", size(col("_toks")).cast("long"))
@@ -174,6 +179,97 @@ object Retrieval {
       .withColumn("_bucket", termBucketCol(col("_t"), nBuckets))
       .repartition(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(dir + "/postings")
+    // doc-id sidecar (the segment stores' discipline): the delete
+    // lifecycle validates against it, and compaction recomputes the
+    // meta fingerprint from it — postings alone can't carry either
+    // (token-less docs produce no posting rows)
+    docs.select(col(idCol)).write.mode("overwrite").parquet(dir + "/docs")
+  }
+
+  // ------------------------------------------------------------------ //
+  // Monolithic BM25 store lifecycle: tombstone delete + compaction     //
+  // ------------------------------------------------------------------ //
+
+  private def bm25Tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir + "/tombstones")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Some(spark.read.parquet(dir + "/tombstones"))
+    else None
+  }
+
+  /** Mark documents DELETED in a [[writeBm25Index]] store — Lucene's
+    * delete-until-segment-merge semantics exactly: marked docs vanish
+    * from probe results immediately, but df / N / avgdl keep the full
+    * corpus' values until [[compactBm25Index]] rewrites the store
+    * (Lucene, too, scores against deleted-doc-inflated statistics
+    * until a merge). The mark store is an append-only doc-id parquet
+    * dir, delete-sized writes — never a postings rewrite on the serve
+    * path. Ids are validated against the store's docs sidecar: marking
+    * an id the store never held is a caller bug and refuses loudly
+    * (the reference's tenant-delete surface 404s unknown docs the same
+    * way); re-marking an already-deleted id is a no-op, so retries are
+    * idempotent. */
+  def deleteBm25Docs(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val meta = spark.read.parquet(dir + "/meta").head()
+    val idCol = meta.getAs[String]("id_col")
+    require(ids.columns.contains(idCol),
+      s"deleteBm25Docs: ids must carry the store's id column '$idCol'")
+    val req = ids.select(col(idCol)).distinct()
+    val unknown = req.join(spark.read.parquet(dir + "/docs"), Seq(idCol), "left_anti").count()
+    require(unknown == 0,
+      s"deleteBm25Docs: $unknown id(s) not present in the store at '$dir' — " +
+        "deleting unknown docs is a caller bug, not a no-op")
+    val fresh = bm25Tombstones(spark, dir)
+      .map(t => req.join(t, Seq(idCol), "left_anti")).getOrElse(req)
+    if (!fresh.isEmpty)
+      fresh.write.mode("append").parquet(dir + "/tombstones")
+  }
+
+  /** Fold a store's tombstones into a fresh monolithic store at
+    * `outDir` — the segment-merge step of the delete lifecycle. All
+    * statistics are recomputed EXACTLY over the survivors: df from the
+    * surviving (doc, term) posting rows, N / Σdl / the meta id
+    * fingerprint from the surviving docs sidecar (decimal-exact
+    * subtraction-free re-aggregation, so [[requireBm25IndexMatches]]
+    * against the surviving corpus passes). Probe scores over the
+    * compacted store are bitwise what a fresh [[writeBm25Index]] over
+    * the survivors would produce. Runs on the maintenance cadence;
+    * store-sized, never corpus-text-sized (postings carry tokens and
+    * counts, not text). */
+  def compactBm25Index(spark: SparkSession, dir: String, outDir: String): Unit = {
+    val meta = spark.read.parquet(dir + "/meta").head()
+    val idCol = meta.getAs[String]("id_col")
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    // empty fallback takes the docs sidecar's schema, so the anti-join
+    // never type-coerces (stores keyed by string chunk ids exist)
+    val tombs = bm25Tombstones(spark, dir)
+      .map(_.select(col(idCol)).distinct())
+      .getOrElse(spark.read.parquet(dir + "/docs").limit(0))
+    val survDocs = spark.read.parquet(dir + "/docs")
+      .join(broadcast(tombs), Seq(idCol), "left_anti")
+    val survTf = spark.read.parquet(dir + "/postings")
+      .join(broadcast(tombs), Seq(idCol), "left_anti")
+      .select(col(idCol), col("_dl"), col("_t"), col("_tf"))
+    val survMeta = survDocs.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(xxhash64(col(idCol)).cast("decimal(38,0)")).cast("string").as("id_hash")).head()
+    spark.range(1)
+      .select(lit(nBuckets).as("n_buckets"), lit(idCol).as("id_col"),
+        lit(survMeta.getLong(0)).as("n_docs"), lit(survMeta.getString(1)).as("id_hash"))
+      .coalesce(1).write.mode("overwrite").parquet(outDir + "/meta")
+    // N counts every surviving doc (token-less ones contribute dl = 0
+    // and have no posting rows — the sidecar is the authority)
+    val sumdl = survTf.select(col(idCol), col("_dl")).distinct()
+      .agg(coalesce(sum(col("_dl")), lit(0L))).head().getLong(0)
+    spark.range(1)
+      .select(lit(survMeta.getLong(0)).as("_N"), lit(sumdl).as("_sumdl"))
+      .coalesce(1).write.mode("overwrite").parquet(outDir + "/stats")
+    val dfT = survTf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    survTf.join(dfT, "_t")
+      .withColumn("_bucket", termBucketCol(col("_t"), nBuckets))
+      .repartition(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(outDir + "/postings")
+    survDocs.write.mode("overwrite").parquet(outDir + "/docs")
   }
 
   // ------------------------------------------------------------------ //
@@ -367,6 +463,10 @@ object Retrieval {
       .withColumn("_bucket", termBucketCol(col("_t"), nBuckets))
       .repartition(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(outDir + "/postings")
+    // the monolithic output supports the delete lifecycle
+    // (deleteBm25Docs validates against the docs sidecar)
+    segs.map(s => spark.read.parquet(s + "/docs")).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(outDir + "/docs")
   }
 
   /** Drift guard for a [[writeBm25Index]] store: require that the store
@@ -413,7 +513,7 @@ object Retrieval {
       .filter(col("_bucket").isin(buckets: _*))
       .filter(col("_t").isin(terms: _*))
     val stats = spark.read.parquet(dir + "/stats")
-    post.crossJoin(broadcast(stats))
+    val scored = post.crossJoin(broadcast(stats))
       .withColumn("_avgdl", col("_sumdl").cast("double") / col("_N"))
       .withColumn("_idf",
         log(lit(1.0) + (col("_N") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))))
@@ -424,6 +524,13 @@ object Retrieval {
       .agg(aggregate(
         array_sort(collect_list(struct(col("_t").as("t"), col("_s").as("s")))),
         lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+    // delete lifecycle gate: tombstoned docs leave the hit set NOW;
+    // df/N stay the build's until compaction (Lucene's merge trade).
+    // The mark set is delete-sized and compaction-bounded — broadcast.
+    bm25Tombstones(spark, dir)
+      .map(t => scored.join(broadcast(t.select(col(idCol)).distinct()),
+        Seq(idCol), "left_anti"))
+      .getOrElse(scored)
   }
 
   /** Reciprocal-rank fusion of two ranked legs (the standard hybrid

@@ -146,6 +146,35 @@ class PlanSpec extends AnyFunSuite {
       s"expected TakeOrderedAndProject below the ranking window:\n$p")
   }
 
+  test("SQ8 search is TakeOrderedAndProject over a map-only scan; rerank pushes the id filter") {
+    val p = plan(SparkEntry.queries("q_ann_sq")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"SQ8 top-k must be a per-partition heap, not a global sort:\n$p")
+    assert(!p.contains("Exchange"),
+      s"quantize + rank must not shuffle:\n$p")
+    // the rerank stage's candidate id set must reach the parquet scan
+    // as a pushed filter (In/IsNotNull on vec_id), so the float tier is
+    // read only for |candidates| rows at scale
+    val pr = plan(SparkEntry.queries("q_ann_sq_rerank")(spark, sf))
+    assert(pr.contains("PushedFilters") && pr.contains("vec_id"),
+      s"rerank must push the candidate-id filter into the scan:\n$pr")
+  }
+
+  test("truncated-dim rerank: prefilter has no Exchange, re-rank pushes ids") {
+    val p = plan(SparkEntry.queries("q_ann_truncate")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject") && p.contains("PushedFilters"),
+      s"truncate rerank must heap-merge the prefilter and push the id filter:\n$p")
+  }
+
+  test("bigram scoring broadcasts the model tables, never sort-merges on the pair") {
+    val p = plan(graft.operators.TextAnalysis.bigramLogprob(
+      spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"),
+      "doc_id", "text", vocabSize = 32, bigramTop = 64))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast model joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"bigram model joins must broadcast, not sort-merge:\n$p")
+  }
+
   test("IVF cell assignment is map-only: no exchange anywhere in the plan") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
     val cents = e.filter(col("vec_id") < 8)

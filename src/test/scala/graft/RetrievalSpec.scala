@@ -113,6 +113,76 @@ class RetrievalSpec extends AnyFunSuite {
       s"expected the term filter pushed to the scan:\n$plan")
   }
 
+  test("bm25 delete: marked docs vanish now, survivor scores keep stale df until compaction") {
+    val docs = Seq(
+      (1L, "spark spark spark spark filler filler filler filler"),
+      (2L, "spark join"),
+      (3L, "join of the tables in the warehouse by the planner"),
+      (4L, "nothing relevant here at all"),
+      (5L, "??? !!! ..."), // token-less: no postings, sidecar-only
+      (6L, "spark spark join join planner"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25del").toString
+    Retrieval.writeBm25Index(docs, "doc_id", "text", idx, nBuckets = 8)
+    val before = Retrieval.bm25FromIndex(spark, idx, "doc_id", "spark join")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Retrieval.deleteBm25Docs(spark, idx, Seq(2L, 5L).toDF("doc_id"))
+    val after = Retrieval.bm25FromIndex(spark, idx, "doc_id", "spark join")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!after.contains(2L), "deleted doc must leave the hit set immediately")
+    assert(after == before - 2L,
+      "survivor scores must be BITWISE the pre-delete scores (stale df, Lucene semantics)")
+    // re-delete is idempotent; unknown ids refuse loudly
+    Retrieval.deleteBm25Docs(spark, idx, Seq(2L).toDF("doc_id"))
+    assert(Retrieval.bm25FromIndex(spark, idx, "doc_id", "spark join")
+      .collect().map(_.getLong(0)).toSet == after.keySet)
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.deleteBm25Docs(spark, idx, Seq(99L).toDF("doc_id"))
+    }
+    assert(ex.getMessage.contains("not present"), ex.getMessage)
+  }
+
+  test("bm25 compaction folds tombstones: scores == fresh build over survivors, drift guard passes") {
+    val docs = Seq(
+      (1L, "spark spark spark spark filler filler filler filler"),
+      (2L, "spark join"),
+      (3L, "join of the tables in the warehouse by the planner"),
+      (4L, "nothing relevant here at all"),
+      (5L, "??? !!! ..."),
+      (6L, "spark spark join join planner"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25cmp").toString
+    Retrieval.writeBm25Index(docs, "doc_id", "text", idx, nBuckets = 8)
+    // delete a posting-bearing doc AND a token-less doc: both must
+    // fold out of every statistic (N, id_hash) at compaction
+    Retrieval.deleteBm25Docs(spark, idx, Seq(2L, 5L).toDF("doc_id"))
+    val out = idx + "_compacted"
+    Retrieval.compactBm25Index(spark, idx, out)
+    val survivors = docs.filter(!col("doc_id").isin(2L, 5L))
+    // fingerprint meta matches the surviving corpus exactly
+    Retrieval.requireBm25IndexMatches(spark, out, survivors, "doc_id")
+    val fresh = java.nio.file.Files.createTempDirectory("graft_bm25fre").toString
+    Retrieval.writeBm25Index(survivors, "doc_id", "text", fresh, nBuckets = 8)
+    val compacted = Retrieval.bm25FromIndex(spark, out, "doc_id", "spark join")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rebuilt = Retrieval.bm25FromIndex(spark, fresh, "doc_id", "spark join")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(compacted == rebuilt,
+      "compacted store must score BITWISE like a fresh build over the survivors")
+    // df actually changed vs the stale pre-compaction scores ('spark'
+    // lost a doc), so this is a live recompute, not a copy
+    val stale = Retrieval.bm25FromIndex(spark, idx, "doc_id", "spark join")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(stale.keySet == compacted.keySet &&
+        stale.exists { case (k, v) => compacted(k) != v },
+      "compaction must move survivor scores (df/N recomputed)")
+    // a rebuild clears stale tombstones: doc 2 is retrievable again
+    Retrieval.writeBm25Index(docs, "doc_id", "text", idx, nBuckets = 8)
+    assert(Retrieval.bm25FromIndex(spark, idx, "doc_id", "spark join")
+      .collect().map(_.getLong(0)).toSet.contains(2L),
+      "writeBm25Index must reset the delete lifecycle")
+  }
+
   test("bm25: punctuation-robust matching (Ghrelin? matches ghrelin,)") {
     val docs = Seq(
       (1L, "Ghrelin, a peptide hormone; ghrelin regulates appetite."),

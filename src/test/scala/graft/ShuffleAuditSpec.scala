@@ -32,6 +32,34 @@ class ShuffleAuditSpec extends AnyFunSuite {
     assert(s.writeBytes == 0L, s"sampling shuffled: $s")
   }
 
+  test("SQ8 quantize + top-k is shuffle-free (map + per-partition heap merge)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val s = ShuffleAudit.of(graft.operators.Sq.searchTopK(
+      graft.operators.Sq.quantize(emb, "embedding"), "vec_id", qv, 10))
+    assert(s.writeBytes == 0L && s.readBytes == 0L,
+      s"SQ8 scan path shuffled: $s")
+  }
+
+  test("bigram scoring shuffle is linear in bigram rows (counts, never document text)") {
+    import graft.functions.TextFunctions.tokens
+    val s = ShuffleAudit.of(graft.operators.TextAnalysis.bigramLogprob(
+      docs, "doc_id", "text", vocabSize = 32, bigramTop = 64))
+    assert(s.writeBytes > 0, "expected the bigram hash-agg shuffles")
+    // the shuffled unit is a (doc, w1, w2, count, lp) row — word PAIRS
+    // outweigh the raw text per instance, so the honest budget is
+    // per-row linear (measured ~41 B/row over three exchanges), never
+    // document blobs and never a quadratic pair blow-up
+    val nBigrams = docs
+      .select((size(tokens(lower(col("text")))) - 1).as("n"))
+      .agg(sum(when(col("n") > 0, col("n")).otherwise(0L))).head().getLong(0)
+    assert(s.writeBytes < nBigrams * 80,
+      s"bigram scoring shuffled ${s.writeBytes} bytes for $nBigrams bigram " +
+        "instances — expected a linear per-row budget (< 80 B/instance)")
+  }
+
   test("exact dedup shuffles fingerprints, not text") {
     val s = ShuffleAudit.of(Dedup.exact(docs, "doc_id", "text"))
     assert(s.writeBytes > 0, "expected a hash-agg shuffle")
