@@ -2052,6 +2052,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Lee et al. 2022 exact substring dedup: EXCISE duplicated 5-gram
+    // spans (all instances after the globally first), keep the docs.
+    // The oracle rebuilds every document's surviving token stream, so
+    // the span arithmetic — not just the counts — is hash-checked.
+    "q_excise_spans" -> ((s, dir) => {
+      Dedup.exciseDuplicateSpans(wide(s, dir, "documents"),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
     // Corpus profiling: per-source exact length quantiles (Spark
     // `percentile` ≡ DuckDB `quantile_cont`, both linear-interpolated).
     // The sketch path (percentile_approx) is StatsSpec-bounded instead —
@@ -3946,6 +3956,43 @@ object SparkEntry {
            |       (least(v.vec_id, coalesce(cl.mr, v.vec_id)) = v.vec_id) AS is_canonical
            |FROM v LEFT JOIN cl ON v.vec_id = cl.vec_id
            |ORDER BY v.vec_id""".stripMargin,
+
+      // Span excision: same instance/first-key machinery as
+      // q_gram_dedup, then covered-index union and a per-doc rebuild
+      // of the surviving token stream.
+      "q_excise_spans" ->
+        s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+           |g AS (
+           |  SELECT doc_id, len(w) AS lw,
+           |         list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+           |                        i -> array_to_string(list_slice(w, i, i + 4), ' ')) AS sh
+           |  FROM t
+           |),
+           |inst AS (
+           |  SELECT doc_id, lw, CAST(i AS BIGINT) - 1 AS pos, substring(md5(sh[i]), 1, 16) AS h
+           |  FROM g, unnest(range(1, len(sh) + 1)) AS r(i)
+           |),
+           |keyed AS (SELECT doc_id, lw, pos, h, doc_id * 1048576 + pos AS key FROM inst),
+           |firsts AS (SELECT h, min(key) AS firstkey FROM keyed GROUP BY 1),
+           |flagged AS (SELECT doc_id, lw, pos FROM keyed JOIN firsts USING (h) WHERE key <> firstkey),
+           |cov AS (
+           |  SELECT DISTINCT doc_id, CAST(idx AS BIGINT) AS idx
+           |  FROM flagged, unnest(range(pos, least(pos + 5, lw))) AS r(idx)
+           |),
+           |covl AS (SELECT doc_id, list_sort(list(idx)) AS cv FROM cov GROUP BY 1)
+           |SELECT t.doc_id,
+           |       -- COALESCE: DuckDB's array_to_string([]) is NULL where
+           |       -- Spark's array_join([]) is '' (fully excised docs)
+           |       COALESCE(array_to_string(
+           |         list_filter(
+           |           list_transform(range(1, len(w) + 1),
+           |             i -> CASE WHEN covl.cv IS NULL OR NOT list_contains(covl.cv, i - 1)
+           |                  THEN w[i] ELSE NULL END),
+           |           x -> x IS NOT NULL), ' '), '') AS clean_text,
+           |       CAST(len(w) AS BIGINT) AS n_tokens,
+           |       CAST(CASE WHEN covl.cv IS NULL THEN 0 ELSE len(covl.cv) END AS BIGINT) AS n_removed
+           |FROM t LEFT JOIN covl USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
 
       "q_gram_dedup" ->
         s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),

@@ -400,6 +400,130 @@ object Dedup {
     * The gram hash is the `hashHexChars`-char md5 prefix (default 16 =
     * 64 bits — portable to the DuckDB oracle, collision-negligible
     * below ~10^8 distinct grams; at 100 TB pass 32 for the full md5). */
+  /** Exact SUBSTRING dedup by span excision — Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"):
+    * instead of dropping whole documents, remove the duplicated
+    * word-n-gram SPANS themselves, keeping exactly ONE occurrence
+    * corpus-wide (the globally first by (id, pos) — the same canonical
+    * order [[duplicatedGramProfile]] counts against, so the profile's
+    * `n_dup` is precisely the number of instances this operator
+    * excises). Boilerplate headers, license blocks, and templated
+    * spans vanish from every copy but the first, while the documents'
+    * unique content survives — whole-doc dedup can't do that.
+    *
+    * Output reconstructs from the normalized token stream (lowercased,
+    * cleaned, whitespace-joined — the form a training pipeline
+    * materializes anyway): (idCol, clean_text, n_tokens, n_removed),
+    * one row per input doc, docs without flagged spans pass through
+    * complete.
+    *
+    * Scale shape: instance extraction is map-only (posexplode of the
+    * shingle array; hashes, never gram text, leave the mapper — md5
+    * prefix, [[duplicatedGramProfile]]'s discipline); the first-
+    * occurrence argmin is one hash-agg over (h, packed key); flags
+    * join back on the hash; covered indices explode n-bounded spans of
+    * FLAGGED instances only (duplication-sized, not corpus-sized); the
+    * rebuild is one per-doc fold. Shuffles carry (hash, id, pos)
+    * triples — never document text. */
+  def exciseDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 10, hashHexChars: Int = 16): DataFrame = {
+    val (base, keyed) = gramInstanceKeys(docs, idCol, textCol, n, hashHexChars)
+    val firsts = keyed.groupBy(col("_h")).agg(min(col("_key")).as("_firstkey"))
+    // a unique gram's only instance IS the min, so `key != firstkey`
+    // alone flags exactly the non-first duplicate instances
+    val flagged = keyed.join(firsts, "_h")
+      .filter(col("_key") =!= col("_firstkey"))
+      .select(col(idCol), col("_pos"), col("_len"))
+    rebuildWithoutSpans(base, flagged, idCol, n)
+  }
+
+  /** Incremental (prefix-consistent) form of [[exciseDuplicateSpans]]:
+    * excise spans duplicated against EVERYTHING SEEN SO FAR — a gram
+    * already in `seenGrams` (one `_h` per known gram) loses every
+    * instance in this batch; a batch-new gram keeps its batch-first
+    * instance exactly as the batch operator would. Running a corpus as
+    * one batch ≡ [[exciseDuplicateSpans]]; split into id-ordered
+    * batches the stream produces the same output (StreamingDedupSpec
+    * pins this). The probe shuffles hash strings, never text. */
+  def exciseIncrement(batch: DataFrame, idCol: String, textCol: String,
+                      seenGrams: DataFrame, n: Int = 10,
+                      hashHexChars: Int = 16): DataFrame = {
+    val (base, keyed) = gramInstanceKeys(batch, idCol, textCol, n, hashHexChars)
+    val firsts = keyed.groupBy(col("_h")).agg(min(col("_key")).as("_firstkey"))
+    val seen = seenGrams.select(col("_h")).distinct().withColumn("_seen", lit(true))
+    val flagged = keyed.join(firsts, "_h")
+      .join(seen, Seq("_h"), "left")
+      .filter(col("_seen").isNotNull || col("_key") =!= col("_firstkey"))
+      .select(col(idCol), col("_pos"), col("_len"))
+    rebuildWithoutSpans(base, flagged, idCol, n)
+  }
+
+  /** Distinct gram hashes of a batch — the rows an incremental excision
+    * index accumulates (hash strings only, never gram text). */
+  def gramHashes(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 10, hashHexChars: Int = 16): DataFrame = {
+    val (_, keyed) = gramInstanceKeys(docs, idCol, textCol, n, hashHexChars)
+    keyed.select(col("_h")).distinct()
+  }
+
+  /** Shared excision front half: normalized token arrays (`base`:
+    * idCol, _w) and keyed gram instances (`keyed`: idCol, _len, _h,
+    * _pos, _key — packed (id, pos) key for integral ids, struct
+    * otherwise: [[duplicatedGramProfile]]'s canonical order). */
+  private def gramInstanceKeys(docs: DataFrame, idCol: String, textCol: String,
+                               n: Int, hashHexChars: Int): (DataFrame, DataFrame) = {
+    require(hashHexChars >= 1 && hashHexChars <= 32,
+      s"hashHexChars=$hashHexChars must be in [1, 32] (md5 is 32 hex chars)")
+    import org.apache.spark.sql.types._
+    val isIntegral = docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val base = docs.select(col(idCol),
+      tokens(lower(cleanText(col(textCol)))).as("_w"))
+    val inst = base.select(
+        col(idCol), size(col("_w")).as("_len"),
+        posexplode(shingles(col("_w"), n)).as(Seq("_pos", "_gram")))
+      .select(col(idCol), col("_len"),
+        substring(md5(col("_gram")), 1, hashHexChars).as("_h"),
+        col("_pos").cast("long").as("_pos"))
+    val instKey: Column =
+      if (isIntegral) {
+        val id = col(idCol).cast("long")
+        when(id < lit(1L << 42) && id > lit(-(1L << 42)) &&
+            col("_pos") < lit(1L << 20),
+          shiftleft(id, 20) + col("_pos"))
+          .otherwise(raise_error(lit(
+            "exciseDuplicateSpans packed order key overflow: " +
+              "requires |id| < 2^42 and position < 2^20")).cast("long"))
+      } else struct(col(idCol), col("_pos"))
+    (base, inst.withColumn("_key", instKey))
+  }
+
+  /** Shared excision back half: union the flagged instances' covered
+    * word indices (n-bounded explode of FLAGGED rows only — duplication-
+    * sized, not corpus-sized) and rebuild each doc's surviving token
+    * stream. Docs with nothing flagged pass through complete. */
+  private def rebuildWithoutSpans(base: DataFrame, flagged: DataFrame,
+                                  idCol: String, n: Int): DataFrame = {
+    // short docs (len < n) shingle to ONE all-words gram at pos 0 —
+    // least(pos + n, len) covers both shapes
+    val covered = flagged
+      .select(col(idCol),
+        explode(sequence(col("_pos"),
+          least(col("_pos") + lit(n), col("_len")) - 1)).as("_idx"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("_idx"))).as("_cov"))
+    base.join(covered, Seq(idCol), "left")
+      .withColumn("_cov", coalesce(col("_cov"), array().cast("array<long>")))
+      .select(col(idCol),
+        expr("array_join(filter(_w, (x, i) -> NOT array_contains(_cov, CAST(i AS BIGINT))), ' ')")
+          .as("clean_text"),
+        size(col("_w")).cast("long").as("n_tokens"),
+        size(col("_cov")).cast("long").as("n_removed"))
+  }
+
   def duplicatedGramProfile(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 10, hashHexChars: Int = 16): DataFrame = {
     require(hashHexChars >= 1 && hashHexChars <= 32,

@@ -502,4 +502,73 @@ object StreamingDedup {
     if (!fs.exists(cbPath))
       cur.coalesce(1).write.mode("overwrite").parquet(cbPath.toString)
   }
+
+  /** Streaming SPAN EXCISION — [[graft.operators.Dedup.exciseDuplicateSpans]]'s
+    * prefix-consistent incremental loop (Lee et al. substring dedup as
+    * arriving batches): each micro-batch excises spans duplicated
+    * against the accumulated GRAM index (hash strings only — never
+    * gram text) plus the batch's own earlier instances, writes the
+    * rebuilt docs to `outDir`, and appends its batch-new gram hashes
+    * to `gramDir` so the next micro-batch sees them. Id-ordered
+    * batches reproduce the batch operator's output exactly
+    * (StreamingDedupSpec pins stream ≡ batch).
+    *
+    * Exactly-once: the [[processIncrement]] machinery verbatim —
+    * batch-keyed partition dirs written with OVERWRITE, the probe
+    * excludes the current batch's own partition, Hadoop FileSystem
+    * path resolution. A `_params` sidecar guards (n, hashHexChars)
+    * drift: an index accumulated under different gram parameters
+    * would silently excise nothing. */
+  def incrementalExciseStream(docs: DataFrame, idCol: String, textCol: String,
+                              gramDir: String, outDir: String, checkpoint: String,
+                              n: Int = 10, hashHexChars: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processExciseIncrement(batch, batchId, idCol, textCol, gramDir, outDir,
+          n, hashHexChars)
+      }
+      .start()
+
+  /** One micro-batch of [[incrementalExciseStream]] — testable replay
+    * contract, as with the other loops. */
+  private[graft] def processExciseIncrement(batch: DataFrame, batchId: Long,
+                                            idCol: String, textCol: String,
+                                            gramDir: String, outDir: String,
+                                            n: Int, hashHexChars: Int): Unit = {
+    val spark = batch.sparkSession
+    val gramPath = new org.apache.hadoop.fs.Path(gramDir)
+    val fs = gramPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$gramDir/_params")
+    if (fs.exists(paramsPath)) {
+      val p = spark.read.parquet(paramsPath.toString)
+        .select("gram_n", "hash_hex_chars").head()
+      require(p.getInt(0) == n && p.getInt(1) == hashHexChars,
+        s"incrementalExciseStream: gram index at $gramDir was accumulated " +
+          s"with (n=${p.getInt(0)}, hashHexChars=${p.getInt(1)}); this " +
+          s"probe uses (n=$n, hashHexChars=$hashHexChars)")
+    }
+    val existing: DataFrame =
+      if (fs.exists(gramPath))
+        spark.read.parquet(gramDir)
+          .filter(col("batch_id") < batchId)
+          .select("_h")
+      else spark.emptyDataFrame
+        .select(lit("").as("_h")).limit(0)
+    val out = graft.operators.Dedup
+      .exciseIncrement(batch, idCol, textCol, existing, n, hashHexChars)
+    out.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    // index rows: the batch's grams not already known — hash-only.
+    // Derived deterministically from the batch input, so a replay
+    // writes byte-identical rows over its own partition
+    graft.operators.Dedup.gramHashes(batch, idCol, textCol, n, hashHexChars)
+      .join(existing, Seq("_h"), "left_anti")
+      .write.mode("overwrite").parquet(s"$gramDir/batch_id=$batchId")
+    if (!fs.exists(paramsPath))
+      spark.range(1)
+        .select(lit(n).cast("int").as("gram_n"),
+          lit(hashHexChars).cast("int").as("hash_hex_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(paramsPath.toString)
+  }
 }

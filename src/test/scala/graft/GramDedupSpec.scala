@@ -22,6 +22,47 @@ class GramDedupSpec extends AnyFunSuite {
     assert(out(1L) == (5L, 1L), s"doc1: ${out(1L)}") // its "a b c" instance
   }
 
+  test("excision removes every duplicate span instance but the globally first") {
+    // n=3. [a b c] appears in doc 0 (pos 0, canonical by (id, pos)
+    // order) and doc 1 (pos 3, flagged -> words 3..5 excised). Every
+    // other gram is unique, so nothing else moves.
+    val docs = Seq(
+      (0L, "a b c q r s"),
+      (1L, "x y z a b c"), // [a b c] repeat at pos 3 -> words 3..5 excised
+      (2L, "u v w")        // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseDuplicateSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ("a b c q r s", 6L, 0L), s"canonical doc must keep all: ${out(0L)}")
+    assert(out(1L) == ("x y z", 6L, 3L), s"dup span must be excised: ${out(1L)}")
+    assert(out(2L) == ("u v w", 3L, 0L), s"untouched doc must pass through: ${out(2L)}")
+  }
+
+  test("excision: overlapping flagged spans cover their union; within-doc repeats count") {
+    // one doc, n=2: "a b a b a b" — grams [a b](0) [b a](1) [a b](2)
+    // [b a](3) [a b](4). First [a b] at 0 and first [b a] at 1 are
+    // canonical; flagged: pos 2,3,4 (covering words 2..5). Survivors:
+    // words 0..1 -> "a b".
+    val docs = Seq((0L, "a b a b a b")).toDF("doc_id", "text")
+    val out = Dedup.exciseDuplicateSpans(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out(0L) == ("a b", 4L), s"overlap union wrong: ${out(0L)}")
+  }
+
+  test("excision agrees with the profile: removed instances == n_dup") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val profile = Dedup.duplicatedGramProfile(docs, "doc_id", "text", n = 5)
+      .agg(org.apache.spark.sql.functions.sum("n_dup")).head().getLong(0)
+    // flagged INSTANCES == profile n_dup by shared first-key order; the
+    // excised-token count is bounded by n x instances (overlap unions)
+    val removed = Dedup.exciseDuplicateSpans(docs, "doc_id", "text", n = 5)
+      .agg(org.apache.spark.sql.functions.sum("n_removed")).head().getLong(0)
+    assert(removed <= profile * 5, s"removed $removed exceeds 5x flagged $profile")
+    assert((profile == 0L) == (removed == 0L),
+      s"profile and excision must agree on whether duplication exists ($profile vs $removed)")
+  }
+
   test("canonical ownership follows (doc_id, position) order") {
     // Identical docs: doc 5 owns every gram, doc 9's instances all dup.
     val docs = Seq((9L, "p q r s t"), (5L, "p q r s t")).toDF("doc_id", "text")

@@ -472,6 +472,52 @@ class StreamingDedupSpec extends AnyFunSuite {
 
   // ---- graph incremental loop (live HNSW-analog index maintenance) ----
 
+  test("excise loop: spans duplicated against earlier batches are removed; stream ≡ batch on id-ordered input") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_exloop").toFile.getAbsolutePath
+    val b0 = Seq((1L, "a b c q r s"), (2L, "m n o p q"))
+    val b1 = Seq((3L, "x y z a b c"), (4L, "fresh words only here"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.incrementalExciseStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$root/grams", s"$root/out", s"$root/ckpt", n = 3)
+    input.addData(b0: _*); q.processAllAvailable()
+    // batch 1: doc 3 repeats batch 0's [a b c] span -> words 3..5 excised
+    input.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$root/out")
+      .select("doc_id", "clean_text", "n_tokens", "n_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // id-ordered batches reproduce the one-shot batch operator exactly
+    val batched = graft.operators.Dedup.exciseDuplicateSpans(
+        (b0 ++ b1).toDF("doc_id", "text"), "doc_id", "text", n = 3)
+      .select("doc_id", "clean_text", "n_tokens", "n_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batched,
+      s"stream and batch excision diverged:\n$streamed\nvs\n$batched")
+    assert(streamed.find(_._1 == 3L).get._2 == "x y z", s"got $streamed")
+    // replay idempotency: re-running batch 1 leaves both sinks identical
+    val outBefore = spark.read.parquet(s"$root/out")
+      .select("doc_id", "clean_text", "batch_id")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val gramsBefore = spark.read.parquet(s"$root/grams")
+      .select("_h", "batch_id").as[(String, Long)].collect().sorted.toSeq
+    StreamingDedup.processExciseIncrement(b1.toDF("doc_id", "text"), 1L,
+      "doc_id", "text", s"$root/grams", s"$root/out", 3, 16)
+    assert(spark.read.parquet(s"$root/out")
+      .select("doc_id", "clean_text", "batch_id")
+      .as[(Long, String, Long)].collect().sorted.toSeq == outBefore)
+    assert(spark.read.parquet(s"$root/grams")
+      .select("_h", "batch_id").as[(String, Long)].collect().sorted.toSeq == gramsBefore)
+    // parameter drift against the persisted gram index refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      StreamingDedup.processExciseIncrement(b1.toDF("doc_id", "text"), 2L,
+        "doc_id", "text", s"$root/grams", s"$root/out", 5, 16)
+    }
+    assert(ex.getMessage.contains("accumulated"), ex.getMessage)
+  }
+
   test("graph loop: streamed batches stay searchable; later batches link to earlier ones") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Ann
