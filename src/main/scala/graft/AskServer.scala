@@ -93,6 +93,10 @@ final class AskServer(spark: SparkSession, index: DataFrame,
   def stop(): Unit = {
     server.stop(0); pool.shutdown()
     wsSocket.foreach { s => try s.close() catch { case _: Exception => () } }
+    // unblock every WS handler thread parked in a socket read (the
+    // threads are daemons, but open sockets would leak until exit)
+    wsConns.forEach { c => try c.close() catch { case _: Exception => () } }
+    wsConns.clear()
   }
   def port: Int = server.getAddress.getPort
 
@@ -110,6 +114,12 @@ final class AskServer(spark: SparkSession, index: DataFrame,
   // ---------------------------------------------------------------- //
 
   private var wsSocket: Option[java.net.ServerSocket] = None
+  // accepted WS connections, tracked so stop() can close them: a
+  // connection's handler thread blocks in socket reads between asks
+  // (reads are not interruptible), so closing the socket is the only
+  // way to unblock it at shutdown
+  private val wsConns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.net.Socket]()
 
   /** Start the WS listener (idempotent); returns its port. */
   def wsStart(): Int = synchronized {
@@ -122,9 +132,17 @@ final class AskServer(spark: SparkSession, index: DataFrame,
         val acceptor = new Thread(() => {
           try while (!ss.isClosed) {
             val conn = ss.accept()
-            pool.execute(() => try wsHandle(conn) finally {
+            wsConns.add(conn)
+            // each connection gets its OWN daemon thread: a WS handler
+            // blocks between asks for the connection's whole lifetime,
+            // so parking it on the shared HTTP pool would let a few
+            // idle WS clients starve every /ask and /ask/stream request
+            val t = new Thread(() => try wsHandle(conn) finally {
+              wsConns.remove(conn)
               try conn.close() catch { case _: Exception => () }
-            })
+            }, s"ws-ask-conn-${conn.getPort}")
+            t.setDaemon(true)
+            t.start()
           } catch { case _: Exception => () } // closed socket ends the loop
         }, "ws-ask-acceptor")
         acceptor.setDaemon(true)
@@ -185,43 +203,72 @@ final class AskServer(spark: SparkSession, index: DataFrame,
       }
       buf
     }
+    // --- fragmentation state: a text message may arrive as an
+    // opcode-0x1 frame with FIN=0 followed by continuation (0x0)
+    // frames; the message is processed only when FIN arrives (the JDK
+    // client legally fragments large sendText payloads)
+    val assembly = new java.io.ByteArrayOutputStream()
+    var assembling = false
+    def handleMessage(payload: Array[Byte]): Unit =
+      try {
+        val root = mapper.readTree(new String(payload, StandardCharsets.UTF_8))
+        val query = root.path("query").asText("")
+        require(query.trim.nonEmpty, "missing required field: query")
+        val r = AskReq(root.path("chat_id").asText("default"), query,
+          root.path("top_k").asInt(defaultTopK))
+        val (answer, fromCache, _, streamedLive, failed) =
+          askOnce(r, onToken = Some(t => sendText(s"""{"token":${quote(t)}}""")))
+        if (failed && streamedLive)
+          sendText(s"""{"error":${quote(answer)}}""")
+        else if (!streamedLive)
+          answer.split("(?<= )").filter(_.nonEmpty)
+            .foreach(t => sendText(s"""{"token":${quote(t)}}"""))
+        sendText(s"""{"done":true,"from_cache":$fromCache}""")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          sendText(s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+      }
     var open = true
     while (open) {
       val b0 = in.read()
       if (b0 < 0) open = false
       else {
+        val fin = (b0 & 0x80) != 0
         val opcode = b0 & 0x0f
         val b1 = in.read()
-        val masked = (b1 & 0x80) != 0
-        var len: Long = b1 & 0x7f
-        if (len == 126) len = ((in.read() & 0xff) << 8) | (in.read() & 0xff)
-        else if (len == 127) len = readExact(8).foldLeft(0L)((a, x) => (a << 8) | (x & 0xff))
-        require(len <= (1 << 20), "ws: frame too large")
-        val mask = if (masked) readExact(4) else Array.emptyByteArray
-        val payload = readExact(len.toInt)
-        if (masked) payload.indices.foreach(i => payload(i) = (payload(i) ^ mask(i % 4)).toByte)
-        opcode match {
-          case 0x8 => // close: echo and end
-            sendFrame(0x8, payload.take(2)); open = false
-          case 0x9 => sendFrame(0xA, payload) // ping → pong
-          case 0x1 =>
-            try {
-              val root = mapper.readTree(new String(payload, StandardCharsets.UTF_8))
-              val query = root.path("query").asText("")
-              require(query.trim.nonEmpty, "missing required field: query")
-              val r = AskReq(root.path("chat_id").asText("default"), query,
-                root.path("top_k").asInt(defaultTopK))
-              val (answer, fromCache, _, streamedLive) =
-                askOnce(r, onToken = Some(t => sendText(s"""{"token":${quote(t)}}""")))
-              if (!streamedLive)
-                answer.split("(?<= )").filter(_.nonEmpty)
-                  .foreach(t => sendText(s"""{"token":${quote(t)}}"""))
-              sendText(s"""{"done":true,"from_cache":$fromCache}""")
-            } catch {
-              case scala.util.control.NonFatal(e) =>
-                sendText(s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
-            }
-          case _ => () // continuation/binary/pong: ignored (one-message asks)
+        if (b1 < 0) open = false
+        else {
+          val masked = (b1 & 0x80) != 0
+          // every multi-byte length goes through readExact (EOF-safe);
+          // the 8-byte form is validated BEFORE len.toInt — a high-bit
+          // length would fold negative and bypass a post-hoc check
+          val len: Long = (b1 & 0x7f) match {
+            case 126 =>
+              val b = readExact(2); ((b(0) & 0xff) << 8) | (b(1) & 0xff)
+            case 127 => readExact(8).foldLeft(0L)((a, x) => (a << 8) | (x & 0xff))
+            case l => l.toLong
+          }
+          require(len >= 0 && len <= (1 << 20), s"ws: bad frame length $len")
+          val mask = if (masked) readExact(4) else Array.emptyByteArray
+          val payload = readExact(len.toInt)
+          if (masked) payload.indices.foreach(i => payload(i) = (payload(i) ^ mask(i % 4)).toByte)
+          opcode match {
+            case 0x8 => // close: echo and end
+              sendFrame(0x8, payload.take(2)); open = false
+            case 0x9 => sendFrame(0xA, payload) // ping → pong
+            case 0x1 =>
+              if (fin) handleMessage(payload)
+              else { assembly.reset(); assembly.write(payload); assembling = true }
+            case 0x0 if assembling => // continuation of a fragmented text
+              require(assembly.size() + payload.length <= (1 << 20),
+                "ws: fragmented message too large")
+              assembly.write(payload)
+              if (fin) {
+                assembling = false
+                handleMessage(assembly.toByteArray); assembly.reset()
+              }
+            case _ => () // binary/pong/stray continuation: ignored
+          }
         }
       }
     }
@@ -269,11 +316,14 @@ final class AskServer(spark: SparkSession, index: DataFrame,
     * ARRIVES (the hook runs at ask()'s LLM call site, so the client
     * sees tokens before the ask round finishes — the reference's WS
     * relay timing); the accumulated text becomes the cached answer.
-    * `streamedLive` tells the caller whether that happened (a cache
-    * hit, or no streaming generator, means the caller must relay the
-    * completed answer itself). */
+    * `streamedLive` tells the caller whether at least one delta
+    * actually reached the client (a cache hit, no streaming
+    * generator, or a failed/empty generation means the caller must
+    * relay the completed answer itself); `failed` surfaces a failed
+    * generation so streaming transports can report it instead of
+    * closing a token-less stream as success. */
   private def askOnce(r: AskReq, onToken: Option[String => Unit] = None)
-      : (String, Boolean, Int, Boolean) = {
+      : (String, Boolean, Int, Boolean, Boolean) = {
     val (cacheSnap, turns) = lock.synchronized(
       (cache, memory.getOrElse(r.chatId, Vector.empty)))
     val history = if (turns.isEmpty) None
@@ -286,9 +336,13 @@ final class AskServer(spark: SparkSession, index: DataFrame,
       generateStream.map(gs => (prompt: String) => gs(prompt).mkString))
     val gen: Option[String => String] = (onToken, generateStream) match {
       case (Some(emit), Some(gs)) => Some { prompt =>
-        streamedLive = true
         val sb = new StringBuilder
-        gs(prompt).foreach { t => sb.append(t); emit(t) }
+        // streamedLive only once a delta actually reached the client:
+        // a failed generation (empty stream — HttpGenerateClient's
+        // degradation contract) must leave it false, so the caller
+        // relays the error answer instead of closing a token-less
+        // stream as if it succeeded
+        gs(prompt).foreach { t => sb.append(t); streamedLive = true; emit(t) }
         sb.toString
       }
       case _ => blocking
@@ -309,12 +363,12 @@ final class AskServer(spark: SparkSession, index: DataFrame,
       memory(r.chatId) = (memory.getOrElse(r.chatId, Vector.empty)
         :+ (r.query, res.answer)).takeRight(historyTurns)
     }
-    (res.answer, res.fromCache, turns.length, streamedLive)
+    (res.answer, res.fromCache, turns.length, streamedLive, res.failed)
   }
 
   private def handleAsk(ex: HttpExchange): Unit = {
     val r = parseReq(ex)
-    val (answer, fromCache, nTurns, _) = askOnce(r)
+    val (answer, fromCache, nTurns, _, _) = askOnce(r)
     respond(ex, 200,
       s"""{"query":${quote(r.query)},"answer":${quote(answer)},""" +
         s""""from_cache":$fromCache,"n_history_turns":$nTurns}""")
@@ -337,8 +391,12 @@ final class AskServer(spark: SparkSession, index: DataFrame,
       // with a generateStream hook, miss-path tokens relay LIVE from the
       // model stream; otherwise (or on a cache hit) relay the completed
       // answer token by token — same line protocol either way
-      val (answer, fromCache, _, streamedLive) = askOnce(r, onToken = Some(emit))
-      if (!streamedLive)
+      val (answer, fromCache, _, streamedLive, failed) = askOnce(r, onToken = Some(emit))
+      // a failed generation that somehow emitted deltas (blank-only
+      // stream) must still be visible as a failure on this transport
+      if (failed && streamedLive)
+        out.write((s"""{"error":${quote(answer)}}""" + "\n").getBytes(StandardCharsets.UTF_8))
+      else if (!streamedLive)
         answer.split("(?<= )").filter(_.nonEmpty).foreach(emit)
       out.write((s"""{"done":true,"from_cache":$fromCache}""" + "\n")
         .getBytes(StandardCharsets.UTF_8))

@@ -33,6 +33,18 @@ object Ann {
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
 
+  /** Shared two-tier tail: exact cosine re-rank of a k-bounded id set,
+    * read through a pushed-down id filter — one ranking/tie-break
+    * discipline for every prefilter ([[truncatedRerank]], [[Sq.searchRerank]]). */
+  private[operators] def rerankIds(index: DataFrame, idCol: String, vecCol: String,
+                                   queryVec: Seq[Double], k: Int,
+                                   candIds: Seq[Any]): DataFrame =
+    index
+      .filter(col(idCol).isin(candIds: _*))
+      .withColumn("sim", cosine(col(vecCol), lit(queryVec.toArray)))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+
   /** Matryoshka-style truncated-dimension two-tier search (Kusupati et
     * al. 2022: nested representations rank well on a prefix of their
     * dimensions): prefilter on the first `prefixDim` components only —
@@ -55,12 +67,8 @@ object Ann {
       .withColumn("_psim", cosine(slice(col(vecCol), 1, prefixDim), lit(qPrefix.toArray)))
       .orderBy(desc("_psim"), col(idCol))
       .limit(candidates)
-      .select(idCol).collect().map(_.get(0))
-    index
-      .filter(col(idCol).isin(candIds: _*))
-      .withColumn("sim", cosine(col(vecCol), lit(queryVec.toArray)))
-      .orderBy(desc("sim"), col(idCol))
-      .limit(k)
+      .select(idCol).collect().map(_.get(0)).toSeq
+    rerankIds(index, idCol, vecCol, queryVec, k, candIds)
   }
 
   /** Assign each vector to its nearest centroid (max cosine, ties → lowest

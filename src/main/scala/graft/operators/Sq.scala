@@ -64,13 +64,11 @@ object Sq {
 
   /** Approximate top-k: cosine of the full-precision query against the
     * raw codes (scale cancels in cosine). One codegen'd scan of the
-    * 1-byte tier, TakeOrderedAndProject — no shuffle. */
+    * 1-byte tier — [[Ann.bruteForceTopK]]'s ranking discipline over
+    * the code column (TakeOrderedAndProject, no shuffle). */
   def searchTopK(quantized: DataFrame, idCol: String, queryVec: Seq[Double], k: Int,
                  codeCol: String = "sq_code"): DataFrame =
-    quantized
-      .withColumn("sim", cosine(col(codeCol), lit(queryVec.toArray)))
-      .orderBy(desc("sim"), col(idCol))
-      .limit(k)
+    Ann.bruteForceTopK(quantized, idCol, codeCol, queryVec, k)
 
   /** Two-stage search: SQ top-`candidates` prefilter over the int8
     * tier, exact full-precision re-rank of just those ids → top-k.
@@ -83,11 +81,7 @@ object Sq {
                    codeCol: String = "sq_code"): DataFrame = {
     require(candidates >= k, s"searchRerank: candidates ($candidates) must be >= k ($k)")
     val candIds = searchTopK(quantized, idCol, queryVec, candidates, codeCol)
-      .select(idCol).collect().map(_.get(0))
-    index
-      .filter(col(idCol).isin(candIds: _*))
-      .withColumn("sim", cosine(col(vecCol), lit(queryVec.toArray)))
-      .orderBy(desc("sim"), col(idCol))
-      .limit(k)
+      .select(idCol).collect().map(_.get(0)).toSeq
+    Ann.rerankIds(index, idCol, vecCol, queryVec, k, candIds)
   }
 }

@@ -248,8 +248,14 @@ object TextAnalysis {
   def bigramLogprob(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, vocabSize: Int = 65536,
                     bigramTop: Int = 65536): org.apache.spark.sql.DataFrame = {
-    val pairs = docs
-      .select(col(idCol), tokens(lower(cleanText(col(textCol)))).as("_toks"))
+    // tokenize ONCE: the model pass, the vocab count, and the per-doc
+    // scoring all read this materialized token table (Materialize is
+    // the localCheckpoint <-> persist(DISK_ONLY) switch, so at corpus
+    // scale this is a disk-backed intermediate, not three full
+    // re-tokenization scans of the raw text)
+    val base = graft.Materialize(docs
+      .select(col(idCol), tokens(lower(cleanText(col(textCol)))).as("_toks")))
+    val pairs = base
       .filter(size(col("_toks")) >= 2)
       .select(col(idCol), explode(expr(
         """transform(slice(_toks, 1, size(_toks) - 1),
@@ -259,7 +265,11 @@ object TextAnalysis {
     val bg = pairs.groupBy("_w1", "_w2").agg(count(lit(1)).as("_bcnt"))
       .orderBy(desc("_bcnt"), col("_w1"), col("_w2")).limit(bigramTop)
     val ctx = bg.groupBy("_w1").agg(sum("_bcnt").as("_ccnt"))
-    val v1 = unigramVocab(docs, textCol, vocabSize)
+    // identical value to unigramVocab(docs,...).count + 1 — the top-V
+    // cut only clips the row count, which is all v1 uses
+    val v1 = base.select(explode(col("_toks")).as("_tok"))
+      .groupBy(col("_tok")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(desc("_cnt"), col("_tok")).limit(vocabSize)
       .agg((count(lit(1)) + 1).cast("double").as("_v1"))
     pairs
       .groupBy(col(idCol), col("_w1"), col("_w2"))

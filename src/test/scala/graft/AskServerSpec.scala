@@ -133,6 +133,94 @@ class AskServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("failed STREAMING generation is visible on /ask/stream: error answer relayed, not a bare done") {
+    // HttpGenerateClient degrades to an EMPTY stream on any transport
+    // failure — the stream client must still read the error answer
+    // (token relay of NoResponseAnswer), never a token-less done:true
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val srv = new AskServer(spark, index,
+      generateStream = Some(_ =>
+        if (calls.incrementAndGet() == 1) Iterator.empty
+        else Iterator("recovered ", "answer")))
+    val port = srv.start()
+    try {
+      val q = """{"chat_id":"sf0","query":"broadcast join tables"}"""
+      val lines1 = post(port, "/ask/stream", q).body().trim.split("\n").toSeq
+      val toks1 = lines1.filter(_.contains("\"token\""))
+        .map(l => mapper.readTree(l).path("token").asText()).mkString
+      assert(toks1 == "Error: No response was generated.",
+        s"failed stream must relay the error answer, got: $lines1")
+      // and the failure did not poison the cache: the retry generates
+      val lines2 = post(port, "/ask/stream", q).body().trim.split("\n").toSeq
+      val toks2 = lines2.filter(_.contains("\"token\""))
+        .map(l => mapper.readTree(l).path("token").asText()).mkString
+      assert(toks2 == "recovered answer", s"got: $lines2")
+      assert(mapper.readTree(lines2.last).path("from_cache").asBoolean(true) == false)
+    } finally srv.stop()
+  }
+
+  test("WS fragmented text message (FIN=0 + continuation) is assembled and answered") {
+    val srv = new AskServer(spark, index)
+    srv.start()
+    val wsPort = srv.wsStart()
+    try {
+      val sock = new java.net.Socket("127.0.0.1", wsPort)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        sock.getInputStream, java.nio.charset.StandardCharsets.ISO_8859_1))
+      // handshake
+      out.write(("GET /ws/ask HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n" +
+        "Connection: Upgrade\r\nSec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n" +
+        "Sec-WebSocket-Version: 13\r\n\r\n").getBytes("ISO-8859-1"))
+      out.flush()
+      var line = in.readLine()
+      assert(line != null && line.contains("101"), s"handshake failed: $line")
+      while (line != null && line.nonEmpty) line = in.readLine()
+      // masked client frames: text FIN=0 with the first half, then
+      // continuation FIN=1 with the rest
+      def frame(opcode: Int, fin: Boolean, payload: Array[Byte]): Array[Byte] = {
+        val mask = Array[Byte](0x11, 0x22, 0x33, 0x44)
+        val b = new scala.collection.mutable.ArrayBuffer[Byte]()
+        b += ((if (fin) 0x80 else 0x00) | opcode).toByte
+        assert(payload.length < 126)
+        b += (0x80 | payload.length).toByte
+        b ++= mask
+        payload.indices.foreach(i => b += (payload(i) ^ mask(i % 4)).toByte)
+        b.toArray
+      }
+      val msg = """{"chat_id":"wf0","query":"broadcast join tables"}"""
+        .getBytes("UTF-8")
+      val (h1, h2) = msg.splitAt(msg.length / 2)
+      out.write(frame(0x1, fin = false, h1))
+      out.write(frame(0x0, fin = true, h2))
+      out.flush()
+      // read server frames until the done line arrives (unmasked, short)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      val seen = new StringBuilder
+      val raw = sock.getInputStream
+      var done = false
+      while (!done && System.nanoTime() < deadline) {
+        val b0 = raw.read(); val b1 = raw.read()
+        assert(b0 >= 0 && b1 >= 0, s"server closed early after: $seen")
+        val len = b1 & 0x7f
+        assert(len < 126, "test frames are short")
+        val payload = new Array[Byte](len)
+        var off = 0
+        while (off < len) {
+          val r = raw.read(payload, off, len - off); assert(r >= 0); off += r
+        }
+        val text = new String(payload, "UTF-8")
+        seen.append(text).append('\n')
+        if (text.contains("\"done\"") || text.contains("\"error\"")) done = true
+      }
+      assert(seen.toString.contains("\"done\":true"),
+        s"fragmented message must be assembled and answered, got: $seen")
+      assert(!seen.toString.contains("\"error\""),
+        s"no error line expected, got: $seen")
+      sock.close()
+    } finally srv.stop()
+  }
+
   test("generateStream-only: /ask answers from the SAME model as /ask/stream") {
     val srv = new AskServer(spark, index,
       generateStream = Some(_ => Iterator("model ", "answer")))
