@@ -1651,6 +1651,63 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Count-min heavy hitters: frequency estimates from a bounded
+    // 4x256 grid — the shuffle is depth x width counters per task, never
+    // |vocab|. Probes = the exact top-20 tokens (deterministic candidate
+    // set); cm_est >= exact_cnt by construction and the overcount is
+    // deterministic md5-collision arithmetic the oracle replays.
+    "q_cm_heavy" -> ((s, dir) => {
+      val toks = wide(s, dir, "documents")
+        .select(explode(tokens(lower(col("text")))).as("tok"))
+      val top = graft.Materialize(
+        toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("tok")).limit(20))
+      val sketch = Sketch.cmSketch(toks, "tok", depth = 4, width = 256)
+      Sketch.cmEstimates(sketch, top, "tok", depth = 4, width = 256)
+        .join(top, "tok")
+        .select(col("tok").as("token"), col("exact_cnt"), col("cm_est"),
+          (col("cm_est") - col("exact_cnt")).as("overcount"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+    }),
+
+    // KMV bottom-k distinct sketch per source: vocabulary size estimated
+    // from the 64 smallest distinct token hashes; the only full-width
+    // stage is a hash-distinct (vocabulary-bounded), the sketch is 64
+    // rows per group. Estimate error is exact md5 arithmetic, not
+    // sampling — the oracle replays it including rel_err.
+    "q_kmv_distinct" -> ((s, dir) => {
+      val toks = wide(s, dir, "documents")
+        .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+      val est = Sketch.kmvEstimate(
+        Sketch.kmvPerGroup(toks, "source", "tok", k = 64), "source", k = 64)
+      val exact = toks.groupBy("source")
+        .agg(countDistinct(col("tok")).as("exact_distinct"))
+      est.join(exact, "source")
+        .select(col("source"), col("n_kept"),
+          stableRound(col("est_distinct")).as("est_distinct"),
+          col("exact_distinct"),
+          stableRound((col("est_distinct") - col("exact_distinct").cast("double")) /
+            col("exact_distinct").cast("double")).as("rel_err"))
+        .orderBy("source")
+    }),
+
+    // Bloom decontamination: the broadcast, map-only form — bench
+    // n-grams fold into a 2^14-bit filter and the corpus probe is a
+    // pure scan + per-doc count, with NO join against bench grams
+    // (contrast q_decontaminate's shingle join). False positives are
+    // deterministic (both engines compute identical bits), so the
+    // oracle replays membership — including any collision hits.
+    "q_bloom_decontaminate" -> ((s, dir) => {
+      val docs = wide(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") < 10)
+      val bits = Sketch.bloomArray(
+        Sketch.bloomBits(bench, "text", shingleN = 3, numHashes = 3, mBits = 16384),
+        16384)
+      Sketch.bloomContamination(docs, "doc_id", "text", bits,
+          shingleN = 3, numHashes = 3, minHits = 5)
+        .orderBy("doc_id")
+    }),
+
     // North star: language ID + quality scoring heuristics.
     "q_lang_quality" -> ((s, dir) => {
       wide(s, dir, "documents")
@@ -2383,8 +2440,14 @@ object SparkEntry {
   /** DuckDB: the 60-bit md5-prefix row id of [[GraphIndex.uidFor]] —
     * big-endian fold of the first 15 md5 hex chars into a BIGINT
     * (mirrors Spark's conv(substring(md5(e),1,15),16,10)). */
-  private def dMd5Long(e: String): String =
-    (1 to 15).map(i => dHexVal(s"substr(md5($e), $i, 1)"))
+  private def dMd5Long(e: String): String = dMd5LongN(e, 15)
+
+  /** DuckDB: big-endian fold of the first `n` md5 hex chars into a
+    * BIGINT (mirror of Spark's conv(substring(md5(e),1,n),16,10) —
+    * n=15 for 60-bit bucket hashes, n=13 for the KMV 52-bit hash whose
+    * values must be exact in a double). */
+  private def dMd5LongN(e: String, n: Int): String =
+    (1 to n).map(i => dHexVal(s"substr(md5($e), $i, 1)"))
       .foldLeft("CAST(0 AS BIGINT)")((acc, h) => s"($acc * 16 + $h)")
 
   /** DuckDB: distinct word n-gram shingle set over a token list. */
@@ -3785,6 +3848,65 @@ object SparkEntry {
            |       count(*) AS n_tokens,
            |       round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*) + 1.2345e-9, 6) AS type_token_ratio
            |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+      // Count-min grid replay: same salted 60-bit md5 buckets, same
+      // min-over-rows estimate — overcounts reproduce exactly.
+      "q_cm_heavy" ->
+        s"""WITH t AS (SELECT unnest($W) AS tok FROM documents),
+           |e AS (SELECT tok, count(*) AS exact_cnt FROM t GROUP BY 1),
+           |top AS (SELECT * FROM e ORDER BY exact_cnt DESC, tok LIMIT 20),
+           |rb AS (SELECT j, ${dMd5LongN("CAST(j AS VARCHAR) || '|' || tok", 15)} % 256 AS bucket
+           |       FROM t CROSS JOIN range(4) AS r(j)),
+           |g AS (SELECT j, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
+           |pb AS (SELECT top.tok, top.exact_cnt, r.j,
+           |              ${dMd5LongN("CAST(r.j AS VARCHAR) || '|' || top.tok", 15)} % 256 AS bucket
+           |       FROM top CROSS JOIN range(4) AS r(j)),
+           |est AS (SELECT pb.tok, pb.exact_cnt, min(COALESCE(g.cnt, 0)) AS cm_est
+           |        FROM pb LEFT JOIN g ON pb.j = g.j AND pb.bucket = g.bucket
+           |        GROUP BY 1, 2)
+           |SELECT tok AS token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           |       CAST(cm_est AS BIGINT) AS cm_est,
+           |       CAST(cm_est - exact_cnt AS BIGINT) AS overcount
+           |FROM est ORDER BY exact_cnt DESC, token""".stripMargin,
+
+      // KMV replay: 52-bit hashes (13 hex chars — exact in a double),
+      // bottom-64 per source, (k-1)/frac estimate, same division order.
+      "q_kmv_distinct" ->
+        s"""WITH t AS (SELECT source, unnest($W) AS tok FROM documents),
+           |h AS (SELECT DISTINCT source, ${dMd5LongN("tok", 13)} AS h FROM t),
+           |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM h),
+           |kk AS (SELECT source, count(*) AS n_kept, max(h) AS maxh
+           |       FROM r WHERE rk <= 64 GROUP BY source),
+           |x AS (SELECT source, count(DISTINCT tok) AS exact_distinct FROM t GROUP BY source),
+           |est AS (SELECT kk.source, kk.n_kept,
+           |               CASE WHEN kk.n_kept < 64 THEN CAST(kk.n_kept AS DOUBLE)
+           |                    ELSE 63.0 / (CAST(kk.maxh AS DOUBLE) / 4503599627370496.0) END AS est_raw,
+           |               x.exact_distinct
+           |        FROM kk JOIN x ON kk.source = x.source)
+           |SELECT source, CAST(n_kept AS BIGINT) AS n_kept,
+           |       round(est_raw + 1.2345e-9, 6) AS est_distinct,
+           |       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           |       round((est_raw - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)
+           |             + 1.2345e-9, 6) AS rel_err
+           |FROM est ORDER BY source""".stripMargin,
+
+      // Bloom replay: bench shingles -> distinct bit positions; a corpus
+      // gram hits iff all 3 salted positions are set (count(*)=3 after
+      // the pos join — bits.pos is distinct, so each j matches at most
+      // once); docs with >= 5 hit grams survive. False positives land
+      // identically on both engines.
+      "q_bloom_decontaminate" ->
+        s"""WITH d AS (SELECT doc_id, ${dShingleSet(W, 3)} AS sh FROM documents),
+           |c AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE len(sh) > 0),
+           |bits AS (SELECT DISTINCT ${dMd5LongN("CAST(j AS VARCHAR) || '|' || s", 15)} % 16384 AS pos
+           |         FROM (SELECT unnest(sh) AS s FROM d WHERE doc_id < 10 AND len(sh) > 0)
+           |         CROSS JOIN range(3) AS r(j)),
+           |cp AS (SELECT doc_id, s, ${dMd5LongN("CAST(j AS VARCHAR) || '|' || s", 15)} % 16384 AS pos
+           |       FROM c CROSS JOIN range(3) AS r(j)),
+           |hits AS (SELECT doc_id, s FROM cp JOIN bits ON cp.pos = bits.pos
+           |         GROUP BY doc_id, s HAVING count(*) = 3)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+           |FROM hits GROUP BY doc_id HAVING count(*) >= 5 ORDER BY doc_id""".stripMargin,
 
       // Batched mapPartitions embedder ≡ expression path bitwise, so the
       // oracle is the same hashed-BoW arithmetic (minus the norm column).
