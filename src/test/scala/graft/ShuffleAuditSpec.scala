@@ -60,6 +60,55 @@ class ShuffleAuditSpec extends AnyFunSuite {
         "instances — expected a linear per-row budget (< 80 B/instance)")
   }
 
+  test("count-min grid shuffle is grid-bounded: 4x the input, same bytes") {
+    import graft.functions.TextFunctions.tokens
+    import graft.operators.Sketch
+    val toks = docs.select(explode(tokens(lower(col("text")))).as("tok"))
+    // Same partition count for both inputs: the 4x stream flows through
+    // the SAME map tasks, so per-task partial aggregation caps each at
+    // depth x width counters — the exchange must not grow with rows.
+    // Materialize truncates lineage so the audit sees only the sketch's
+    // own exchange, not the fixture repartitions.
+    val base = graft.Materialize(toks.repartition(8))
+    val x4 = graft.Materialize(base.union(base).union(base).union(base).repartition(8))
+    val s1 = ShuffleAudit.of(Sketch.cmSketch(base, "tok", depth = 4, width = 256))
+    val s4 = ShuffleAudit.of(Sketch.cmSketch(x4, "tok", depth = 4, width = 256))
+    assert(s1.writeBytes > 0, "expected the grid hash-agg exchange")
+    assert(s4.writeBytes <= (s1.writeBytes * 1.5).toLong,
+      s"count-min shuffle grew with input rows: 1x=${s1.writeBytes} B, 4x=${s4.writeBytes} B")
+  }
+
+  test("kmv distinct sketch shuffles distinct hashes, never token instances") {
+    import graft.functions.TextFunctions.tokens
+    import graft.operators.Sketch
+    val toks = docs.select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+    val nInstances = toks.count()
+    val nDistinct = toks.distinct().count()
+    val s = ShuffleAudit.of(Sketch.kmvPerGroup(toks, "source", "tok", k = 64))
+    assert(s.writeBytes > 0, "expected the distinct + window exchanges")
+    // (source, 52-bit hash) rows through distinct partial-agg + the
+    // per-source rank window: the budget rides the VOCABULARY (distinct
+    // rows), not the corpus (instances) — ~3 exchanges x ~30 B/row.
+    assert(nInstances > nDistinct * 2, "fixture must repeat tokens for the claim to bite")
+    assert(s.writeBytes < nDistinct * 120,
+      s"kmv shuffled ${s.writeBytes} B for $nDistinct distinct rows ($nInstances instances)")
+  }
+
+  test("bloom probe shuffles per-doc hit counts, never shingles or bench grams") {
+    import graft.operators.Sketch
+    val bench = docs.filter(col("doc_id") < 10)
+    val bits = Sketch.bloomArray(
+      Sketch.bloomBits(bench, "text", shingleN = 3, numHashes = 3, mBits = 16384), 16384)
+    val s = ShuffleAudit.of(Sketch.bloomContamination(docs, "doc_id", "text", bits,
+      shingleN = 3, numHashes = 3, minHits = 5))
+    val nDocs = docs.count()
+    // the only exchange is the per-doc count after map-side partial agg:
+    // at most one (doc_id, cnt) row per doc per task.
+    assert(s.writeBytes < nDocs * 100,
+      s"bloom probe shuffled ${s.writeBytes} B for $nDocs docs — " +
+        "expected per-doc counters only (the gram filter is map-side)")
+  }
+
   test("exact dedup shuffles fingerprints, not text") {
     val s = ShuffleAudit.of(Dedup.exact(docs, "doc_id", "text"))
     assert(s.writeBytes > 0, "expected a hash-agg shuffle")
