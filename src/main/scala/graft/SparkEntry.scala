@@ -1670,6 +1670,35 @@ object SparkEntry {
         .orderBy(col("exact_cnt").desc, col("token"))
     }),
 
+    // The count-min INCREMENTAL loop under the gate: three "daily"
+    // batches (doc_id mod 3) each write their own bounded partial grid;
+    // the merged corpus-lifetime grid must equal the one-shot grid
+    // (additive merge is exact, not approximate), so the oracle is
+    // IDENTICAL to q_cm_heavy's — the batch split must be invisible.
+    "q_cm_stream" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val grid = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_cmloop$safe").getAbsolutePath
+      val p = new org.apache.hadoop.fs.Path(grid)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val toks = wide(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      (0 until 3).foreach { b =>
+        graft.streaming.StreamingSketch.processCmIncrement(
+          toks.filter(col("doc_id") % 3 === b), b.toLong, "tok",
+          grid, depth = 4, width = 256)
+      }
+      val merged = graft.streaming.StreamingSketch.mergedCmGrid(s, grid)
+      val top = graft.Materialize(
+        toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("tok")).limit(20))
+      Sketch.cmEstimates(merged, top, "tok", depth = 4, width = 256)
+        .join(top, "tok")
+        .select(col("tok").as("token"), col("exact_cnt"), col("cm_est"),
+          (col("cm_est") - col("exact_cnt")).as("overcount"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+    }),
+
     // KMV bottom-k distinct sketch per source: vocabulary size estimated
     // from the 64 smallest distinct token hashes; the only full-width
     // stage is a hash-distinct (vocabulary-bounded), the sketch is 64
@@ -2823,6 +2852,28 @@ object SparkEntry {
   private def pipelineOracles: Map[String, String] = {
     val W = dTokens("lower(text)")
 
+    // One replay text for BOTH count-min queries: q_cm_heavy (one-shot
+    // grid) and q_cm_stream (merged batch partials) — the additive merge
+    // is exact, so a single oracle proves the streamed loop leaves no
+    // trace of the batch split.
+    val dCmHeavySql: String =
+      s"""WITH t AS (SELECT unnest($W) AS tok FROM documents),
+         |e AS (SELECT tok, count(*) AS exact_cnt FROM t GROUP BY 1),
+         |top AS (SELECT * FROM e ORDER BY exact_cnt DESC, tok LIMIT 20),
+         |rb AS (SELECT j, ${dMd5LongN("CAST(j AS VARCHAR) || '|' || tok", 15)} % 256 AS bucket
+         |       FROM t CROSS JOIN range(4) AS r(j)),
+         |g AS (SELECT j, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
+         |pb AS (SELECT top.tok, top.exact_cnt, r.j,
+         |              ${dMd5LongN("CAST(r.j AS VARCHAR) || '|' || top.tok", 15)} % 256 AS bucket
+         |       FROM top CROSS JOIN range(4) AS r(j)),
+         |est AS (SELECT pb.tok, pb.exact_cnt, min(COALESCE(g.cnt, 0)) AS cm_est
+         |        FROM pb LEFT JOIN g ON pb.j = g.j AND pb.bucket = g.bucket
+         |        GROUP BY 1, 2)
+         |SELECT tok AS token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+         |       CAST(cm_est AS BIGINT) AS cm_est,
+         |       CAST(cm_est - exact_cnt AS BIGINT) AS overcount
+         |FROM est ORDER BY exact_cnt DESC, token""".stripMargin
+
     // Shared CTE chain for the q_importance_weights / q_select_pack
     // oracles: per-doc mean log-prob under the lang='en' TARGET unigram
     // model (t*) and the corpus model (c*), joined as `j`.
@@ -3851,23 +3902,12 @@ object SparkEntry {
 
       // Count-min grid replay: same salted 60-bit md5 buckets, same
       // min-over-rows estimate — overcounts reproduce exactly.
-      "q_cm_heavy" ->
-        s"""WITH t AS (SELECT unnest($W) AS tok FROM documents),
-           |e AS (SELECT tok, count(*) AS exact_cnt FROM t GROUP BY 1),
-           |top AS (SELECT * FROM e ORDER BY exact_cnt DESC, tok LIMIT 20),
-           |rb AS (SELECT j, ${dMd5LongN("CAST(j AS VARCHAR) || '|' || tok", 15)} % 256 AS bucket
-           |       FROM t CROSS JOIN range(4) AS r(j)),
-           |g AS (SELECT j, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
-           |pb AS (SELECT top.tok, top.exact_cnt, r.j,
-           |              ${dMd5LongN("CAST(r.j AS VARCHAR) || '|' || top.tok", 15)} % 256 AS bucket
-           |       FROM top CROSS JOIN range(4) AS r(j)),
-           |est AS (SELECT pb.tok, pb.exact_cnt, min(COALESCE(g.cnt, 0)) AS cm_est
-           |        FROM pb LEFT JOIN g ON pb.j = g.j AND pb.bucket = g.bucket
-           |        GROUP BY 1, 2)
-           |SELECT tok AS token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
-           |       CAST(cm_est AS BIGINT) AS cm_est,
-           |       CAST(cm_est - exact_cnt AS BIGINT) AS overcount
-           |FROM est ORDER BY exact_cnt DESC, token""".stripMargin,
+      "q_cm_heavy" -> dCmHeavySql,
+
+      // The streamed loop merges partial grids ADDITIVELY, which is
+      // exact — so its oracle is the q_cm_heavy one-shot replay, and a
+      // hash match proves the batch split left no trace.
+      "q_cm_stream" -> dCmHeavySql,
 
       // KMV replay: 52-bit hashes (13 hex chars — exact in a double),
       // bottom-64 per source, (k-1)/frac estimate, same division order.
