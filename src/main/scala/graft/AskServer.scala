@@ -113,6 +113,18 @@ final class AskServer(spark: SparkSession, index: DataFrame,
   // WS *client*. Loopback-only, like the HTTP socket.                //
   // ---------------------------------------------------------------- //
 
+  /** Cap on concurrent WS connections — each pins a thread, so an
+    * unbounded accept loop would let a local client bug accumulate
+    * threads+sockets until stop(). Over the cap, accepts are refused
+    * with a pre-handshake 503. */
+  private val MaxWsConnections = 64
+  /** Read timeout on accepted WS sockets — generous (the protocol keeps
+    * connections open between asks) but finite, so a peer that wedges
+    * without closing releases its handler thread. An idle timeout
+    * surfaces as SocketTimeoutException in the frame read and tears the
+    * connection down through wsHandle's finally. */
+  private val WsIdleTimeoutMs = 10 * 60 * 1000
+
   private var wsSocket: Option[java.net.ServerSocket] = None
   // accepted WS connections, tracked so stop() can close them: a
   // connection's handler thread blocks in socket reads between asks
@@ -132,17 +144,34 @@ final class AskServer(spark: SparkSession, index: DataFrame,
         val acceptor = new Thread(() => {
           try while (!ss.isClosed) {
             val conn = ss.accept()
-            wsConns.add(conn)
-            // each connection gets its OWN daemon thread: a WS handler
-            // blocks between asks for the connection's whole lifetime,
-            // so parking it on the shared HTTP pool would let a few
-            // idle WS clients starve every /ask and /ask/stream request
-            val t = new Thread(() => try wsHandle(conn) finally {
-              wsConns.remove(conn)
+            // each connection pins a dedicated thread, so idle/stuck
+            // clients are a resource, not just a socket: cap concurrent
+            // connections (refuse loudly over the cap — the reference's
+            // semaphore discipline, app/main.py:31) and put a generous
+            // read timeout on the socket so a wedged peer releases its
+            // thread instead of leaking it until stop()
+            if (wsConns.size >= MaxWsConnections) {
+              try {
+                conn.getOutputStream.write(
+                  ("HTTP/1.1 503 Service Unavailable\r\nConnection: close\r\n\r\n")
+                    .getBytes(StandardCharsets.UTF_8))
+                conn.getOutputStream.flush()
+              } catch { case _: Exception => () }
               try conn.close() catch { case _: Exception => () }
-            }, s"ws-ask-conn-${conn.getPort}")
-            t.setDaemon(true)
-            t.start()
+            } else {
+              conn.setSoTimeout(WsIdleTimeoutMs)
+              wsConns.add(conn)
+              // each connection gets its OWN daemon thread: a WS handler
+              // blocks between asks for the connection's whole lifetime,
+              // so parking it on the shared HTTP pool would let a few
+              // idle WS clients starve every /ask and /ask/stream request
+              val t = new Thread(() => try wsHandle(conn) finally {
+                wsConns.remove(conn)
+                try conn.close() catch { case _: Exception => () }
+              }, s"ws-ask-conn-${conn.getPort}")
+              t.setDaemon(true)
+              t.start()
+            }
           } catch { case _: Exception => () } // closed socket ends the loop
         }, "ws-ask-acceptor")
         acceptor.setDaemon(true)

@@ -25,11 +25,12 @@ object AskPipeline {
   case class AskResult(query: String, answer: String, fromCache: Boolean, prompt: String,
                        failed: Boolean = false)
 
-  /** The reference's error answer when the LLM yields nothing
-    * (app/main.py:541-548) — the one answer that must NEVER enter the
-    * cache or conversation memory, or a transient model failure is
-    * served as a hit until eviction. */
-  val NoResponseAnswer = "Error: No response was generated."
+  /** The reference's error answer when the LLM yields nothing — the
+    * VERBATIM string from app/main.py:541 (clients match on it) — and
+    * the one answer that must NEVER enter the cache or conversation
+    * memory, or a transient model failure is served as a hit until
+    * eviction. */
+  val NoResponseAnswer = "Error: No response was generated. Please try later!"
 
   /** A cache mutation DECOUPLED from the snapshot it was computed
     * against, so concurrent asks can probe one snapshot in parallel and

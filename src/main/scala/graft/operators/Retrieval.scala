@@ -208,7 +208,16 @@ object Retrieval {
     * an id the store never held is a caller bug and refuses loudly
     * (the reference's tenant-delete surface 404s unknown docs the same
     * way); re-marking an already-deleted id is a no-op, so retries are
-    * idempotent. */
+    * idempotent.
+    *
+    * Concurrency contract: deletes assume a SINGLE WRITER (the
+    * maintenance cadence, like Lucene's one-IndexWriter rule). Two
+    * concurrent deletes of overlapping id sets can both pass the
+    * freshness anti-join and append duplicate tombstone rows — probes
+    * stay correct (the serve-path anti-join and [[compactBm25Index]]'s
+    * `.distinct()` are multiset-insensitive), but the mark store grows
+    * and retry-idempotence only holds under the single-writer
+    * assumption. */
   def deleteBm25Docs(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
     val meta = spark.read.parquet(dir + "/meta").head()
     val idCol = meta.getAs[String]("id_col")
@@ -237,6 +246,7 @@ object Retrieval {
     * store-sized, never corpus-text-sized (postings carry tokens and
     * counts, not text). */
   def compactBm25Index(spark: SparkSession, dir: String, outDir: String): Unit = {
+    requireDistinctDirs(spark, dir, outDir, "compactBm25Index")
     val meta = spark.read.parquet(dir + "/meta").head()
     val idCol = meta.getAs[String]("id_col")
     val nBuckets = meta.getAs[Int]("n_buckets")
@@ -355,6 +365,25 @@ object Retrieval {
       .write.mode("overwrite").partitionBy("_bucket").parquet(segDir + "/postings")
   }
 
+  /** Refuse a compaction whose output path is (or resolves to) its
+    * input: the compaction writers are lazy scans over `dir`, so writing
+    * into the same path would read files mid-overwrite and leave the
+    * store half-rewritten (meta replaced, postings stale). Qualified-path
+    * comparison catches `a/b` vs `a/./b` and relative-vs-absolute
+    * spellings, not just string equality. */
+  private def requireDistinctDirs(spark: SparkSession, dir: String,
+                                  outDir: String, op: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): org.apache.hadoop.fs.Path = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(conf)
+      path.makeQualified(fs.getUri, fs.getWorkingDirectory)
+    }
+    require(qualified(dir) != qualified(outDir),
+      s"$op: outDir must differ from dir ('$dir') — compacting a store " +
+        "onto itself reads paths being overwritten and corrupts the store")
+  }
+
   private def listBm25Segments(spark: SparkSession, dir: String): Seq[String] = {
     val segRoot = new org.apache.hadoop.fs.Path(dir + "/segments")
     val fs = segRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -432,6 +461,7 @@ object Retrieval {
     * fingerprints, so [[requireBm25IndexMatches]] against the union
     * corpus passes. */
   def compactBm25Segments(spark: SparkSession, dir: String, outDir: String): Unit = {
+    requireDistinctDirs(spark, dir, outDir, "compactBm25Segments")
     val meta = spark.read.parquet(dir + "/meta").head()
     val idCol = meta.getAs[String]("id_col")
     val nBuckets = meta.getAs[Int]("n_buckets")

@@ -44,25 +44,39 @@ object StreamingSketch {
 
   /** Validate (or, on first write, record) the sketch geometry at
     * `dir/_params`. Fields is a (name → value) list; mismatch refuses
-    * with the accumulated-vs-probe message the other loops use. */
+    * with the accumulated-vs-probe message the other loops use.
+    *
+    * The first write is ATOMIC: params are staged to a temp dir and
+    * published with a FileSystem.rename, which fails if `_params`
+    * already exists (HDFS contract; local renameTo onto a non-empty dir
+    * likewise) — so two writers racing the very first micro-batch can't
+    * both "create" the sidecar. Validation then runs UNCONDITIONALLY
+    * against whatever sidecar won, so the rename loser refuses a
+    * geometry mismatch instead of silently accumulating mixed-width
+    * partials through the exists/write TOCTOU window the old
+    * check-then-write had. */
   private def guardParams(spark: SparkSession, dir: String, loop: String,
                           fields: Seq[(String, Int)]): Unit = {
     val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/_params")
     val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(paramsPath)) {
-      val p = spark.read.parquet(paramsPath.toString)
-        .select(fields.map(f => col(f._1)): _*).head()
-      val stored = fields.indices.map(p.getInt)
-      require(stored == fields.map(_._2),
-        s"$loop: sketch store at $dir was accumulated with " +
-          fields.map(_._1).zip(stored).map { case (n, v) => s"$n=$v" }.mkString("(", ", ", ")") +
-          "; this batch uses " +
-          fields.map { case (n, v) => s"$n=$v" }.mkString("(", ", ", ")"))
-    } else {
+    if (!fs.exists(paramsPath)) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$dir/_params_tmp_${java.util.UUID.randomUUID}")
       spark.range(1)
         .select(fields.map { case (n, v) => lit(v).cast("int").as(n) }: _*)
-        .coalesce(1).write.mode("overwrite").parquet(paramsPath.toString)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val won = try fs.rename(tmp, paramsPath)
+        catch { case _: java.io.IOException => false }
+      if (!won) fs.delete(tmp, true) // lost the race — validate below
     }
+    val p = spark.read.parquet(paramsPath.toString)
+      .select(fields.map(f => col(f._1)): _*).head()
+    val stored = fields.indices.map(p.getInt)
+    require(stored == fields.map(_._2),
+      s"$loop: sketch store at $dir was accumulated with " +
+        fields.map(_._1).zip(stored).map { case (n, v) => s"$n=$v" }.mkString("(", ", ", ")") +
+        "; this batch uses " +
+        fields.map { case (n, v) => s"$n=$v" }.mkString("(", ", ", ")"))
   }
 
   // ------------------------------------------------------------------ //

@@ -119,7 +119,9 @@ class AskServerSpec extends AnyFunSuite {
     try {
       val q = """{"chat_id":"f0","query":"broadcast join tables"}"""
       val r1 = mapper.readTree(post(port, "/ask", q).body())
-      assert(r1.path("answer").asText() == "Error: No response was generated.")
+      assert(r1.path("answer").asText() == graft.operators.AskPipeline.NoResponseAnswer)
+      assert(r1.path("answer").asText() == "Error: No response was generated. Please try later!",
+        "must be the reference's verbatim error string (app/main.py:541)")
       assert(!r1.path("from_cache").asBoolean(true))
       val r2 = mapper.readTree(post(port, "/ask", q).body())
       assert(!r2.path("from_cache").asBoolean(true),
@@ -148,7 +150,7 @@ class AskServerSpec extends AnyFunSuite {
       val lines1 = post(port, "/ask/stream", q).body().trim.split("\n").toSeq
       val toks1 = lines1.filter(_.contains("\"token\""))
         .map(l => mapper.readTree(l).path("token").asText()).mkString
-      assert(toks1 == "Error: No response was generated.",
+      assert(toks1 == graft.operators.AskPipeline.NoResponseAnswer,
         s"failed stream must relay the error answer, got: $lines1")
       // and the failure did not poison the cache: the retry generates
       val lines2 = post(port, "/ask/stream", q).body().trim.split("\n").toSeq
