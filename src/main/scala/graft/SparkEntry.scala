@@ -767,7 +767,13 @@ object SparkEntry {
       .select(col("id_b").as("doc_id")).distinct()
     val surv = graft.Materialize(
       exactDeduped.join(nearDrops, Seq("doc_id"), "left_anti"))
-    val cents = emb.filter(col("vec_id") < 8)
+    // SemDeDup codebook at the production discipline |C| = ⌊√N⌋ over
+    // the embeddings table (size-derived on BOTH engines: Spark counts
+    // the parquet, DuckDB's scalar subquery replays it) — a pinned |C|
+    // makes cells grow linearly and the in-cell pair join quadratic
+    // (the ~20×-at-10×-data row this replaced on the sf1 curve).
+    val nSemCents = math.max(1L, math.floor(math.sqrt(emb.count().toDouble)).toLong)
+    val cents = emb.filter(col("vec_id") < nSemCents)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
     val semDrops = SemanticDedup.dedup(
         surv.join(vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
@@ -1430,7 +1436,13 @@ object SparkEntry {
     // bucket-pruned serve-time filter just keeps them out of results.
     "q_graph_delete" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val cents = e.filter(col("vec_id") < 8)
+      // lifecycle at the PRODUCTION codebook discipline |C| = ⌊√N⌋
+      // (size-derived on both engines, like q_ann_graph_scaled): the
+      // in-query build is the dominant cost, and a pinned |C| made it
+      // quadratic at sf1. Query 201 is not a centroid at any SF
+      // (√N ≤ 141 at sf1) and not tombstoned (201 % 10 ≠ 3).
+      val nCents = math.max(1L, math.floor(math.sqrt(e.count().toDouble)).toLong)
+      val cents = e.filter(col("vec_id") < nCents)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
       val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
       val edges = Ann.knnGraph(assigned, "vec_id", "embedding",
@@ -1447,7 +1459,7 @@ object SparkEntry {
       Ann.writeGraphTombstones(e.filter(col("vec_id") % 10 === 3).select("vec_id"),
         "vec_id", tomb, nBuckets = 16)
       val visited = Ann.graphSearchPartitioned(s, idx, 16,
-        cents, "centroid_id", "centroid_vec", collectVec(e, 9), beamWidth = 4, hops = 3)
+        cents, "centroid_id", "centroid_vec", collectVec(e, 201), beamWidth = 4, hops = 3)
       Ann.filterTombstoned(s, visited, "vec_id", tomb, nBuckets = 16)
         .select(col("vec_id"), stableRound(col("sim")).as("sim"))
         .orderBy(desc("sim"), col("vec_id"))
@@ -1462,7 +1474,10 @@ object SparkEntry {
     // (centroid) marks, which the serve-time filter still drops.
     "q_graph_compact" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val cents = e.filter(col("vec_id") < 8)
+      // same √N discipline as q_graph_delete: the compaction machinery
+      // is linear; the pinned-|C| build it paid for in-query wasn't
+      val nCents = math.max(1L, math.floor(math.sqrt(e.count().toDouble)).toLong)
+      val cents = e.filter(col("vec_id") < nCents)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
       val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
       val edges = Ann.knnGraph(assigned, "vec_id", "embedding",
@@ -1476,9 +1491,9 @@ object SparkEntry {
       tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
       Ann.writeGraphTombstones(e.filter(col("vec_id") % 10 === 3).select("vec_id"),
         "vec_id", tomb, nBuckets = 16)
-      Ann.compactGraphIndex(s, idx, 16, tomb, protectedIds = (0L until 8L))
+      Ann.compactGraphIndex(s, idx, 16, tomb, protectedIds = (0L until nCents))
       val visited = Ann.graphSearchPartitioned(s, idx, 16,
-        cents, "centroid_id", "centroid_vec", collectVec(e, 9), beamWidth = 4, hops = 3)
+        cents, "centroid_id", "centroid_vec", collectVec(e, 201), beamWidth = 4, hops = 3)
       Ann.filterTombstoned(s, visited, "vec_id", tomb, nBuckets = 16)
         .select(col("vec_id"), stableRound(col("sim")).as("sim"))
         .orderBy(desc("sim"), col("vec_id"))
@@ -2175,20 +2190,30 @@ object SparkEntry {
 
     // §3.1 retrieval routed through the GRAPH-ANN STORE (the ref's
     // serving split: HNSW behind the ask, app/main.py:262-283/347-373):
-    // chunk → embed → GraphIndex.build (md5-uid ids, 8 entry centroids,
-    // m=4 k-NN graph, src-bucketed store) → 3-hop beam-4 walk for the
-    // flagship query → top-5. The oracle replays EVERYTHING — embedding,
-    // uid derivation, graph construction, and the hop-by-hop walk — so
-    // the full ingest+serve path is hash-checked, not just rows-counted.
+    // chunk → embed → GraphIndex.build (md5-uid ids, ⌊√N⌋ entry
+    // centroids, m=4 k-NN graph, src-bucketed store) → 3-hop beam-4
+    // walk for the flagship query → top-5. The codebook is
+    // SIZE-DERIVED on both engines (Spark counts the chunk set; the
+    // oracle's count(*) OVER () window replays it) — the production
+    // discipline that keeps cells ~√N-sized, so the in-cell quadratic
+    // edge build stays N^1.5 total instead of N²/8 (the pinned-|C|=8
+    // build OOM'd at sf1; the reference, too, sizes HNSW params by
+    // corpus — app/main.py:272-277). The oracle replays EVERYTHING —
+    // embedding, uid derivation, graph construction, and the
+    // hop-by-hop walk — so the full ingest+serve path is hash-checked,
+    // not just rows-counted.
     "q_rag_graph" -> ((s, dir) => {
       val chunks = Ingest.chunk(wide(s, dir, "documents").select("doc_id", "text"), "text", 32)
         .select("doc_id", "chunk_idx", "chunk_text")
       val embedded = Embed.withEmbedding(chunks, "chunk_text", "embedding")
+      // |C| = ⌊√N⌋ over the node count — the count runs on the chunk
+      // frame (no embedding computation), one cheap pre-pass
+      val nCents = math.max(1L, math.floor(math.sqrt(chunks.count().toDouble)).toLong)
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
       val gdir = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_raggraph$safe").getAbsolutePath
       val h = GraphIndex.build(s, embedded, Seq("doc_id", "chunk_idx"), "embedding",
-        gdir, nCentroids = 8, m = 4, nBuckets = 16, beamWidth = 4, hops = 3)
+        gdir, nCentroids = nCents.toInt, m = 4, nBuckets = 16, beamWidth = 4, hops = 3)
       GraphIndex.search(s, h, Embed.embedQuery(s, RagQueryText).toSeq)
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           stableRound(col("sim")).as("sim"))
@@ -2695,6 +2720,15 @@ object SparkEntry {
 
   private def annGraphOracle: String = annGraphOracleWhere("", "")
 
+  /** The size-derived codebook cardinality ⌊√N⌋ as a DuckDB scalar
+    * subquery — the oracle half of the production discipline (Spark
+    * side: `floor(sqrt(e.count()))`). One SQL serves every SF. */
+  private def scaledCentCount: String =
+    "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+
+  /** Centroid predicate for √N-codebook oracles: head-⌊√N⌋ vec_ids. */
+  private def scaledCentPred: String = s"vec_id < $scaledCentCount"
+
   /** q_semantic_dedup / q_semantic_dedup_scaled: replay SemanticDedup
     * .dedup (nearest-centroid assignment, cell-confined lower-id
     * tau-pair argmin, left join back) for a head-`nCents` codebook —
@@ -3021,7 +3055,9 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
          |),
-         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |      WHERE vec_id < greatest(1, (SELECT CAST(floor(sqrt(count(*))) AS BIGINT)
+         |                                  FROM embeddings))),
          |sv AS (SELECT surv.doc_id, emb.embedding FROM surv JOIN emb ON surv.doc_id = emb.vec_id),
          |asg AS (
          |  SELECT doc_id, embedding, cid AS cell_id FROM (
@@ -3360,31 +3396,34 @@ object SparkEntry {
       // and identical to Spark's per-edge recompute.
       "q_ann_graph" -> annGraphOracle,
       "q_ann_graph_scaled" -> annGraphOracleWhere("", "",
-        centPred = "vec_id < (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) " +
-          "FROM embeddings)",
-        queryId = 201),
+        centPred = scaledCentPred, queryId = 201),
 
       // mark-delete: the walk is untouched (tombstoned nodes still
-      // route); only the final visited set is filtered
-      "q_graph_delete" -> annGraphOracleWhere("", "id % 10 <> 3"),
+      // route); only the final visited set is filtered. Lifecycle rows
+      // run at the production √N codebook (same size-derived centPred
+      // as q_ann_graph_scaled; query 201 is never a centroid).
+      "q_graph_delete" -> annGraphOracleWhere("", "id % 10 <> 3",
+        centPred = scaledCentPred, queryId = 201),
 
-      // compaction: marked NON-centroids (id >= 8) lose their edges —
+      // compaction: marked NON-centroids (id >= |C|) lose their edges —
       // the walk replays over the reduced edge set — while marked
       // centroids keep routing (structural) and are filtered at the
       // end. The orphan-repair CTEs replay compactGraphIndex's
       // re-anchoring: a live id whose every in-edge rode a dead src
       // (`orph`) gets one down-link back from the smallest surviving
-      // protected dst among its own out-edges (`anch`).
+      // protected dst among its own out-edges (`anch`). |C| is the
+      // same size-derived scalar subquery as the centPred.
       "q_graph_compact" -> annGraphOracleWhere("", "id % 10 <> 3", Some(
-        """edges1 AS (SELECT src, dst FROM edges0
-          |  WHERE NOT (src >= 8 AND src % 10 = 3)
-          |    AND NOT (dst >= 8 AND dst % 10 = 3)),
+        s"""edges1 AS (SELECT src, dst FROM edges0
+          |  WHERE NOT (src >= $scaledCentCount AND src % 10 = 3)
+          |    AND NOT (dst >= $scaledCentCount AND dst % 10 = 3)),
           |orph AS (SELECT DISTINCT dst FROM edges0
-          |  WHERE NOT (dst >= 8 AND dst % 10 = 3)
+          |  WHERE NOT (dst >= $scaledCentCount AND dst % 10 = 3)
           |    AND dst NOT IN (SELECT dst FROM edges1)),
           |anch AS (SELECT src AS o, min(dst) AS a FROM edges1
-          |  WHERE src IN (SELECT dst FROM orph) AND dst < 8 GROUP BY src),
-          |edges AS (SELECT src, dst FROM edges1 UNION SELECT a, o FROM anch)""".stripMargin)),
+          |  WHERE src IN (SELECT dst FROM orph) AND dst < $scaledCentCount GROUP BY src),
+          |edges AS (SELECT src, dst FROM edges1 UNION SELECT a, o FROM anch)""".stripMargin),
+        centPred = scaledCentPred, queryId = 201),
       "q_ann_graph_batch" -> annGraphBatchOracle,
 
       // identical result contract: the src-bucketed store changes the
@@ -4428,7 +4467,9 @@ object SparkEntry {
            |FROM s ORDER BY sim DESC, doc_id, chunk_idx LIMIT 5""".stripMargin,
 
       // Graph-routed retrieval: the same chunk/embed CTEs, then the FULL
-      // GraphIndex replay — md5-uid ids, 8 lowest-uid entry centroids,
+      // GraphIndex replay — md5-uid ids, ⌊√N⌋ lowest-uid entry
+      // centroids (size-derived via the count(*) OVER () window, the
+      // same N the Spark side counts — one oracle serves every SF),
       // nearest-cell assignment, undirected in-cell top-4 edges +
       // up-links + centroid clique, and the 3-hop beam-4 walk (the
       // annGraphOracle CTE chain, re-keyed to chunk uids).
@@ -4440,7 +4481,11 @@ object SparkEntry {
            |qn AS MATERIALIZED (
            |  WITH ${dQueryEmbedCtes("qn0")}
            |  SELECT nv FROM qn0),
-           |cents AS (SELECT uid AS cid, nv AS cv FROM u ORDER BY uid LIMIT 8),
+           |cents AS (
+           |  SELECT uid AS cid, nv AS cv FROM (
+           |    SELECT uid, nv, row_number() OVER (ORDER BY uid) AS crn,
+           |           count(*) OVER () AS cn_total FROM u)
+           |  WHERE crn <= greatest(1, CAST(floor(sqrt(cn_total)) AS BIGINT))),
            |asg AS (
            |  SELECT uid, nv, cid,
            |         row_number() OVER (PARTITION BY uid ORDER BY csim DESC, cid) AS rn
