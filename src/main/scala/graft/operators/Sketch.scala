@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -164,17 +165,44 @@ object Sketch {
     * distinct shingles have ALL numHashes positions set in the bench
     * filter; docs with fewer than minHits drop. The filter rides as one
     * array literal (mBits booleans — Bloom-sized, e.g. 2 KiB at 2^14
-    * bits; at real filter sizes ship it via a broadcast variable, the
-    * plan shape is unchanged), so the corpus side is scan → explode →
-    * filter → per-doc count: no join against bench data at all.
-    * False-positive grams can inflate n_hit — deterministically, both
-    * engines compute identical bits. */
+    * bits; this is the ORACLE-replayable form — at production filter
+    * sizes use the `Broadcast[Array[Boolean]]` overload below), so the
+    * corpus side is scan → explode → filter → per-doc count: no join
+    * against bench data at all. False-positive grams can inflate
+    * n_hit — deterministically, both engines compute identical bits. */
   def bloomContamination(corpus: DataFrame, idCol: String, textCol: String,
                          bits: Array[Boolean], shingleN: Int, numHashes: Int,
                          minHits: Long): DataFrame = {
     val bitsLit = typedLit(bits.toSeq)
     val hit = forall(bloomPositions(col("_s"), numHashes, bits.length),
       p => element_at(bitsLit, p + 1))
+    contaminationByHit(corpus, idCol, textCol, shingleN, hit, minHits)
+  }
+
+  /** [[bloomContamination]] at PRODUCTION filter sizes: the bit set
+    * ships as a `SparkContext.broadcast` variable (once per executor,
+    * torrent protocol) instead of a plan literal (re-serialized into
+    * every task of every stage) — at 2^30 bits that's 128 MiB that must
+    * not live in the plan. The probe itself is the codegen'd
+    * [[graft.functions.BloomAllSet]] expression, which carries only the
+    * broadcast handle and dereferences it once per task; results are
+    * bit-identical to the literal form (SketchSpec pins equality at
+    * 2^20 bits), so callers switch forms by filter size alone. */
+  def bloomContamination(corpus: DataFrame, idCol: String, textCol: String,
+                         bits: Broadcast[Array[Boolean]], shingleN: Int,
+                         numHashes: Int, minHits: Long): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    val positions = bloomPositions(col("_s"), numHashes, bits.value.length)
+    val hit = column(graft.functions.BloomAllSet(expression(positions), bits))
+    contaminationByHit(corpus, idCol, textCol, shingleN, hit, minHits)
+  }
+
+  /** Shared corpus side of both contamination forms: scan → explode
+    * distinct shingles → filter by the (form-specific) hit predicate →
+    * per-doc count — map-only up to the final doc-keyed aggregate. */
+  private def contaminationByHit(corpus: DataFrame, idCol: String,
+                                 textCol: String, shingleN: Int,
+                                 hit: Column, minHits: Long): DataFrame =
     corpus
       .select(col(idCol),
         explode(shingleSet(tokens(lower(cleanText(col(textCol)))), shingleN)).as("_s"))
@@ -182,5 +210,4 @@ object Sketch {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hit"))
       .filter(col("n_hit") >= minHits)
-  }
 }

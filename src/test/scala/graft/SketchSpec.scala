@@ -125,4 +125,32 @@ class SketchSpec extends AnyFunSuite {
       Sketch.bloomArray(Seq(5000L).toDF("pos"), mBits = 4096)
     }
   }
+
+  test("broadcast bloom at 2^20 bits: identical output, handle-sized plan") {
+    // the production form: same bits via SparkContext.broadcast +
+    // the codegen'd BloomAllSet probe, pinned equal to the literal
+    // form at a filter size where the literal would already be a
+    // megabyte of plan
+    val mBits = 1 << 20
+    val bench = docs.filter(col("doc_id") === 1)
+    val bits = Sketch.bloomArray(
+      Sketch.bloomBits(bench, "text", shingleN = 3, numHashes = 3, mBits = mBits), mBits)
+    val literal = Sketch.bloomContamination(docs, "doc_id", "text", bits,
+      shingleN = 3, numHashes = 3, minHits = 1)
+      .as[(Long, Long)].collect().toSet
+    val bcast = spark.sparkContext.broadcast(bits)
+    try {
+      val viaBcast = Sketch.bloomContamination(docs, "doc_id", "text", bcast,
+        shingleN = 3, numHashes = 3, minHits = 1)
+      assert(viaBcast.as[(Long, Long)].collect().toSet == literal,
+        "broadcast form must be bit-identical to the literal form")
+      // the plan must carry the broadcast HANDLE, not the 2^20 bits:
+      // a literal plan at this size is ~4 MB of text, the broadcast
+      // plan stays in the tens-of-KB ballpark
+      val planLen = viaBcast.queryExecution.executedPlan.toString.length
+      assert(planLen < 100 * 1024,
+        s"broadcast-bloom plan blew up to $planLen chars — the bits leaked into the plan")
+      assert(literal.map(_._1) == Set(1L, 2L))
+    } finally bcast.destroy()
+  }
 }
