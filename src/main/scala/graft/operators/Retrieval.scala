@@ -319,10 +319,19 @@ object Retrieval {
     * NOT posting-derived counts: a doc whose text tokenizes to zero
     * alnum tokens contributes no postings rows, so a count-based guard
     * would refuse legal stores and could mask a real duplicate). A
-    * segment name reuse is refused — appends never overwrite. */
+    * segment name reuse is refused — appends never overwrite.
+    *
+    * Compact-on-append: when the store crosses `autoCompactAt`
+    * segments after this append, the append folds it back to one
+    * merged segment via [[compactBm25SegmentsInPlace]] — probe latency
+    * is linear in segment count (measured 0.23 s/segment, SCALE.md),
+    * so an unbounded append cadence would otherwise accrete an
+    * unbounded probe floor. Pass `autoCompactAt <= 0` to opt out and
+    * schedule the maintenance call directly. */
   def appendBm25Segment(docs: DataFrame, idCol: String, textCol: String,
                         dir: String, segment: String,
-                        nBuckets: Int = 64): Unit = {
+                        nBuckets: Int = 64,
+                        autoCompactAt: Int = MaxSegmentsBeforeCompaction): Unit = {
     import graft.functions.TextFunctions.alnumTokens
     val spark = docs.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -363,6 +372,15 @@ object Retrieval {
       .withColumn("_bucket", termBucketCol(col("_t"), buckets))
       .repartition(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(segDir + "/postings")
+    // compact-on-append: a year of hourly appends must not accrete a
+    // segments.length-× probe floor — once the store crosses the cadence
+    // cap, fold it back to one segment HERE, where the writer already
+    // holds the store (single-writer contract). autoCompactAt <= 0 opts
+    // out for callers that schedule [[compactBm25SegmentsInPlace]]
+    // themselves.
+    if (autoCompactAt > 0 &&
+        listBm25Segments(docs.sparkSession, dir).length > autoCompactAt)
+      compactBm25SegmentsInPlace(docs.sparkSession, dir)
   }
 
   /** Refuse a compaction whose output path is (or resolves to) its
@@ -420,7 +438,8 @@ object Retrieval {
     if (segs.length > MaxSegmentsBeforeCompaction)
       System.err.println(s"[bm25] segmented store at '$dir' has ${segs.length} " +
         s"segments (> $MaxSegmentsBeforeCompaction) — per-query probe cost is " +
-        "per-segment; run compactBm25Segments on the append cadence")
+        "per-segment; run compactBm25SegmentsInPlace (or leave " +
+        "appendBm25Segment's autoCompactAt hook enabled)")
     val post = segs.map { s =>
       spark.read.parquet(s + "/postings")
         .filter(col("_bucket").isin(buckets: _*))
@@ -468,18 +487,7 @@ object Retrieval {
     val segs = listBm25Segments(spark, dir)
     val post = segs.map(s => spark.read.parquet(s + "/postings"))
       .reduce(_ unionByName _)
-    val segMetas = segs.map(s => spark.read.parquet(s + "/meta").head())
-    val nDocs = segMetas.map(_.getAs[Long]("n_docs")).sum
-    val idHash = segMetas.map(m => BigDecimal(m.getAs[String]("id_hash")))
-      .sum.toBigInt.toString
-    val idAgg = segs.map(s => spark.read.parquet(s + "/docs"))
-      .reduce(_ unionByName _)
-      .agg(count(lit(1)).as("_n"), count_distinct(col(idCol)).as("_nd")).head()
-    require(idAgg.getLong(0) == idAgg.getLong(1) && idAgg.getLong(0) == nDocs,
-      s"segmented bm25 store at '$dir' violates the disjoint-documents " +
-        s"contract: ${idAgg.getLong(1)} distinct ids across segments vs " +
-        s"${idAgg.getLong(0)} total (meta says $nDocs) — df/N would be " +
-        "silently wrong; re-ingest the duplicated batch instead of compacting")
+    val (nDocs, idHash) = validateDisjointSegments(spark, dir, segs, idCol)
     spark.range(1)
       .select(lit(nBuckets).as("n_buckets"), lit(idCol).as("id_col"),
         lit(nDocs).as("n_docs"), lit(idHash).as("id_hash"))
@@ -497,6 +505,88 @@ object Retrieval {
     // (deleteBm25Docs validates against the docs sidecar)
     segs.map(s => spark.read.parquet(s + "/docs")).reduce(_ unionByName _)
       .write.mode("overwrite").parquet(outDir + "/docs")
+  }
+
+  /** The disjoint-documents guard shared by both segment compactions:
+    * if any document appears in two segments, the unioned id multiset
+    * has a repeat and the merge refuses (df would be silently inflated
+    * otherwise). Returns the summed (n_docs, id_hash) guard meta —
+    * the exact decimal sum of the segment fingerprints. */
+  private def validateDisjointSegments(spark: SparkSession, dir: String,
+                                       segs: Seq[String],
+                                       idCol: String): (Long, String) = {
+    val segMetas = segs.map(s => spark.read.parquet(s + "/meta").head())
+    val nDocs = segMetas.map(_.getAs[Long]("n_docs")).sum
+    val idHash = segMetas.map(m => BigDecimal(m.getAs[String]("id_hash")))
+      .sum.toBigInt.toString
+    val idAgg = segs.map(s => spark.read.parquet(s + "/docs"))
+      .reduce(_ unionByName _)
+      .agg(count(lit(1)).as("_n"), count_distinct(col(idCol)).as("_nd")).head()
+    require(idAgg.getLong(0) == idAgg.getLong(1) && idAgg.getLong(0) == nDocs,
+      s"segmented bm25 store at '$dir' violates the disjoint-documents " +
+        s"contract: ${idAgg.getLong(1)} distinct ids across segments vs " +
+        s"${idAgg.getLong(0)} total (meta says $nDocs) — df/N would be " +
+        "silently wrong; re-ingest the duplicated batch instead of compacting")
+    (nDocs, idHash)
+  }
+
+  /** Fold every current segment into ONE merged segment, IN PLACE —
+    * the maintenance step behind [[appendBm25Segment]]'s
+    * compact-on-append hook. Unlike [[compactBm25Segments]] (which
+    * exits to the monolithic layout and ends the append story), this
+    * keeps the store segmented and appendable: probe cost drops back to
+    * one segment, the next append is still O(batch).
+    *
+    * Segment rows carry NO global statistics by construction, so the
+    * merge is segment-local: postings union row-for-row (same _bucket
+    * values — the store-level meta pins the modulus), stats and the
+    * guard meta sum, docs union. [[bm25FromSegments]] scores are
+    * bitwise-unchanged: df is a count over the same matched rows, N/Σdl
+    * the same long sums, and the per-doc fold sorts by term
+    * (RetrievalSpec pins scores across the compaction).
+    *
+    * The merged segment is STAGED outside `segments/` and swapped in
+    * after the old segment dirs are removed, so a crash mid-swap leaves
+    * a loudly-missing store (listBm25Segments requires segments to
+    * exist), never a silently doubled one. Single-writer, probes
+    * quiesced — the same maintenance contract as the delete surface. */
+  def compactBm25SegmentsInPlace(spark: SparkSession, dir: String): Unit = {
+    val meta = spark.read.parquet(dir + "/meta").head()
+    val idCol = meta.getAs[String]("id_col")
+    val segs = listBm25Segments(spark, dir)
+    if (segs.length <= 1) return
+    val (nDocs, idHash) = validateDisjointSegments(spark, dir, segs, idCol)
+    // deterministic merged-segment name from the inputs (previous merge
+    // names feed the next digest, so repeated compactions never collide)
+    val segNames = segs.map(p => new org.apache.hadoop.fs.Path(p).getName)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(segNames.mkString("|").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    val merged = s"cmp_$digest"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpRoot = new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp")
+    fs.delete(tmpRoot, true)
+    val tmp = s"$dir/_compact_tmp/$merged"
+    segs.map(s => spark.read.parquet(s + "/postings")).reduce(_ unionByName _)
+      .repartition(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(tmp + "/postings")
+    segs.map(s => spark.read.parquet(s + "/stats")).reduce(_ unionByName _)
+      .agg(sum(col("_N")).as("_N"), sum(col("_sumdl")).as("_sumdl"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp + "/stats")
+    spark.range(1)
+      .select(lit(nDocs).as("n_docs"), lit(idHash).as("id_hash"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp + "/meta")
+    segs.map(s => spark.read.parquet(s + "/docs")).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(tmp + "/docs")
+    // swap: all reads above are materialized (the writes completed), so
+    // deleting the inputs is safe; rename publishes the merged segment
+    segs.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(s), true))
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$dir/segments/$merged")),
+      s"compactBm25SegmentsInPlace: failed to publish merged segment '$merged' " +
+        s"into '$dir/segments' — store needs manual repair from '$tmp'")
+    fs.delete(tmpRoot, true)
   }
 
   /** Drift guard for a [[writeBm25Index]] store: require that the store

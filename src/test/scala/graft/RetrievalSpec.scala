@@ -281,6 +281,50 @@ class RetrievalSpec extends AnyFunSuite {
     assert(err.getMessage.contains("disjoint"), err.getMessage)
   }
 
+  test("compact-on-append: the store folds itself past the cap, scores unchanged") {
+    // 7 one-doc appends with autoCompactAt = 3: the 4th append crosses
+    // the cap and folds to one segment, and so on — the store can never
+    // accrete an unbounded per-segment probe floor. Scores must stay
+    // bitwise the ad-hoc corpus scores throughout (the merge touches
+    // layout, never statistics).
+    val docs = Seq(
+      (1L, "spark shuffle partitions tune the join"),
+      (2L, "spark spark spark spark filler filler filler filler"),
+      (3L, "spark join"),
+      (4L, "join of the tables in the warehouse by the planner"),
+      (5L, "nothing relevant here at all"),
+      (6L, "the spark planner joins the join"),
+      (7L, "warehouse filler text"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25auto").toString
+    def nSegs: Int = {
+      val p = new java.io.File(s"$dir/segments")
+      p.listFiles().count(_.isDirectory)
+    }
+    (1L to 7L).foreach { id =>
+      Retrieval.appendBm25Segment(docs.filter(col("doc_id") === id),
+        "doc_id", "text", dir, f"s$id%04d", nBuckets = 8, autoCompactAt = 3)
+      assert(nSegs <= 4, s"append $id left $nSegs segments — the hook never fired")
+    }
+    assert(nSegs < 7, "no compaction ever happened")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(Retrieval.bm25FromSegments(spark, dir, "doc_id", "spark join")) ==
+      scores(Retrieval.bm25(docs, "doc_id", "text", "spark join")),
+      "in-place compaction changed scores")
+    // the folded store still appends and still guards duplicates: an
+    // explicit maintenance call collapses it to exactly one segment
+    Retrieval.compactBm25SegmentsInPlace(spark, dir)
+    assert(nSegs == 1)
+    assert(scores(Retrieval.bm25FromSegments(spark, dir, "doc_id", "spark join")) ==
+      scores(Retrieval.bm25(docs, "doc_id", "text", "spark join")))
+    intercept[IllegalArgumentException] {
+      // re-appending doc 1 duplicates it; the NEXT in-place compaction refuses
+      Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 1L),
+        "doc_id", "text", dir, "sdup", nBuckets = 8, autoCompactAt = 1)
+    }
+  }
+
   test("segmented bm25 disjointness guard runs on doc ids, not posting counts") {
     // doc 6 tokenizes to ZERO alnum tokens — it has n_docs presence but
     // no postings rows. A posting-derived guard would (a) refuse this
