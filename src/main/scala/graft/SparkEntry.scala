@@ -861,6 +861,52 @@ object SparkEntry {
         .orderBy("stage_no")
     }),
 
+    // The SKETCH-TIER curation profile — the form of the report's
+    // statistics that survives 100 TB: per-language distinct-content
+    // estimates from a KMV bottom-64 over fingerprint HASHES (8-byte
+    // rows through the shuffle, never the full-width fp groupBy the
+    // exact dedup tier pays), and heavy-hitter token frequencies from
+    // a 4×256 count-min grid (depth×width counters per task, never
+    // |vocab|). Both sketches merge associatively, so the streaming
+    // twins (StreamingSketch) accumulate the same numbers one batch at
+    // a time. Estimates are deterministic md5 arithmetic — the oracle
+    // replays them bit-for-bit, including any collision overcounts.
+    // Input = the quality-gated corpus with the planted paraphrases,
+    // the same gate stage the exact report audits.
+    "q_curation_sketch" -> ((s, dir) => {
+      val docs = wide(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") < 10).select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat_ws(" ", reverse(tokens(col("text")))).as("text"))
+      val all = docs.select("doc_id", "text").unionByName(planted)
+      val scored = all.select(
+        col("doc_id"), col("text"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.contentFingerprint(col("text")).as("fp"))
+      val gated = graft.Materialize(
+        scored.filter(col("quality") >= 0.5 && col("n_tokens") >= 20))
+      // KMV: estimated distinct contents per language = what the exact
+      // dedup tier would keep, without materializing the keep set
+      val kmvRows = Sketch.kmvEstimate(
+          Sketch.kmvPerGroup(gated, "lang_pred", "fp", k = 64), "lang_pred", k = 64)
+        .select(lit("distinct_fp").as("metric"), col("lang_pred").as("grp"),
+          stableRound(col("est_distinct")).as("est"))
+      // count-min: frequency estimates for the top-10 gated tokens
+      // (deterministic candidate set, vocabulary-bounded to derive)
+      val toks = gated.select(explode(tokens(lower(col("text")))).as("tok"))
+      val top = graft.Materialize(
+        toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("tok")).limit(10))
+      val grid = Sketch.cmSketch(toks, "tok", depth = 4, width = 256)
+      val cmRows = Sketch.cmEstimates(grid, top.select("tok"), "tok",
+          depth = 4, width = 256)
+        .select(lit("heavy_token").as("metric"), col("tok").as("grp"),
+          stableRound(col("cm_est").cast("double")).as("est"))
+      kmvRows.unionByName(cmRows).orderBy("metric", "grp")
+    }),
+
     // §2.F north star: exact dedup by content fingerprint.
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(wide(s, dir, "documents"), "doc_id", "text")
@@ -3089,6 +3135,50 @@ object SparkEntry {
         s"""WITH $dCurationSemanticCtes
            |$dCurationStats
            |FROM kept GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+      // Sketch-tier curation profile: the same planted-input gate stage
+      // (docs0 → g), then the KMV bottom-64 replay over fingerprint
+      // hashes per language and the count-min grid replay over gated
+      // tokens for the exact top-10 probe set — all deterministic md5
+      // arithmetic, so estimates (including collisions) hash-match.
+      "q_curation_sketch" ->
+        s"""WITH docs0 AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000 AS doc_id,
+           |         array_to_string(list_reverse(${dTokens("text")}), ' ') AS text
+           |  FROM documents WHERE doc_id < 10
+           |),
+           |${dCurationSurv("docs0")},
+           |fh AS (SELECT DISTINCT lang_pred, ${dMd5LongN("fp", 13)} AS h FROM g),
+           |fr AS (SELECT lang_pred, h,
+           |              row_number() OVER (PARTITION BY lang_pred ORDER BY h) AS rk
+           |       FROM fh),
+           |fk AS (SELECT lang_pred, count(*) AS n_kept, max(h) AS maxh
+           |       FROM fr WHERE rk <= 64 GROUP BY lang_pred),
+           |kmvrows AS (
+           |  SELECT 'distinct_fp' AS metric, lang_pred AS grp,
+           |         round((CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+           |                ELSE 63.0 / (CAST(maxh AS DOUBLE) / 4503599627370496.0) END)
+           |               + 1.2345e-9, 6) AS est
+           |  FROM fk),
+           |gt AS (SELECT unnest(w) AS tok FROM g),
+           |ge AS (SELECT tok, count(*) AS cnt FROM gt GROUP BY 1),
+           |gtop AS (SELECT tok FROM ge ORDER BY cnt DESC, tok LIMIT 10),
+           |grb AS (SELECT j, ${dMd5LongN("CAST(j AS VARCHAR) || '|' || tok", 15)} % 256 AS bucket
+           |        FROM gt CROSS JOIN range(4) AS r(j)),
+           |gg AS (SELECT j, bucket, count(*) AS cnt FROM grb GROUP BY 1, 2),
+           |gpb AS (SELECT gtop.tok, r.j,
+           |               ${dMd5LongN("CAST(r.j AS VARCHAR) || '|' || gtop.tok", 15)} % 256 AS bucket
+           |        FROM gtop CROSS JOIN range(4) AS r(j)),
+           |cmrows AS (
+           |  SELECT 'heavy_token' AS metric, gpb.tok AS grp,
+           |         round(CAST(min(COALESCE(gg.cnt, 0)) AS DOUBLE) + 1.2345e-9, 6) AS est
+           |  FROM gpb LEFT JOIN gg ON gpb.j = gg.j AND gpb.bucket = gg.bucket
+           |  GROUP BY 1, 2)
+           |SELECT metric, grp, est FROM kmvrows
+           |UNION ALL SELECT metric, grp, est FROM cmrows
+           |ORDER BY metric, grp""".stripMargin,
 
       // Per-tier drop accounting over the same chain.
       "q_curation_report" ->
