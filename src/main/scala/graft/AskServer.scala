@@ -351,7 +351,27 @@ final class AskServer(spark: SparkSession, index: DataFrame,
     * relay the completed answer itself); `failed` surfaces a failed
     * generation so streaming transports can report it instead of
     * closing a token-less stream as success. */
+  // per-request fair-scheduler pool assignment: under the default FIFO
+  // scheduling a heavy retrieval's stages convoy every later request's
+  // jobs (SCALE.md measured the c=8 knee: p95 grows with queueing while
+  // wall-clock stays flat). Round-robining requests across `concurrency`
+  // pools under spark.scheduler.mode=FAIR gives each in-flight ask a
+  // fair share of the cores instead — the cluster analog of the
+  // reference's semaphore-5 (app/main.py:31). Pools are created on
+  // demand with default weight; under a FIFO-mode session the property
+  // is inert, so spec sessions are unaffected. The property is
+  // thread-local: set on this serving thread, cleared in finally.
+  private val poolSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def askOnce(r: AskReq, onToken: Option[String => Unit] = None)
+      : (String, Boolean, Int, Boolean, Boolean) = {
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+      s"graft-ask-${poolSeq.getAndIncrement() % concurrency}")
+    try askOnceInPool(r, onToken)
+    finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+  }
+
+  private def askOnceInPool(r: AskReq, onToken: Option[String => Unit])
       : (String, Boolean, Int, Boolean, Boolean) = {
     val (cacheSnap, turns) = lock.synchronized(
       (cache, memory.getOrElse(r.chatId, Vector.empty)))

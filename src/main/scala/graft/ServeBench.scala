@@ -41,6 +41,9 @@ object ServeBench {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // serving sessions run FAIR so AskServer's per-request pools give
+      // each in-flight ask a fair core share (FIFO convoys them)
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
