@@ -1133,29 +1133,18 @@ object SparkEntry {
         .orderBy(desc("sim"), col("vec_id"))
     }),
 
-    // MLlib BRP-LSH ANN under the driver gate. Rows-only: the hash
-    // planes come from MLlib's seeded RNG — deterministic given the
-    // seed, but not re-derivable in SQL. Output keeps ids + rounded
-    // distances (normalized vectors: d² = 2 − 2·cos).
-    "q_ann_brp" -> ((s, dir) => {
-      val index = t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          l2Normalize(col("embedding").cast("array<double>")).as("vec"))
-      val (model, hashed) = Ann.fitBrpLsh(index, "vec")
-      val qv = index.filter(col("vec_id") === 0)
-        .select("vec").head().getSeq[Double](0)
-      Ann.brpApproxNeighbors(model, hashed, qv, 10)
-        .select(col("vec_id"), stableRound(col("distCol")).as("dist"))
-        .orderBy("dist", "vec_id")
-    }),
-
-    // Same bucketed-projection ANN semantics as q_ann_brp, but HASH-
-    // GATED: the four hash planes are data rows (vec_id 4..7) instead of
-    // MLlib's seeded RNG, so the oracle replays bucketing (floor of an
-    // ascending-fold dot / bucketLength, OR across tables) and the
-    // three-dot Euclidean distance exactly. bucketLength 0.05 keeps the
-    // candidate set at ~1/3 of the table at both test SFs — genuine
-    // pruning with a well-populated top-10.
+    // MLlib BRP-LSH (Ann.fitBrpLsh / brpApproxNeighbors) is spec-gated
+    // only (AnnSpec: seed determinism + recall >= 0.7 vs brute force) —
+    // its hash planes come from MLlib's seeded RNG, which no SQL oracle
+    // can re-derive, so a queries entry could never be more than a
+    // rows-only smoke. The HASH-GATED form of the same bucketed-
+    // projection semantics is q_ann_brp_fixed below: the four hash
+    // planes are data rows (vec_id 4..7) instead of the RNG, so the
+    // oracle replays bucketing (floor of an ascending-fold dot /
+    // bucketLength, OR across tables) and the three-dot Euclidean
+    // distance exactly. bucketLength 0.05 keeps the candidate set at
+    // ~1/3 of the table at both test SFs — genuine pruning with a
+    // well-populated top-10.
     "q_ann_brp_fixed" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val planes = e.filter(col("vec_id").between(4, 7)).orderBy("vec_id")
