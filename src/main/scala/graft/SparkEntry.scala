@@ -1375,6 +1375,31 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // The √N build with TWO-LEVEL (coarse-quantizer) assignment —
+    // what keeps the build map-side cost from becoming the next
+    // asymptotic bottleneck after the √N codebook fix: flat assignment
+    // is N·√N dots corpus-wide (3·10^13 at N=10^9); routing through
+    // |S| = ⌊√|C|⌋ super-centroids cuts it to ~2·N^1.25. Assignment is
+    // approximate (IVF's nprobe=1 trade) but deterministic at both
+    // levels, so the oracle replays it with two windowed argmaxes —
+    // the walk replay is annGraphOracleWhere's, unchanged.
+    "q_ann_graph_hier" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val nCents = math.max(1L, math.floor(math.sqrt(e.count().toDouble)).toLong)
+      val nSupers = math.max(1L, math.floor(math.sqrt(nCents.toDouble)).toLong)
+      val cents = e.filter(col("vec_id") < nCents)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = Ann.assignCellsHier(e, "vec_id", "embedding",
+        cents, "centroid_id", "centroid_vec", nSupers.toInt)
+      val edges = Ann.knnGraph(assigned, "vec_id", "embedding",
+        cents, "centroid_id", "centroid_vec", m = 4)
+      Ann.graphSearch(s, edges, cents, "centroid_id", "centroid_vec",
+          collectVec(e, 201), beamWidth = 4, hops = 3)
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(10)
+    }),
+
     // WARM graph ANN serving: the same store-backed walk as
     // q_ann_graph_part, but the edge list is persisted once and every
     // hop filters cached batches (Ann.graphSearchResident — the
@@ -2704,21 +2729,27 @@ object SparkEntry {
   private def annGraphOracleWhere(edgeCond: String, resultCond: String,
                                   edgesCtes: Option[String] = None,
                                   centPred: String = "vec_id < 8",
-                                  queryId: Long = 9): String = {
+                                  queryId: Long = 9,
+                                  assignCtes: Option[String] = None): String = {
     val edgeWhere = if (edgeCond.isEmpty) "" else s" WHERE $edgeCond"
     val edgesBlock = edgesCtes.getOrElse(
       s"edges AS (SELECT src, dst FROM edges0$edgeWhere)")
     val resultWhere = if (resultCond.isEmpty) "" else s" WHERE $resultCond"
+    // the assignment block yields `cells(vec_id, embedding, cell_id)`;
+    // overridable so the hierarchical (two-level) routing can replay
+    // its own argmax chain while sharing the whole walk replay
+    val assignBlock = assignCtes.getOrElse(
+      s"""asg AS (
+         |  SELECT vec_id, embedding, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+         |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+         |               ${dCosine("e.embedding", "c.cv")} AS csim
+         |        FROM embeddings e, c)
+         |),
+         |cells AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1)""".stripMargin)
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE $centPred),
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
-       |asg AS (
-       |  SELECT vec_id, embedding, cid,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
-       |  FROM (SELECT e.vec_id, e.embedding, c.cid,
-       |               ${dCosine("e.embedding", "c.cv")} AS csim
-       |        FROM embeddings e, c)
-       |),
-       |cells AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1),
+       |$assignBlock,
        |pair AS (
        |  SELECT a.vec_id AS src, b.vec_id AS dst,
        |         row_number() OVER (PARTITION BY a.vec_id
@@ -3476,6 +3507,40 @@ object SparkEntry {
       "q_ann_graph" -> annGraphOracle,
       "q_ann_graph_scaled" -> annGraphOracleWhere("", "",
         centPred = scaledCentPred, queryId = 201),
+
+      // Two-level assignment replay: sup = head-⌊√|C|⌋ centroids,
+      // c2s routes each centroid to its nearest super, v2s routes each
+      // vector, and the final argmax runs only over the centroids
+      // sharing the vector's super — all with the flat oracle's
+      // (sim DESC, id) tie-break, so it mirrors NearestCentroidHier's
+      // lowest-index semantics exactly. Walk replay unchanged.
+      "q_ann_graph_hier" -> annGraphOracleWhere("", "",
+        centPred = scaledCentPred, queryId = 201,
+        assignCtes = Some(
+          s"""sup AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings
+             |       WHERE vec_id < greatest(1, (SELECT CAST(floor(sqrt(floor(sqrt(count(*))))) AS BIGINT)
+             |                                   FROM embeddings))),
+             |c2s AS (SELECT cid, sid FROM (
+             |  SELECT c.cid, sup.sid,
+             |         row_number() OVER (PARTITION BY c.cid
+             |           ORDER BY ${dCosine("c.cv", "sup.sv")} DESC, sup.sid) AS rn
+             |  FROM c, sup) WHERE rn = 1),
+             |v2s AS (SELECT vec_id, sid FROM (
+             |  SELECT e.vec_id, sup.sid,
+             |         row_number() OVER (PARTITION BY e.vec_id
+             |           ORDER BY ${dCosine("e.embedding", "sup.sv")} DESC, sup.sid) AS rn
+             |  FROM embeddings e, sup) WHERE rn = 1),
+             |asg AS (
+             |  SELECT vec_id, embedding, cid,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+             |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+             |               ${dCosine("e.embedding", "c.cv")} AS csim
+             |        FROM embeddings e
+             |        JOIN v2s ON e.vec_id = v2s.vec_id
+             |        JOIN c2s ON c2s.sid = v2s.sid
+             |        JOIN c ON c.cid = c2s.cid)
+             |),
+             |cells AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1)""".stripMargin)),
 
       // mark-delete: the walk is untouched (tombstoned nodes still
       // route); only the final visited set is filtered. Lifecycle rows

@@ -101,6 +101,71 @@ object Ann {
       .drop("_best")
   }
 
+  /** TWO-LEVEL [[assignCells]] — the coarse-quantizer routing that
+    * survives √N codebooks: rows score against the `nSupers` lowest-id
+    * centroids first (the super book), then only against the centroids
+    * whose own nearest super is that one. Per-row work drops from |C|
+    * to |S| + |C|/|S| dots — with the production |C| = ⌊√N⌋ and
+    * |S| = ⌊√|C|⌋ that is 2·N^0.25 instead of √N per row (at N = 10^9:
+    * ~356 vs ~31 623), which is what keeps the BUILD map-side cost from
+    * becoming the next asymptotic bottleneck once the in-cell stages
+    * are already √N-confined. Assignment is approximate (a row whose
+    * true nearest centroid lives under a different super takes its
+    * in-super best — IVF's nprobe=1 trade) but deterministic at both
+    * levels ([[graft.functions.NearestCentroidHier]]: zero-norm → 0.0,
+    * strict-> lowest-index ties, driver-precomputed centroid→super
+    * routing with identical arithmetic), so a SQL oracle replays every
+    * cell id with two windowed argmaxes. Still one codegen'd map-side
+    * projection: zero shuffle, zero join. Same output contract as
+    * [[assignCells]]: (input columns) + cell_id + cell_sim. */
+  def assignCellsHier(index: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, cIdCol: String, cVecCol: String,
+                      nSupers: Int): DataFrame = {
+    val cents = centroids.orderBy(col(cIdCol))
+      .select(col(cIdCol), col(cVecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, "assignCellsHier: empty centroid set")
+    val nS = math.min(math.max(nSupers, 1), cents.length)
+    val codebook = cents.map(_._2)
+    val superBook = codebook.take(nS)
+    val cnorms = graft.functions.NearestCentroid.norms(codebook)
+    val snorms = graft.functions.NearestCentroid.norms(superBook)
+    // centroid → nearest-super routing, precomputed once on the driver
+    // (|C|·|S| dots) with the expression's exact semantics
+    val membersOf = Array.fill(nS)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    codebook.indices.foreach { c =>
+      var bestIdx = 0
+      var bestSim = Double.NegativeInfinity
+      var k = 0
+      while (k < nS) {
+        val a = codebook(c)
+        val b = superBook(k)
+        require(a.length == b.length,
+          s"assignCellsHier: dimension mismatch (${a.length} vs ${b.length})")
+        var dot = 0.0
+        var j = 0
+        while (j < a.length) { dot += a(j) * b(j); j += 1 }
+        val sim =
+          if (cnorms(c) == 0.0 || snorms(k) == 0.0) 0.0
+          else dot / (cnorms(c) * snorms(k))
+        if (sim > bestSim) { bestSim = sim; bestIdx = k }
+        k += 1
+      }
+      membersOf(bestIdx) += c
+    }
+    import org.apache.spark.sql.GraftColumnBridge._
+    val best = column(graft.functions.NearestCentroidHier(
+      expression(col(vecCol).cast("array<double>")),
+      codebook, superBook, membersOf.map(_.toArray)))
+    index
+      .withColumn("_best", best)
+      .withColumn("cell_id",
+        element_at(array(cents.toIndexedSeq.map(c => lit(c._1)): _*), col("_best.idx") + 1))
+      .withColumn("cell_sim", col("_best.sim"))
+      .drop("_best")
+  }
+
   /** IVF search: rank centroids vs the query, keep the nprobe nearest
     * cells, exact top-k within those cells only. On a partitioned index
     * the cell filter becomes partition pruning. */
