@@ -1400,6 +1400,33 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // The √N build with the LSH-CONFINED edge stage — the other half of
+    // the 100 TB build story: at |C| = ⌊√N⌋ the in-cell pair set is
+    // Σ|cell|² = N^1.5 rows (the same asymptote q_ann_graph_hier removes
+    // from assignment); hashing nodes with 4 deterministic data-row
+    // planes and pairing on (cell, bucket) bounds it by the largest
+    // cell×bucket block. Candidate loss is the standard LSH trade;
+    // connectivity never depends on top-m edges (centroid up-links).
+    // The oracle replays the plane dots (q_ann_lsh's bucket CTE) inside
+    // the shared walk replay, so the confined build is hash-gated too.
+    "q_ann_graph_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val nCents = math.max(1L, math.floor(math.sqrt(e.count().toDouble)).toLong)
+      val cents = e.filter(col("vec_id") < nCents)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val planes = e.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0)).toSeq
+      val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+      val edges = Ann.knnGraphLsh(assigned, "vec_id", "embedding",
+        cents, "centroid_id", "centroid_vec", m = 4, planes)
+      Ann.graphSearch(s, edges, cents, "centroid_id", "centroid_vec",
+          collectVec(e, 201), beamWidth = 4, hops = 3)
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(10)
+    }),
+
     // WARM graph ANN serving: the same store-backed walk as
     // q_ann_graph_part, but the edge list is persisted once and every
     // hop filters cached batches (Ann.graphSearchResident — the
@@ -2730,7 +2757,8 @@ object SparkEntry {
                                   edgesCtes: Option[String] = None,
                                   centPred: String = "vec_id < 8",
                                   queryId: Long = 9,
-                                  assignCtes: Option[String] = None): String = {
+                                  assignCtes: Option[String] = None,
+                                  pairExtraCond: String = ""): String = {
     val edgeWhere = if (edgeCond.isEmpty) "" else s" WHERE $edgeCond"
     val edgesBlock = edgesCtes.getOrElse(
       s"edges AS (SELECT src, dst FROM edges0$edgeWhere)")
@@ -2755,7 +2783,7 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY a.vec_id
        |           ORDER BY ${dCosine("a.embedding", "b.embedding")} DESC, b.vec_id) AS rn
        |  FROM cells a JOIN cells b
-       |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+       |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id$pairExtraCond
        |),
        |edges0 AS (
        |  SELECT src, dst FROM pair WHERE rn <= 4
@@ -3541,6 +3569,30 @@ object SparkEntry {
              |        JOIN c ON c.cid = c2s.cid)
              |),
              |cells AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1)""".stripMargin)),
+
+      // LSH-confined edge build: the default assignment CTEs extended
+      // with the q_ann_lsh bucket fold (4 data-row planes, strict > 0
+      // sign bits), and the pair join additionally requires bucket
+      // equality — exactly knnGraphLsh's (cell_id, bucket) key.
+      "q_ann_graph_lsh" -> annGraphOracleWhere("", "",
+        centPred = scaledCentPred, queryId = 201,
+        assignCtes = Some(
+          s"""pl AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings WHERE vec_id < 4),
+             |asg AS (
+             |  SELECT vec_id, embedding, cid,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+             |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+             |               ${dCosine("e.embedding", "c.cv")} AS csim
+             |        FROM embeddings e, c)
+             |),
+             |cells0 AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1),
+             |cells AS (
+             |  SELECT c0.vec_id, c0.embedding, c0.cell_id,
+             |         CAST(sum(CASE WHEN ${dDot("c0.embedding", "pl.pv")} > 0
+             |                       THEN CAST(pow(2, pl.pid) AS BIGINT) ELSE 0 END) AS BIGINT) AS lb
+             |  FROM cells0 c0, pl GROUP BY c0.vec_id, c0.embedding, c0.cell_id
+             |)""".stripMargin),
+        pairExtraCond = " AND a.lb = b.lb"),
 
       // mark-delete: the walk is untouched (tombstoned nodes still
       // route); only the final visited set is filtered. Lifecycle rows

@@ -369,17 +369,48 @@ object Ann {
     * Every choice ties (sim desc, dst id asc) — SQL-replayable. */
   def knnGraph(assigned: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame, cIdCol: String, cVecCol: String,
-               m: Int): DataFrame = {
+               m: Int): DataFrame =
+    knnGraphKeyed(assigned, idCol, vecCol, centroids, cIdCol, cVecCol, m,
+      joinKeys = Seq("cell_id"))
+
+  /** [[knnGraph]] with the in-cell candidate set FURTHER confined to a
+    * sign-LSH bucket — the edge build that survives √N-sized cells.
+    * The plain build's in-cell pair stage is Σ|cell|² = N·√N rows at
+    * the production |C| = ⌊√N⌋ (the same N^1.5 asymptote the two-level
+    * assignment removes from the scoring side); hashing each node with
+    * `planes` (deterministic data-row planes, like [[withLshBucket]])
+    * and joining on (cell_id, bucket) bounds the pair set by the
+    * largest (cell × bucket) block instead. Candidate LOSS is the
+    * standard LSH trade: close pairs agree on plane signs with high
+    * probability, and any node left shy of m in-bucket neighbors stays
+    * reachable through its centroid up-link (connectivity never
+    * depends on the top-m edges). Everything stays deterministic —
+    * plane dots replay in SQL exactly like q_ann_lsh's bucket CTE — so
+    * the built edge set and the walk over it remain hash-gatable. */
+  def knnGraphLsh(assigned: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame, cIdCol: String, cVecCol: String,
+                  m: Int, planes: Seq[Seq[Double]]): DataFrame = {
+    require(planes.nonEmpty, "knnGraphLsh: empty plane set")
+    knnGraphKeyed(
+      assigned.withColumn("_lshb", lshBucket(col(vecCol), planes)),
+      idCol, vecCol, centroids, cIdCol, cVecCol, m,
+      joinKeys = Seq("cell_id", "_lshb"))
+  }
+
+  private def knnGraphKeyed(assigned: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, cIdCol: String, cVecCol: String,
+                            m: Int, joinKeys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val a = assigned.select(col("cell_id"), col(idCol).as("src"), col(vecCol).as("_sv"))
-    val b = assigned.select(col("cell_id"), col(idCol).as("dst"), col(vecCol).as("_dv"))
+    val keyCols = joinKeys.map(col)
+    val a = assigned.select(keyCols :+ col(idCol).as("src") :+ col(vecCol).as("_sv"): _*)
+    val b = assigned.select(keyCols :+ col(idCol).as("dst") :+ col(vecCol).as("_dv"): _*)
     val w = Window.partitionBy("src").orderBy(desc("_sim"), col("dst"))
     // the QUADRATIC pair set is projected to (src, dst, sim) triples
     // BEFORE the window's src-shuffle — only ~24-byte rows ride the
-    // |cell|²-sized exchange (the cosine itself is computed map-side in
-    // the cell-join stage); vectors re-attach afterwards by one LINEAR
+    // block-sized exchange (the cosine itself is computed map-side in
+    // the key-join stage); vectors re-attach afterwards by one LINEAR
     // |E|-row equi-join against the id→vec projection
-    val topm = a.join(b, Seq("cell_id"))
+    val topm = a.join(b, joinKeys)
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), cosine(col("_sv"), col("_dv")).as("_sim"))
       .withColumn("_rn", row_number().over(w))

@@ -131,6 +131,48 @@ class AnnSpec extends AnyFunSuite {
       s"two-level routing diverged from flat on separated clusters: ${hier.toSet.diff(flat.toSet)}")
   }
 
+  test("LSH-confined edge build: bucket-degenerate planes ≡ plain knnGraph; confinement is real") {
+    val e = embeddings.select("vec_id", "embedding")
+    val cents = Ann.headCentroids(e, "vec_id", "embedding", 8)
+    val assigned = Ann.assignCells(e, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    // all-zero planes: every dot is 0 (not > 0) → one bucket → the
+    // confined build must be EDGE-IDENTICAL to the plain one
+    val zeroPlanes = Seq.fill(2)(Seq.fill(dim)(0.0))
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = edgeSet(Ann.knnGraph(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = 4))
+    val degenerate = edgeSet(Ann.knnGraphLsh(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = 4, zeroPlanes))
+    assert(degenerate == plain,
+      "single-bucket planes must reproduce the unconfined edge set exactly")
+    // real planes: every top-m pair shares cell AND bucket (the
+    // centroid up-links and the clique are exempt by construction),
+    // and the pair-stage candidate count genuinely shrinks
+    val planes = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0)).toSeq
+    val withMeta = assigned
+      .withColumn("_lb", Ann.lshBucket(col("embedding"), planes))
+      .select(col("vec_id"), col("cell_id"), col("_lb"))
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.getLong(2))).toMap
+    val confined = Ann.knnGraphLsh(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = 4, planes)
+    val centIds = cents.select("centroid_id").as[Long].collect().toSet
+    val structural = (src: Long, dst: Long) =>
+      centIds.contains(dst) || (centIds.contains(src) && centIds.contains(dst))
+    val offenders = edgeSet(confined).filterNot { case (s, d) =>
+      structural(s, d) || structural(d, s) ||
+        (withMeta(s)._1 == withMeta(d)._1 && withMeta(s)._2 == withMeta(d)._2)
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.size} top-m edges cross an LSH bucket: ${offenders.take(5)}")
+    assert(edgeSet(confined).size < plain.size,
+      "confinement changed nothing — planes failed to split any cell")
+  }
+
   test("k-means refinement tightens cells (mean assignment sim does not degrade)") {
     val e = embeddings.select("vec_id", "embedding")
     val init = Ann.headCentroids(e, "vec_id", "embedding", 8)
