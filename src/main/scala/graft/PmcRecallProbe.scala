@@ -49,12 +49,64 @@ object PmcRecallProbe {
         .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSet
     }
 
-    for (nc <- Seq(64, 181)) {
-      val gdir = java.nio.file.Files.createTempDirectory(s"pmc_recall_$nc").toString
+    // mean-centered data-row planes for the LSH-confined edge build:
+    // TF-IDF embeddings are non-negative (every raw sign bit lands
+    // positive — one bucket), so the probe centers the plane vectors on
+    // the corpus mean, which restores ~balanced sign splits while
+    // staying fully deterministic
+    val meanVec = {
+      val sum = index.select(col("embedding").cast("array<double>")).rdd
+        .map(_.getSeq[Double](0).toArray)
+        .treeReduce { (a, b) =>
+          val out = a.clone(); var i = 0
+          while (i < out.length) { out(i) += b(i); i += 1 }
+          out
+        }
+      sum.map(_ / n)
+    }
+    val rawPlanes = index.filter(col("chunk_idx") === 0)
+      .orderBy("doc_id").limit(4)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centered: Seq[Seq[Double]] =
+      rawPlanes.map(p => p.zip(meanVec).map { case (x, m) => x - m }.toSeq).toSeq
+
+    // TRAINED super book: 2 Lloyd rounds over the corpus from the 13
+    // head seeds — the FAISS coarse-quantizer discipline (head-of-
+    // codebook supers are a random sample, which routes poorly here)
+    val headSeeds = index.orderBy("doc_id", "chunk_idx").limit(13)
+      .select(monotonically_increasing_id().as("centroid_id"),
+        col("embedding").cast("array<double>").as("centroid_vec"))
+    val trainedSupers: Seq[Seq[Double]] =
+      operators.Ann.kmeansRefine(index, "doc_id", "embedding",
+          headSeeds, dim = 1024, iters = 2)
+        .orderBy("centroid_id")
+        .select(col("centroid_vec").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0)).toSeq
+
+    case class Cfg(label: String, nc: Int, nSupers: Int,
+                   planes: Seq[Seq[Double]], probes: Int = 1,
+                   supers: Seq[Seq[Double]] = Nil)
+    val cfgs = Seq(
+      Cfg("flat |C|=64 (old ServeBench)", 64, 0, Nil),
+      Cfg("flat |C|=181 (sqrt-N)", 181, 0, Nil),
+      Cfg("hier p=1 |C|=181 |S|=13", 181, 13, Nil, 1),
+      Cfg("hier p=2 |C|=181 |S|=13", 181, 13, Nil, 2),
+      Cfg("hier p=3 |C|=181 |S|=13", 181, 13, Nil, 3),
+      Cfg("hier p=1 TRAINED supers", 181, 13, Nil, 1, trainedSupers),
+      Cfg("hier p=2 TRAINED supers", 181, 13, Nil, 2, trainedSupers),
+      Cfg("hier p=3 TRAINED supers", 181, 13, Nil, 3, trainedSupers),
+      Cfg("hier p=4 TRAINED supers", 181, 13, Nil, 4, trainedSupers),
+      Cfg("hier p=6 TRAINED supers", 181, 13, Nil, 6, trainedSupers),
+      Cfg("flat+lsh2 |C|=181 (4 buckets/cell)", 181, 0, centered.take(2)),
+      Cfg("hier p=2 + lsh2 |C|=181", 181, 13, centered.take(2), 2))
+    cfgs.foreach { cfg =>
+      val gdir = java.nio.file.Files.createTempDirectory("pmc_recall").toString
       val t0 = System.nanoTime()
       val h = operators.GraphIndex.build(spark, index, Seq("doc_id", "chunk_idx"),
-        "embedding", gdir, nCentroids = nc, m = 16, nBuckets = 64,
-        beamWidth = 32, hops = 3)
+        "embedding", gdir, nCentroids = cfg.nc, m = 16, nBuckets = 64,
+        beamWidth = 32, hops = 3, nSupers = cfg.nSupers, lshPlanes = cfg.planes,
+        superProbes = cfg.probes, superVecs = cfg.supers)
       val wh = operators.GraphIndex.warm(spark, h)
       val tBuild = (System.nanoTime() - t0) / 1e9
       val recalls = qvecs.zip(exact).map { case (qv, truth) =>
@@ -62,7 +114,7 @@ object PmcRecallProbe {
           .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSet
         truth.intersect(got).size / 10.0
       }
-      println(f"|C|=$nc%4d m=16 beam=32 hops=3: mean recall@10 = " +
+      println(f"${cfg.label}%-38s m=16 beam=32 hops=3: mean recall@10 = " +
         f"${recalls.sum / recalls.length}%.3f (min ${recalls.min}%.2f), " +
         f"build+warm $tBuild%.1f s")
       wh.cool()

@@ -37,12 +37,14 @@ import org.apache.spark.sql.types._
 case class NearestCentroidHier(child: Expression,
                                codebook: Array[Array[Double]],
                                superBook: Array[Array[Double]],
-                               membersOf: Array[Array[Int]])
+                               membersOf: Array[Array[Int]],
+                               superProbes: Int = 1)
     extends UnaryExpression {
 
   require(codebook.nonEmpty && superBook.nonEmpty, "empty codebook")
   require(membersOf.length == superBook.length,
     "membersOf must have one member list per super-centroid")
+  require(superProbes >= 1, "superProbes must be >= 1")
 
   @transient private lazy val cnorms: Array[Double] = NearestCentroid.norms(codebook)
   @transient private lazy val snorms: Array[Double] = NearestCentroid.norms(superBook)
@@ -71,39 +73,69 @@ case class NearestCentroidHier(child: Expression,
 
   /** Entry point for generated code. */
   def evalRow(input: ArrayData): InternalRow = {
-    // level 1: nearest super (the coarse route)
-    val s = NearestCentroid.compute(input, superBook, snorms)
-    val members = membersOf(s.getInt(0))
-    // a super with no routed centroids cannot happen by construction
-    // (every super is its own nearest super — sim 1.0 beats all), but
-    // guard it loudly rather than return a wrong cell
-    require(members.nonEmpty,
-      s"graft_nearest_centroid_hier: super ${s.getInt(0)} has no member centroids")
-    // level 2: exact argmax within the routed super's members only,
-    // preserving the GLOBAL lowest-index tie-break (members ascend)
     val n = input.numElements()
     val v = new Array[Double](n)
     var i = 0
     var vn = 0.0
     while (i < n) { v(i) = input.getDouble(i); vn += v(i) * v(i); i += 1 }
     val vnorm = math.sqrt(vn)
-    var bestIdx = members(0)
-    var bestSim = Double.NegativeInfinity
-    var m = 0
-    while (m < members.length) {
-      val c = members(m)
-      val cent = codebook(c)
+    def simTo(cent: Array[Double], cnorm: Double): Double = {
       if (cent.length != n) throw new IllegalArgumentException(
         s"graft_nearest_centroid_hier: dimension mismatch (${cent.length} vs $n)")
       var dot = 0.0
       var j = 0
       while (j < n) { dot += v(j) * cent(j); j += 1 }
-      val sim =
-        if (vnorm == 0.0 || cnorms(c) == 0.0) 0.0
-        else dot / (vnorm * cnorms(c))
-      if (sim > bestSim) { bestSim = sim; bestIdx = c }
-      m += 1
+      if (vnorm == 0.0 || cnorm == 0.0) 0.0 else dot / (vnorm * cnorm)
     }
+    // level 1: the top-`superProbes` supers (FAISS's nprobe — probing
+    // one super is the cheapest route but loses the rows whose true
+    // centroid hides under the runner-up super; measured on the real
+    // PMC corpus nprobe=1 costs graph recall, nprobe=2 restores it).
+    // Selection order: sim DESC, index ASC — the oracle's window order.
+    val p = math.min(superProbes, superBook.length)
+    val topIdx = new Array[Int](p)
+    val topSim = new Array[Double](p)
+    var filled = 0
+    var k = 0
+    while (k < superBook.length) {
+      val sim = simTo(superBook(k), snorms(k))
+      // insertion position among the current top-p (strict >: equal
+      // sims keep the earlier = lower index first)
+      var pos = filled
+      while (pos > 0 && sim > topSim(pos - 1)) pos -= 1
+      if (pos < p) {
+        val last = math.min(filled, p - 1)
+        var t = last
+        while (t > pos) { topIdx(t) = topIdx(t - 1); topSim(t) = topSim(t - 1); t -= 1 }
+        topIdx(pos) = k; topSim(pos) = sim
+        if (filled < p) filled += 1
+      }
+      k += 1
+    }
+    // level 2: exact argmax within the probed supers' members, with
+    // the GLOBAL lowest-index tie-break made explicit (member lists of
+    // different supers are not globally ordered relative to each other)
+    var bestIdx = -1
+    var bestSim = Double.NegativeInfinity
+    var pi = 0
+    while (pi < filled) {
+      val members = membersOf(topIdx(pi))
+      var m = 0
+      while (m < members.length) {
+        val c = members(m)
+        val sim = simTo(codebook(c), cnorms(c))
+        if (sim > bestSim || (sim == bestSim && c < bestIdx)) {
+          bestSim = sim; bestIdx = c
+        }
+        m += 1
+      }
+      pi += 1
+    }
+    // every super is its own nearest super (sim 1.0), so a probed set
+    // with zero members means duplicate supers swallowed each other's
+    // members AND the row tied onto the empty one — guard loudly
+    require(bestIdx >= 0,
+      s"graft_nearest_centroid_hier: probed supers have no member centroids")
     new GenericInternalRow(Array[Any](bestIdx, bestSim))
   }
 

@@ -117,10 +117,22 @@ object Ann {
     * routing with identical arithmetic), so a SQL oracle replays every
     * cell id with two windowed argmaxes. Still one codegen'd map-side
     * projection: zero shuffle, zero join. Same output contract as
-    * [[assignCells]]: (input columns) + cell_id + cell_sim. */
+    * [[assignCells]]: (input columns) + cell_id + cell_sim.
+    *
+    * `superProbes` is FAISS's nprobe at the routing level: argmax over
+    * the union of the top-p supers' members — N·(|S| + p·|C|/|S|)
+    * work — and `superVecs` drops in a TRAINED super book
+    * ([[kmeansRefine]] over the corpus) in place of the head-of-
+    * codebook random sample. Both knobs matter, measured on the real
+    * PMC corpus (SCALE.md): random supers route sparse TF-IDF vectors
+    * badly at ANY probe count (recall@10 0.31-0.51), while TRAINED
+    * supers converge to the flat build's recall exactly — 0.31 / 0.69
+    * / 0.88 / 0.98 at p=1/2/3/4, with 0.98 = flat at |S|+4·|C|/|S| ≈
+    * 69 dots/row vs 181 flat (and ~890 vs ~31.6k at N = 10^9). */
   def assignCellsHier(index: DataFrame, idCol: String, vecCol: String,
                       centroids: DataFrame, cIdCol: String, cVecCol: String,
-                      nSupers: Int): DataFrame = {
+                      nSupers: Int, superProbes: Int = 1,
+                      superVecs: Seq[Seq[Double]] = Nil): DataFrame = {
     val cents = centroids.orderBy(col(cIdCol))
       .select(col(cIdCol), col(cVecCol).cast("array<double>"))
       .collect()
@@ -128,17 +140,24 @@ object Ann {
     require(cents.nonEmpty, "assignCellsHier: empty centroid set")
     val nS = math.min(math.max(nSupers, 1), cents.length)
     val codebook = cents.map(_._2)
-    val superBook = codebook.take(nS)
+    // superVecs, when given, is a TRAINED super book (e.g. a few
+    // kmeansRefine rounds over the corpus) — head-of-codebook supers
+    // are a deterministic random sample, which on real sparse
+    // embedding spaces routes poorly (measured in SCALE.md); a trained
+    // coarse quantizer is FAISS's answer and drops in here
+    val superBook =
+      if (superVecs.nonEmpty) superVecs.map(_.toArray).toArray
+      else codebook.take(nS)
     val cnorms = graft.functions.NearestCentroid.norms(codebook)
     val snorms = graft.functions.NearestCentroid.norms(superBook)
     // centroid → nearest-super routing, precomputed once on the driver
     // (|C|·|S| dots) with the expression's exact semantics
-    val membersOf = Array.fill(nS)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val membersOf = Array.fill(superBook.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
     codebook.indices.foreach { c =>
       var bestIdx = 0
       var bestSim = Double.NegativeInfinity
       var k = 0
-      while (k < nS) {
+      while (k < superBook.length) {
         val a = codebook(c)
         val b = superBook(k)
         require(a.length == b.length,
@@ -154,10 +173,15 @@ object Ann {
       }
       membersOf(bestIdx) += c
     }
+    // prune memberless supers (trained books can have them — standard
+    // k-means cell death; head-of-codebook books can't, every data-row
+    // super routes itself): rows then only ever probe live supers
+    val live = superBook.zip(membersOf).filter(_._2.nonEmpty)
+    require(live.nonEmpty, "assignCellsHier: every super lost its members")
     import org.apache.spark.sql.GraftColumnBridge._
     val best = column(graft.functions.NearestCentroidHier(
       expression(col(vecCol).cast("array<double>")),
-      codebook, superBook, membersOf.map(_.toArray)))
+      codebook, live.map(_._1), live.map(_._2.toArray), superProbes))
     index
       .withColumn("_best", best)
       .withColumn("cell_id",

@@ -249,7 +249,9 @@ object GraphIndex {
     * corpus-sized job; everything after reads the store. */
   def build(spark: SparkSession, index: DataFrame, keyCols: Seq[String],
             vecCol: String, dir: String, nCentroids: Int = 8, m: Int = 4,
-            nBuckets: Int = 16, beamWidth: Int = 8, hops: Int = 3): Handle = {
+            nBuckets: Int = 16, beamWidth: Int = 8, hops: Int = 3,
+            nSupers: Int = 0, lshPlanes: Seq[Seq[Double]] = Nil,
+            superProbes: Int = 2, superVecs: Seq[Seq[Double]] = Nil): Handle = {
     require(nCentroids >= 1 && m >= 1 && nBuckets >= 1 && beamWidth >= 1 && hops >= 0,
       s"GraphIndex.build: nCentroids=$nCentroids m=$m nBuckets=$nBuckets " +
         s"beamWidth=$beamWidth hops=$hops must all be positive (hops >= 0)")
@@ -268,7 +270,7 @@ object GraphIndex {
       s"GraphIndex.build: ${n - nDistinct} duplicate uid(s) — keyCols " +
         s"${keyCols.mkString("(", ",", ")")} are not unique over the index")
     val h = buildFromUid(spark, withUid, vecCol, dir, nCentroids, m,
-      nBuckets, beamWidth, hops)
+      nBuckets, beamWidth, hops, nSupers, lshPlanes, superProbes, superVecs)
     withUid.unpersist() // no-op under localCheckpoint; frees the persist path
     h.copy(vecCol = vecCol)
   }
@@ -287,11 +289,28 @@ object GraphIndex {
   }
 
   /** The store-writing core shared by [[build]] and [[rebuild]]: input
-    * is already uid'd and unique-keyed. */
+    * is already uid'd and unique-keyed.
+    *
+    * Build-scaling knobs (both default OFF — the flat build is the
+    * hash-gated reference semantics; [[rebuild]] always trues stores up
+    * to the flat discipline):
+    *  - `nSupers > 0`: assignment routes through
+    *    [[Ann.assignCellsHier]]'s two-level coarse quantizer —
+    *    N·(|S| + |C|/|S|) dots instead of N·|C| (the N^1.25-vs-N^1.5
+    *    difference at the √N codebook);
+    *  - `lshPlanes` non-empty: the in-cell edge stage runs
+    *    [[Ann.knnGraphLsh]] — candidates confined to a deterministic
+    *    sign-LSH bucket inside the cell, bounding the pair set by the
+    *    largest cell×bucket block instead of Σ|cell|². Plane vectors
+    *    are the CALLER's (mean-center them for non-negative embedding
+    *    spaces like TF-IDF, where raw sign bits all land positive). */
   private def buildFromUid(spark: SparkSession, withUid: DataFrame,
                            vecCol: String, dir: String, nCentroids: Int,
                            m: Int, nBuckets: Int, beamWidth: Int,
-                           hops: Int): Handle = {
+                           hops: Int, nSupers: Int = 0,
+                           lshPlanes: Seq[Seq[Double]] = Nil,
+                           superProbes: Int = 2,
+                           superVecs: Seq[Seq[Double]] = Nil): Handle = {
     spark.range(1).select(lit(nBuckets).as("n_buckets"), lit(m).as("m"),
         lit(beamWidth).as("beam_width"), lit(hops).as("hops"),
         lit(vecCol).as("vec_col"))
@@ -300,8 +319,13 @@ object GraphIndex {
       .select(col("uid").as("centroid_id"), col(vecCol).as("centroid_vec"))
     cents.write.mode("overwrite").parquet(dir + "/centroids")
     val storedCents = spark.read.parquet(dir + "/centroids")
-    val assigned = Ann.assignCells(withUid, "uid", vecCol,
-      storedCents, "centroid_id", "centroid_vec").drop("cell_sim")
+    val assigned = (if (nSupers > 0 || superVecs.nonEmpty)
+        Ann.assignCellsHier(withUid, "uid", vecCol,
+          storedCents, "centroid_id", "centroid_vec", nSupers, superProbes,
+          superVecs)
+      else
+        Ann.assignCells(withUid, "uid", vecCol,
+          storedCents, "centroid_id", "centroid_vec")).drop("cell_sim")
     assigned
       .withColumn("uid_bucket", bucketOf(col("uid"), nBuckets))
       // cluster writers by the partition column: one file per bucket
@@ -317,8 +341,12 @@ object GraphIndex {
     // nBuckets tasks — measurably slower whenever nBuckets < cores),
     // and the map-only cell assignment recomputed per branch is
     // cheaper than another corpus read
-    val edges = Ann.knnGraph(assigned, "uid", vecCol,
-      storedCents, "centroid_id", "centroid_vec", m)
+    val edges = if (lshPlanes.nonEmpty)
+        Ann.knnGraphLsh(assigned, "uid", vecCol,
+          storedCents, "centroid_id", "centroid_vec", m, lshPlanes)
+      else
+        Ann.knnGraph(assigned, "uid", vecCol,
+          storedCents, "centroid_id", "centroid_vec", m)
     Ann.writeGraphIndex(edges, dir + "/edges", nBuckets)
     Handle(dir, nBuckets, beamWidth, hops, m)
   }
