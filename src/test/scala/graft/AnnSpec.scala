@@ -131,6 +131,56 @@ class AnnSpec extends AnyFunSuite {
       s"two-level routing diverged from flat on separated clusters: ${hier.toSet.diff(flat.toSet)}")
   }
 
+  test("hierarchical assignment: probing every super ≡ flat, for any |S|") {
+    // superProbes = |S| makes the probed member union the WHOLE
+    // codebook, so the two-level argmax must equal flat assignCells
+    // bitwise regardless of how badly the supers route — the invariant
+    // that makes the probe count a safe recall knob
+    val e = embeddings.select("vec_id", "embedding")
+    val cents = Ann.headCentroids(e, "vec_id", "embedding", 22)
+    val flat = Ann.assignCells(e, "vec_id", "embedding",
+        cents, "centroid_id", "centroid_vec")
+      .select("vec_id", "cell_id", "cell_sim").collect()
+      .map(r => (r.getLong(0), r.get(1), r.getDouble(2))).toSet
+    for (nS <- Seq(3, 4, 7)) {
+      val hier = Ann.assignCellsHier(e, "vec_id", "embedding",
+          cents, "centroid_id", "centroid_vec", nSupers = nS, superProbes = nS)
+        .select("vec_id", "cell_id", "cell_sim").collect()
+        .map(r => (r.getLong(0), r.get(1), r.getDouble(2))).toSet
+      assert(hier == flat, s"probe-all at |S|=$nS diverged from flat")
+    }
+  }
+
+  test("hierarchical assignment: trained super book routes; memberless supers pruned") {
+    val e = embeddings.select("vec_id", "embedding")
+    val cents = Ann.headCentroids(e, "vec_id", "embedding", 22)
+    // a trained-style book: two real vectors + a DUPLICATE of the
+    // first as the third super — every centroid's routing tie between
+    // index 0 and index 2 keeps the lower index (strict-> first-wins),
+    // so super 2 is provably memberless and the pruning path must drop
+    // it; the result must also be deterministic across runs
+    val v0 = e.filter(col("vec_id") === 5)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val v1 = e.filter(col("vec_id") === 99)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val book: Seq[Seq[Double]] = Seq(v0, v1, v0)
+    def run() = Ann.assignCellsHier(e, "vec_id", "embedding",
+        cents, "centroid_id", "centroid_vec", nSupers = 1,
+        superProbes = 2, superVecs = book)
+      .select("vec_id", "cell_id").collect()
+      .map(r => (r.getLong(0), r.get(1))).toMap
+    val a = run()
+    assert(a == run(), "trained-book assignment must be deterministic")
+    // probing BOTH live supers covers the whole codebook (every
+    // centroid routed to one of the two live supers) → flat equality
+    val flat = Ann.assignCells(e, "vec_id", "embedding",
+        cents, "centroid_id", "centroid_vec")
+      .select("vec_id", "cell_id").collect()
+      .map(r => (r.getLong(0), r.get(1))).toMap
+    assert(a == flat,
+      "with the dead super pruned, probing both live supers must equal flat")
+  }
+
   test("LSH-confined edge build: bucket-degenerate planes ≡ plain knnGraph; confinement is real") {
     val e = embeddings.select("vec_id", "embedding")
     val cents = Ann.headCentroids(e, "vec_id", "embedding", 8)
