@@ -109,6 +109,29 @@ class ShuffleAuditSpec extends AnyFunSuite {
         "expected per-doc counters only (the gram filter is map-side)")
   }
 
+  test("LSH-confined edge build shuffles strictly fewer pair bytes than plain knnGraph") {
+    import graft.operators.Ann
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cents = Ann.headCentroids(emb, "vec_id", "embedding", 8)
+    val assigned = Ann.assignCells(emb, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec")
+    val planes = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0)).toSeq
+    val plain = ShuffleAudit.of(Ann.knnGraph(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = 4))
+    val confined = ShuffleAudit.of(Ann.knnGraphLsh(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = 4, planes))
+    // the pair stage dominates both builds' shuffles; (cell, bucket)
+    // blocks are strictly finer than cells, so the confined build's
+    // bytes must come in under the plain build's — this is the
+    // measured form of the sum-of-blocks² < sum-of-cells² claim
+    assert(confined.writeBytes < plain.writeBytes,
+      s"LSH confinement did not cut the edge-stage shuffle: " +
+        s"confined=$confined plain=$plain")
+  }
+
   test("exact dedup shuffles fingerprints, not text") {
     val s = ShuffleAudit.of(Dedup.exact(docs, "doc_id", "text"))
     assert(s.writeBytes > 0, "expected a hash-agg shuffle")
