@@ -314,11 +314,14 @@ object Retrieval {
     *    disjointness source of truth compaction validates against.
     *
     * Segments must carry DISJOINT documents (single-writer batches, the
-    * upload model); a violation is caught loudly at [[compactBm25Segments]]
-    * against the per-segment doc-id sidecars written here (ids directly,
-    * NOT posting-derived counts: a doc whose text tokenizes to zero
-    * alnum tokens contributes no postings rows, so a count-based guard
-    * would refuse legal stores and could mask a real duplicate). A
+    * upload model); a violation is refused AT APPEND TIME, before the
+    * segment is durably written — an ids-only check of the batch
+    * against itself and against the existing segments' doc-id sidecars
+    * (ids directly, NOT posting-derived counts: a doc whose text
+    * tokenizes to zero alnum tokens contributes no postings rows, so a
+    * count-based guard would refuse legal stores and could mask a real
+    * duplicate). [[compactBm25Segments]] re-validates the same
+    * invariant as a backstop for stores written by older code. A
     * segment name reuse is refused — appends never overwrite.
     *
     * Compact-on-append: when the store crosses `autoCompactAt`
@@ -353,6 +356,38 @@ object Retrieval {
     val segDir = s"$dir/segments/$segment"
     require(!fs.exists(new org.apache.hadoop.fs.Path(segDir)),
       s"segment '$segment' already exists in '$dir' — appends never overwrite")
+    // Disjointness is checked BEFORE anything durable is written: a
+    // batch that repeats an id (within itself, or against any existing
+    // segment's docs sidecar) is refused here, while the store is still
+    // exactly what it was. Catching it later — at compaction, where
+    // validateDisjointSegments remains as the backstop — would leave
+    // the duplicate segment durably on disk, silently double-counting
+    // df/N in every bm25FromSegments probe (which never runs the
+    // guard) until someone hand-deletes it. Ids-only anti-check: one
+    // aggregate + one semi-join count over id projections, O(ids) per
+    // append.
+    val batchIds = docs.select(col(idCol))
+    val batchAgg = batchIds
+      .agg(count(lit(1)).as("_n"), count_distinct(col(idCol)).as("_nd")).head()
+    require(batchAgg.getLong(0) == batchAgg.getLong(1),
+      s"appendBm25Segment: batch for segment '$segment' repeats doc ids " +
+        s"(${batchAgg.getLong(0)} rows, ${batchAgg.getLong(1)} distinct) — " +
+        "df/N would be silently wrong; deduplicate the batch first")
+    val priorSegs =
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir + "/segments")))
+        listBm25Segments(spark, dir)
+      else Seq.empty
+    if (priorSegs.nonEmpty) {
+      val nDup = batchIds
+        .join(priorSegs.map(s => spark.read.parquet(s + "/docs")).reduce(_ unionByName _),
+          Seq(idCol), "left_semi")
+        .count()
+      require(nDup == 0L,
+        s"appendBm25Segment: batch for segment '$segment' duplicates $nDup doc " +
+          s"id(s) already stored in '$dir' — refusing before the segment is " +
+          "written; re-ingest the batch with fresh ids (updates go through " +
+          "compaction to the monolithic layout + its delete lifecycle)")
+    }
     val withDl = docs
       .select(col(idCol), alnumTokens(col(textCol)).as("_toks"))
       .withColumn("_dl", size(col("_toks")).cast("long"))
@@ -405,6 +440,10 @@ object Retrieval {
   private def listBm25Segments(spark: SparkSession, dir: String): Seq[String] = {
     val segRoot = new org.apache.hadoop.fs.Path(dir + "/segments")
     val fs = segRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(compactMarkerPath(dir)),
+      s"segmented bm25 store at '$dir' has an interrupted compaction " +
+        s"(_compact_pending present) — run recoverBm25Compaction(spark, " +
+        s"\"$dir\") before reading or appending")
     require(fs.exists(segRoot), s"no segments under '$dir'")
     fs.listStatus(segRoot).filter(_.isDirectory).map(_.getPath.toString).sorted.toSeq
   }
@@ -546,11 +585,20 @@ object Retrieval {
     * (RetrievalSpec pins scores across the compaction).
     *
     * The merged segment is STAGED outside `segments/` and swapped in
-    * after the old segment dirs are removed, so a crash mid-swap leaves
-    * a loudly-missing store (listBm25Segments requires segments to
-    * exist), never a silently doubled one. Single-writer, probes
-    * quiesced — the same maintenance contract as the delete surface. */
+    * after the old segment dirs are removed. A crash mid-swap leaves a
+    * loudly-missing store, never a silently doubled one — and the swap
+    * is bracketed by a `_compact_pending` marker (written AFTER the
+    * staging completes, removed AFTER publish) naming the merged
+    * segment, its staging path, and the input segments, so
+    * [[recoverBm25Compaction]] can finish an interrupted swap
+    * MECHANICALLY: marker present + target absent means the staging is
+    * complete by construction, so recovery just re-runs
+    * delete-inputs-then-rename. Probes refuse a marked store
+    * (listBm25Segments) instead of reading a half-swapped one.
+    * Single-writer, probes quiesced — the same maintenance contract as
+    * the delete surface. */
   def compactBm25SegmentsInPlace(spark: SparkSession, dir: String): Unit = {
+    recoverBm25Compaction(spark, dir) // finish any interrupted prior swap first
     val meta = spark.read.parquet(dir + "/meta").head()
     val idCol = meta.getAs[String]("id_col")
     val segs = listBm25Segments(spark, dir)
@@ -580,13 +628,78 @@ object Retrieval {
     segs.map(s => spark.read.parquet(s + "/docs")).reduce(_ unionByName _)
       .write.mode("overwrite").parquet(tmp + "/docs")
     // swap: all reads above are materialized (the writes completed), so
-    // deleting the inputs is safe; rename publishes the merged segment
+    // deleting the inputs is safe. The marker goes down FIRST — from
+    // here until publish the store is transiently inconsistent, and the
+    // marker is what lets recoverBm25Compaction finish the job after a
+    // crash anywhere in the window.
+    writeCompactMarker(fs, dir, merged, tmp, segNames)
     segs.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(s), true))
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
         new org.apache.hadoop.fs.Path(s"$dir/segments/$merged")),
       s"compactBm25SegmentsInPlace: failed to publish merged segment '$merged' " +
-        s"into '$dir/segments' — store needs manual repair from '$tmp'")
+        s"into '$dir/segments' — run recoverBm25Compaction(spark, \"$dir\") " +
+        "to retry the publish from the staged copy")
     fs.delete(tmpRoot, true)
+    fs.delete(compactMarkerPath(dir), false)
+  }
+
+  private def compactMarkerPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/_compact_pending")
+
+  /** One line per field, newline-separated: merged segment name, staged
+    * tmp path, then the input segment names. Plain text so a human can
+    * also read what an interrupted swap was doing. */
+  private def writeCompactMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                                 merged: String, tmp: String,
+                                 inputs: Seq[String]): Unit = {
+    val out = fs.create(compactMarkerPath(dir), true)
+    try out.write((merged + "\n" + tmp + "\n" + inputs.mkString("\n"))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Mechanically finish (or clean up after) an interrupted
+    * [[compactBm25SegmentsInPlace]] swap. No-op when no
+    * `_compact_pending` marker exists. Otherwise the marker's ordering
+    * contract decides everything:
+    *
+    *  - merged segment already published → the crash was between
+    *    publish and cleanup: remove staging + marker, done;
+    *  - merged segment absent → the marker is only ever written AFTER
+    *    staging completed, so the staged copy is whole: delete any
+    *    input segments that still linger, rename the staged copy into
+    *    `segments/`, remove the marker.
+    *
+    * Returns true when a pending swap was found and resolved. */
+  def recoverBm25Compaction(spark: SparkSession, dir: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = compactMarkerPath(dir)
+    if (!fs.exists(marker)) return false
+    val in = fs.open(marker)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = text.split("\n").toSeq
+    require(lines.length >= 2,
+      s"recoverBm25Compaction: malformed marker at '$marker': '$text'")
+    val (merged, tmp, inputs) = (lines.head, lines(1), lines.drop(2))
+    val target = new org.apache.hadoop.fs.Path(s"$dir/segments/$merged")
+    if (!fs.exists(target)) {
+      require(fs.exists(new org.apache.hadoop.fs.Path(tmp)),
+        s"recoverBm25Compaction: marker at '$marker' names staged copy '$tmp' " +
+          s"but neither it nor the published segment '$target' exists — the " +
+          "store needs manual repair")
+      inputs.map(n => new org.apache.hadoop.fs.Path(s"$dir/segments/$n"))
+        .filter(fs.exists).foreach(p => fs.delete(p, true))
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), target),
+        s"recoverBm25Compaction: rename '$tmp' -> '$target' failed")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp"), true)
+    fs.delete(marker, false)
+    true
   }
 
   /** Drift guard for a [[writeBm25Index]] store: require that the store

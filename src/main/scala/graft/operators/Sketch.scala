@@ -179,20 +179,42 @@ object Sketch {
     contaminationByHit(corpus, idCol, textCol, shingleN, hit, minHits)
   }
 
+  /** Collect a bit-position frame into a WORD-PACKED bitset (64 bits
+    * per long) for the broadcast [[bloomContamination]] overload. At
+    * the production sizes that overload exists for, packing matters: a
+    * JVM boolean[] is one BYTE per bit, so a 2^30-bit filter is 1 GiB
+    * as boolean[] but 128 MiB packed — 8x less executor heap and
+    * broadcast traffic. mBits must be a multiple of 64 so the word
+    * count round-trips the filter size exactly. */
+  def bloomBitset(bits: DataFrame, mBits: Int): Array[Long] = {
+    require(mBits % 64 == 0, s"bloomBitset: mBits=$mBits must be a multiple of 64")
+    val out = new Array[Long](mBits >>> 6)
+    bits.select(col("pos").cast("int")).collect().foreach { r =>
+      val p = r.getInt(0)
+      require(p >= 0 && p < mBits, s"bloomBitset: position $p outside [0,$mBits)")
+      out(p >>> 6) |= 1L << (p & 63)
+    }
+    out
+  }
+
   /** [[bloomContamination]] at PRODUCTION filter sizes: the bit set
-    * ships as a `SparkContext.broadcast` variable (once per executor,
-    * torrent protocol) instead of a plan literal (re-serialized into
-    * every task of every stage) — at 2^30 bits that's 128 MiB that must
-    * not live in the plan. The probe itself is the codegen'd
-    * [[graft.functions.BloomAllSet]] expression, which carries only the
-    * broadcast handle and dereferences it once per task; results are
-    * bit-identical to the literal form (SketchSpec pins equality at
-    * 2^20 bits), so callers switch forms by filter size alone. */
+    * ships as a `SparkContext.broadcast` of a word-packed long[] (see
+    * [[bloomBitset]] — 64 bits/long, 8x smaller than boolean[]) once
+    * per executor over the torrent protocol, instead of as a plan
+    * literal (re-serialized into every task of every stage) — at 2^30
+    * bits that's 128 MiB that must not live in the plan. The probe
+    * itself is the codegen'd [[graft.functions.BloomAllSet]]
+    * expression, which carries only the broadcast handle and
+    * dereferences it once per task; results are bit-identical to the
+    * literal form (SketchSpec pins equality at 2^20 bits), so callers
+    * switch forms by filter size alone. The filter size is derived
+    * from the word count (words*64), so build with the same mBits. */
   def bloomContamination(corpus: DataFrame, idCol: String, textCol: String,
-                         bits: Broadcast[Array[Boolean]], shingleN: Int,
+                         bits: Broadcast[Array[Long]], shingleN: Int,
                          numHashes: Int, minHits: Long): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge._
-    val positions = bloomPositions(col("_s"), numHashes, bits.value.length)
+    val mBits = bits.value.length << 6
+    val positions = bloomPositions(col("_s"), numHashes, mBits)
     val hit = column(graft.functions.BloomAllSet(expression(positions), bits))
     contaminationByHit(corpus, idCol, textCol, shingleN, hit, minHits)
   }

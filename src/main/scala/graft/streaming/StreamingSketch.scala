@@ -46,15 +46,19 @@ object StreamingSketch {
     * `dir/_params`. Fields is a (name → value) list; mismatch refuses
     * with the accumulated-vs-probe message the other loops use.
     *
-    * The first write is ATOMIC: params are staged to a temp dir and
-    * published with a FileSystem.rename, which fails if `_params`
-    * already exists (HDFS contract; local renameTo onto a non-empty dir
-    * likewise) — so two writers racing the very first micro-batch can't
-    * both "create" the sidecar. Validation then runs UNCONDITIONALLY
-    * against whatever sidecar won, so the rename loser refuses a
-    * geometry mismatch instead of silently accumulating mixed-width
-    * partials through the exists/write TOCTOU window the old
-    * check-then-write had. */
+    * First write: params are staged to a temp dir and published with a
+    * FileSystem.rename. Correctness does NOT rest on rename atomicity —
+    * semantics differ per filesystem (local renameTo refuses an
+    * existing non-empty target; HDFS's dir-onto-existing-dir rename
+    * instead moves the source INTO the target, "succeeding" while
+    * nesting a stale `_params_tmp_*` under `_params`). It rests on the
+    * UNCONDITIONAL validation below: whatever sidecar content wins,
+    * every writer re-reads it and refuses a geometry mismatch, closing
+    * the exists/write TOCTOU window the old check-then-write had.
+    * Post-publish we sweep any `_params_tmp_*` leftovers (the HDFS
+    * nested-move case and the local lost-race case) so no garbage dir
+    * lingers; parquet would ignore the underscore-prefixed child
+    * anyway, the sweep just keeps the store clean. */
   private def guardParams(spark: SparkSession, dir: String, loop: String,
                           fields: Seq[(String, Int)]): Unit = {
     val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/_params")
@@ -68,6 +72,14 @@ object StreamingSketch {
       val won = try fs.rename(tmp, paramsPath)
         catch { case _: java.io.IOException => false }
       if (!won) fs.delete(tmp, true) // lost the race — validate below
+      // sweep stale tmp dirs: ours if the rename "succeeded" by moving
+      // it INSIDE an existing _params (HDFS semantics), or any other
+      // writer's leftovers
+      // (globStatus returns null when the glob's parent is absent)
+      Seq(s"$dir/_params_tmp_*", s"$dir/_params/_params_tmp_*")
+        .flatMap(g => Option(fs.globStatus(new org.apache.hadoop.fs.Path(g)))
+          .getOrElse(Array.empty).toSeq)
+        .foreach(st => fs.delete(st.getPath, true))
     }
     val p = spark.read.parquet(paramsPath.toString)
       .select(fields.map(f => col(f._1)): _*).head()

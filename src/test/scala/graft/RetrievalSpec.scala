@@ -273,12 +273,12 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.appendBm25Segment(
         segA.withColumnRenamed("doc_id", "other_id"), "other_id", "text", dir, "s0003")
     }
-    Retrieval.appendBm25Segment(segA, "doc_id", "text", dir, "s0004", nBuckets = 8)
     val err = intercept[IllegalArgumentException] {
-      Retrieval.compactBm25Segments(spark, dir,
-        java.nio.file.Files.createTempDirectory("graft_bm25dup").toString)
+      Retrieval.appendBm25Segment(segA, "doc_id", "text", dir, "s0004", nBuckets = 8)
     }
-    assert(err.getMessage.contains("disjoint"), err.getMessage)
+    assert(err.getMessage.contains("duplicates"), err.getMessage)
+    assert(!new java.io.File(s"$dir/segments/s0004").exists(),
+      "refused duplicate segment must not be durably written")
   }
 
   test("compact-on-append: the store folds itself past the cap, scores unchanged") {
@@ -341,18 +341,88 @@ class RetrievalSpec extends AnyFunSuite {
     val out = java.nio.file.Files.createTempDirectory("graft_bm25tokc").toString
     Retrieval.compactBm25Segments(spark, dir, out) // legal store: must not refuse
     Retrieval.requireBm25IndexMatches(spark, out, docs.select("doc_id"), "doc_id")
-    // masked duplicate: doc 2 appears AGAIN alongside a token-less doc —
-    // postings gain 1 dup doc while n_docs gains 2, so a distinct-vs-sum
-    // count check could never equal anyway here, but the sharper case is
-    // the sidecar catching the repeat REGARDLESS of posting arithmetic
+    // masked duplicate: doc 2 appears AGAIN alongside a token-less doc.
+    // The append-time id check refuses it BEFORE anything is written —
+    // the store must still be exactly the one-segment store afterwards
+    // (the old behavior left the duplicate segment durably on disk,
+    // double-counting df/N in every probe until compaction finally
+    // refused).
     val dir2 = java.nio.file.Files.createTempDirectory("graft_bm25mask").toString
     Retrieval.appendBm25Segment(docs, "doc_id", "text", dir2, "s1")
-    Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 2L), "doc_id", "text", dir2, "s2")
     val err = intercept[IllegalArgumentException] {
+      Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 2L), "doc_id", "text", dir2, "s2")
+    }
+    assert(err.getMessage.contains("duplicates"), err.getMessage)
+    assert(!new java.io.File(s"$dir2/segments/s2").exists(),
+      "refused segment must not be durably written")
+    // probes still serve the clean store
+    assert(Retrieval.bm25FromSegments(spark, dir2, "doc_id", "spark join").count() == 2)
+    // a batch that repeats ids WITHIN itself is refused the same way
+    val errSelf = intercept[IllegalArgumentException] {
+      Retrieval.appendBm25Segment(docs.union(docs.filter(col("doc_id") === 1L)),
+        "doc_id", "text", dir2, "s3")
+    }
+    assert(errSelf.getMessage.contains("repeats doc ids"), errSelf.getMessage)
+    // compaction backstop for stores written before the append guard:
+    // clone s1 to a second segment behind the guard's back — the
+    // sidecar check at compaction still catches it
+    locally {
+      import java.nio.file.{Files, Path, Paths}
+      val src = Paths.get(s"$dir2/segments/s1"); val dst = Paths.get(s"$dir2/segments/s9")
+      Files.walk(src).forEach { p: Path =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t) else Files.copy(p, t)
+      }
+    }
+    val errCmp = intercept[IllegalArgumentException] {
       Retrieval.compactBm25Segments(spark, dir2,
         java.nio.file.Files.createTempDirectory("graft_bm25maskc").toString)
     }
-    assert(err.getMessage.contains("disjoint"), err.getMessage)
+    assert(errCmp.getMessage.contains("disjoint"), errCmp.getMessage)
+  }
+
+  test("interrupted in-place compaction: marker blocks probes, recovery completes the swap") {
+    val docs = Seq(
+      (1L, "spark shuffle partitions tune the join"),
+      (2L, "spark join"),
+      (3L, "broadcast the small side"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25rec").toString
+    for (id <- 1L to 3L)
+      Retrieval.appendBm25Segment(docs.filter(col("doc_id") === id),
+        "doc_id", "text", dir, f"s$id%04d", nBuckets = 8, autoCompactAt = 0)
+    def scoreMap() = Retrieval.bm25FromSegments(spark, dir, "doc_id", "spark join")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val healthy = scoreMap()
+    // simulate a crash INSIDE the swap window: run the compaction up to
+    // the marker write by hand — stage a merged copy, write the marker,
+    // delete one input, and "crash" before the publish rename
+    Retrieval.compactBm25SegmentsInPlace(spark, dir)
+    val merged = new java.io.File(s"$dir/segments").listFiles().head.getName
+    assert(merged.startsWith("cmp_"))
+    // rewind: move the published segment back into the staging layout
+    // and recreate the marker exactly as the crash would have left it
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$dir/_compact_tmp/$merged"
+    new java.io.File(s"$dir/_compact_tmp").mkdirs()
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/segments/$merged"),
+      new org.apache.hadoop.fs.Path(tmp)))
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_compact_pending"), true)
+    out.write(s"$merged\n$tmp\ns0001\ns0002\ns0003".getBytes("UTF-8"))
+    out.close()
+    // probes and appends refuse the marked store loudly
+    val errProbe = intercept[IllegalArgumentException] {
+      Retrieval.bm25FromSegments(spark, dir, "doc_id", "spark join")
+    }
+    assert(errProbe.getMessage.contains("_compact_pending"), errProbe.getMessage)
+    // recovery completes the swap mechanically; scores are unchanged
+    assert(Retrieval.recoverBm25Compaction(spark, dir))
+    assert(!new java.io.File(s"$dir/_compact_pending").exists())
+    assert(!new java.io.File(s"$dir/_compact_tmp").exists())
+    val recovered = scoreMap()
+    assert(recovered == healthy, "recovered store must score bitwise-identically")
+    // idempotent: nothing pending -> false, store untouched
+    assert(!Retrieval.recoverBm25Compaction(spark, dir))
   }
 
   test("askHybrid refuses a bm25 store built over a different corpus (drift guard)") {

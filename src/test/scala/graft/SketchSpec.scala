@@ -138,7 +138,15 @@ class SketchSpec extends AnyFunSuite {
     val literal = Sketch.bloomContamination(docs, "doc_id", "text", bits,
       shingleN = 3, numHashes = 3, minHits = 1)
       .as[(Long, Long)].collect().toSet
-    val bcast = spark.sparkContext.broadcast(bits)
+    // the broadcast form ships WORD-PACKED words (64 bits/long); the
+    // packed set must carry exactly the boolean[] bits
+    val words = Sketch.bloomBitset(
+      Sketch.bloomBits(bench, "text", shingleN = 3, numHashes = 3, mBits = mBits), mBits)
+    assert(words.length == mBits / 64)
+    for (p <- 0 until mBits)
+      assert(((words(p >>> 6) >>> (p & 63) & 1L) != 0L) == bits(p),
+        s"packed bit $p disagrees with boolean[] form")
+    val bcast = spark.sparkContext.broadcast(words)
     try {
       val viaBcast = Sketch.bloomContamination(docs, "doc_id", "text", bcast,
         shingleN = 3, numHashes = 3, minHits = 1)
