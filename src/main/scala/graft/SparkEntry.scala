@@ -1805,14 +1805,21 @@ object SparkEntry {
     // from the 64 smallest distinct token hashes; the only full-width
     // stage is a hash-distinct (vocabulary-bounded), the sketch is 64
     // rows per group. Estimate error is exact md5 arithmetic, not
-    // sampling — the oracle replays it including rel_err.
+    // sampling — the oracle replays it including rel_err. The sketch
+    // and the exact count both derive from ONE shared (source, tok)
+    // vocabulary aggregate — the corpus explode+distinct exchange is
+    // planned once and reused (ReusedExchange in the physical plan),
+    // not scanned per leg; exact_distinct is then a plain count over
+    // vocabulary rows (== countDistinct over instances: explode never
+    // emits nulls).
     "q_kmv_distinct" -> ((s, dir) => {
-      val toks = wide(s, dir, "documents")
+      val vocab = wide(s, dir, "documents")
         .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+        .distinct()
       val est = Sketch.kmvEstimate(
-        Sketch.kmvPerGroup(toks, "source", "tok", k = 64), "source", k = 64)
-      val exact = toks.groupBy("source")
-        .agg(countDistinct(col("tok")).as("exact_distinct"))
+        Sketch.kmvPerGroup(vocab, "source", "tok", k = 64), "source", k = 64)
+      val exact = vocab.groupBy("source")
+        .agg(count(lit(1)).as("exact_distinct"))
       est.join(exact, "source")
         .select(col("source"), col("n_kept"),
           stableRound(col("est_distinct")).as("est_distinct"),
