@@ -1427,6 +1427,34 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // OR-AMPLIFIED LSH edge build (Ann.knnGraphLshBanded): two
+    // independent 2-plane bands; a pair is an edge candidate when
+    // EITHER band's sign bits fully agree — the MinHash banding
+    // construction applied to sign-LSH, recovering the recall a single
+    // band loses (measured on PMC: 0.68 one band → see SCALE.md)
+    // while each band's join stays (cell × bucket)-bounded. Planes are
+    // data rows (vec_id 0-1 band 0, 2-3 band 1) so the oracle replays
+    // both bucket columns and the OR in its pair CTE.
+    "q_ann_graph_banded" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val nCents = math.max(1L, math.floor(math.sqrt(e.count().toDouble)).toLong)
+      val cents = e.filter(col("vec_id") < nCents)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      def planesIn(lo: Long, hi: Long) = e
+        .filter(col("vec_id") >= lo && col("vec_id") < hi).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0)).toSeq
+      val assigned = Ann.assignCells(e, "vec_id", "embedding", cents, "centroid_id", "centroid_vec")
+      val edges = Ann.knnGraphLshBanded(assigned, "vec_id", "embedding",
+        cents, "centroid_id", "centroid_vec", m = 4,
+        Seq(planesIn(0, 2), planesIn(2, 4)))
+      Ann.graphSearch(s, edges, cents, "centroid_id", "centroid_vec",
+          collectVec(e, 201), beamWidth = 4, hops = 3)
+        .select(col("vec_id"), stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(10)
+    }),
+
     // WARM graph ANN serving: the same store-backed walk as
     // q_ann_graph_part, but the edge list is persisted once and every
     // hop filters cached batches (Ann.graphSearchResident — the
@@ -3600,6 +3628,36 @@ object SparkEntry {
              |  FROM cells0 c0, pl GROUP BY c0.vec_id, c0.embedding, c0.cell_id
              |)""".stripMargin),
         pairExtraCond = " AND a.lb = b.lb"),
+
+      // banded OR-amplification: two bucket columns, pair keeps when
+      // EITHER band agrees — same assignment/walk replay otherwise
+      "q_ann_graph_banded" -> annGraphOracleWhere("", "",
+        centPred = scaledCentPred, queryId = 201,
+        assignCtes = Some(
+          s"""pl0 AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings WHERE vec_id < 2),
+             |pl1 AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings
+             |        WHERE vec_id >= 2 AND vec_id < 4),
+             |asg AS (
+             |  SELECT vec_id, embedding, cid,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+             |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+             |               ${dCosine("e.embedding", "c.cv")} AS csim
+             |        FROM embeddings e, c)
+             |),
+             |cells0 AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1),
+             |cellsA AS (
+             |  SELECT c0.vec_id, c0.embedding, c0.cell_id,
+             |         CAST(sum(CASE WHEN ${dDot("c0.embedding", "pl0.pv")} > 0
+             |                       THEN CAST(pow(2, pl0.pid) AS BIGINT) ELSE 0 END) AS BIGINT) AS lb0
+             |  FROM cells0 c0, pl0 GROUP BY c0.vec_id, c0.embedding, c0.cell_id
+             |),
+             |cells AS (
+             |  SELECT ca.vec_id, ca.embedding, ca.cell_id, ca.lb0,
+             |         CAST(sum(CASE WHEN ${dDot("ca.embedding", "pl1.pv")} > 0
+             |                       THEN CAST(pow(2, pl1.pid - 2) AS BIGINT) ELSE 0 END) AS BIGINT) AS lb1
+             |  FROM cellsA ca, pl1 GROUP BY ca.vec_id, ca.embedding, ca.cell_id, ca.lb0
+             |)""".stripMargin),
+        pairExtraCond = " AND (a.lb0 = b.lb0 OR a.lb1 = b.lb1)"),
 
       // mark-delete: the walk is untouched (tombstoned nodes still
       // route); only the final visited set is filtered. Lifecycle rows

@@ -337,6 +337,47 @@ object Ann {
     spark.read.parquet(indexDir)
       .withMetadata(bucketCol, graft.plans.AnnBucketPrune.lshMetadata(planes))
 
+  /** DATA-AWARE sign-LSH planes: the `n` lowest-id data rows, each
+    * mean-centered on the corpus. Raw data-row planes are what the
+    * oracle-gated paths use (deterministic, SQL-replayable), but on a
+    * NON-NEGATIVE embedding space (TF-IDF, BoW counts) every raw sign
+    * bit lands positive — all rows hash to one bucket and the LSH
+    * confinement is a no-op; worse, slightly-off-axis raw planes split
+    * true neighbor pairs near-randomly (measured: recall 0.68 on the
+    * PMC corpus, SCALE.md). Centering each plane on the corpus mean
+    * restores ~balanced splits whose boundary passes through the data
+    * cloud's center — the standard remedy — while staying fully
+    * deterministic: the mean is one fixed aggregate, the plane rows are
+    * picked by id order, no RNG anywhere. One posexplode+avg pass over
+    * the corpus (map-side partial agg, dim-bounded shuffle) computes
+    * the mean; the planes themselves are n driver-side rows. */
+  def centeredPlanes(index: DataFrame, idCol: String, vecCol: String,
+                     n: Int): Seq[Seq[Double]] = {
+    require(n >= 1, s"centeredPlanes: n=$n must be >= 1")
+    val mean = index
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("_dim", "_x")))
+      .groupBy("_dim").agg(avg("_x").as("_m"))
+      .orderBy("_dim")
+      .select("_m").collect().map(_.getDouble(0))
+    val raw = index.orderBy(col(idCol)).limit(n)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(raw.length == n, s"centeredPlanes: corpus has only ${raw.length} rows, need $n")
+    raw.map(p => p.zip(mean).map { case (x, m) => x - m }.toSeq).toSeq
+  }
+
+  /** [[centeredPlanes]] grouped into `nBands` independent bands of
+    * `planesPerBand` planes each, for [[knnGraphLshBanded]]'s
+    * OR-amplified edge build. Consecutive id-ordered rows feed
+    * consecutive bands (band r gets planes r·ppb ... r·ppb+ppb−1). */
+  def centeredPlaneBands(index: DataFrame, idCol: String, vecCol: String,
+                         nBands: Int, planesPerBand: Int): Seq[Seq[Seq[Double]]] = {
+    require(nBands >= 1 && planesPerBand >= 1,
+      s"centeredPlaneBands: nBands=$nBands planesPerBand=$planesPerBand must be >= 1")
+    centeredPlanes(index, idCol, vecCol, nBands * planesPerBand)
+      .grouped(planesPerBand).toSeq
+  }
+
   /** Deterministic "training-free" centroids: the first n vectors by id.
     * (A k-means refinement would go here; seeding from data keeps the
     * operator reproducible and oracle-checkable.) */
@@ -353,10 +394,26 @@ object Ann {
     * floating-point summation order — centroids are internal state, not
     * oracle-compared output. */
   def kmeansRefine(index: DataFrame, idCol: String, vecCol: String,
-                   initial: DataFrame, dim: Int, iters: Int = 2): DataFrame = {
+                   initial: DataFrame, dim: Int, iters: Int = 2,
+                   sampleFrac: Double = 1.0): DataFrame = {
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0,
+      s"kmeansRefine: sampleFrac=$sampleFrac must be in (0, 1]")
+    // SAMPLED training — the standard answer to the trainer itself
+    // becoming the bottleneck at the √N codebook (at N = 1e9 and
+    // |C| = 31 623 a full-corpus Lloyd round is N·|C| dots — larger
+    // than the build's own assignment stage). Train on a DETERMINISTIC
+    // hashed fraction (xxhash64 of the id — no RNG, same sample every
+    // run and every engine), assign everything downstream: centroid
+    // quality needs only enough points per cell to estimate the mean,
+    // not the corpus. sampleFrac = 1.0 is bit-identical to the
+    // unsampled path (no filter is planned at all).
+    val train =
+      if (sampleFrac >= 1.0) index
+      else index.filter(
+        pmod(xxhash64(col(idCol)), lit(1000000L)) < (sampleFrac * 1e6).toLong)
     var cents = initial
     for (_ <- 0 until iters) {
-      val assigned = assignCells(index, idCol, vecCol, cents, "centroid_id", "centroid_vec")
+      val assigned = assignCells(train, idCol, vecCol, cents, "centroid_id", "centroid_vec")
       cents = assigned
         .select(col("cell_id"),
           posexplode(col(vecCol).cast("array<double>")).as(Seq("_dim", "_x")))
@@ -395,7 +452,7 @@ object Ann {
                centroids: DataFrame, cIdCol: String, cVecCol: String,
                m: Int): DataFrame =
     knnGraphKeyed(assigned, idCol, vecCol, centroids, cIdCol, cVecCol, m,
-      joinKeys = Seq("cell_id"))
+      joinKeySets = Seq(Seq("cell_id")))
 
   /** [[knnGraph]] with the in-cell candidate set FURTHER confined to a
     * sign-LSH bucket — the edge build that survives √N-sized cells.
@@ -418,14 +475,49 @@ object Ann {
     knnGraphKeyed(
       assigned.withColumn("_lshb", lshBucket(col(vecCol), planes)),
       idCol, vecCol, centroids, cIdCol, cVecCol, m,
-      joinKeys = Seq("cell_id", "_lshb"))
+      joinKeySets = Seq(Seq("cell_id", "_lshb")))
+  }
+
+  /** [[knnGraphLsh]] with OR-AMPLIFICATION — the recall answer to the
+    * single-band build's candidate loss. One band of b planes keeps a
+    * true neighbor pair only when ALL b sign bits agree (per-pair miss
+    * compounds per plane — measured at recall 0.68 on the PMC corpus
+    * for one 2-plane band, SCALE.md); with `bands` independent bands a
+    * pair is a candidate when ANY band fully agrees — the MinHash
+    * banding construction applied to sign-LSH, lifting pair recall
+    * 1−(1−p^b)^R while each band's join stays (cell × bucket)-bounded.
+    * Cost model (ShuffleAuditSpec pins both as executable budgets):
+    * the candidate pairs GENERATED — the cosine dots paid, the
+    * genuinely quadratic term — total ~R/2^b of the plain build's
+    * Σ|cell|², strictly fewer whenever R < 2^b with balanced buckets;
+    * the SHUFFLE is bounded by R× the single-band build's, and is not
+    * the quadratic term at all: WindowGroupLimit's partial top-m runs
+    * per input partition before the exchange, so pair triples never
+    * ride the wire in bulk in ANY of these builds. Duplicate pairs
+    * from band overlap are deduped rank-side (dense_rank over the
+    * multiset ≡ row_number over the distinct set) rather than with a
+    * second triple-sized exchange. Deterministic and SQL-replayable
+    * like the single-band form: the oracle's pair CTE joins once with
+    * `(a.lb0 = b.lb0 OR a.lb1 = b.lb1 ...)`. */
+  def knnGraphLshBanded(assigned: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, cIdCol: String, cVecCol: String,
+                        m: Int, bands: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(bands.nonEmpty && bands.forall(_.nonEmpty),
+      "knnGraphLshBanded: needs at least one non-empty band")
+    val withBuckets = bands.zipWithIndex.foldLeft(assigned) {
+      case (df, (planes, r)) =>
+        df.withColumn(s"_lshb$r", lshBucket(col(vecCol), planes))
+    }
+    knnGraphKeyed(withBuckets, idCol, vecCol, centroids, cIdCol, cVecCol, m,
+      joinKeySets = bands.indices.map(r => Seq("cell_id", s"_lshb$r")))
   }
 
   private def knnGraphKeyed(assigned: DataFrame, idCol: String, vecCol: String,
                             centroids: DataFrame, cIdCol: String, cVecCol: String,
-                            m: Int, joinKeys: Seq[String]): DataFrame = {
+                            m: Int, joinKeySets: Seq[Seq[String]]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keyCols = joinKeys.map(col)
+    val allKeys = joinKeySets.flatten.distinct
+    val keyCols = allKeys.map(col)
     val a = assigned.select(keyCols :+ col(idCol).as("src") :+ col(vecCol).as("_sv"): _*)
     val b = assigned.select(keyCols :+ col(idCol).as("dst") :+ col(vecCol).as("_dv"): _*)
     val w = Window.partitionBy("src").orderBy(desc("_sim"), col("dst"))
@@ -433,11 +525,23 @@ object Ann {
     // BEFORE the window's src-shuffle — only ~24-byte rows ride the
     // block-sized exchange (the cosine itself is computed map-side in
     // the key-join stage); vectors re-attach afterwards by one LINEAR
-    // |E|-row equi-join against the id→vec projection
-    val topm = a.join(b, joinKeys)
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), cosine(col("_sv"), col("_dv")).as("_sim"))
-      .withColumn("_rn", row_number().over(w))
+    // |E|-row equi-join against the id→vec projection. With several
+    // key sets (the banded LSH build) each band joins independently
+    // and the union can repeat a pair (same floats — identical
+    // arithmetic per band); rather than paying a SECOND triple-sized
+    // exchange to pre-distinct, the rank switches to dense_rank, which
+    // over the duplicated multiset equals row_number over the deduped
+    // set (duplicates share the exact (sim, dst) order key; distinct
+    // dsts never tie on it), and the final edge-union distinct below
+    // drops the surviving duplicate rows at |E| scale.
+    val pairsOf = (ks: Seq[String]) =>
+      a.join(b, ks)
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), cosine(col("_sv"), col("_dv")).as("_sim"))
+    val pairs = joinKeySets.map(pairsOf).reduce(_ unionByName _)
+    val rank = if (joinKeySets.length > 1) dense_rank() else row_number()
+    val topm = pairs
+      .withColumn("_rn", rank.over(w))
       .filter(col("_rn") <= m)
       .select("src", "dst")
     val up = assigned.filter(col(idCol) =!= col("cell_id"))

@@ -251,7 +251,8 @@ object GraphIndex {
             vecCol: String, dir: String, nCentroids: Int = 8, m: Int = 4,
             nBuckets: Int = 16, beamWidth: Int = 8, hops: Int = 3,
             nSupers: Int = 0, lshPlanes: Seq[Seq[Double]] = Nil,
-            superProbes: Int = 2, superVecs: Seq[Seq[Double]] = Nil): Handle = {
+            superProbes: Int = 2, superVecs: Seq[Seq[Double]] = Nil,
+            lshBands: Seq[Seq[Seq[Double]]] = Nil): Handle = {
     require(nCentroids >= 1 && m >= 1 && nBuckets >= 1 && beamWidth >= 1 && hops >= 0,
       s"GraphIndex.build: nCentroids=$nCentroids m=$m nBuckets=$nBuckets " +
         s"beamWidth=$beamWidth hops=$hops must all be positive (hops >= 0)")
@@ -270,9 +271,122 @@ object GraphIndex {
       s"GraphIndex.build: ${n - nDistinct} duplicate uid(s) — keyCols " +
         s"${keyCols.mkString("(", ",", ")")} are not unique over the index")
     val h = buildFromUid(spark, withUid, vecCol, dir, nCentroids, m,
-      nBuckets, beamWidth, hops, nSupers, lshPlanes, superProbes, superVecs)
+      nBuckets, beamWidth, hops, nSupers, lshPlanes, superProbes, superVecs,
+      lshBands)
     withUid.unpersist() // no-op under localCheckpoint; frees the persist path
     h.copy(vecCol = vecCol)
+  }
+
+  /** Mean recall@k of a built store's walk vs EXACT brute force, over
+    * `nQueries` deterministic in-corpus probes (the lowest-uid rows'
+    * own vectors — no RNG, same probes every run). Exact ground truth
+    * is ONE batched pass: corpus × broadcast(queries) cosine + a
+    * per-query top-k window — nQueries·N dots, small next to the build
+    * the caller just paid; the approximate side is one batched walk
+    * over the store. Both sides break ties (sim desc, uid asc), and
+    * recall is set overlap over natural keys, so the number is the one
+    * a serving consumer experiences. */
+  def measureRecall(spark: SparkSession, serving: Serving, index: DataFrame,
+                    keyCols: Seq[String], vecCol: String,
+                    nQueries: Int = 20, k: Int = 10): Double = {
+    import graft.functions.VectorFunctions.cosine
+    require(nQueries >= 1 && k >= 1,
+      s"measureRecall: nQueries=$nQueries k=$k must be >= 1")
+    val withUid = index.withColumn("_muid", uidFor(keyCols))
+    val qDf = withUid.orderBy("_muid").limit(nQueries)
+      .select(col("_muid").as("query_id"),
+        col(vecCol).cast("array<double>").as("_qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("_sim"), col("_muid"))
+    def keyOf(r: org.apache.spark.sql.Row): Seq[Any] =
+      keyCols.indices.map(i => r.get(i + 1))
+    val exact = withUid.crossJoin(broadcast(qDf))
+      .withColumn("_sim", cosine(col(vecCol), col("_qv")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("query_id") +: keyCols.map(col): _*)
+      .collect().groupBy(_.get(0)).map { case (q, rs) => q -> rs.map(keyOf).toSet }
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("sim"), col("uid"))
+    val got = serving.searchBatch(spark, qDf, "query_id", "_qv")
+      .withColumn("_rn", row_number().over(wg))
+      .filter(col("_rn") <= k)
+      .select(col("query_id") +: keyCols.map(col): _*)
+      .collect().groupBy(_.get(0)).map { case (q, rs) => q -> rs.map(keyOf).toSet }
+    val recalls = exact.toSeq.map { case (q, truth) =>
+      truth.intersect(got.getOrElse(q, Set.empty)).size.toDouble / k
+    }
+    recalls.sum / recalls.length
+  }
+
+  /** The PRODUCTION serving build — the measured-recipe defaults wired
+    * in, behind a recall gate. Everything size-derives: |C| = ⌊√N⌋
+    * (the codebook discipline every scaled query carries), coarse
+    * quantizer |S| = ⌊√|C|⌋ with a TRAINED super book
+    * ([[Ann.kmeansRefine]], optionally over a deterministic hashed
+    * `trainSampleFrac` of the corpus — at N = 1e9 the trainer is
+    * otherwise the next bottleneck) probed at `superProbes` (measured
+    * on the real PMC corpus: trained supers at p=4 reproduce the flat
+    * build's recall@10 of 0.98 at 69 vs 181 dots/row — SCALE.md), and
+    * optionally `lshBands` OR-amplified mean-centered edge bands
+    * ([[Ann.centeredPlaneBands]]) to confine the in-cell pair stage.
+    *
+    * The gate is the part SCALE.md's own warning asked for ("never
+    * ship a hier/LSH serving config without a recall row"): after the
+    * build, [[measureRecall]] probes the store against exact brute
+    * force, and a result below `recallFloor` DELETES the store and
+    * refuses loudly — a silently low-recall index never reaches
+    * serving. Returns the handle and the measured recall (record it;
+    * it is the build's acceptance evidence). */
+  def buildServing(spark: SparkSession, index: DataFrame, keyCols: Seq[String],
+                   vecCol: String, dir: String,
+                   m: Int = 16, nBuckets: Int = 64, beamWidth: Int = 32,
+                   hops: Int = 3, superProbes: Int = 4, trainIters: Int = 2,
+                   trainSampleFrac: Double = 1.0,
+                   lshBands: Int = 0, lshPlanesPerBand: Int = 2,
+                   recallFloor: Double = 0.9, recallQueries: Int = 20,
+                   recallK: Int = 10): (Handle, Double) = {
+    val mat = graft.Materialize(index.withColumn("_suid", uidFor(keyCols)))
+    try {
+      val n = mat.count()
+      require(n > 0, "buildServing: empty index")
+      val nCents = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+      val nSupers = math.max(1, math.floor(math.sqrt(nCents.toDouble)).toInt)
+      val dim = mat.select(size(col(vecCol))).head().getInt(0)
+      // super seeds: lowest-uid rows (deterministic sample), refined by
+      // Lloyd rounds into the trained coarse quantizer
+      val seeds = mat.orderBy("_suid").limit(nSupers)
+        .select(col("_suid").as("centroid_id"),
+          col(vecCol).cast("array<double>").as("centroid_vec"))
+      val trainedSupers = Ann.kmeansRefine(mat, "_suid", vecCol, seeds, dim,
+          iters = trainIters, sampleFrac = trainSampleFrac)
+        .orderBy("centroid_id")
+        .select(col("centroid_vec").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0)).toSeq
+      val bands =
+        if (lshBands > 0)
+          Ann.centeredPlaneBands(mat, "_suid", vecCol, lshBands, lshPlanesPerBand)
+        else Nil
+      val h = build(spark, mat.drop("_suid"), keyCols, vecCol, dir,
+        nCentroids = nCents, m = m, nBuckets = nBuckets,
+        beamWidth = beamWidth, hops = hops, nSupers = nSupers,
+        superProbes = superProbes, superVecs = trainedSupers,
+        lshBands = bands)
+      val recall = measureRecall(spark, h, index, keyCols, vecCol,
+        recallQueries, recallK)
+      if (recall < recallFloor) {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        throw new IllegalStateException(
+          f"GraphIndex.buildServing: measured recall@$recallK = $recall%.3f over " +
+            f"$recallQueries probes is below the floor $recallFloor%.2f " +
+            s"(|C|=$nCents, |S|=$nSupers, p=$superProbes, bands=$lshBands" +
+            s"x$lshPlanesPerBand, trainFrac=$trainSampleFrac) — the store was " +
+            "deleted, not published. Raise superProbes / drop the LSH bands / " +
+            "train on a larger fraction, or lower the floor deliberately.")
+      }
+      (h, recall)
+    } finally mat.unpersist()
   }
 
   /** Re-open a built store from its own meta sidecar — a serving
@@ -310,7 +424,8 @@ object GraphIndex {
                            hops: Int, nSupers: Int = 0,
                            lshPlanes: Seq[Seq[Double]] = Nil,
                            superProbes: Int = 2,
-                           superVecs: Seq[Seq[Double]] = Nil): Handle = {
+                           superVecs: Seq[Seq[Double]] = Nil,
+                           lshBands: Seq[Seq[Seq[Double]]] = Nil): Handle = {
     spark.range(1).select(lit(nBuckets).as("n_buckets"), lit(m).as("m"),
         lit(beamWidth).as("beam_width"), lit(hops).as("hops"),
         lit(vecCol).as("vec_col"))
@@ -341,7 +456,12 @@ object GraphIndex {
     // nBuckets tasks — measurably slower whenever nBuckets < cores),
     // and the map-only cell assignment recomputed per branch is
     // cheaper than another corpus read
-    val edges = if (lshPlanes.nonEmpty)
+    require(lshPlanes.isEmpty || lshBands.isEmpty,
+      "GraphIndex.build: pass lshPlanes (one band) OR lshBands (OR-amplified), not both")
+    val edges = if (lshBands.nonEmpty)
+        Ann.knnGraphLshBanded(assigned, "uid", vecCol,
+          storedCents, "centroid_id", "centroid_vec", m, lshBands)
+      else if (lshPlanes.nonEmpty)
         Ann.knnGraphLsh(assigned, "uid", vecCol,
           storedCents, "centroid_id", "centroid_vec", m, lshPlanes)
       else

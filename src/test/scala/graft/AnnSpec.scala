@@ -223,6 +223,94 @@ class AnnSpec extends AnyFunSuite {
       "confinement changed nothing — planes failed to split any cell")
   }
 
+  test("banded LSH edge build: 1 band ≡ knnGraphLsh; R bands = union of band candidates") {
+    val e = embeddings.select("vec_id", "embedding")
+    val cents = Ann.headCentroids(e, "vec_id", "embedding", 8)
+    val assigned = Ann.assignCells(e, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec")
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planesA = e.filter(col("vec_id") < 2).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0)).toSeq
+    val planesB = e.filter(col("vec_id") >= 2 && col("vec_id") < 4).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0)).toSeq
+    // one band degenerates to the single-band build exactly
+    val one = edgeSet(Ann.knnGraphLshBanded(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = 4, Seq(planesA)))
+    val single = edgeSet(Ann.knnGraphLsh(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = 4, planesA))
+    assert(one == single, "1-band build must equal the single-band build")
+    // with m above any cell size, top-m keeps EVERY candidate: the
+    // two-band edge set must be exactly the union of the per-band sets
+    val big = 10000
+    val bandA = edgeSet(Ann.knnGraphLsh(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = big, planesA))
+    val bandB = edgeSet(Ann.knnGraphLsh(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = big, planesB))
+    val both = edgeSet(Ann.knnGraphLshBanded(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = big, Seq(planesA, planesB)))
+    assert(both == (bandA ++ bandB),
+      "uncapped banded edges must be the union of the per-band edge sets")
+    // OR-amplification is real on this data: the union is strictly
+    // richer than either band alone
+    assert(both.size > bandA.size && both.size > bandB.size,
+      "bands were identical — fixture planes failed to differ")
+  }
+
+  test("centeredPlanes: plane = data row minus the exact corpus mean; bands partition them") {
+    val e = embeddings.select("vec_id", "embedding").filter(col("vec_id") < 50)
+    val rows = e.orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dim = rows.head.length
+    val mean = (0 until dim).map(j => rows.map(_(j)).sum / rows.length)
+    val planes = Ann.centeredPlanes(e, "vec_id", "embedding", 3)
+    assert(planes.length == 3 && planes.forall(_.length == dim))
+    planes.zipWithIndex.foreach { case (p, i) =>
+      p.indices.foreach { j =>
+        assert(math.abs(p(j) - (rows(i)(j) - mean(j))) < 1e-9,
+          s"plane $i dim $j: expected row - mean")
+      }
+    }
+    val bands = Ann.centeredPlaneBands(e, "vec_id", "embedding", 2, 2)
+    assert(bands.length == 2 && bands.forall(_.length == 2))
+    assert(bands.flatten == Ann.centeredPlanes(e, "vec_id", "embedding", 4),
+      "bands must partition the first nBands*ppb centered planes in order")
+  }
+
+  test("sampled k-means training: frac=1 ≡ unsampled bitwise; fraction trains deterministically") {
+    val e = embeddings.select("vec_id", "embedding")
+    val init = Ann.headCentroids(e, "vec_id", "embedding", 8)
+    def centMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("centroid_id"), col("centroid_vec").cast("array<double>"))
+        .collect().map(r => r.get(0) -> r.getSeq[Double](1)).toMap
+    val full = centMap(Ann.kmeansRefine(e, "vec_id", "embedding", init,
+      Schemas.EmbeddingDim, iters = 2))
+    val fracOne = centMap(Ann.kmeansRefine(e, "vec_id", "embedding", init,
+      Schemas.EmbeddingDim, iters = 2, sampleFrac = 1.0))
+    assert(fracOne == full, "sampleFrac = 1.0 must be the identical unsampled path")
+    // a genuine fraction: deterministic across runs (hashed sample, no
+    // RNG), trains on strictly fewer rows, and still yields a codebook
+    // every row can be assigned against
+    val half1 = centMap(Ann.kmeansRefine(e, "vec_id", "embedding", init,
+      Schemas.EmbeddingDim, iters = 2, sampleFrac = 0.5))
+    val half2 = centMap(Ann.kmeansRefine(e, "vec_id", "embedding", init,
+      Schemas.EmbeddingDim, iters = 2, sampleFrac = 0.5))
+    assert(half1 == half2, "hashed-sample training must be run-deterministic")
+    assert(half1 != full, "0.5 sample unexpectedly saw the whole corpus")
+    val assigned = Ann.assignCells(e, "vec_id", "embedding",
+      Ann.kmeansRefine(e, "vec_id", "embedding", init, Schemas.EmbeddingDim,
+        iters = 2, sampleFrac = 0.5),
+      "centroid_id", "centroid_vec")
+    assert(assigned.count() == e.count())
+    intercept[IllegalArgumentException] {
+      Ann.kmeansRefine(e, "vec_id", "embedding", init, Schemas.EmbeddingDim,
+        iters = 1, sampleFrac = 0.0)
+    }
+  }
+
   test("k-means refinement tightens cells (mean assignment sim does not degrade)") {
     val e = embeddings.select("vec_id", "embedding")
     val init = Ann.headCentroids(e, "vec_id", "embedding", 8)

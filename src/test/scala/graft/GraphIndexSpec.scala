@@ -458,4 +458,49 @@ class GraphIndexSpec extends AnyFunSuite {
       .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSeq
     assert(viaCold == warm)
   }
+
+  // -------------------- recall-gated serving build -------------------- //
+
+  test("measureRecall: a store searched at full width scores ~1.0 against brute force") {
+    // the shared fixture store was tuned until graph top-3 == exact
+    // top-3 on every demo query; recall@3 over in-corpus probes should
+    // sit high as well — and, critically, the measurement itself must
+    // be deterministic (same probes, same number, every call)
+    val r1 = GraphIndex.measureRecall(spark, handle, embedded,
+      Seq("doc_id", "chunk_idx"), "embedding", nQueries = 10, k = 3)
+    val r2 = GraphIndex.measureRecall(spark, handle, embedded,
+      Seq("doc_id", "chunk_idx"), "embedding", nQueries = 10, k = 3)
+    assert(r1 == r2, "recall measurement must be deterministic")
+    assert(r1 >= 0.7, s"fixture store recall@3 unexpectedly low: $r1")
+  }
+
+  test("buildServing: derives the sqrt-N codebook, gates on recall, refuses below the floor") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gserve").toString
+    // floor 0: always publishes; the returned recall is the evidence
+    val (h, recall) = GraphIndex.buildServing(spark, embedded,
+      Seq("doc_id", "chunk_idx"), "embedding", dir,
+      m = 16, nBuckets = 16, beamWidth = 32, hops = 3,
+      superProbes = 4, trainSampleFrac = 0.5, recallFloor = 0.0,
+      recallQueries = 10, recallK = 3)
+    assert(recall >= 0.0 && recall <= 1.0)
+    // the codebook size-derived to ⌊√N⌋ on disk
+    val n = embedded.count()
+    val nCents = math.floor(math.sqrt(n.toDouble)).toLong
+    assert(h.centroids(spark).count() == nCents,
+      s"expected the ⌊√N⌋ = $nCents codebook in the store")
+    // the published store actually serves
+    assert(h.search(spark, embedded.select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)).count() > 0)
+    // an unreachable floor refuses AND removes the store — a
+    // below-floor index must never be left lying around to serve
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_gserve2").toString
+    val err = intercept[IllegalStateException] {
+      GraphIndex.buildServing(spark, embedded, Seq("doc_id", "chunk_idx"),
+        "embedding", dir2, m = 16, nBuckets = 16, beamWidth = 32, hops = 3,
+        recallFloor = 1.01, recallQueries = 10, recallK = 3)
+    }
+    assert(err.getMessage.contains("below the floor"), err.getMessage)
+    assert(!new java.io.File(s"$dir2/edges").exists(),
+      "refused store must be deleted, not published")
+  }
 }

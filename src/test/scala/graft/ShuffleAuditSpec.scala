@@ -130,6 +130,36 @@ class ShuffleAuditSpec extends AnyFunSuite {
     assert(confined.writeBytes < plain.writeBytes,
       s"LSH confinement did not cut the edge-stage shuffle: " +
         s"confined=$confined plain=$plain")
+    // OR-amplified bands: recall recovered (AnnSpec), cost bounds kept.
+    // Two distinct claims, because Spark 4's WindowGroupLimit already
+    // keeps the quadratic pair set OFF the wire (partial top-m per
+    // input partition before the exchange — the pair stage's shuffle
+    // is ~partitions·m·|V| rows whatever the confinement):
+    //  (a) COMPUTE: the candidate pairs actually generated (= cosine
+    //      dots paid) across all bands stay strictly under the plain
+    //      build's Σ|cell|² — the N^1.5-avoidance claim itself;
+    //  (b) SHUFFLE: the R-band build writes less than R independent
+    //      confined builds (shared structural stages, dense_rank dedup
+    //      instead of a second triple exchange).
+    val planesB = emb.filter(col("vec_id") >= 4 && col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0)).toSeq
+    val bands = Seq(planes.take(2), planesB.take(2))
+    def pairCount(keyed: org.apache.spark.sql.DataFrame, extra: Seq[String]): Long =
+      keyed.as("a").join(keyed.as("b"),
+          ("cell_id" +: extra).map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _))
+        .filter(col("a.vec_id") =!= col("b.vec_id")).count()
+    val keyedBands = bands.zipWithIndex.foldLeft(assigned) { case (df, (p, r)) =>
+      df.withColumn(s"_b$r", Ann.lshBucket(col("embedding"), p)) }
+    val plainPairs = pairCount(assigned, Nil)
+    val bandedPairs = bands.indices.map(r => pairCount(keyedBands, Seq(s"_b$r"))).sum
+    assert(bandedPairs < plainPairs,
+      s"banded candidate generation did not shrink: $bandedPairs vs $plainPairs")
+    val banded = ShuffleAudit.of(Ann.knnGraphLshBanded(assigned, "vec_id", "embedding",
+      cents, "centroid_id", "centroid_vec", m = 4, bands))
+    assert(banded.writeBytes < bands.length * plain.writeBytes,
+      s"banded build shuffled more than ${bands.length} independent builds: " +
+        s"banded=$banded plain=$plain")
   }
 
   test("exact dedup shuffles fingerprints, not text") {
