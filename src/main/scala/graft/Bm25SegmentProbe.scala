@@ -49,7 +49,8 @@ object Bm25SegmentProbe {
       (0 until k).foreach { i =>
         operators.Retrieval.appendBm25Segment(
           docs.filter(pmod(col("doc_id"), lit(k)) === i),
-          "doc_id", "text", dir, f"s$i%04d", nBuckets = 32)
+          "doc_id", "text", dir, f"s$i%04d", nBuckets = 32,
+          autoCompactAt = 0) // this section measures the RAW curve
       }
       val buildS = (System.nanoTime() - tb) / 1e9
       val probeS = timeProbe(() =>
@@ -73,6 +74,55 @@ object Bm25SegmentProbe {
       f""""s$k":{"probe":$p%.3f,"mono":$m%.3f,"append_all":$b%.1f,"compact":$c%.1f}"""
     }.mkString(",")
     println(s"""{"bench":"bm25_segment_curve","sf":"$sfDir","n_docs":$nDocs,$json}""")
+
+    // AUTO-COMPACT CADENCE (the default-on posture): a 100-append run
+    // at the real cap (MaxSegmentsBeforeCompaction = 32), each append a
+    // 1/100 doc slice — the hourly-upload shape. Every compact-on-
+    // append fold is timed inside its append; the probe is sampled
+    // every 10 appends. The claims this measures: probe latency never
+    // leaves the ~cap-segment band (vs the unbounded 0.23 s/segment
+    // accretion above), and total compaction time amortizes to a small
+    // fraction of total append time.
+    locally {
+      val nAppends = 100
+      val cap = operators.Retrieval.MaxSegmentsBeforeCompaction
+      val dir = java.nio.file.Files.createTempDirectory("bm25cadence").toString
+      var compactEvents = 0
+      var tAppendTotal = 0.0
+      var maxProbe = 0.0
+      val samples = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+      def segCount(): Int = {
+        val segRoot = new java.io.File(s"$dir/segments")
+        if (segRoot.exists()) segRoot.listFiles().count(_.isDirectory) else 0
+      }
+      (0 until nAppends).foreach { i =>
+        val before = segCount()
+        val t0 = System.nanoTime()
+        operators.Retrieval.appendBm25Segment(
+          docs.filter(pmod(col("doc_id"), lit(nAppends)) === i),
+          "doc_id", "text", dir, f"a$i%04d", nBuckets = 32)
+        tAppendTotal += (System.nanoTime() - t0) / 1e9
+        val after = segCount()
+        if (after <= before) compactEvents += 1 // the append folded the store
+        if ((i + 1) % 10 == 0) {
+          val p = timeProbe(() =>
+            operators.Retrieval.bm25FromSegments(spark, dir, "doc_id", query))
+          maxProbe = math.max(maxProbe, p)
+          samples += ((i + 1, after, p))
+          println(f"cadence append=${i + 1}%3d segments=$after%2d probe=$p%.3f s")
+        }
+      }
+      val monoFloor = rows.find(_._1 == 1).map(_._2).getOrElse(Double.NaN)
+      println(f"cadence summary: appends=$nAppends cap=$cap compactions=$compactEvents " +
+        f"append-total=$tAppendTotal%.1f s maxProbe=$maxProbe%.3f s " +
+        f"(1-segment floor $monoFloor%.3f s)")
+      val sJson = samples.map { case (i, segs, p) =>
+        f"""{"append":$i,"segments":$segs,"probe":$p%.3f}""" }.mkString(",")
+      println(s"""{"bench":"bm25_autocompact_cadence","sf":"$sfDir","cap":$cap,""" +
+        f""""appends":$nAppends,"compactions":$compactEvents,""" +
+        f""""append_total":$tAppendTotal%.1f,"max_probe":$maxProbe%.3f,""" +
+        s""""samples":[$sJson]}""")
+    }
     spark.stop()
   }
 }

@@ -74,6 +74,39 @@ object CodebookScaleProbe {
     time("graph search (cold store)")(
       operators.GraphIndex.search(spark, h,
         operators.Embed.embedQuery(spark, "fast table scan merge join").toSeq).count())
+
+    // CODEBOOK TRAINING COST at the sqrt-N discipline (round-12 verdict
+    // item 4): kmeansRefine at |C|=sqrt(N) is N·|C| dots per Lloyd
+    // round — at N=1e9 that is LARGER than the build's own assignment
+    // stage, so the sampled trainer (fit on a hashed fraction, assign
+    // everything) is the production path. Measured here: full-corpus
+    // training vs frac=0.1 / frac=0.02, wall time plus the quality a
+    // consumer sees (mean cell_sim of the FULL corpus assigned against
+    // each trained book).
+    locally {
+      val e = sources.TableLoader.load(spark, sf1, "embeddings")
+        .select(col("vec_id"), col("embedding")).persist()
+      val ne = e.count()
+      val cN = math.max(8, math.sqrt(ne.toDouble).toInt)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val seeds = operators.Ann.headCentroids(e, "vec_id", "embedding", cN)
+      println(s"train-cost probe: N=$ne |C|=$cN dim=$dim (2 Lloyd rounds)")
+      def quality(cents: org.apache.spark.sql.DataFrame): Double =
+        operators.Ann.assignCells(e, "vec_id", "embedding",
+            cents, "centroid_id", "centroid_vec")
+          .agg(avg("cell_sim")).head().getDouble(0)
+      Seq(1.0, 0.1, 0.02).foreach { frac =>
+        val t0 = System.nanoTime()
+        val cents = operators.Ann.kmeansRefine(e, "vec_id", "embedding",
+          seeds, dim, iters = 2, sampleFrac = frac)
+        val nCents = cents.count() // materialize the training
+        val tTrain = (System.nanoTime() - t0) / 1e9
+        val q = quality(cents)
+        println(f"kmeansRefine frac=$frac%.2f: train=$tTrain%7.2f s " +
+          f"cells=$nCents mean cell_sim (full corpus)=$q%.4f")
+      }
+      e.unpersist()
+    }
     spark.stop()
   }
 }

@@ -81,6 +81,79 @@ object PmcDemo {
         spark, "role of leptin in appetite", dfreq, nDocs2, dim = 1024)),
       graph = Some(wh))
     println(f"WARM GRAPH ASK2 fromCache=${resW2.fromCache} in ${(System.nanoTime() - tWA2) / 1e9}%.1f s")
+
+    // LIVE WS SERVING LOOP — the reference's README demo (ws/ask,
+    // app/main.py:650-735; README "What is Ghrelin?") driven end-to-end
+    // by a real JDK WebSocket client against the warm index: multi-turn
+    // asks on one chat, per-token frames, the evolving LFU cache
+    // (capacity pinned to 2 so the demo also EXERCISES eviction: the
+    // 3rd distinct query evicts the least-frequently-used entry, and
+    // the evicted query misses again on re-ask).
+    locally {
+      val srv = new AskServer(spark, index, graph = Some(wh),
+        embedQuery = Some(q =>
+          operators.Embed.embedQueryTfIdf(spark, q, dfreq, nDocs2, dim = 1024)),
+        dim = 1024, capacity = 2)
+      srv.start()
+      val wsPort = srv.wsStart()
+      try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val msgs = new java.util.concurrent.LinkedBlockingQueue[String]()
+        val listener = new java.net.http.WebSocket.Listener {
+          private val sb = new StringBuilder
+          override def onText(ws: java.net.http.WebSocket, data: CharSequence,
+                              last: Boolean): java.util.concurrent.CompletionStage[_] = {
+            sb.append(data)
+            if (last) { msgs.add(sb.toString); sb.setLength(0) }
+            ws.request(1); null
+          }
+        }
+        val http = java.net.http.HttpClient.newHttpClient()
+        val ws = http.newWebSocketBuilder()
+          .buildAsync(java.net.URI.create(s"ws://127.0.0.1:$wsPort/ws/ask"), listener)
+          .join()
+        def askWs(label: String, q: String): Boolean = {
+          val t = System.nanoTime()
+          ws.sendText(s"""{"chat_id":"demo","query":${mapper.writeValueAsString(q)}}""", true)
+          var tokens = 0
+          var done: com.fasterxml.jackson.databind.JsonNode = null
+          while (done == null) {
+            val m = msgs.poll(120, java.util.concurrent.TimeUnit.SECONDS)
+            require(m != null, s"WS relay stalled on '$q'")
+            val node = mapper.readTree(m)
+            if (node.has("done") || node.has("error")) done = node
+            else tokens += 1
+          }
+          val hit = done.path("from_cache").asBoolean(false)
+          println(f"WS $label%-28s tokens=$tokens fromCache=$hit " +
+            f"in ${(System.nanoTime() - t) / 1e9}%.1f s")
+          hit
+        }
+        val q1 = query; val q2 = "role of leptin in appetite"
+        val q3 = "growth hormone secretagogue receptor"
+        require(!askWs("ask1 ghrelin (miss)", q1))
+        require(askWs("ask2 ghrelin (HIT)", q1), "repeat ask must hit the cache")
+        require(!askWs("ask3 leptin (miss)", q2))
+        require(!askWs("ask4 ghs-r (miss+evict)", q3))
+        // capacity 2: q3's insert evicted the LFU entry (q2, freq 1 —
+        // q1 sits at freq 2) → q2 misses again, q1 still hits
+        require(!askWs("ask5 leptin (EVICTED->miss)", q2),
+          "evicted entry must miss on re-ask")
+        require(askWs("ask6 ghrelin (still HIT)", q1))
+        ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "bye").join()
+        // same chat over HTTP: the WS turns accrued in the bounded
+        // conversation memory (multi-turn, one chat_id)
+        val r = http.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${srv.port}/ask"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            s"""{"chat_id":"demo","query":${mapper.writeValueAsString(q1)}}""")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        val rn = mapper.readTree(r.body())
+        println(s"WS->HTTP same chat: fromCache=${rn.path("from_cache").asBoolean(false)} " +
+          s"historyTurns=${rn.path("n_history_turns").asInt(-1)}")
+      } finally srv.stop()
+    }
     wh.cool()
 
     // INDEX LIFECYCLE on the live store — the reference's delete-by-_id

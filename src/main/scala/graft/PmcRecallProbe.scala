@@ -77,17 +77,44 @@ object PmcRecallProbe {
     val headSeeds = index.orderBy("doc_id", "chunk_idx").limit(13)
       .select(monotonically_increasing_id().as("centroid_id"),
         col("embedding").cast("array<double>").as("centroid_vec"))
-    val trainedSupers: Seq[Seq[Double]] =
+    def refine(seeds: org.apache.spark.sql.DataFrame, frac: Double): Seq[Seq[Double]] =
       operators.Ann.kmeansRefine(index, "doc_id", "embedding",
-          headSeeds, dim = 1024, iters = 2)
+          seeds, dim = 1024, iters = 2, sampleFrac = frac)
         .orderBy("centroid_id")
         .select(col("centroid_vec").cast("array<double>")).collect()
         .map(_.getSeq[Double](0)).toSeq
+    val trainedSupers: Seq[Seq[Double]] = refine(headSeeds, 1.0)
+    // seed/frac DIAGNOSTICS for the buildServing routing collapse
+    // (gate said 0.955 on self-including probes, text queries said
+    // 0.405): isolate which ingredient differs from the proven recipe
+    val trainedSupersHalf = refine(headSeeds, 0.5)
+    val uidSeeds = index
+      .withColumn("_pid", operators.GraphIndex.uidFor(Seq("doc_id", "chunk_idx")))
+      .orderBy("_pid").limit(13)
+      .select(monotonically_increasing_id().as("centroid_id"),
+        col("embedding").cast("array<double>").as("centroid_vec"))
+    val trainedSupersUid = refine(uidSeeds, 1.0)
+    val trainedSupersUidHalf = refine(uidSeeds, 0.5)
+
+    // banded OR-amplified edge bands (Ann.centeredPlaneBands over the
+    // library path — same centering the hand-rolled planes above use)
+    val withPid = index.withColumn("_pid",
+      operators.GraphIndex.uidFor(Seq("doc_id", "chunk_idx")))
+    val bands2x2 = operators.Ann.centeredPlaneBands(
+      withPid, "_pid", "embedding", nBands = 2, planesPerBand = 2)
+    val bands3x2 = operators.Ann.centeredPlaneBands(
+      withPid, "_pid", "embedding", nBands = 3, planesPerBand = 2)
+    val bandsOrtho2x2 = operators.Ann.orthogonalPlaneBands(
+      withPid, "_pid", "embedding", nBands = 2, planesPerBand = 2)
+    val bandsOrtho3x2 = operators.Ann.orthogonalPlaneBands(
+      withPid, "_pid", "embedding", nBands = 3, planesPerBand = 2)
 
     case class Cfg(label: String, nc: Int, nSupers: Int,
                    planes: Seq[Seq[Double]], probes: Int = 1,
-                   supers: Seq[Seq[Double]] = Nil)
-    val cfgs = Seq(
+                   supers: Seq[Seq[Double]] = Nil,
+                   bands: Seq[Seq[Seq[Double]]] = Nil,
+                   m: Int = 16, beam: Int = 32)
+    val allCfgs = Seq(
       Cfg("flat |C|=64 (old ServeBench)", 64, 0, Nil),
       Cfg("flat |C|=181 (sqrt-N)", 181, 0, Nil),
       Cfg("hier p=1 |C|=181 |S|=13", 181, 13, Nil, 1),
@@ -99,14 +126,39 @@ object PmcRecallProbe {
       Cfg("hier p=4 TRAINED supers", 181, 13, Nil, 4, trainedSupers),
       Cfg("hier p=6 TRAINED supers", 181, 13, Nil, 6, trainedSupers),
       Cfg("flat+lsh2 |C|=181 (4 buckets/cell)", 181, 0, centered.take(2)),
-      Cfg("hier p=2 + lsh2 |C|=181", 181, 13, centered.take(2), 2))
+      Cfg("hier p=2 + lsh2 |C|=181", 181, 13, centered.take(2), 2),
+      Cfg("flat+BANDED 2x2 centered", 181, 0, Nil, 1, Nil, bands2x2),
+      Cfg("flat+BANDED 3x2 centered", 181, 0, Nil, 1, Nil, bands3x2),
+      Cfg("hier p=4 TRAINED + BANDED 2x2", 181, 13, Nil, 4, trainedSupers, bands2x2),
+      Cfg("hier p=4 TRAINED + BANDED 3x2", 181, 13, Nil, 4, trainedSupers, bands3x2),
+      Cfg("flat+BANDED 2x2 ORTHO", 181, 0, Nil, 1, Nil, bandsOrtho2x2),
+      Cfg("flat+BANDED 3x2 ORTHO", 181, 0, Nil, 1, Nil, bandsOrtho3x2),
+      // the walk-structure levers: with the candidate pool confined,
+      // keep MORE of it per node (m) and/or search wider (beam) —
+      // build compute unchanged by m, query cost by beam only
+      Cfg("BANDED 2x2 ORTHO m=32", 181, 0, Nil, 1, Nil, bandsOrtho2x2, m = 32),
+      Cfg("BANDED 2x2 ORTHO beam=64", 181, 0, Nil, 1, Nil, bandsOrtho2x2, beam = 64),
+      Cfg("BANDED 2x2 ORTHO m=32 beam=64", 181, 0, Nil, 1, Nil, bandsOrtho2x2, m = 32, beam = 64),
+      Cfg("hier p=4 TRAINED + B2x2 ORTHO m=32 beam=64", 181, 13, Nil, 4, trainedSupers, bandsOrtho2x2, m = 32, beam = 64),
+      Cfg("DIAG hier p=4 head seeds frac=0.5", 181, 13, Nil, 4, trainedSupersHalf),
+      Cfg("DIAG hier p=4 uid seeds frac=1.0", 181, 13, Nil, 4, trainedSupersUid),
+      Cfg("DIAG hier p=4 uid seeds frac=0.5", 181, 13, Nil, 4, trainedSupersUidHalf))
+    // `runMain graft.PmcRecallProbe gated` skips the config sweep;
+    // `... banded` runs only the banded rows — the sweep is ~25 min
+    val cfgs =
+      if (args.contains("gated")) Seq.empty
+      else if (args.contains("banded2")) allCfgs.filter(c =>
+        c.label.contains("m=32") || c.label.contains("beam=64") ||
+          c.label.startsWith("DIAG"))
+      else if (args.contains("banded")) allCfgs.filter(_.label.contains("BANDED"))
+      else allCfgs
     cfgs.foreach { cfg =>
       val gdir = java.nio.file.Files.createTempDirectory("pmc_recall").toString
       val t0 = System.nanoTime()
       val h = operators.GraphIndex.build(spark, index, Seq("doc_id", "chunk_idx"),
-        "embedding", gdir, nCentroids = cfg.nc, m = 16, nBuckets = 64,
-        beamWidth = 32, hops = 3, nSupers = cfg.nSupers, lshPlanes = cfg.planes,
-        superProbes = cfg.probes, superVecs = cfg.supers)
+        "embedding", gdir, nCentroids = cfg.nc, m = cfg.m, nBuckets = 64,
+        beamWidth = cfg.beam, hops = 3, nSupers = cfg.nSupers, lshPlanes = cfg.planes,
+        superProbes = cfg.probes, superVecs = cfg.supers, lshBands = cfg.bands)
       val wh = operators.GraphIndex.warm(spark, h)
       val tBuild = (System.nanoTime() - t0) / 1e9
       val recalls = qvecs.zip(exact).map { case (qv, truth) =>
@@ -114,11 +166,46 @@ object PmcRecallProbe {
           .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSet
         truth.intersect(got).size / 10.0
       }
-      println(f"${cfg.label}%-38s m=16 beam=32 hops=3: mean recall@10 = " +
+      println(f"${cfg.label}%-44s m=${cfg.m} beam=${cfg.beam} hops=3: mean recall@10 = " +
         f"${recalls.sum / recalls.length}%.3f (min ${recalls.min}%.2f), " +
         f"build+warm $tBuild%.1f s")
       wh.cool()
+      // stores are ~1.8 GB each (denormalized edge vectors); 16 configs
+      // of leftovers is how a probe run fills the disk
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(gdir))
     }
+
+    // the SHIPPED path: buildServing at the FULL production recipe —
+    // size-derived |C|/|S|, head-seed trained supers p=4 (seed
+    // diagnostics above: head-order seeds or bust), ORTHO 2x2 edge
+    // bands with the walk widened to beam=64/m=32 (the measured
+    // 0.975-recall point) — gated at the 0.9 floor ON THE TEXT-QUERY
+    // WORKLOAD. This row is the acceptance evidence the serving build
+    // publishes with; the refusal path is equally proven (a uid-seeded
+    // frac=0.5 config measured 0.405 and was deleted by the gate)
+    val sdir = java.nio.file.Files.createTempDirectory("pmc_serving").toString
+    val t0 = System.nanoTime()
+    val qdf = qvecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("query_id", "qv")
+    val (sh, sRecall) = operators.GraphIndex.buildServing(spark, index,
+      Seq("doc_id", "chunk_idx"), "embedding", sdir,
+      m = 32, nBuckets = 64, beamWidth = 64, hops = 3,
+      superProbes = 4, trainSampleFrac = 1.0, lshBands = 2,
+      recallFloor = 0.9, recallQueries = 20, recallK = 10,
+      recallQueriesDf = Some(qdf))
+    val tServing = (System.nanoTime() - t0) / 1e9
+    val swh = operators.GraphIndex.warm(spark, sh)
+    val sRecalls = qvecs.zip(exact).map { case (qv, truth) =>
+      val got = swh.topK(spark, qv, 10, tieBreak = Seq("doc_id", "chunk_idx"))
+        .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSet
+      truth.intersect(got).size / 10.0
+    }
+    println(f"buildServing GATED (p=4 head-seed trained + ortho 2x2 bands, m=32 beam=64): " +
+      f"gate recall@10 = $sRecall%.3f, probe recall@10 = " +
+      f"${sRecalls.sum / sRecalls.length}%.3f (min ${sRecalls.min}%.2f), " +
+      f"build+gate $tServing%.1f s")
+    swh.cool()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sdir))
     spark.stop()
   }
 }

@@ -378,6 +378,49 @@ object Ann {
       .grouped(planesPerBand).toSeq
   }
 
+  /** [[centeredPlaneBands]] with the planes ORTHOGONALIZED
+    * (Gram–Schmidt over the centered candidate rows, unit-normalized)
+    * before banding. Centered data rows off one corpus all share the
+    * dominant data directions, so their sign bits CORRELATE — and
+    * correlated bands break the OR-amplification math (measured on
+    * PMC: 3 correlated bands recalled no more than 2). Orthogonal
+    * planes have independent projections by construction, restoring
+    * the 1−(1−p^b)^R lift. Candidates whose residual collapses
+    * (near-duplicate rows) are skipped; `4·n` candidates are drawn so
+    * the construction survives a duplicate-heavy head. Deterministic:
+    * same candidate order, same arithmetic, every run. */
+  def orthogonalPlaneBands(index: DataFrame, idCol: String, vecCol: String,
+                           nBands: Int, planesPerBand: Int): Seq[Seq[Seq[Double]]] = {
+    require(nBands >= 1 && planesPerBand >= 1,
+      s"orthogonalPlaneBands: nBands=$nBands planesPerBand=$planesPerBand must be >= 1")
+    val need = nBands * planesPerBand
+    val cand = centeredPlanes(index, idCol, vecCol, need * 4)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    cand.iterator.takeWhile(_ => kept.length < need).foreach { c =>
+      val v = c.toArray
+      val n0 = math.sqrt(dot(v, v))
+      kept.foreach { b =>
+        val proj = dot(v, b) // b is unit-norm
+        var i = 0
+        while (i < v.length) { v(i) -= proj * b(i); i += 1 }
+      }
+      val nr = math.sqrt(dot(v, v))
+      if (n0 > 0.0 && nr > 1e-6 * n0) {
+        var i = 0
+        while (i < v.length) { v(i) /= nr; i += 1 }
+        kept += v
+      }
+    }
+    require(kept.length == need,
+      s"orthogonalPlaneBands: only ${kept.length} of $need independent " +
+        "directions in the candidate rows — corpus too small or too duplicated")
+    kept.map(_.toSeq).toSeq.grouped(planesPerBand).toSeq
+  }
+
   /** Deterministic "training-free" centroids: the first n vectors by id.
     * (A k-means refinement would go here; seeding from data keeps the
     * operator reproducible and oracle-checkable.) */

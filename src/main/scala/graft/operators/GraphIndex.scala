@@ -277,38 +277,59 @@ object GraphIndex {
     h.copy(vecCol = vecCol)
   }
 
-  /** Mean recall@k of a built store's walk vs EXACT brute force, over
-    * `nQueries` deterministic in-corpus probes (the lowest-uid rows'
-    * own vectors — no RNG, same probes every run). Exact ground truth
-    * is ONE batched pass: corpus × broadcast(queries) cosine + a
-    * per-query top-k window — nQueries·N dots, small next to the build
-    * the caller just paid; the approximate side is one batched walk
-    * over the store. Both sides break ties (sim desc, uid asc), and
-    * recall is set overlap over natural keys, so the number is the one
-    * a serving consumer experiences. */
+  /** Mean recall@k of a built store's walk vs EXACT brute force. Exact
+    * ground truth is ONE batched pass: corpus × broadcast(queries)
+    * cosine + a per-query top-k window — nQueries·N dots, small next
+    * to the build the caller just paid; the approximate side is one
+    * batched walk over the store. Both sides break ties (sim desc, uid
+    * asc), and recall is set overlap over natural keys.
+    *
+    * Probe choice is what makes the number honest. Default probes are
+    * the `nQueries` lowest-uid rows' own vectors (deterministic, no
+    * RNG) with the probe's OWN ROW EXCLUDED from both sides: a
+    * self-including in-corpus probe is trivially easy (the walk anchors
+    * on an indexed point and recall-of-self is free), and was measured
+    * to OVERSTATE real-query recall badly — 0.955 self-including vs
+    * 0.405 on text-derived queries for one mis-trained store
+    * (SCALE.md). When the caller HAS a real query workload, pass it as
+    * `queries` (query_id, vector) — that number is the one a serving
+    * consumer experiences, and is what [[buildServing]]'s gate should
+    * see whenever the workload exists at build time. */
   def measureRecall(spark: SparkSession, serving: Serving, index: DataFrame,
                     keyCols: Seq[String], vecCol: String,
-                    nQueries: Int = 20, k: Int = 10): Double = {
+                    nQueries: Int = 20, k: Int = 10,
+                    queries: Option[DataFrame] = None): Double = {
     import graft.functions.VectorFunctions.cosine
     require(nQueries >= 1 && k >= 1,
       s"measureRecall: nQueries=$nQueries k=$k must be >= 1")
     val withUid = index.withColumn("_muid", uidFor(keyCols))
-    val qDf = withUid.orderBy("_muid").limit(nQueries)
+    val leaveSelfOut = queries.isEmpty
+    val qDf = queries.map { q =>
+      val cols = q.columns
+      require(cols.length == 2,
+        s"measureRecall: queries must be (query_id, vector), got ${cols.toSeq}")
+      q.select(col(cols(0)).as("query_id"),
+        col(cols(1)).cast("array<double>").as("_qv"))
+    }.getOrElse(withUid.orderBy("_muid").limit(nQueries)
       .select(col("_muid").as("query_id"),
-        col(vecCol).cast("array<double>").as("_qv"))
+        col(vecCol).cast("array<double>").as("_qv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("_sim"), col("_muid"))
     def keyOf(r: org.apache.spark.sql.Row): Seq[Any] =
       keyCols.indices.map(i => r.get(i + 1))
-    val exact = withUid.crossJoin(broadcast(qDf))
+    val exactBase = withUid.crossJoin(broadcast(qDf))
       .withColumn("_sim", cosine(col(vecCol), col("_qv")))
+    val exact = (if (leaveSelfOut) exactBase.filter(col("_muid") =!= col("query_id"))
+                 else exactBase)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .select(col("query_id") +: keyCols.map(col): _*)
       .collect().groupBy(_.get(0)).map { case (q, rs) => q -> rs.map(keyOf).toSet }
     val wg = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("sim"), col("uid"))
-    val got = serving.searchBatch(spark, qDf, "query_id", "_qv")
+    val gotBase = serving.searchBatch(spark, qDf, "query_id", "_qv")
+    val got = (if (leaveSelfOut) gotBase.filter(col("uid") =!= col("query_id"))
+               else gotBase)
       .withColumn("_rn", row_number().over(wg))
       .filter(col("_rn") <= k)
       .select(col("query_id") +: keyCols.map(col): _*)
@@ -328,24 +349,36 @@ object GraphIndex {
     * otherwise the next bottleneck) probed at `superProbes` (measured
     * on the real PMC corpus: trained supers at p=4 reproduce the flat
     * build's recall@10 of 0.98 at 69 vs 181 dots/row — SCALE.md), and
-    * optionally `lshBands` OR-amplified mean-centered edge bands
-    * ([[Ann.centeredPlaneBands]]) to confine the in-cell pair stage.
+    * optionally `lshBands` OR-amplified edge bands to confine the
+    * in-cell pair stage — ORTHOGONALIZED by default
+    * ([[Ann.orthogonalPlaneBands]]; correlated centered bands cap at
+    * 0.88 recall where orthogonal ones recover 0.98 at beam 64 —
+    * callers turning bands on should widen the walk, the measured
+    * full-recipe point is bands=2x2, m=32, beam=64 at 0.975).
     *
     * The gate is the part SCALE.md's own warning asked for ("never
     * ship a hier/LSH serving config without a recall row"): after the
     * build, [[measureRecall]] probes the store against exact brute
     * force, and a result below `recallFloor` DELETES the store and
     * refuses loudly — a silently low-recall index never reaches
-    * serving. Returns the handle and the measured recall (record it;
-    * it is the build's acceptance evidence). */
+    * serving. Pass the REAL query workload as `recallQueriesDf`
+    * whenever one exists at build time: the default in-corpus
+    * leave-self-out probes are deterministic and workload-free, but an
+    * in-corpus probe can still flatter a store whose routing is tuned
+    * to indexed points (measured gap on PMC: see measureRecall's
+    * scaladoc) — the workload number is the honest one. Returns the
+    * handle and the measured recall (record it; it is the build's
+    * acceptance evidence). */
   def buildServing(spark: SparkSession, index: DataFrame, keyCols: Seq[String],
                    vecCol: String, dir: String,
                    m: Int = 16, nBuckets: Int = 64, beamWidth: Int = 32,
                    hops: Int = 3, superProbes: Int = 4, trainIters: Int = 2,
                    trainSampleFrac: Double = 1.0,
                    lshBands: Int = 0, lshPlanesPerBand: Int = 2,
+                   lshOrthogonal: Boolean = true,
                    recallFloor: Double = 0.9, recallQueries: Int = 20,
-                   recallK: Int = 10): (Handle, Double) = {
+                   recallK: Int = 10,
+                   recallQueriesDf: Option[DataFrame] = None): (Handle, Double) = {
     val mat = graft.Materialize(index.withColumn("_suid", uidFor(keyCols)))
     try {
       val n = mat.count()
@@ -353,9 +386,15 @@ object GraphIndex {
       val nCents = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
       val nSupers = math.max(1, math.floor(math.sqrt(nCents.toDouble)).toInt)
       val dim = mat.select(size(col(vecCol))).head().getInt(0)
-      // super seeds: lowest-uid rows (deterministic sample), refined by
-      // Lloyd rounds into the trained coarse quantizer
-      val seeds = mat.orderBy("_suid").limit(nSupers)
+      // super seeds: head rows in NATURAL-KEY order — measured to
+      // matter enormously on sparse TF-IDF (PmcRecallProbe seed
+      // diagnostics: head-order seeds train supers that route text
+      // queries at 0.98, hash-random seeds collapse to 0.405 even
+      // trained on the full corpus; k-means on sparse high-dim spaces
+      // is that seed-sensitive, and document-head rows are dense
+      // topic-representative vectors where random mid-article chunks
+      // are not)
+      val seeds = mat.orderBy(keyCols.map(col): _*).limit(nSupers)
         .select(col("_suid").as("centroid_id"),
           col(vecCol).cast("array<double>").as("centroid_vec"))
       val trainedSupers = Ann.kmeansRefine(mat, "_suid", vecCol, seeds, dim,
@@ -364,7 +403,9 @@ object GraphIndex {
         .select(col("centroid_vec").cast("array<double>")).collect()
         .map(_.getSeq[Double](0)).toSeq
       val bands =
-        if (lshBands > 0)
+        if (lshBands > 0 && lshOrthogonal)
+          Ann.orthogonalPlaneBands(mat, "_suid", vecCol, lshBands, lshPlanesPerBand)
+        else if (lshBands > 0)
           Ann.centeredPlaneBands(mat, "_suid", vecCol, lshBands, lshPlanesPerBand)
         else Nil
       val h = build(spark, mat.drop("_suid"), keyCols, vecCol, dir,
@@ -373,7 +414,7 @@ object GraphIndex {
         superProbes = superProbes, superVecs = trainedSupers,
         lshBands = bands)
       val recall = measureRecall(spark, h, index, keyCols, vecCol,
-        recallQueries, recallK)
+        recallQueries, recallK, recallQueriesDf)
       if (recall < recallFloor) {
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
