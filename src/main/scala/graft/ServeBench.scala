@@ -105,7 +105,7 @@ object ServeBench {
       .toDF("entry_id", "embedding", "response", "freq")
 
     if (args.contains("http")) {
-      httpConcurrencyBench(spark, index, wh, dfreq, nDocs, queries, nChunks)
+      httpConcurrencyBench(spark, index, wh, dfreq, nDocs, queries, nChunks, args)
       wh.cool(); spark.stop(); return
     }
 
@@ -165,7 +165,7 @@ object ServeBench {
                                    wh: operators.GraphIndex.Serving,
                                    dfreq: org.apache.spark.sql.DataFrame,
                                    nDocs: Long, queries: Seq[String],
-                                   nChunks: Long): Unit = {
+                                   nChunks: Long, args: Array[String]): Unit = {
     val http = java.net.http.HttpClient.newHttpClient()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def ask(port: Int, q: String): Unit = {
@@ -179,11 +179,19 @@ object ServeBench {
         mapper.readTree(resp.body()).path("answer").asText().nonEmpty,
         s"ask failed (${resp.statusCode()}): ${resp.body().take(200)}")
     }
-    val levels = Seq(1, 4, 8, 16).map { c =>
+    // `http pools=N` isolates the scheduler-pool count from the client
+    // count at c=16 — the bottleneck-naming experiment: if throughput
+    // moves with N, pool scheduling is the ceiling; if it doesn't, the
+    // serialized resource is elsewhere (driver DAG-scheduler event
+    // loop being the usual local-mode suspect for many tiny jobs)
+    val poolOverride = args.collectFirst {
+      case a if a.startsWith("pools=") => a.drop(6).toInt }
+    val clientLevels = if (poolOverride.isDefined) Seq(16) else Seq(1, 4, 8, 16)
+    val levels = clientLevels.map { c =>
       val srv = new AskServer(spark, index, graph = Some(wh),
         embedQuery = Some(q =>
           operators.Embed.embedQueryTfIdf(spark, q, dfreq, nDocs, dim = 1024)),
-        dim = 1024, concurrency = math.max(c, 2))
+        dim = 1024, concurrency = poolOverride.getOrElse(math.max(c, 2)))
       val port = srv.start()
       try {
         // warmup asks use throwaway queries so the measured 64 stay misses
