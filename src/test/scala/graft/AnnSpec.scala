@@ -280,6 +280,26 @@ class AnnSpec extends AnyFunSuite {
       "bands must partition the first nBands*ppb centered planes in order")
   }
 
+  test("orthogonalPlaneBands: mutually orthogonal unit planes, deterministic, partitioned") {
+    val e = embeddings.select("vec_id", "embedding").filter(col("vec_id") < 200)
+    val bands = Ann.orthogonalPlaneBands(e, "vec_id", "embedding", 2, 2)
+    assert(bands.length == 2 && bands.forall(_.length == 2))
+    val flat = bands.flatten.map(_.toArray)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // pairwise orthogonal, each unit-norm (Gram-Schmidt contract)
+    for (i <- flat.indices; j <- flat.indices if i < j)
+      assert(math.abs(dot(flat(i), flat(j))) < 1e-9, s"planes $i,$j not orthogonal")
+    flat.foreach(p => assert(math.abs(dot(p, p) - 1.0) < 1e-9, "plane not unit-norm"))
+    // deterministic across calls
+    assert(Ann.orthogonalPlaneBands(e, "vec_id", "embedding", 2, 2) == bands)
+    // a corpus too small/duplicated to yield the directions refuses loudly
+    val dup = embeddings.select("vec_id", "embedding").filter(col("vec_id") === 0)
+    intercept[IllegalArgumentException] {
+      Ann.orthogonalPlaneBands(dup, "vec_id", "embedding", 2, 2)
+    }
+  }
+
   test("sampled k-means training: frac=1 ≡ unsampled bitwise; fraction trains deterministically") {
     val e = embeddings.select("vec_id", "embedding")
     val init = Ann.headCentroids(e, "vec_id", "embedding", 8)

