@@ -363,31 +363,33 @@ object Retrieval {
     // validateDisjointSegments remains as the backstop — would leave
     // the duplicate segment durably on disk, silently double-counting
     // df/N in every bm25FromSegments probe (which never runs the
-    // guard) until someone hand-deletes it. Ids-only anti-check: one
-    // aggregate + one semi-join count over id projections, O(ids) per
-    // append.
+    // guard) until someone hand-deletes it. Ids-only anti-check, ONE
+    // job per append: a left join against the prior segments' ids
+    // (globally unique by this very invariant, so it never multiplies
+    // batch rows) carries both the batch-internal distinctness and the
+    // cross-segment overlap counts through a single aggregate.
     val batchIds = docs.select(col(idCol))
-    val batchAgg = batchIds
-      .agg(count(lit(1)).as("_n"), count_distinct(col(idCol)).as("_nd")).head()
-    require(batchAgg.getLong(0) == batchAgg.getLong(1),
-      s"appendBm25Segment: batch for segment '$segment' repeats doc ids " +
-        s"(${batchAgg.getLong(0)} rows, ${batchAgg.getLong(1)} distinct) — " +
-        "df/N would be silently wrong; deduplicate the batch first")
     val priorSegs =
       if (fs.exists(new org.apache.hadoop.fs.Path(dir + "/segments")))
         listBm25Segments(spark, dir)
       else Seq.empty
-    if (priorSegs.nonEmpty) {
-      val nDup = batchIds
-        .join(priorSegs.map(s => spark.read.parquet(s + "/docs")).reduce(_ unionByName _),
-          Seq(idCol), "left_semi")
-        .count()
-      require(nDup == 0L,
-        s"appendBm25Segment: batch for segment '$segment' duplicates $nDup doc " +
-          s"id(s) already stored in '$dir' — refusing before the segment is " +
-          "written; re-ingest the batch with fresh ids (updates go through " +
-          "compaction to the monolithic layout + its delete lifecycle)")
-    }
+    val probe =
+      if (priorSegs.isEmpty) batchIds.withColumn("_hit", lit(null).cast("int"))
+      else batchIds.join(
+        priorSegs.map(s => spark.read.parquet(s + "/docs")).reduce(_ unionByName _)
+          .withColumn("_hit", lit(1)),
+        Seq(idCol), "left_outer")
+    val g = probe.agg(count(lit(1)).as("_n"), count_distinct(col(idCol)).as("_nd"),
+      count(col("_hit")).as("_dup")).head()
+    require(g.getLong(0) == g.getLong(1),
+      s"appendBm25Segment: batch for segment '$segment' repeats doc ids " +
+        s"(${g.getLong(0)} rows, ${g.getLong(1)} distinct) — " +
+        "df/N would be silently wrong; deduplicate the batch first")
+    require(g.getLong(2) == 0L,
+      s"appendBm25Segment: batch for segment '$segment' duplicates ${g.getLong(2)} doc " +
+        s"id(s) already stored in '$dir' — refusing before the segment is " +
+        "written; re-ingest the batch with fresh ids (updates go through " +
+        "compaction to the monolithic layout + its delete lifecycle)")
     val withDl = docs
       .select(col(idCol), alnumTokens(col(textCol)).as("_toks"))
       .withColumn("_dl", size(col("_toks")).cast("long"))
