@@ -334,7 +334,8 @@ object Retrieval {
   def appendBm25Segment(docs: DataFrame, idCol: String, textCol: String,
                         dir: String, segment: String,
                         nBuckets: Int = 64,
-                        autoCompactAt: Int = MaxSegmentsBeforeCompaction): Unit = {
+                        autoCompactAt: Int = MaxSegmentsBeforeCompaction,
+                        idBloom: Boolean = false): Unit = {
     import graft.functions.TextFunctions.alnumTokens
     val spark = docs.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -373,23 +374,59 @@ object Retrieval {
       if (fs.exists(new org.apache.hadoop.fs.Path(dir + "/segments")))
         listBm25Segments(spark, dir)
       else Seq.empty
-    val probe =
-      if (priorSegs.isEmpty) batchIds.withColumn("_hit", lit(null).cast("int"))
-      else batchIds.join(
-        priorSegs.map(s => spark.read.parquet(s + "/docs")).reduce(_ unionByName _)
-          .withColumn("_hit", lit(1)),
-        Seq(idCol), "left_outer")
-    val g = probe.agg(count(lit(1)).as("_n"), count_distinct(col(idCol)).as("_nd"),
-      count(col("_hit")).as("_dup")).head()
+    // At 100 TB the exact check's "read every prior ids sidecar per
+    // append" term dominates the append, so `idBloom = true` gates it
+    // with an ids-BLOOM sidecar: the common no-duplicate append probes
+    // the batch against the store-level filter MAP-SIDE and skips the
+    // sidecar join entirely. Correctness NEVER rests on the bloom — it
+    // only decides whether the exact join runs, and it is maintained
+    // OVER-APPROXIMATE (updated before the segment is written;
+    // bootstrap rebuilds it from every live sidecar; unreadable/absent
+    // → full exact join), so a stored id can never bloom-miss; false
+    // positives just pay the join they would have paid anyway. It is
+    // OPT-IN because the maintenance (two sidecar writes per append)
+    // costs more than the exact join it replaces until the stored-id
+    // count is large — turn it on around >~10^6 ids, where the
+    // per-append sidecar scan starts to dominate.
+    val bloomWords = if (idBloom) readIdBloom(spark, dir) else None
+    val hitCol: Column = bloomWords match {
+      case Some(words) =>
+        import org.apache.spark.sql.GraftColumnBridge._
+        val bc = spark.sparkContext.broadcast(words)
+        val pos = Sketch.bloomPositions(col(idCol).cast("string"),
+          IdBloomHashes, words.length << 6)
+        when(column(graft.functions.BloomAllSet(expression(pos), bc)), lit(1))
+          .otherwise(lit(null).cast("int"))
+      case None => lit(if (priorSegs.isEmpty) null else 1).cast("int")
+    }
+    val g = batchIds.withColumn("_hit", hitCol)
+      .agg(count(lit(1)).as("_n"), count_distinct(col(idCol)).as("_nd"),
+        count(col("_hit")).as("_sus")).head()
     require(g.getLong(0) == g.getLong(1),
       s"appendBm25Segment: batch for segment '$segment' repeats doc ids " +
         s"(${g.getLong(0)} rows, ${g.getLong(1)} distinct) — " +
         "df/N would be silently wrong; deduplicate the batch first")
-    require(g.getLong(2) == 0L,
-      s"appendBm25Segment: batch for segment '$segment' duplicates ${g.getLong(2)} doc " +
-        s"id(s) already stored in '$dir' — refusing before the segment is " +
-        "written; re-ingest the batch with fresh ids (updates go through " +
-        "compaction to the monolithic layout + its delete lifecycle)")
+    if (g.getLong(2) > 0L && priorSegs.nonEmpty) {
+      // suspects only: bloom hits (or the whole batch when no bloom)
+      val nDup = batchIds.withColumn("_hit", hitCol).filter(col("_hit").isNotNull)
+        .join(priorSegs.map(s => spark.read.parquet(s + "/docs")).reduce(_ unionByName _),
+          Seq(idCol), "left_semi")
+        .count()
+      require(nDup == 0L,
+        s"appendBm25Segment: batch for segment '$segment' duplicates $nDup doc " +
+          s"id(s) already stored in '$dir' — refusing before the segment is " +
+          "written; re-ingest the batch with fresh ids (updates go through " +
+          "compaction to the monolithic layout + its delete lifecycle)")
+    }
+    // bloom maintenance, BEFORE anything durable: fold the batch's bits
+    // in (and on first use, every live sidecar's — the one-time
+    // bootstrap that makes legacy stores eligible). A crash between
+    // this write and the segment write leaves the bloom
+    // over-approximate — safe (a re-ingest of the same ids bloom-hits,
+    // exact-confirms against the sidecars, and is correctly accepted).
+    if (idBloom)
+      writeIdBloom(spark, dir, idCol, batchIds, priorSegs,
+        bootstrap = bloomWords.isEmpty)
     val withDl = docs
       .select(col(idCol), alnumTokens(col(textCol)).as("_toks"))
       .withColumn("_dl", size(col("_toks")).cast("long"))
@@ -437,6 +474,75 @@ object Retrieval {
     require(qualified(dir) != qualified(outDir),
       s"$op: outDir must differ from dir ('$dir') — compacting a store " +
         "onto itself reads paths being overwritten and corrupts the store")
+  }
+
+  /** Id-Bloom sidecar geometry: 2^22 bits = 512 KiB word-packed —
+    * bounded regardless of corpus size (that is the point: the filter
+    * gates a scan, it doesn't replace the sidecars). At ~300k stored
+    * ids with 3 hashes the false-positive rate is <2%; a fuller filter
+    * only means more appends pay the exact join they'd have paid
+    * without the bloom — correctness is unaffected. */
+  private val IdBloomBits = 1 << 22
+  private[operators] val IdBloomHashes = 3
+
+  /** Load the append-guard's ids-bloom as a word-packed bitset, or
+    * None when the store has no (readable) sidecar — the caller then
+    * falls back to the always-correct full exact join. Any read
+    * problem degrades to None, never to a wrong answer. */
+  private def readIdBloom(spark: SparkSession, dir: String): Option[Array[Long]] = {
+    val params = new org.apache.hadoop.fs.Path(s"$dir/_idbloom/_params")
+    val fs = params.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(params)) return None
+    try {
+      val p = spark.read.parquet(params.toString).head()
+      val mBits = p.getAs[Int]("m_bits")
+      require(p.getAs[Int]("num_hashes") == IdBloomHashes && mBits % 64 == 0)
+      Some(Sketch.bloomBitset(
+        spark.read.parquet(s"$dir/_idbloom/positions"), mBits))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bm25] unreadable _idbloom at '$dir' (${e.getMessage}) — " +
+        "append guard falls back to the full exact join")
+      None
+    }
+  }
+
+  /** Fold a batch's id bits into the append-guard bloom (plus, on
+    * bootstrap, every live sidecar's — the one-time full derivation).
+    * The sidecar is positions-parquet + a `_params` row, staged to a
+    * sibling dir and swapped in; a crash anywhere in the swap leaves
+    * either the old filter (under-approximate ONLY by the batch whose
+    * segment was also not yet written — still a superset of stored
+    * ids) or no filter (full-join fallback). Size is bounded by
+    * [[IdBloomBits]] distinct positions however large the store. */
+  private def writeIdBloom(spark: SparkSession, dir: String, idCol: String,
+                           batchIds: DataFrame, priorSegs: Seq[String],
+                           bootstrap: Boolean): Unit = {
+    val ids =
+      if (bootstrap && priorSegs.nonEmpty)
+        priorSegs.map(s => spark.read.parquet(s + "/docs")).reduce(_ unionByName _)
+          .unionByName(batchIds)
+      else batchIds
+    val newPos = ids.select(explode(Sketch.bloomPositions(
+      col(idCol).cast("string"), IdBloomHashes, IdBloomBits)).as("pos"))
+    val oldPosPath = new org.apache.hadoop.fs.Path(s"$dir/_idbloom/positions")
+    val fs = oldPosPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val allPos = (if (!bootstrap && fs.exists(oldPosPath))
+        newPos.unionByName(spark.read.parquet(oldPosPath.toString))
+      else newPos).distinct()
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/_idbloom_tmp_${java.util.UUID.randomUUID}")
+    allPos.coalesce(1).write.mode("overwrite").parquet(s"$tmp/positions")
+    spark.range(1)
+      .select(lit(IdBloomBits).as("m_bits"), lit(IdBloomHashes).as("num_hashes"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_params")
+    val live = new org.apache.hadoop.fs.Path(s"$dir/_idbloom")
+    fs.delete(live, true)
+    if (!fs.rename(tmp, live)) {
+      // losing the swap only loses the FAST PATH; make that loud-ish
+      fs.delete(tmp, true)
+      System.err.println(s"[bm25] could not publish _idbloom at '$dir' — " +
+        "appends fall back to the full exact join until one succeeds")
+    }
   }
 
   private def listBm25Segments(spark: SparkSession, dir: String): Seq[String] = {

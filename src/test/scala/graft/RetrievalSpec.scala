@@ -381,6 +381,54 @@ class RetrievalSpec extends AnyFunSuite {
     assert(errCmp.getMessage.contains("disjoint"), errCmp.getMessage)
   }
 
+  test("append guard ids-bloom: fast path refuses dups, fallback survives a deleted sidecar") {
+    val docs = Seq(
+      (1L, "spark shuffle partitions tune the join"),
+      (2L, "spark join"),
+      (3L, "broadcast the small side"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25bloom").toString
+    def app(sel: org.apache.spark.sql.Column, seg: String) =
+      Retrieval.appendBm25Segment(docs.filter(sel), "doc_id", "text", dir, seg,
+        idBloom = true)
+    app(col("doc_id") === 1L, "s1")
+    // the sidecar exists after the first append (bootstrap) and gates
+    // the next one
+    assert(new java.io.File(s"$dir/_idbloom/_params").exists())
+    // duplicate refused THROUGH the bloom fast path (id 1 must hit)
+    val e1 = intercept[IllegalArgumentException] { app(col("doc_id") <= 2L, "s2") }
+    assert(e1.getMessage.contains("duplicates"), e1.getMessage)
+    // fresh ids accepted; bloom folds them in
+    app(col("doc_id") === 2L, "s2")
+    val e2 = intercept[IllegalArgumentException] { app(col("doc_id") === 2L, "s3") }
+    assert(e2.getMessage.contains("duplicates"), e2.getMessage)
+    // a lost/corrupt sidecar only loses the fast path: delete it — the
+    // guard falls back to the full exact join and still refuses, and
+    // the accepted append that follows re-bootstraps the filter
+    def rmBloom(): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(s"$dir/_idbloom"))
+    }
+    rmBloom()
+    val e3 = intercept[IllegalArgumentException] { app(col("doc_id") === 1L, "s4") }
+    assert(e3.getMessage.contains("duplicates"), e3.getMessage)
+    rmBloom()
+    app(col("doc_id") === 3L, "s4")
+    assert(new java.io.File(s"$dir/_idbloom/_params").exists(),
+      "accepted append must re-bootstrap the bloom")
+    // and the rebuilt filter knows the PRE-bootstrap ids too
+    val e4 = intercept[IllegalArgumentException] { app(col("doc_id") === 1L, "s5") }
+    assert(e4.getMessage.contains("duplicates"), e4.getMessage)
+    // scores unaffected by any of the guard machinery
+    val out = Retrieval.bm25FromSegments(spark, dir, "doc_id", "spark join")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val adhoc = Retrieval.bm25(docs, "doc_id", "text", "spark join")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == adhoc)
+  }
+
   test("interrupted in-place compaction: marker blocks probes, recovery completes the swap") {
     val docs = Seq(
       (1L, "spark shuffle partitions tune the join"),
