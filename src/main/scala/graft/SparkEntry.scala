@@ -772,13 +772,26 @@ object SparkEntry {
     // the parquet, DuckDB's scalar subquery replays it) — a pinned |C|
     // makes cells grow linearly and the in-cell pair join quadratic
     // (the ~20×-at-10×-data row this replaced on the sf1 curve).
+    // Assignment routes through |S| = ⌊√|C|⌋ head supers and the
+    // in-cell pair join is OR-confined to two 2-plane sign-LSH bands —
+    // the same two shape fixes as q_semantic_dedup_scaled, so the
+    // chain's semantic tier carries the full production recipe (flat
+    // assignment was N·√N dots and the unconfined in-cell term N^1.5
+    // rows — the board's worst sf1 scale row before this).
     val nSemCents = math.max(1L, math.floor(math.sqrt(emb.count().toDouble)).toLong)
+    val nSemSupers = math.max(1L, math.floor(math.sqrt(nSemCents.toDouble)).toLong)
     val cents = emb.filter(col("vec_id") < nSemCents)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    def semPlanesIn(lo: Long, hi: Long) = emb
+      .filter(col("vec_id") >= lo && col("vec_id") < hi).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0)).toSeq
     val semDrops = SemanticDedup.dedup(
         surv.join(vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
           .select(col("doc_id"), col("embedding")),
-        "doc_id", "embedding", cents, "centroid_id", "cvec", tau = 0.9)
+        "doc_id", "embedding", cents, "centroid_id", "cvec", tau = 0.9,
+        nSupers = nSemSupers.toInt,
+        bands = Seq(semPlanesIn(0, 2), semPlanesIn(2, 4)))
       .filter(!col("is_kept")).select("doc_id")
     val kept = surv.join(semDrops, Seq("doc_id"), "left_anti")
     CurationStages(all, gated, exactDeduped, surv, kept)
@@ -2202,18 +2215,33 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
-    // The same dedup at a SCALED codebook (|C|=64 ≈ √N at this SF) —
-    // hash-gates the production discipline the sf1 rehearsal measured:
-    // cells shrink to ~N/|C| and the pairwise stage stays sub-quadratic
-    // while the oracle replays the identical assignment + pair rule.
+    // The same dedup at a SCALED codebook (|C|=64 ≈ √N at this SF) with
+    // BOTH 100 TB shape fixes the graph build already carries — the
+    // full production recipe, hash-gated: (1) TWO-LEVEL assignment
+    // (Ann.assignCellsHier through |S| = ⌊√|C|⌋ = 8 head supers — flat
+    // assignment is N·√N dots at the √N codebook, hier is ~2·N^1.25);
+    // (2) the in-cell pair join OR-confined to two 2-plane sign-LSH
+    // bands (the Σ|cell|² = N^1.5 in-cell term drops to the largest
+    // cell×bucket block, ~R/2^b of unconfined). Exact planted copies
+    // agree on every band by construction, so the dup signal survives
+    // confinement; near-dup recall for the band recipe is measured on
+    // the real PMC corpus (SCALE.md), the buildServing discipline. The
+    // oracle replays the two-level argmax (q_ann_graph_hier's CTEs) and
+    // the OR'd bucket condition (q_ann_graph_banded's), so every cell
+    // id, bucket bit, and dup_of is hash-checked.
     "q_semantic_dedup_scaled" -> ((s, dir) => {
       val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = base.filter(col("vec_id") < 100)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
       val cents = base.filter(col("vec_id") < 64)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      def planesIn(lo: Long, hi: Long) = base
+        .filter(col("vec_id") >= lo && col("vec_id") < hi).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0)).toSeq
       SemanticDedup.dedup(base.unionByName(planted), "vec_id", "embedding",
-          cents, "centroid_id", "cvec", tau = 0.9)
+          cents, "centroid_id", "cvec", tau = 0.9,
+          nSupers = 8, bands = Seq(planesIn(0, 2), planesIn(2, 4)))
         .orderBy("vec_id")
     }),
 
@@ -2236,6 +2264,37 @@ object SparkEntry {
           .select((col("vec_id") + 30000).as("vec_id"), col("embedding")))
       SemanticDedup.semanticIncrement(batch, "vec_id", "embedding",
           index, cents, "centroid_id", "cvec", tau = 0.9)
+        .orderBy("vec_id")
+    }),
+
+    // The increment at the PRODUCTION shape — the daily-ingest twin of
+    // q_semantic_dedup_scaled: scaled codebook (|C|=64), two-level
+    // assignment (|S|=8 head supers) on BOTH the persisted index and
+    // the new batch (parameter-drift discipline: index and probe must
+    // share the assignment recipe, or cells disagree silently), and
+    // both probe joins OR-confined to the same two sign-LSH bands —
+    // index bucket bits recomputed from stored vectors at probe time.
+    // Same planted-dup layout as q_semantic_increment; the oracle
+    // replays hier argmax + bucket folds for corpus and batch alike.
+    "q_semantic_increment_scaled" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = base.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      def planesIn(lo: Long, hi: Long) = base
+        .filter(col("vec_id") >= lo && col("vec_id") < hi).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0)).toSeq
+      val corpus = base.filter(col("vec_id") < 250)
+      val index = Ann.assignCellsHier(corpus, "vec_id", "embedding",
+        cents, "centroid_id", "cvec", nSupers = 8)
+      val batch = base.filter(col("vec_id") >= 250)
+        .unionByName(base.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 20000).as("vec_id"), col("embedding")))
+        .unionByName(base.filter(col("vec_id") >= 250 && col("vec_id") < 300)
+          .select((col("vec_id") + 30000).as("vec_id"), col("embedding")))
+      SemanticDedup.semanticIncrement(batch, "vec_id", "embedding",
+          index, cents, "centroid_id", "cvec", tau = 0.9,
+          nSupers = 8, bands = Seq(planesIn(0, 2), planesIn(2, 4)))
         .orderBy("vec_id")
     }),
 
@@ -2888,6 +2947,78 @@ object SparkEntry {
        |FROM cells LEFT JOIN dups d ON cells.vec_id = d.vec_id
        |ORDER BY cells.vec_id""".stripMargin
 
+  /** Shared hier-assignment + band-bucket CTE block for the scaled
+    * semantic-dedup oracles: routes `srcCte`(idCol, embedding) through
+    * the head-`nSupers` supers of the head-`nCents` codebook
+    * (q_ann_graph_hier's two-level argmax replay), then folds the two
+    * 2-plane sign-LSH bucket columns (q_ann_graph_banded's dDot CASE
+    * sums over data-row planes 0-1 / 2-3). Emits `outCte` with
+    * (idCol, embedding, cell_id, lb0, lb1); c/sup/pl0/pl1 CTEs are
+    * emitted once by the caller via [[semanticHierHeadCtes]]. */
+  private def semanticHierHeadCtes(nCents: Int, nSupers: Int): String =
+    s"""c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $nCents),
+       |sup AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < $nSupers),
+       |c2s AS (SELECT cid, sid FROM (
+       |  SELECT c.cid, sup.sid,
+       |         row_number() OVER (PARTITION BY c.cid
+       |           ORDER BY ${dCosine("c.cv", "sup.sv")} DESC, sup.sid) AS rn
+       |  FROM c, sup) WHERE rn = 1),
+       |pl0 AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings WHERE vec_id < 2),
+       |pl1 AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings
+       |        WHERE vec_id >= 2 AND vec_id < 4)""".stripMargin
+
+  private def semanticHierAssignCtes(srcCte: String, outCte: String): String =
+    s"""${srcCte}_v2s AS (SELECT vec_id, sid FROM (
+       |  SELECT v.vec_id, sup.sid,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${dCosine("v.embedding", "sup.sv")} DESC, sup.sid) AS rn
+       |  FROM $srcCte v, sup) WHERE rn = 1),
+       |${srcCte}_asg AS (
+       |  SELECT vec_id, embedding, cid AS cell_id FROM (
+       |    SELECT v.vec_id, v.embedding, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${dCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
+       |    FROM $srcCte v
+       |    JOIN ${srcCte}_v2s s ON v.vec_id = s.vec_id
+       |    JOIN c2s ON c2s.sid = s.sid
+       |    JOIN c ON c.cid = c2s.cid) x WHERE rn = 1
+       |),
+       |${srcCte}_b0 AS (
+       |  SELECT a.vec_id, a.embedding, a.cell_id,
+       |         CAST(sum(CASE WHEN ${dDot("a.embedding", "pl0.pv")} > 0
+       |                       THEN CAST(pow(2, pl0.pid) AS BIGINT) ELSE 0 END) AS BIGINT) AS lb0
+       |  FROM ${srcCte}_asg a, pl0 GROUP BY a.vec_id, a.embedding, a.cell_id
+       |),
+       |$outCte AS (
+       |  SELECT b.vec_id, b.embedding, b.cell_id, b.lb0,
+       |         CAST(sum(CASE WHEN ${dDot("b.embedding", "pl1.pv")} > 0
+       |                       THEN CAST(pow(2, pl1.pid - 2) AS BIGINT) ELSE 0 END) AS BIGINT) AS lb1
+       |  FROM ${srcCte}_b0 b, pl1 GROUP BY b.vec_id, b.embedding, b.cell_id, b.lb0
+       |)""".stripMargin
+
+  /** q_semantic_dedup_scaled: the production recipe — two-level
+    * assignment through head supers + OR'd two-band confinement of the
+    * lower-id tau-pair argmin — replayed end to end, so cell ids,
+    * bucket bits, and dup_of all hash-check. */
+  private def semanticDedupHierBandedOracle(nCents: Int, nSupers: Int): String =
+    s"""WITH all_v AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100
+       |),
+       |${semanticHierHeadCtes(nCents, nSupers)},
+       |${semanticHierAssignCtes("all_v", "cells")},
+       |dups AS (
+       |  SELECT x.vec_id, min(y.vec_id) AS dup_of
+       |  FROM cells x JOIN cells y ON x.cell_id = y.cell_id AND y.vec_id < x.vec_id
+       |   AND (x.lb0 = y.lb0 OR x.lb1 = y.lb1)
+       |  WHERE ${dCosine("x.embedding", "y.embedding")} >= 0.9
+       |  GROUP BY 1
+       |)
+       |SELECT cells.vec_id, cells.cell_id, d.dup_of IS NULL AS is_kept, d.dup_of
+       |FROM cells LEFT JOIN dups d ON cells.vec_id = d.vec_id
+       |ORDER BY cells.vec_id""".stripMargin
+
   /** q_ann_graph_batch: the same hop-by-hop walk replay as
     * [[annGraphOracle]], but every walk CTE carries `qid` — three
     * queries traverse in parallel, frontier windows partition by qid.
@@ -3168,8 +3299,12 @@ object SparkEntry {
         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |       min(quality) AS min_quality, max(quality) AS max_quality""".stripMargin
     // The semantic-tier extension: planted-paraphrase input, the shared
-    // t → surv chain, then SemDeDup assignment + lower-id tau-drop over
-    // survivors that HAVE an embedding row (vectorless pass through).
+    // t → surv chain, then SemDeDup over survivors that HAVE an
+    // embedding row (vectorless pass through) at the PRODUCTION recipe:
+    // two-level assignment (sup/c2s/v2s — the q_ann_graph_hier CTEs,
+    // |S| = ⌊√|C|⌋ size-derived by the nested-sqrt scalar subquery) and
+    // the pair join OR-confined to two 2-plane sign-LSH bands
+    // (q_ann_graph_banded's bucket folds over data-row planes 0-1/2-3).
     val dCurationSemanticCtes: String =
       s"""docs0 AS (
          |  SELECT doc_id, text FROM documents
@@ -3187,17 +3322,49 @@ object SparkEntry {
          |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
          |      WHERE vec_id < greatest(1, (SELECT CAST(floor(sqrt(count(*))) AS BIGINT)
          |                                  FROM embeddings))),
+         |sup AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings
+         |        WHERE vec_id < greatest(1, (SELECT CAST(floor(sqrt(floor(sqrt(count(*))))) AS BIGINT)
+         |                                    FROM embeddings))),
+         |c2s AS (SELECT cid, sid FROM (
+         |  SELECT c.cid, sup.sid,
+         |         row_number() OVER (PARTITION BY c.cid
+         |           ORDER BY ${dCosine("c.cv", "sup.sv")} DESC, sup.sid) AS rn
+         |  FROM c, sup) WHERE rn = 1),
          |sv AS (SELECT surv.doc_id, emb.embedding FROM surv JOIN emb ON surv.doc_id = emb.vec_id),
+         |v2s AS (SELECT doc_id, sid FROM (
+         |  SELECT v.doc_id, sup.sid,
+         |         row_number() OVER (PARTITION BY v.doc_id
+         |           ORDER BY ${dCosine("v.embedding", "sup.sv")} DESC, sup.sid) AS rn
+         |  FROM sv v, sup) WHERE rn = 1),
          |asg AS (
          |  SELECT doc_id, embedding, cid AS cell_id FROM (
          |    SELECT v.doc_id, v.embedding, c.cid,
          |           row_number() OVER (PARTITION BY v.doc_id
          |             ORDER BY ${dCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
-         |    FROM sv v, c) x WHERE rn = 1
+         |    FROM sv v
+         |    JOIN v2s ON v.doc_id = v2s.doc_id
+         |    JOIN c2s ON c2s.sid = v2s.sid
+         |    JOIN c ON c.cid = c2s.cid) x WHERE rn = 1
+         |),
+         |spl0 AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings WHERE vec_id < 2),
+         |spl1 AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings
+         |         WHERE vec_id >= 2 AND vec_id < 4),
+         |asgA AS (
+         |  SELECT a.doc_id, a.embedding, a.cell_id,
+         |         CAST(sum(CASE WHEN ${dDot("a.embedding", "spl0.pv")} > 0
+         |                       THEN CAST(pow(2, spl0.pid) AS BIGINT) ELSE 0 END) AS BIGINT) AS lb0
+         |  FROM asg a, spl0 GROUP BY a.doc_id, a.embedding, a.cell_id
+         |),
+         |asgB AS (
+         |  SELECT aa.doc_id, aa.embedding, aa.cell_id, aa.lb0,
+         |         CAST(sum(CASE WHEN ${dDot("aa.embedding", "spl1.pv")} > 0
+         |                       THEN CAST(pow(2, spl1.pid - 2) AS BIGINT) ELSE 0 END) AS BIGINT) AS lb1
+         |  FROM asgA aa, spl1 GROUP BY aa.doc_id, aa.embedding, aa.cell_id, aa.lb0
          |),
          |sdrops AS (
-         |  SELECT DISTINCT y.doc_id FROM asg y
-         |  JOIN asg x ON y.cell_id = x.cell_id AND x.doc_id < y.doc_id
+         |  SELECT DISTINCT y.doc_id FROM asgB y
+         |  JOIN asgB x ON y.cell_id = x.cell_id AND x.doc_id < y.doc_id
+         |   AND (x.lb0 = y.lb0 OR x.lb1 = y.lb1)
          |  WHERE ${dCosine("x.embedding", "y.embedding")} >= 0.9
          |),
          |kept AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM sdrops))""".stripMargin
@@ -4327,10 +4494,10 @@ object SparkEntry {
 
       "q_semantic_dedup" -> semanticDedupOracle(8),
 
-      // identical semantics at the SCALED codebook: the oracle replays
-      // assignment + cell-confined pairwise for ANY |C| — the √N
-      // production discipline is hash-gated, not just probe-backed
-      "q_semantic_dedup_scaled" -> semanticDedupOracle(64),
+      // the SCALED codebook at the full production recipe: two-level
+      // assignment (|S|=8 head supers) + two-band OR'd confinement of
+      // the pair join — every cell id, bucket bit, and dup_of replayed
+      "q_semantic_dedup_scaled" -> semanticDedupHierBandedOracle(64, 8),
 
       // Incremental semantic dedup: same nearest-centroid assignment CTE
       // shape as q_semantic_dedup (row_number over csim DESC, cid = the
@@ -4370,6 +4537,45 @@ object SparkEntry {
            |batch_hit AS (
            |  SELECT y.vec_id, min(x.vec_id) AS batch_of
            |  FROM basg y JOIN basg x ON y.cell_id = x.cell_id AND x.vec_id < y.vec_id
+           |  WHERE ${dCosine("x.embedding", "y.embedding")} >= 0.9
+           |  GROUP BY 1
+           |)
+           |SELECT b.vec_id, b.cell_id,
+           |       CASE WHEN ch.corpus_of IS NOT NULL THEN 'dup_corpus'
+           |            WHEN bh.batch_of IS NOT NULL THEN 'dup_batch'
+           |            ELSE 'new' END AS status,
+           |       coalesce(ch.corpus_of, bh.batch_of) AS dup_of
+           |FROM basg b LEFT JOIN corpus_hit ch ON b.vec_id = ch.vec_id
+           |LEFT JOIN batch_hit bh ON b.vec_id = bh.vec_id
+           |ORDER BY b.vec_id""".stripMargin,
+
+      // The increment at the production recipe: corpus index AND batch
+      // both routed through the two-level argmax, both probe joins
+      // OR-confined to the two bands — the daily-ingest twin of
+      // q_semantic_dedup_scaled, hash-gated with the same CTE blocks.
+      "q_semantic_increment_scaled" ->
+        s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 250),
+           |batch AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 250
+           |  UNION ALL
+           |  SELECT vec_id + 20000 AS vec_id, embedding FROM embeddings WHERE vec_id < 50
+           |  UNION ALL
+           |  SELECT vec_id + 30000 AS vec_id, embedding FROM embeddings WHERE vec_id >= 250 AND vec_id < 300
+           |),
+           |${semanticHierHeadCtes(64, 8)},
+           |${semanticHierAssignCtes("corpus", "casg")},
+           |${semanticHierAssignCtes("batch", "basg")},
+           |corpus_hit AS (
+           |  SELECT b.vec_id, min(x.vec_id) AS corpus_of
+           |  FROM basg b JOIN casg x ON b.cell_id = x.cell_id
+           |   AND (b.lb0 = x.lb0 OR b.lb1 = x.lb1)
+           |  WHERE ${dCosine("b.embedding", "x.embedding")} >= 0.9
+           |  GROUP BY 1
+           |),
+           |batch_hit AS (
+           |  SELECT y.vec_id, min(x.vec_id) AS batch_of
+           |  FROM basg y JOIN basg x ON y.cell_id = x.cell_id AND x.vec_id < y.vec_id
+           |   AND (y.lb0 = x.lb0 OR y.lb1 = x.lb1)
            |  WHERE ${dCosine("x.embedding", "y.embedding")} >= 0.9
            |  GROUP BY 1
            |)

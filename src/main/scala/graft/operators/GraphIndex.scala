@@ -337,6 +337,14 @@ object GraphIndex {
     val recalls = exact.toSeq.map { case (q, truth) =>
       truth.intersect(got.getOrElse(q, Set.empty)).size.toDouble / k
     }
+    // an empty workload must refuse LOUDLY: recalls.sum/0 is NaN, and
+    // NaN < recallFloor is false — an accidentally-empty recallQueriesDf
+    // would otherwise publish a store with recall=NaN, silently
+    // bypassing the very gate this measurement exists to enforce
+    require(recalls.nonEmpty,
+      "measureRecall: the query workload produced zero probes " +
+        "(empty queries DataFrame, or an index too small to probe) — " +
+        "refusing to report a recall over nothing")
     recalls.sum / recalls.length
   }
 

@@ -388,13 +388,26 @@ object Retrieval {
     // costs more than the exact join it replaces until the stored-id
     // count is large — turn it on around >~10^6 ids, where the
     // per-append sidecar scan starts to dominate.
-    val bloomWords = if (idBloom) readIdBloom(spark, dir) else None
-    val hitCol: Column = bloomWords match {
-      case Some(words) =>
+    //
+    // The bloom is a STORE-LEVEL property, not a per-call one: once an
+    // _idbloom sidecar exists, every append maintains (and may as well
+    // use) it regardless of the caller's flag. The alternative — a
+    // default idBloom=false append skipping the fold — would write its
+    // segment without its ids in the filter, and a LATER idBloom=true
+    // append of those same ids would bloom-miss, skip the exact join,
+    // and durably write a duplicate segment (silent df/N double-count
+    // until the compaction backstop refuses). An unreadable sidecar
+    // still degrades to None = the full exact join, never a wrong
+    // answer; the next idBloom=true append rebuilds it from scratch.
+    val sidecarBloom = readIdBloom(spark, dir)
+    val maintainBloom = idBloom || sidecarBloom.isDefined
+    val bloomWords = sidecarBloom
+    val bloomBc = bloomWords.map(words => spark.sparkContext.broadcast(words))
+    val hitCol: Column = bloomBc match {
+      case Some(bc) =>
         import org.apache.spark.sql.GraftColumnBridge._
-        val bc = spark.sparkContext.broadcast(words)
         val pos = Sketch.bloomPositions(col(idCol).cast("string"),
-          IdBloomHashes, words.length << 6)
+          IdBloomHashes, bc.value.length << 6)
         when(column(graft.functions.BloomAllSet(expression(pos), bc)), lit(1))
           .otherwise(lit(null).cast("int"))
       case None => lit(if (priorSegs.isEmpty) null else 1).cast("int")
@@ -418,13 +431,18 @@ object Retrieval {
           "written; re-ingest the batch with fresh ids (updates go through " +
           "compaction to the monolithic layout + its delete lifecycle)")
     }
+    // every job that reads the broadcast filter has executed (the guard
+    // aggregate above and the suspect join's count) — release it, or a
+    // long-running hourly-append writer accrues one 512 KiB broadcast
+    // per append on the driver and executors indefinitely
+    bloomBc.foreach(_.destroy())
     // bloom maintenance, BEFORE anything durable: fold the batch's bits
     // in (and on first use, every live sidecar's — the one-time
     // bootstrap that makes legacy stores eligible). A crash between
     // this write and the segment write leaves the bloom
     // over-approximate — safe (a re-ingest of the same ids bloom-hits,
     // exact-confirms against the sidecars, and is correctly accepted).
-    if (idBloom)
+    if (maintainBloom)
       writeIdBloom(spark, dir, idCol, batchIds, priorSegs,
         bootstrap = bloomWords.isEmpty)
     val withDl = docs
@@ -749,6 +767,11 @@ object Retrieval {
         "to retry the publish from the staged copy")
     fs.delete(tmpRoot, true)
     fs.delete(compactMarkerPath(dir), false)
+    // sweep marker stagings orphaned by a crash mid-write (inert — the
+    // recovery path only ever reads the published marker name)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/_compact_pending_tmp_*")))
+      .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, false))
   }
 
   private def compactMarkerPath(dir: String) =
@@ -756,14 +779,25 @@ object Retrieval {
 
   /** One line per field, newline-separated: merged segment name, staged
     * tmp path, then the input segment names. Plain text so a human can
-    * also read what an interrupted swap was doing. */
+    * also read what an interrupted swap was doing. Staged to a sibling
+    * path and RENAMED into place: a crash mid-write must leave either
+    * no marker (store untouched — input deletion only starts after
+    * this returns) or a complete one, never a truncated marker that
+    * recovery rejects as "needs manual repair" on a store that is in
+    * fact fully intact. */
   private def writeCompactMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
                                  merged: String, tmp: String,
                                  inputs: Seq[String]): Unit = {
-    val out = fs.create(compactMarkerPath(dir), true)
+    val staged = new org.apache.hadoop.fs.Path(
+      s"$dir/_compact_pending_tmp_${java.util.UUID.randomUUID}")
+    val out = fs.create(staged, true)
     try out.write((merged + "\n" + tmp + "\n" + inputs.mkString("\n"))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(compactMarkerPath(dir), false)
+    require(fs.rename(staged, compactMarkerPath(dir)),
+      s"compactBm25SegmentsInPlace: could not publish the _compact_pending " +
+        s"marker at '$dir' — aborting before any input segment is touched")
   }
 
   /** Mechanically finish (or clean up after) an interrupted

@@ -10,16 +10,33 @@ import graft.functions.VectorFunctions.cosine
   * cluster assignment confines the quadratic pairwise term exactly the
   * way LSH banding confines MinHash.
   *
-  * Scale posture:
-  *  - assignment is [[Ann.assignCells]] — the codebook rides to every
-  *    executor as a reference object and the argmax is one codegen'd
-  *    map-only projection (zero shuffle, PlanSpec-pinned);
+  * Scale posture (the same two knobs that carry the graph ANN build to
+  * the √N codebook — [[Ann.assignCellsHier]] and
+  * [[Ann.knnGraphLshBanded]]'s banding — wired in here because a 100 TB
+  * pipeline hits semantic dedup on every ingest):
+  *  - assignment defaults to [[Ann.assignCells]] (one codegen'd
+  *    map-only argmax, zero shuffle, PlanSpec-pinned), which is N·|C|
+  *    dots — fine for fixed small codebooks but N^1.5 at the production
+  *    |C| = ⌊√N⌋. Passing `nSupers` > 0 routes through
+  *    [[Ann.assignCellsHier]] instead: |S| + p·|C|/|S| dots per row
+  *    (~2·N^0.25 at |S| = ⌊√|C|⌋), still map-only, still deterministic
+  *    at both levels so a SQL oracle replays every cell id;
   *  - the pairwise stage is an equi-join on `cell_id` (hash join, never
-  *    a cartesian) so only same-cell vectors are ever scored;
-  *  - per-cell cost is quadratic in cell size: size the codebook so
-  *    cells hold ~thousands of vectors (|codebook| ≈ N / 4k), and split
-  *    any residual hot cell by a secondary key the way
-  *    [[Dedup.jaccardPairs]] caps hot shingles.
+  *    a cartesian) so only same-cell vectors are ever scored — but the
+  *    in-cell term is Σ|cell|² = N^1.5 rows at the √N codebook. Passing
+  *    `bands` (deterministic sign-LSH plane bands, e.g.
+  *    [[Ann.centeredPlaneBands]] or data-row planes) further confines
+  *    each pair join to (cell_id, band-bucket) keys with MinHash-style
+  *    OR-amplification across bands: a tau-pair is scored when ANY
+  *    band's sign bits fully agree, bounding the candidate set by the
+  *    largest cell×bucket block at ~R/2^b of the unconfined Σ|cell|².
+  *    Candidate LOSS is the standard LSH trade (exact copies always
+  *    agree on every band; near-dups miss with probability (1−p^b)^R) —
+  *    recall-gate the band recipe on a real workload before shipping,
+  *    the [[GraphIndex.buildServing]] discipline;
+  *  - without `bands`, size the codebook so cells hold ~thousands of
+  *    vectors and split any residual hot cell by a secondary key the
+  *    way [[Dedup.jaccardPairs]] caps hot shingles.
   *
   * Keep/drop rule (deterministic, engine-portable): a vector is dropped
   * iff ANY same-cell vector with a LOWER id — kept or itself dropped —
@@ -40,19 +57,63 @@ import graft.functions.VectorFunctions.cosine
   */
 object SemanticDedup {
 
+  /** Flat or two-level cell assignment, normalized to
+    * (_id, _vec, cell_id) — `nSupers` > 0 selects
+    * [[Ann.assignCellsHier]] (see the object Scaladoc). */
+  private def assign(vecs: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, cIdCol: String, cVecCol: String,
+                     nSupers: Int, superProbes: Int,
+                     superVecs: Seq[Seq[Double]]): DataFrame = {
+    val a =
+      if (nSupers > 0)
+        Ann.assignCellsHier(vecs, idCol, vecCol, centroids, cIdCol, cVecCol,
+          nSupers, superProbes, superVecs)
+      else
+        Ann.assignCells(vecs, idCol, vecCol, centroids, cIdCol, cVecCol)
+    a.select(col(idCol).as("_id"), col(vecCol).as("_vec"), col("cell_id"))
+  }
+
+  /** Attach one deterministic sign-LSH bucket column per band
+    * (`_sb0`..`_sbR-1`) to a (_vec, cell_id)-shaped frame — map-only,
+    * the [[Ann.knnGraphLshBanded]] bucket fold. */
+  private def withBandBuckets(cells: DataFrame,
+                              bands: Seq[Seq[Seq[Double]]]): DataFrame =
+    bands.zipWithIndex.foldLeft(cells) { case (df, (planes, r)) =>
+      df.withColumn(s"_sb$r", Ann.lshBucket(col("_vec"), planes))
+    }
+
+  /** The per-band join key sets: bare cell_id when no bands are given,
+    * else (cell_id, _sbR) per band — each band joins independently and
+    * the union OR-amplifies, exactly [[Ann.knnGraphLshBanded]]. */
+  private def keySets(bands: Seq[Seq[Seq[Double]]]): Seq[Seq[String]] =
+    if (bands.isEmpty) Seq(Seq("cell_id"))
+    else bands.indices.map(r => Seq("cell_id", s"_sb$r"))
+
   /** vecs(idCol, vecCol) × centroids(cIdCol, cVecCol) → one row per
     * input vector: (idCol, cell_id, is_kept, dup_of). `dup_of` is null
-    * for kept vectors. */
+    * for kept vectors. `nSupers`/`superProbes`/`superVecs` select the
+    * two-level assignment and `bands` the OR-amplified confinement of
+    * the in-cell pair join (object Scaladoc); defaults reproduce the
+    * flat, cell-only build bit-for-bit. Band overlap can emit a
+    * candidate pair once per agreeing band — min() over the multiset
+    * equals min() over the set, so no pre-distinct exchange is paid. */
   def dedup(vecs: DataFrame, idCol: String, vecCol: String,
             centroids: DataFrame, cIdCol: String, cVecCol: String,
-            tau: Double): DataFrame = {
-    val cells = Ann.assignCells(vecs, idCol, vecCol, centroids, cIdCol, cVecCol)
-      .select(col(idCol).as("_id"), col(vecCol).as("_vec"), col("cell_id"))
-    val x = cells.select(col("_id").as("_xid"), col("_vec").as("_xvec"), col("cell_id"))
-    val y = cells.select(col("_id").as("_yid"), col("_vec").as("_yvec"), col("cell_id"))
-    val dups = x.join(y, Seq("cell_id"))
-      .filter(col("_yid") < col("_xid") &&
-        cosine(col("_xvec"), col("_yvec")) >= tau)
+            tau: Double, nSupers: Int = 0, superProbes: Int = 1,
+            superVecs: Seq[Seq[Double]] = Nil,
+            bands: Seq[Seq[Seq[Double]]] = Nil): DataFrame = {
+    val cells = assign(vecs, idCol, vecCol, centroids, cIdCol, cVecCol,
+      nSupers, superProbes, superVecs)
+    val keyed = withBandBuckets(cells, bands)
+    val allKeys = keySets(bands).flatten.distinct.map(col)
+    val x = keyed.select(allKeys :+ col("_id").as("_xid") :+ col("_vec").as("_xvec"): _*)
+    val y = keyed.select(allKeys :+ col("_id").as("_yid") :+ col("_vec").as("_yvec"): _*)
+    val candOf = (ks: Seq[String]) =>
+      x.join(y, ks)
+        .filter(col("_yid") < col("_xid") &&
+          cosine(col("_xvec"), col("_yvec")) >= tau)
+        .select(col("_xid"), col("_yid"))
+    val dups = keySets(bands).map(candOf).reduce(_ unionByName _)
       .groupBy(col("_xid"))
       .agg(min(col("_yid")).as("dup_of"))
     cells.join(dups, cells("_id") === dups("_xid"), "left")
@@ -64,18 +125,29 @@ object SemanticDedup {
     * [[dedup]] points at for EXACT per-clique canonicalization: feed
     * these into [[Dedup.clusters]] and keep each component's min id,
     * instead of [[dedup]]'s one-join per-tau-path approximation. Same
-    * cell confinement, so the pair term stays Σ|cell|²/2. */
+    * cell confinement, so the pair term stays Σ|cell|²/2; same optional
+    * two-level assignment and banded confinement as [[dedup]] (pairs
+    * duplicated by band overlap dedup at matched-pair scale — the
+    * distinct runs AFTER the tau filter, so it is output-sized, never
+    * candidate-sized). */
   def pairs(vecs: DataFrame, idCol: String, vecCol: String,
             centroids: DataFrame, cIdCol: String, cVecCol: String,
-            tau: Double): DataFrame = {
-    val cells = Ann.assignCells(vecs, idCol, vecCol, centroids, cIdCol, cVecCol)
-      .select(col(idCol).as("_id"), col(vecCol).as("_vec"), col("cell_id"))
-    val x = cells.select(col("_id").as("id_a"), col("_vec").as("_xvec"), col("cell_id"))
-    val y = cells.select(col("_id").as("id_b"), col("_vec").as("_yvec"), col("cell_id"))
-    x.join(y, Seq("cell_id"))
-      .filter(col("id_a") < col("id_b") &&
-        cosine(col("_xvec"), col("_yvec")) >= tau)
-      .select(col("id_a"), col("id_b"))
+            tau: Double, nSupers: Int = 0, superProbes: Int = 1,
+            superVecs: Seq[Seq[Double]] = Nil,
+            bands: Seq[Seq[Seq[Double]]] = Nil): DataFrame = {
+    val cells = assign(vecs, idCol, vecCol, centroids, cIdCol, cVecCol,
+      nSupers, superProbes, superVecs)
+    val keyed = withBandBuckets(cells, bands)
+    val allKeys = keySets(bands).flatten.distinct.map(col)
+    val x = keyed.select(allKeys :+ col("_id").as("id_a") :+ col("_vec").as("_xvec"): _*)
+    val y = keyed.select(allKeys :+ col("_id").as("id_b") :+ col("_vec").as("_yvec"): _*)
+    val candOf = (ks: Seq[String]) =>
+      x.join(y, ks)
+        .filter(col("id_a") < col("id_b") &&
+          cosine(col("_xvec"), col("_yvec")) >= tau)
+        .select(col("id_a"), col("id_b"))
+    val all = keySets(bands).map(candOf).reduce(_ unionByName _)
+    if (bands.length > 1) all.distinct() else all
   }
 
   /** Incremental semantic dedup — the daily-increment production shape
@@ -103,18 +175,24 @@ object SemanticDedup {
     * projected column (not a separate check Catalyst could prune away):
     * any index cell_id that is not a centroid id raises.
     *
-    * Scale shape: assignment is the codegen map-only argmax; both
-    * probes are equi-joins on cell_id (hash joins — same-cell vectors
-    * only, never all-pairs); the centroid-id set broadcasts. On a
+    * Scale shape: assignment is the codegen map-only argmax (two-level
+    * when `nSupers` > 0, like [[dedup]]); both probes are equi-joins on
+    * cell_id (hash joins — same-cell vectors only, never all-pairs),
+    * further confined to (cell_id, band-bucket) keys with OR-
+    * amplification when `bands` is given — index bucket columns are
+    * recomputed from the stored vectors at probe time, so the store
+    * needs no extra columns; the centroid-id set broadcasts. On a
     * `partitionBy(cell_id)` store, a batch touching few cells reads few
     * partitions. */
   def semanticIncrement(newVecs: DataFrame, idCol: String, vecCol: String,
                         existingIndex: DataFrame,
                         centroids: DataFrame, cIdCol: String, cVecCol: String,
-                        tau: Double): DataFrame = {
+                        tau: Double, nSupers: Int = 0, superProbes: Int = 1,
+                        superVecs: Seq[Seq[Double]] = Nil,
+                        bands: Seq[Seq[Seq[Double]]] = Nil): DataFrame = {
     val assigned = graft.Materialize(
-      Ann.assignCells(newVecs, idCol, vecCol, centroids, cIdCol, cVecCol)
-        .select(col(idCol).as("_id"), col(vecCol).as("_vec"), col("cell_id")))
+      assign(newVecs, idCol, vecCol, centroids, cIdCol, cVecCol,
+        nSupers, superProbes, superVecs))
     val cellType = existingIndex.schema(existingIndex.schema.fieldIndex("cell_id")).dataType
     val known = centroids.select(col(cIdCol).as("cell_id"))
       .withColumn("_known", lit(true))
@@ -129,16 +207,31 @@ object SemanticDedup {
               "different codebook than this probe"))).cast(cellType))
           .as("cell_id"),
         col("_cid"), col("_cvec"))
-    val corpusHit = assigned
-      .join(guardedIdx, Seq("cell_id"))
-      .filter(cosine(col("_vec"), col("_cvec")) >= tau)
+    val batchKeyed = withBandBuckets(assigned, bands)
+    val idxKeyed = bands.zipWithIndex.foldLeft(guardedIdx) {
+      case (df, (planes, r)) =>
+        df.withColumn(s"_sb$r", Ann.lshBucket(col("_cvec"), planes))
+    }
+    // min() over the band-overlap multiset equals min() over the set —
+    // no pre-distinct exchange needed in either probe; each band's join
+    // projects only its own key columns so nothing extra rides the wire
+    val corpusCandOf = (ks: Seq[String]) =>
+      batchKeyed.select((ks.map(col) :+ col("_id") :+ col("_vec")): _*)
+        .join(idxKeyed.select((ks.map(col) :+ col("_cid") :+ col("_cvec")): _*), ks)
+        .filter(cosine(col("_vec"), col("_cvec")) >= tau)
+        .select(col("_id"), col("_cid"))
+    val corpusHit = keySets(bands).map(corpusCandOf).reduce(_ unionByName _)
       .groupBy(col("_id"))
       .agg(min(col("_cid")).as("_corpus_of"))
-    val l = assigned.select(col("cell_id"), col("_id").as("_ida"), col("_vec").as("_va"))
-    val r = assigned.select(col("cell_id"), col("_id").as("_idb"), col("_vec").as("_vb"))
-    val batchHit = l.join(r, Seq("cell_id"))
-      .filter(col("_ida") < col("_idb") &&
-        cosine(col("_va"), col("_vb")) >= tau)
+    val batchCandOf = (ks: Seq[String]) => {
+      val l = batchKeyed.select(ks.map(col) :+ col("_id").as("_ida") :+ col("_vec").as("_va"): _*)
+      val r = batchKeyed.select(ks.map(col) :+ col("_id").as("_idb") :+ col("_vec").as("_vb"): _*)
+      l.join(r, ks)
+        .filter(col("_ida") < col("_idb") &&
+          cosine(col("_va"), col("_vb")) >= tau)
+        .select(col("_ida"), col("_idb"))
+    }
+    val batchHit = keySets(bands).map(batchCandOf).reduce(_ unionByName _)
       .groupBy(col("_idb"))
       .agg(min(col("_ida")).as("_batch_of"))
     assigned.select(col("_id"), col("cell_id"))

@@ -499,6 +499,20 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(r1 >= 0.0 && r1 <= 1.0)
   }
 
+  test("measureRecall refuses an EMPTY workload instead of returning NaN past the gate") {
+    // recalls.sum/0 is NaN and NaN < recallFloor is false — an
+    // accidentally-empty recallQueriesDf would publish a store with
+    // recall=NaN, silently defeating buildServing's gate; the
+    // measurement must refuse loudly instead
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("qid", "qvec")
+    val e = intercept[IllegalArgumentException] {
+      GraphIndex.measureRecall(spark, handle, embedded,
+        Seq("doc_id", "chunk_idx"), "embedding", k = 3, queries = Some(empty))
+    }
+    assert(e.getMessage.contains("zero probes"), e.getMessage)
+  }
+
   test("buildServing: derives the sqrt-N codebook, gates on recall, refuses below the floor") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gserve").toString
     // floor 0: always publishes; the returned recall is the evidence

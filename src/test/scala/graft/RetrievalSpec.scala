@@ -429,6 +429,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out == adhoc)
   }
 
+  test("ids-bloom is a store-level property: a default append maintains the sidecar") {
+    // the superset invariant across MIXED-flag appends: once _idbloom
+    // exists, an idBloom=false append must still fold its ids in —
+    // otherwise a later idBloom=true append of those ids bloom-misses,
+    // skips the exact join entirely, and durably writes a duplicate
+    // segment (silent df/N double-count until compaction refuses)
+    val docs = Seq(
+      (1L, "spark shuffle partitions tune the join"),
+      (2L, "spark join"),
+      (3L, "broadcast the small side"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25bloomstore").toString
+    Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 1L),
+      "doc_id", "text", dir, "s1", idBloom = true)
+    // DEFAULT-flag append: must keep maintaining the store's bloom
+    Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 2L),
+      "doc_id", "text", dir, "s2")
+    // a bloom append that repeats the default append's id must refuse —
+    // before the fix this bloom-missed and wrote the duplicate segment
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 2L),
+        "doc_id", "text", dir, "s3", idBloom = true)
+    }
+    assert(e.getMessage.contains("duplicates"), e.getMessage)
+    assert(!new java.io.File(s"$dir/segments/s3").exists(),
+      "refused append must not leave a segment behind")
+  }
+
   test("interrupted in-place compaction: marker blocks probes, recovery completes the swap") {
     val docs = Seq(
       (1L, "spark shuffle partitions tune the join"),

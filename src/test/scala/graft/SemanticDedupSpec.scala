@@ -175,4 +175,85 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
   }
+
+  // --- the production-shape knobs: two-level assignment + banded pairs ---
+
+  // y-sign and x-sign planes: 2D stand-ins for the deterministic
+  // data-row bands the SparkEntry queries use
+  private val ySign = Seq(Seq(0.0, 1.0))
+  private val xSign = Seq(Seq(1.0, 0.0))
+
+  test("hier + banded: exact copies always caught (identical buckets), flat results preserved") {
+    // exact copy of 10 planted at a higher id: identical vector →
+    // identical two-level route AND identical sign bits in every band,
+    // so confinement can never lose an exact-dup pair
+    val withCopy = vecs.unionByName(Seq((110L, Seq(1.0, 0.0))).toDF("id", "vec"))
+    val out = SemanticDedup.dedup(withCopy, "id", "vec", cents, "cid", "cvec",
+        tau = 0.98, nSupers = 2, bands = Seq(ySign, xSign))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(110L) == ((false, Some(10L))), "exact copy survives confinement")
+    // on this well-separated fixture the supers are the centroids
+    // themselves (head-2), so the two-level argmax = flat and the
+    // within-bucket near-dups (11→10: y-signs split! caught via x-band;
+    // 21→20 x-signs agree) replay the flat verdicts
+    assert(!out(11L)._1 && out(11L)._2.contains(10L))
+    assert(!out(21L)._1 && out(21L)._2.contains(20L))
+    assert(out(10L)._1 && out(20L)._1 && out(12L)._1 && out(22L)._1)
+  }
+
+  test("banded confinement: pair missed when EVERY band splits it, caught when ANY agrees") {
+    // a and b straddle the y=0 plane at cosine ≈ 0.998 ≥ tau
+    val straddle = Seq(
+      (1L, Seq(0.999, 0.032)),
+      (2L, Seq(0.999, -0.032))
+    ).toDF("id", "vec")
+    val oneCell = Seq((0L, Seq(1.0, 0.0))).toDF("cid", "cvec")
+    // both bands on the y-sign: the pair disagrees in EVERY band → the
+    // candidate never forms (the documented LSH loss, by construction)
+    val missed = SemanticDedup.pairs(straddle, "id", "vec", oneCell, "cid", "cvec",
+      tau = 0.99, bands = Seq(ySign, ySign)).collect()
+    assert(missed.isEmpty, "a pair split by every band must not be scored")
+    // second band on the x-sign: both x > 0 agree → OR-amplification
+    // recovers the pair through band 1 alone
+    val caught = SemanticDedup.pairs(straddle, "id", "vec", oneCell, "cid", "cvec",
+        tau = 0.99, bands = Seq(ySign, xSign))
+      .as[(Long, Long)].collect().toSet
+    assert(caught == Set((1L, 2L)), s"OR over bands must recover the pair: $caught")
+    // dedup agrees with pairs on the same confinement
+    val ded = SemanticDedup.dedup(straddle, "id", "vec", oneCell, "cid", "cvec",
+        tau = 0.99, bands = Seq(ySign, ySign))
+      .filter(!col("is_kept")).count()
+    assert(ded == 0L)
+  }
+
+  test("incremental probe at the production shape: statuses preserved under hier + bands") {
+    val index = graft.operators.Ann.assignCellsHier(vecs, "id", "vec",
+        cents, "cid", "cvec", nSupers = 2)
+      .select("id", "vec", "cell_id")
+    def onCircle(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val batch = Seq(
+      (100L, Seq(0.9995, 0.0316)),  // x-band agrees with corpus 10 → dup_corpus
+      (101L, Seq(0.9994, 0.0347)),  // same → dup_corpus (corpus wins over batch 100)
+      (200L, onCircle(165)),        // no tau-neighbor anywhere → new
+      (201L, onCircle(164))         // y-band agrees with batch 200 → dup_batch
+    ).toDF("id", "vec")
+    val out = SemanticDedup.semanticIncrement(batch, "id", "vec",
+        index, cents, "cid", "cvec", tau = 0.98,
+        nSupers = 2, bands = Seq(ySign, xSign))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(100L) == (("dup_corpus", Some(10L))))
+    assert(out(101L) == (("dup_corpus", Some(10L))))
+    assert(out(200L) == (("new", None)))
+    assert(out(201L) == (("dup_batch", Some(200L))))
+  }
+
+  test("plan: hier + banded build stays cartesian-free (per-band equi-joins)") {
+    val plan = SemanticDedup.dedup(vecs, "id", "vec", cents, "cid", "cvec",
+        tau = 0.9, nSupers = 2, bands = Seq(ySign, xSign))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
+  }
 }

@@ -157,9 +157,15 @@ class ShuffleAuditSpec extends AnyFunSuite {
       s"banded candidate generation did not shrink: $bandedPairs vs $plainPairs")
     val banded = ShuffleAudit.of(Ann.knnGraphLshBanded(assigned, "vec_id", "embedding",
       cents, "centroid_id", "centroid_vec", m = 4, bands))
-    assert(banded.writeBytes < bands.length * plain.writeBytes,
-      s"banded build shuffled more than ${bands.length} independent builds: " +
-        s"banded=$banded plain=$plain")
+    // the bound is vs R independent CONFINED builds at the SAME band
+    // geometry (one 2-plane band), not vs the unconfined plain build —
+    // comparing against R×plain would be trivially weak and miss a
+    // regression where banding shuffles more than R separate band runs
+    val confinedOneBand = ShuffleAudit.of(Ann.knnGraphLsh(assigned, "vec_id",
+      "embedding", cents, "centroid_id", "centroid_vec", m = 4, bands.head))
+    assert(banded.writeBytes < bands.length * confinedOneBand.writeBytes,
+      s"banded build shuffled more than ${bands.length} independent " +
+        s"single-band confined builds: banded=$banded confined=$confinedOneBand")
   }
 
   test("exact dedup shuffles fingerprints, not text") {
