@@ -51,6 +51,18 @@ import graft.operators.{AskPipeline, Embed, GraphIndex}
   * snapshot and the effect merge — the distributed retrieval, the LLM
   * call, and every token write to the client socket run UNLOCKED, so
   * a slow model or a stalled stream consumer never blocks other asks.
+  *
+  * SIZING `concurrency` (do not copy the default 8 blindly): the pool
+  * is ADMISSION CONTROL, exactly the reference's 5-way semaphore.
+  * Measured on the PMC corpus (SCALE.md c=16 table), ask throughput
+  * rises to a knee around 4-8 concurrent walks and FALLS past it —
+  * concurrent driver-side beam walks contend on the one DAG-scheduler
+  * event loop, so extra slots add coordination cost, not work. Set
+  * slots ≈ the knee ServeBench measures on YOUR corpus/box (it prints
+  * a "SERVE sizing" recommendation line) and let excess requests
+  * queue in the JDK server's unbounded accept queue: at c=16 offered
+  * load, 4 slots + 12 queued beat 16 slots on every metric.
+  *
   * Cache semantics under interleaving are CONCURRENT-ARRIVAL, exactly
   * [[AskPipeline.askBatch]]'s: each ask probes the snapshot current at
   * its start; effects ([[AskPipeline.CacheEffect]]) merge serially in

@@ -42,6 +42,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val RegressionRatio = 1.6
+  // A baseline entry whose OWN runs disagree by more than this
+  // (max/min - 1) has an untrustworthy min: with min-of-5 scheduling a
+  // single favorable back-to-back draw can sit 40%+ under the steady
+  // cluster (q_kmv_distinct's settled baseline ran
+  // [1.01, 1.01, 0.95, 0.66, 0.56] — min 0.56 vs steady ~1.0), and
+  // gating later steady mins against that fluke produced the same
+  // phantom 1.7-2.1x flag two rounds running on untouched code. For
+  // such wide entries the diff gates against the baseline's MEDIAN run
+  // (the steady statistic) instead of its min; tight entries keep the
+  // min-vs-min gate unchanged.
+  private val SteadyBaselineSpreadMax = 0.4
   private val Passes = 3
   // Queries whose min lands under this get extra back-to-back trials:
   // sub-second timings are where a single favorable JIT draw in a
@@ -75,11 +86,26 @@ object Bench {
     // builder-owned baseline for the regression diff; falls back to the
     // working-tree full artifact only if no baseline has been committed
     val baselineSrc = if (Files.exists(Paths.get(baselineFile))) baselineFile else outFile
+    // spread-aware baseline reference (see SteadyBaselineSpreadMax):
+    // entries whose runs array is tight gate on min; wide ones on the
+    // median of their runs. Entries without a parseable runs array
+    // (older format) keep the min.
     val prev: Map[String, Double] =
       if (Files.exists(Paths.get(baselineSrc))) {
         val txt = Files.readString(Paths.get(baselineSrc))
-        """"([\w]+)":\{"min":([-0-9.eE+]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        """"([\w]+)":\{"min":([-0-9.eE+]+)(?:,"spread":[-0-9.eE+]+,"runs":\[([-0-9.eE+,]*)\])?""".r
+          .findAllMatchIn(txt).map { m =>
+            val min = m.group(2).toDouble
+            val runs = Option(m.group(3)).toSeq
+              .flatMap(_.split(",").filter(_.nonEmpty).map(_.toDouble))
+              .filter(_ >= 0)
+            val ref =
+              if (min > 0 && runs.length >= 3 &&
+                  (runs.max - runs.min) / runs.min > SteadyBaselineSpreadMax) {
+                val s = runs.sorted; s(s.length / 2)
+              } else min
+            m.group(1) -> ref
+          }.toMap
       } else Map.empty
 
     // warmup: read-side + shuffle + codegen paths, result discarded

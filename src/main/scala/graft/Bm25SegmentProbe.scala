@@ -15,9 +15,17 @@ import org.apache.spark.sql.functions._
   *
   * Run: `sbt "runMain graft.Bm25SegmentProbe [sfDir]"`. Prints a
   * markdown table + one JSON line (committed into SCALE.md).
+  *
+  * `runMain graft.Bm25SegmentProbe bloom` instead measures the
+  * append-guard idBloom CROSSOVER the Retrieval scaladoc claims
+  * (">~10^6 stored ids"): per stored-id count, the latency of a
+  * 1000-row append under the exact-join guard vs under the bloom fast
+  * path, on synthetic minimal-text corpora where the guard — not the
+  * postings build — dominates.
   */
 object Bm25SegmentProbe {
   def main(args: Array[String]): Unit = {
+    if (args.contains("bloom")) { bloomCrossover(); return }
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -123,6 +131,62 @@ object Bm25SegmentProbe {
         f""""append_total":$tAppendTotal%.1f,"max_probe":$maxProbe%.3f,""" +
         s""""samples":[$sJson]}""")
     }
+    spark.stop()
+  }
+
+  /** The idBloom crossover measurement: for each stored-id count, the
+    * base store is 8 synthetic segments (tiny text, so the guard term
+    * dominates the append), then three 1000-row appends are timed
+    * under the EXACT-join guard (no sidecar yet), the bloom bootstrap
+    * append is timed once, and three more are timed on the
+    * bloom-carrying store (store-level maintenance keeps the fast path
+    * live for default-flag appends). The claim under test: the fast
+    * path loses while stored ids are few (it pays two sidecar writes
+    * per append) and wins once the per-append prior-ids scan
+    * dominates — the scaladoc says around 10^6 ids. */
+  private def bloomCrossover(): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = Seq(10000L, 100000L, 1000000L, 4000000L).map { size =>
+      val dir = java.nio.file.Files.createTempDirectory(s"bm25bloomx_$size").toString
+      def docsIn(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(col("id").as("doc_id"),
+          concat(lit("term"), pmod(col("id"), lit(1000))).as("text"))
+      (0 until 8).foreach { i =>
+        operators.Retrieval.appendBm25Segment(
+          docsIn(0, size).filter(pmod(col("doc_id"), lit(8)) === i),
+          "doc_id", "text", dir, f"base$i%02d", nBuckets = 32, autoCompactAt = 0)
+      }
+      var nextId = size
+      def timedAppend(seg: String, bloomFlag: Boolean): Double = {
+        val t0 = System.nanoTime()
+        operators.Retrieval.appendBm25Segment(
+          docsIn(nextId, nextId + 1000), "doc_id", "text", dir, seg,
+          nBuckets = 32, autoCompactAt = 0, idBloom = bloomFlag)
+        nextId += 1000
+        (System.nanoTime() - t0) / 1e9
+      }
+      val exactS = (1 to 3).map(i => timedAppend(f"ex$i%02d", bloomFlag = false)).min
+      val bootS = timedAppend("boot", bloomFlag = true)
+      val bloomS = (1 to 3).map(i => timedAppend(f"bl$i%02d", bloomFlag = false)).min
+      println(f"stored=$size%8d exact-append=$exactS%.2f s bloom-append=$bloomS%.2f s " +
+        f"(bootstrap $bootS%.2f s) bloom/exact=${bloomS / exactS}%.2f")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      (size, exactS, bootS, bloomS)
+    }
+    println("\n| stored ids | exact append s | bloom append s | bootstrap s | bloom/exact |")
+    println("|---|---|---|---|---|")
+    rows.foreach { case (n, e, bt, b) =>
+      println(f"| $n | $e%.2f | $b%.2f | $bt%.2f | ${b / e}%.2f |")
+    }
+    val json = rows.map { case (n, e, bt, b) =>
+      f""""n$n":{"exact":$e%.2f,"bloom":$b%.2f,"bootstrap":$bt%.2f}""" }.mkString(",")
+    println(s"""{"bench":"bm25_idbloom_crossover",$json}""")
     spark.stop()
   }
 }

@@ -144,9 +144,10 @@ object PmcRecallProbe {
       Cfg("DIAG hier p=4 uid seeds frac=1.0", 181, 13, Nil, 4, trainedSupersUid),
       Cfg("DIAG hier p=4 uid seeds frac=0.5", 181, 13, Nil, 4, trainedSupersUidHalf))
     // `runMain graft.PmcRecallProbe gated` skips the config sweep;
-    // `... banded` runs only the banded rows — the sweep is ~25 min
+    // `... banded` runs only the banded rows — the sweep is ~25 min;
+    // `... ivf` / `... semdedup` run ONLY their own sections below
     val cfgs =
-      if (args.contains("gated")) Seq.empty
+      if (args.exists(Set("gated", "ivf", "semdedup"))) Seq.empty
       else if (args.contains("banded2")) allCfgs.filter(c =>
         c.label.contains("m=32") || c.label.contains("beam=64") ||
           c.label.startsWith("DIAG"))
@@ -174,6 +175,134 @@ object PmcRecallProbe {
       // of leftovers is how a probe run fills the disk
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(gdir))
     }
+
+    // ---- `ivf` mode: recall rows for the IVF and IVF-PQ serving paths
+    // at the default knobs (verdict: buildServing gates the graph
+    // store, but an IVF/IVF-PQ store could still be probed at silently
+    // bad nprobe/codebook choices — these rows are the missing
+    // acceptance evidence, and Ann.writeIvfIndexGated is the gate).
+    if (args.contains("ivf")) {
+      val nCents = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+      val headCents = index.orderBy("doc_id", "chunk_idx").limit(nCents)
+        .select(monotonically_increasing_id().as("centroid_id"),
+          col("embedding").cast("array<double>").as("centroid_vec"))
+      val trainedCents = operators.Ann.kmeansRefine(index, "doc_id", "embedding",
+        headCents, dim = 1024, iters = 2)
+      def ivfRecallRow(label: String, cents: org.apache.spark.sql.DataFrame,
+                       nprobe: Int): Double = {
+        val assigned = operators.Ann.assignCells(index, "doc_id", "embedding",
+          cents, "centroid_id", "centroid_vec")
+        val recalls = qvecs.zip(exact).map { case (qv, truth) =>
+          val got = operators.Ann.ivfCandidates(assigned, "embedding",
+              cents, "centroid_id", "centroid_vec", qv, nprobe)
+            .orderBy(desc("sim"), col("doc_id"), col("chunk_idx")).limit(10)
+            .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSet
+          truth.intersect(got).size / 10.0
+        }
+        val r = recalls.sum / recalls.length
+        println(f"IVF $label%-28s |C|=$nCents nprobe=$nprobe%3d: mean recall@10 = $r%.3f " +
+          f"(min ${recalls.min}%.2f)")
+        r
+      }
+      Seq(1, 2, 4, 8, 16, 32).foreach(p => ivfRecallRow("head centroids", headCents, p))
+      Seq(4, 8, 16, 32).foreach(p => ivfRecallRow("TRAINED centroids", trainedCents, p))
+      // IVF-PQ: head codebooks m=8 k=16 (the q_ivfpq knobs), ADC top-100
+      // candidates, exact re-rank — recall vs full brute force
+      val pidx = index.select(
+        concat_ws("#", col("doc_id"), col("chunk_idx")).as("pid"),
+        col("doc_id"), col("chunk_idx"),
+        col("embedding").cast("array<double>").as("vec"))
+      val cb = operators.Pq.headCodebooks(pidx, "pid", "vec", m = 8, k = 16)
+      val enc = operators.Pq.encode(pidx, "pid", "vec", cb).toDF()
+        .select(col("id").as("pid"), col("codes"))
+      val assignedT = operators.Ann.assignCells(pidx, "pid", "vec",
+          trainedCents, "centroid_id", "centroid_vec")
+        .select("pid", "doc_id", "chunk_idx", "vec", "cell_id")
+        .join(enc, "pid").persist()
+      assignedT.count()
+      Seq(8, 16, 32).foreach { p =>
+        val recalls = qvecs.zip(exact).map { case (qv, truth) =>
+          val got = operators.Pq.ivfPqSearchTopK(assignedT, "pid", "vec", cb,
+              trainedCents, "centroid_id", "centroid_vec",
+              qv.toArray, topK = 10, nprobe = p, candidates = 100)
+            .join(pidx.select("pid", "doc_id", "chunk_idx"), "pid")
+            .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSet
+          truth.intersect(got).size / 10.0
+        }
+        println(f"IVF-PQ TRAINED cents, head codebooks m=8 k=16 cand=100 nprobe=$p%3d: " +
+          f"mean recall@10 = ${recalls.sum / recalls.length}%.3f (min ${recalls.min}%.2f)")
+      }
+      assignedT.unpersist()
+    }
+
+    // ---- `semdedup` mode: planted near-dup recall of SemanticDedup's
+    // CONFINED pair stage on the real corpus — exact copies always
+    // survive confinement (identical route + sign bits); what the band
+    // trade actually risks is NEAR-dups (paraphrase/ellipsis), so the
+    // plant drops every 10th word of 200 chunks and re-embeds in the
+    // same TF-IDF space, then measures how many tau-pairs each
+    // confinement tier still finds vs the cell-only baseline.
+    if (args.contains("semdedup")) {
+      import graft.functions.VectorFunctions.cosine
+      val base = chunks.select(
+        concat_ws("#", col("doc_id"), col("chunk_idx")).as("id"), col("chunk_text"))
+      val toDup = base.orderBy("id").limit(200)
+      val dups = toDup.select(
+        concat(col("id"), lit("~dup")).as("id"),
+        array_join(filter(split(col("chunk_text"), "\\s+"),
+          (_, i) => i % 10 =!= 0), " ").as("chunk_text"))
+      val (embAll, _, _) = operators.Embed.withTfIdfEmbedding(
+        base.unionByName(dups), "chunk_text", "embedding", dim = 1024)
+      val vecs = embAll.select(col("id"), col("embedding")).persist()
+      val nAll = vecs.count()
+      // planted-pair cosine distribution decides the tau that makes a
+      // pair "true": report it, then gate at tau = 0.8
+      val planted = vecs.as("a").join(vecs.as("b"),
+          concat(col("a.id"), lit("~dup")) === col("b.id"))
+        .select(col("a.id").as("id"),
+          cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+        .persist()
+      val sims = planted.select("sim").as[Double].collect().sorted
+      val tau = 0.8
+      val eligible = sims.count(_ >= tau)
+      println(f"semdedup plant: ${sims.length} pairs, cosine min=${sims.min}%.3f " +
+        f"med=${sims(sims.length / 2)}%.3f max=${sims.max}%.3f; tau=$tau eligible=$eligible")
+      val nc = math.max(1L, math.floor(math.sqrt(nAll.toDouble)).toLong).toInt
+      val ns = math.max(1, math.floor(math.sqrt(nc.toDouble)).toInt)
+      val cents = vecs.orderBy("id").limit(nc)
+        .select(monotonically_increasing_id().as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      val seeds = vecs.orderBy("id").limit(ns)
+        .select(monotonically_increasing_id().as("centroid_id"),
+          col("embedding").cast("array<double>").as("centroid_vec"))
+      val supers = operators.Ann.kmeansRefine(vecs, "id", "embedding",
+          seeds, dim = 1024, iters = 2)
+        .orderBy("centroid_id")
+        .select(col("centroid_vec").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0)).toSeq
+      val bandsO = operators.Ann.orthogonalPlaneBands(vecs, "id", "embedding",
+        nBands = 2, planesPerBand = 2)
+      def foundBy(label: String, nSupers: Int, sv: Seq[Seq[Double]],
+                  bands: Seq[Seq[Seq[Double]]]): Long = {
+        val prs = operators.SemanticDedup.pairs(vecs, "id", "embedding",
+          cents, "cid", "cvec", tau, nSupers = nSupers, superProbes = 4,
+          superVecs = sv, bands = bands)
+        val hits = prs.filter(col("id_b") === concat(col("id_a"), lit("~dup"))).count()
+        println(f"semdedup $label%-34s |C|=$nc |S|=$nSupers: planted tau-pairs found = " +
+          f"$hits%3d / $eligible (${hits.toDouble / math.max(eligible, 1)}%.3f)")
+        hits
+      }
+      val flatFound = foundBy("flat cells only (baseline)", 0, Nil, Nil)
+      val hierFound = foundBy("hier p=4 TRAINED supers", ns, supers, Nil)
+      val bandFound = foundBy("hier p=4 + ORTHO 2x2 bands", ns, supers, bandsO)
+      println(f"semdedup confined-stage recall: hier/flat = " +
+        f"${hierFound.toDouble / math.max(flatFound, 1)}%.3f, " +
+        f"banded/hier = ${bandFound.toDouble / math.max(hierFound, 1)}%.3f, " +
+        f"banded/flat = ${bandFound.toDouble / math.max(flatFound, 1)}%.3f")
+      planted.unpersist(); vecs.unpersist()
+    }
+
+    if (args.exists(Set("ivf", "semdedup"))) { spark.stop(); return }
 
     // the SHIPPED path: buildServing at the FULL production recipe —
     // size-derived |C|/|S|, head-seed trained supers p=4 (seed

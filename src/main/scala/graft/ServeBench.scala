@@ -227,5 +227,16 @@ object ServeBench {
       f""""c$c":{"p50":$p50%.3f,"p95":$p95%.3f,"max":$mx%.3f,"wall":$wall%.1f,"ask_per_sec":$thr%.2f}"""
     }.mkString(",")
     println(s"""{"bench":"serve_http_concurrent","corpus":"PMC","chunks":$nChunks,$levelJson}""")
+    // the sizing rule a deploy should copy instead of the default 8:
+    // throughput rises to a KNEE (concurrent driver-side beam walks
+    // contending on the one DAG-scheduler event loop, SCALE.md) and
+    // FALLS past it — slots ≈ the measured knee, accept queue unbounded
+    // (admission control, the reference's 5-way semaphore). Print the
+    // measured recommendation so it travels with every run's output.
+    val knee = levels.maxBy(_._6)
+    println(f"SERVE sizing: throughput knee at c=${knee._1} " +
+      f"(${knee._6}%.2f ask/s) — set AskServer(concurrency ≈ ${knee._1}) " +
+      "and let excess requests queue; more slots past the knee REDUCE " +
+      "throughput (driver beam-walk contention, see SCALE.md c=16 table)")
   }
 }

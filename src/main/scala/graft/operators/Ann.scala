@@ -224,6 +224,69 @@ object Ann {
   def writeIvfIndex(assigned: DataFrame, indexDir: String): Unit =
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(indexDir)
 
+  /** [[writeIvfIndex]] behind the recall discipline
+    * [[GraphIndex.buildServing]] established for the graph store: write
+    * the partitioned store, measure recall@`k` of the published
+    * artifact's nprobe search against exact brute force ON THE CALLER'S
+    * QUERY WORKLOAD, and when the number lands under `recallFloor`
+    * DELETE the store and refuse loudly — an IVF store probed at a
+    * silently bad nprobe (or assigned off a mis-trained codebook) must
+    * never reach serving. `queries` is (query_id, vector) and must be
+    * non-empty (an empty workload would make the mean recall NaN and
+    * NaN < floor is false — the gate-bypass measureRecall also
+    * refuses). Both the truth and probe sides are batched: one
+    * broadcast of the workload, per-query row_number windows, ties
+    * (sim desc, id asc) exactly like [[ivfSearch]]. Returns the
+    * measured recall — the build's acceptance evidence; record it. */
+  def writeIvfIndexGated(spark: SparkSession, assigned: DataFrame,
+                         idCol: String, vecCol: String,
+                         centroids: DataFrame, cIdCol: String, cVecCol: String,
+                         indexDir: String, queries: DataFrame,
+                         nprobe: Int, k: Int = 10,
+                         recallFloor: Double = 0.9): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val qcols = queries.columns
+    require(qcols.length == 2,
+      s"writeIvfIndexGated: queries must be (query_id, vector), got ${qcols.toSeq}")
+    val qDf = queries.select(col(qcols(0)).as("_qid"),
+      col(qcols(1)).cast("array<double>").as("_qv"))
+    writeIvfIndex(assigned, indexDir)
+    val w = Window.partitionBy("_qid").orderBy(desc("_sim"), col(idCol))
+    def topkOf(scored: DataFrame): Map[Any, Set[Any]] = scored
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("_qid"), col(idCol))
+      .collect().groupBy(_.get(0)).map { case (q, rs) => q -> rs.map(_.get(1)).toSet }
+    val exact = topkOf(assigned.crossJoin(broadcast(qDf))
+      .withColumn("_sim", cosine(col(vecCol), col("_qv"))))
+    // probe the PUBLISHED store, not the in-memory assignment — the
+    // artifact on disk is what serving reads, so it is what gets gated
+    val wc = Window.partitionBy("_qid").orderBy(desc("_csim"), col(cIdCol))
+    val probeCells = centroids.crossJoin(broadcast(qDf))
+      .withColumn("_csim", cosine(col(cVecCol), col("_qv")))
+      .withColumn("_crn", row_number().over(wc)).filter(col("_crn") <= nprobe)
+      .select(col("_qid"), col("_qv"), col(cIdCol).as("cell_id"))
+    val got = topkOf(spark.read.parquet(indexDir)
+      .join(broadcast(probeCells), "cell_id")
+      .withColumn("_sim", cosine(col(vecCol), col("_qv"))))
+    val recalls = exact.toSeq.map { case (q, truth) =>
+      truth.intersect(got.getOrElse(q, Set.empty)).size.toDouble / k
+    }
+    require(recalls.nonEmpty,
+      "writeIvfIndexGated: the query workload produced zero probes — " +
+        "refusing to report a recall over nothing")
+    val recall = recalls.sum / recalls.length
+    if (recall < recallFloor) {
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      throw new IllegalStateException(
+        f"Ann.writeIvfIndexGated: measured recall@$k = $recall%.3f over " +
+          f"${recalls.length} probes is below the floor $recallFloor%.2f " +
+          s"(nprobe=$nprobe) — the store was deleted, not published. Raise " +
+          "nprobe / retrain the codebook, or lower the floor deliberately.")
+    }
+    recall
+  }
+
   /** Scored candidates from a partitioned IVF store: rank centroids vs
     * the query on the driver (the codebook is small by contract), then
     * scan ONLY the nprobe winning cell partitions. Same candidate set as

@@ -42,6 +42,46 @@ class AnnSpec extends AnyFunSuite {
     assert(ivf2.contains(0L))
   }
 
+  test("gated IVF build: publishes at full probe width, refuses + deletes a low-recall store") {
+    // deterministic 2-cell geometry: 6 vectors hug the x-axis (cell 0),
+    // 6 hug the y-axis (cell 1). A query at 0° has its true top-10
+    // spanning BOTH cells (10 of 12 rows), so nprobe=1 provably recalls
+    // 6/10 = 0.6 — the silently-bad probe width the gate must refuse —
+    // while nprobe=2 is brute force and must publish at exactly 1.0
+    def onCircle(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val vecs = ((0 until 6).map(i => (i.toLong, onCircle(i * 5))) ++
+      (0 until 6).map(i => (10L + i, onCircle(90 - i * 5)))).toDF("id", "vec")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cvec")
+    val assigned = Ann.assignCells(vecs, "id", "vec", cents, "cid", "cvec")
+    val workload = Seq((0L, onCircle(0))).toDF("qid", "qvec")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfgate").toString
+    val r = Ann.writeIvfIndexGated(spark, assigned, "id", "vec",
+      cents, "cid", "cvec", dir, workload,
+      nprobe = 2, k = 10, recallFloor = 0.9)
+    assert(r == 1.0, s"full-width IVF recall must be exact, got $r")
+    assert(new java.io.File(dir).exists(), "passing store must be published")
+    // nprobe = 1: only the x-cell's 6 rows can surface — recall 0.6
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivfgate2").toString
+    val err = intercept[IllegalStateException] {
+      Ann.writeIvfIndexGated(spark, assigned, "id", "vec",
+        cents, "cid", "cvec", dir2, workload,
+        nprobe = 1, k = 10, recallFloor = 0.9)
+    }
+    assert(err.getMessage.contains("below the floor"), err.getMessage)
+    assert(err.getMessage.contains("0.600"), err.getMessage)
+    assert(!new java.io.File(dir2).exists(),
+      "refused IVF store must be deleted, not left to serve")
+    // an empty workload refuses loudly instead of NaN-ing past the gate
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_ivfgate3").toString
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("qid", "qvec")
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.writeIvfIndexGated(spark, assigned, "id", "vec",
+        cents, "cid", "cvec", dir3, empty,
+        nprobe = 2, k = 10, recallFloor = 0.9)
+    }
+    assert(e2.getMessage.contains("zero probes"), e2.getMessage)
+  }
+
   test("hierarchical assignment: nSupers = |C| is exactly flat assignCells") {
     // with every centroid its own super, level-1 routing picks the true
     // nearest centroid and level-2 degenerates to a singleton argmax —

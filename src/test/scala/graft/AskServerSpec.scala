@@ -351,6 +351,58 @@ class AskServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("WS demo loop spec-pinned: capacity-2 LFU evicts the cold entry, frequent one survives") {
+    // the README serving loop PmcDemo runs live (miss → hit → miss →
+    // miss+evict → evicted entry misses again), folded into the gate so
+    // a serving regression can't silently break the reference's demo:
+    // capacity 2, three distinct queries — the 3rd insert evicts the
+    // least-frequently-used entry (q2, freq 1; q1 was re-asked to freq
+    // 2), the evicted query misses on re-ask, and the frequent entry
+    // keeps hitting through all of it
+    val srv = new AskServer(spark, index, capacity = 2)
+    srv.start()
+    val wsPort = srv.wsStart()
+    try {
+      val msgs = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val listener = new java.net.http.WebSocket.Listener {
+        private val sb = new StringBuilder
+        override def onText(ws: java.net.http.WebSocket, data: CharSequence,
+                            last: Boolean): java.util.concurrent.CompletionStage[_] = {
+          sb.append(data)
+          if (last) { msgs.add(sb.toString); sb.setLength(0) }
+          ws.request(1); null
+        }
+      }
+      val ws = http.newWebSocketBuilder()
+        .buildAsync(URI.create(s"ws://127.0.0.1:$wsPort/ws/ask"), listener).join()
+      def fromCache(q: String): Boolean = {
+        ws.sendText(s"""{"chat_id":"demo","query":${mapper.writeValueAsString(q)}}""", true)
+        var done: Option[Boolean] = None
+        while (done.isEmpty) {
+          val m = msgs.poll(60, java.util.concurrent.TimeUnit.SECONDS)
+          assert(m != null, s"WS relay stalled on '$q'")
+          val n = mapper.readTree(m)
+          if (n.has("done") || n.has("error")) done = Some(n.path("from_cache").asBoolean(false))
+        }
+        done.get
+      }
+      val q1 = "broadcast hash join planner"
+      val q2 = "cosine scoring normalized vectors"
+      val q3 = "shuffle file map task reducers"
+      assert(!fromCache(q1), "first distinct ask must miss")
+      assert(fromCache(q1), "repeat must hit (freq -> 2)")
+      assert(!fromCache(q2), "second distinct ask must miss (cache now full)")
+      assert(!fromCache(q3), "third distinct ask must miss and evict the LFU entry")
+      assert(!fromCache(q2), "evicted entry must miss again on re-ask")
+      assert(fromCache(q1), "the frequent entry must survive every eviction")
+      ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "bye").join()
+      // WS ↔ HTTP shared state: the same loop's cache serves POST /ask
+      val r = mapper.readTree(post(srv.port, "/ask",
+        s"""{"chat_id":"other","query":${mapper.writeValueAsString(q1)}}""").body())
+      assert(r.path("from_cache").asBoolean(false), "HTTP must hit the WS-seeded entry")
+    } finally srv.stop()
+  }
+
   test("validation: missing query is a 400, not a crash") {
     withServer { port =>
       val r = post(port, "/ask", """{"chat_id":"x"}""")
