@@ -2215,25 +2215,30 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
-    // The same dedup at a SCALED codebook (|C|=64 ≈ √N at this SF) with
-    // BOTH 100 TB shape fixes the graph build already carries — the
-    // full production recipe, hash-gated: (1) TWO-LEVEL assignment
-    // (Ann.assignCellsHier through |S| = ⌊√|C|⌋ = 8 head supers — flat
-    // assignment is N·√N dots at the √N codebook, hier is ~2·N^1.25);
-    // (2) the in-cell pair join OR-confined to two 2-plane sign-LSH
-    // bands (the Σ|cell|² = N^1.5 in-cell term drops to the largest
-    // cell×bucket block, ~R/2^b of unconfined). Exact planted copies
-    // agree on every band by construction, so the dup signal survives
-    // confinement; near-dup recall for the band recipe is measured on
-    // the real PMC corpus (SCALE.md), the buildServing discipline. The
-    // oracle replays the two-level argmax (q_ann_graph_hier's CTEs) and
-    // the OR'd bucket condition (q_ann_graph_banded's), so every cell
-    // id, bucket bit, and dup_of is hash-checked.
+    // The same dedup at the SIZE-DERIVED codebook (|C| = ⌊√N⌋ on BOTH
+    // engines — a pinned |C| makes cells grow linearly and the pair
+    // join quadratic, the exact trap the r13 sf1 curve measured at
+    // 16.1×) with BOTH 100 TB shape fixes the graph build already
+    // carries — the full production recipe, hash-gated: (1) TWO-LEVEL
+    // assignment (Ann.assignCellsHier through |S| = ⌊√|C|⌋ head
+    // supers — flat assignment is N·√N dots at the √N codebook, hier
+    // is ~2·N^1.25); (2) the in-cell pair join OR-confined to two
+    // 2-plane sign-LSH bands (the Σ|cell|² = N^1.5 in-cell term drops
+    // to the largest cell×bucket block, ~R/2^b of unconfined). Exact
+    // planted copies agree on every band by construction, so the dup
+    // signal survives confinement; near-dup recall for the band recipe
+    // is measured on the real PMC corpus (SCALE.md), the buildServing
+    // discipline. The oracle replays the size-derived |C|/|S| (nested
+    // sqrt scalar subqueries), the two-level argmax (q_ann_graph_hier's
+    // CTEs) and the OR'd bucket condition (q_ann_graph_banded's), so
+    // every cell id, bucket bit, and dup_of is hash-checked.
     "q_semantic_dedup_scaled" -> ((s, dir) => {
       val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = base.filter(col("vec_id") < 100)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
-      val cents = base.filter(col("vec_id") < 64)
+      val nCents = math.max(1L, math.floor(math.sqrt(base.count().toDouble)).toLong)
+      val nSupers = math.max(1L, math.floor(math.sqrt(nCents.toDouble)).toLong)
+      val cents = base.filter(col("vec_id") < nCents)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
       def planesIn(lo: Long, hi: Long) = base
         .filter(col("vec_id") >= lo && col("vec_id") < hi).orderBy("vec_id")
@@ -2241,7 +2246,7 @@ object SparkEntry {
         .map(_.getSeq[Double](0)).toSeq
       SemanticDedup.dedup(base.unionByName(planted), "vec_id", "embedding",
           cents, "centroid_id", "cvec", tau = 0.9,
-          nSupers = 8, bands = Seq(planesIn(0, 2), planesIn(2, 4)))
+          nSupers = nSupers.toInt, bands = Seq(planesIn(0, 2), planesIn(2, 4)))
         .orderBy("vec_id")
     }),
 
@@ -2268,9 +2273,10 @@ object SparkEntry {
     }),
 
     // The increment at the PRODUCTION shape — the daily-ingest twin of
-    // q_semantic_dedup_scaled: scaled codebook (|C|=64), two-level
-    // assignment (|S|=8 head supers) on BOTH the persisted index and
-    // the new batch (parameter-drift discipline: index and probe must
+    // q_semantic_dedup_scaled: size-derived codebook (|C| = ⌊√N⌋ over
+    // the embeddings table, both engines), two-level assignment
+    // (|S| = ⌊√|C|⌋ head supers) on BOTH the persisted index and the
+    // new batch (parameter-drift discipline: index and probe must
     // share the assignment recipe, or cells disagree silently), and
     // both probe joins OR-confined to the same two sign-LSH bands —
     // index bucket bits recomputed from stored vectors at probe time.
@@ -2278,7 +2284,9 @@ object SparkEntry {
     // replays hier argmax + bucket folds for corpus and batch alike.
     "q_semantic_increment_scaled" -> ((s, dir) => {
       val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val cents = base.filter(col("vec_id") < 64)
+      val nCents = math.max(1L, math.floor(math.sqrt(base.count().toDouble)).toLong)
+      val nSupers = math.max(1L, math.floor(math.sqrt(nCents.toDouble)).toLong)
+      val cents = base.filter(col("vec_id") < nCents)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
       def planesIn(lo: Long, hi: Long) = base
         .filter(col("vec_id") >= lo && col("vec_id") < hi).orderBy("vec_id")
@@ -2286,7 +2294,7 @@ object SparkEntry {
         .map(_.getSeq[Double](0)).toSeq
       val corpus = base.filter(col("vec_id") < 250)
       val index = Ann.assignCellsHier(corpus, "vec_id", "embedding",
-        cents, "centroid_id", "cvec", nSupers = 8)
+        cents, "centroid_id", "cvec", nSupers = nSupers.toInt)
       val batch = base.filter(col("vec_id") >= 250)
         .unionByName(base.filter(col("vec_id") < 50)
           .select((col("vec_id") + 20000).as("vec_id"), col("embedding")))
@@ -2294,7 +2302,7 @@ object SparkEntry {
           .select((col("vec_id") + 30000).as("vec_id"), col("embedding")))
       SemanticDedup.semanticIncrement(batch, "vec_id", "embedding",
           index, cents, "centroid_id", "cvec", tau = 0.9,
-          nSupers = 8, bands = Seq(planesIn(0, 2), planesIn(2, 4)))
+          nSupers = nSupers.toInt, bands = Seq(planesIn(0, 2), planesIn(2, 4)))
         .orderBy("vec_id")
     }),
 
@@ -2955,9 +2963,13 @@ object SparkEntry {
     * sums over data-row planes 0-1 / 2-3). Emits `outCte` with
     * (idCol, embedding, cell_id, lb0, lb1); c/sup/pl0/pl1 CTEs are
     * emitted once by the caller via [[semanticHierHeadCtes]]. */
-  private def semanticHierHeadCtes(nCents: Int, nSupers: Int): String =
-    s"""c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $nCents),
-       |sup AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < $nSupers),
+  private def semanticHierHeadCtes: String =
+    s"""c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |      WHERE vec_id < greatest(1, (SELECT CAST(floor(sqrt(count(*))) AS BIGINT)
+       |                                  FROM embeddings))),
+       |sup AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings
+       |        WHERE vec_id < greatest(1, (SELECT CAST(floor(sqrt(floor(sqrt(count(*))))) AS BIGINT)
+       |                                    FROM embeddings))),
        |c2s AS (SELECT cid, sid FROM (
        |  SELECT c.cid, sup.sid,
        |         row_number() OVER (PARTITION BY c.cid
@@ -3000,13 +3012,13 @@ object SparkEntry {
     * assignment through head supers + OR'd two-band confinement of the
     * lower-id tau-pair argmin — replayed end to end, so cell ids,
     * bucket bits, and dup_of all hash-check. */
-  private def semanticDedupHierBandedOracle(nCents: Int, nSupers: Int): String =
+  private def semanticDedupHierBandedOracle: String =
     s"""WITH all_v AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100
        |),
-       |${semanticHierHeadCtes(nCents, nSupers)},
+       |$semanticHierHeadCtes,
        |${semanticHierAssignCtes("all_v", "cells")},
        |dups AS (
        |  SELECT x.vec_id, min(y.vec_id) AS dup_of
@@ -4497,7 +4509,7 @@ object SparkEntry {
       // the SCALED codebook at the full production recipe: two-level
       // assignment (|S|=8 head supers) + two-band OR'd confinement of
       // the pair join — every cell id, bucket bit, and dup_of replayed
-      "q_semantic_dedup_scaled" -> semanticDedupHierBandedOracle(64, 8),
+      "q_semantic_dedup_scaled" -> semanticDedupHierBandedOracle,
 
       // Incremental semantic dedup: same nearest-centroid assignment CTE
       // shape as q_semantic_dedup (row_number over csim DESC, cid = the
@@ -4562,7 +4574,7 @@ object SparkEntry {
            |  UNION ALL
            |  SELECT vec_id + 30000 AS vec_id, embedding FROM embeddings WHERE vec_id >= 250 AND vec_id < 300
            |),
-           |${semanticHierHeadCtes(64, 8)},
+           |$semanticHierHeadCtes,
            |${semanticHierAssignCtes("corpus", "casg")},
            |${semanticHierAssignCtes("batch", "basg")},
            |corpus_hit AS (
