@@ -207,32 +207,46 @@ object PmcRecallProbe {
       Seq(1, 2, 4, 8, 16, 32).foreach(p => ivfRecallRow("head centroids", headCents, p))
       Seq(4, 8, 16, 32).foreach(p => ivfRecallRow("TRAINED centroids", trainedCents, p))
       // IVF-PQ: head codebooks m=8 k=16 (the q_ivfpq knobs), ADC top-100
-      // candidates, exact re-rank — recall vs full brute force
-      val pidx = index.select(
-        concat_ws("#", col("doc_id"), col("chunk_idx")).as("pid"),
-        col("doc_id"), col("chunk_idx"),
-        col("embedding").cast("array<double>").as("vec"))
+      // candidates, exact re-rank — recall vs full brute force. Pq keys
+      // on LONG ids (EncodedVec), so the natural key folds to the same
+      // long uid the graph store uses
+      val pidx = index
+        .withColumn("pid", operators.GraphIndex.uidFor(Seq("doc_id", "chunk_idx")))
+        .select(col("pid"), col("doc_id"), col("chunk_idx"),
+          col("embedding").cast("array<double>").as("vec"))
       val cb = operators.Pq.headCodebooks(pidx, "pid", "vec", m = 8, k = 16)
       val enc = operators.Pq.encode(pidx, "pid", "vec", cb).toDF()
         .select(col("id").as("pid"), col("codes"))
-      val assignedT = operators.Ann.assignCells(pidx, "pid", "vec",
-          trainedCents, "centroid_id", "centroid_vec")
-        .select("pid", "doc_id", "chunk_idx", "vec", "cell_id")
-        .join(enc, "pid").persist()
-      assignedT.count()
-      Seq(8, 16, 32).foreach { p =>
-        val recalls = qvecs.zip(exact).map { case (qv, truth) =>
-          val got = operators.Pq.ivfPqSearchTopK(assignedT, "pid", "vec", cb,
-              trainedCents, "centroid_id", "centroid_vec",
-              qv.toArray, topK = 10, nprobe = p, candidates = 100)
-            .join(pidx.select("pid", "doc_id", "chunk_idx"), "pid")
-            .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSet
-          truth.intersect(got).size / 10.0
+      def ivfPqRows(label: String, cbX: operators.Pq.Codebooks,
+                    encX: org.apache.spark.sql.DataFrame, cand: Int): Unit = {
+        val asg = operators.Ann.assignCells(pidx, "pid", "vec",
+            trainedCents, "centroid_id", "centroid_vec")
+          .select("pid", "doc_id", "chunk_idx", "vec", "cell_id")
+          .join(encX, "pid").persist()
+        asg.count()
+        Seq(8, 16, 32).foreach { p =>
+          val recalls = qvecs.zip(exact).map { case (qv, truth) =>
+            val got = operators.Pq.ivfPqSearchTopK(asg, "pid", "vec", cbX,
+                trainedCents, "centroid_id", "centroid_vec",
+                qv.toArray, topK = 10, nprobe = p, candidates = cand)
+              .join(pidx.select("pid", "doc_id", "chunk_idx"), "pid")
+              .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSet
+            truth.intersect(got).size / 10.0
+          }
+          println(f"IVF-PQ $label cand=$cand nprobe=$p%3d: " +
+            f"mean recall@10 = ${recalls.sum / recalls.length}%.3f (min ${recalls.min}%.2f)")
         }
-        println(f"IVF-PQ TRAINED cents, head codebooks m=8 k=16 cand=100 nprobe=$p%3d: " +
-          f"mean recall@10 = ${recalls.sum / recalls.length}%.3f (min ${recalls.min}%.2f)")
+        asg.unpersist()
       }
-      assignedT.unpersist()
+      ivfPqRows("TRAINED cents, head codebooks m=8 k=16", cb, enc, 100)
+      // trained PQ codebooks — on sparse TF-IDF the head (untrained)
+      // sub-codebooks quantize badly; 2 Lloyd rounds is the honest
+      // "default knobs" row, with a wider re-rank pool alongside
+      val cbT = operators.Pq.train(pidx, "pid", "vec", m = 8, k = 16, iters = 2)
+      val encT = operators.Pq.encode(pidx, "pid", "vec", cbT).toDF()
+        .select(col("id").as("pid"), col("codes"))
+      ivfPqRows("TRAINED cents, TRAINED codebooks m=8 k=16", cbT, encT, 100)
+      ivfPqRows("TRAINED cents, TRAINED codebooks m=8 k=16", cbT, encT, 500)
     }
 
     // ---- `semdedup` mode: planted near-dup recall of SemanticDedup's

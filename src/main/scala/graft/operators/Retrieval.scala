@@ -384,10 +384,18 @@ object Retrieval {
     // bootstrap rebuilds it from every live sidecar; unreadable/absent
     // → full exact join), so a stored id can never bloom-miss; false
     // positives just pay the join they would have paid anyway. It is
-    // OPT-IN because the maintenance (two sidecar writes per append)
-    // costs more than the exact join it replaces until the stored-id
-    // count is large — turn it on around >~10^6 ids, where the
-    // per-append sidecar scan starts to dominate.
+    // OPT-IN, and the round-14 crossover measurement (SCALE.md,
+    // Bm25SegmentProbe `bloom`) corrected the r13 sizing claim: on
+    // local storage the ids-only exact scan is ~flat and cheap
+    // (column-pruned parallel parquet), and at 2^22 bits the filter
+    // SATURATES near ~10^6 stored ids — one batch false positive
+    // forces the sidecar join anyway, so past saturation the bloom
+    // pays its fixed overhead on top of the join it meant to skip
+    // (measured 1.4-1.5× the exact append at 10^6-4×10^6 ids even
+    // after the words-layout fix). The fast path wins only while the
+    // filter stays unsaturated (≲10^5 ids at 2^22 bits ≈ 40+ bits/id)
+    // AND the sidecar scan is the expensive term (cold/remote object
+    // storage, many segments) — that is its honest win condition.
     //
     // The bloom is a STORE-LEVEL property, not a per-call one: once an
     // _idbloom sidecar exists, every append maintains (and may as well
@@ -443,8 +451,7 @@ object Retrieval {
     // over-approximate — safe (a re-ingest of the same ids bloom-hits,
     // exact-confirms against the sidecars, and is correctly accepted).
     if (maintainBloom)
-      writeIdBloom(spark, dir, idCol, batchIds, priorSegs,
-        bootstrap = bloomWords.isEmpty)
+      writeIdBloom(spark, dir, idCol, batchIds, priorSegs, bloomWords)
     val withDl = docs
       .select(col(idCol), alnumTokens(col(textCol)).as("_toks"))
       .withColumn("_dl", size(col("_toks")).cast("long"))
@@ -499,14 +506,23 @@ object Retrieval {
     * gates a scan, it doesn't replace the sidecars). At ~300k stored
     * ids with 3 hashes the false-positive rate is <2%; a fuller filter
     * only means more appends pay the exact join they'd have paid
-    * without the bloom — correctness is unaffected. */
+    * without the bloom — correctness is unaffected. Sizing honesty
+    * (measured, SCALE.md round 14): for the fast path to actually SKIP
+    * the sidecar join, the whole BATCH must bloom-miss, so the per-id
+    * FP rate must stay ≲ 1/|batch| — at 2^22 bits that holds to
+    * roughly 10^5 stored ids for 1000-row batches; past it the filter
+    * saturates and the flag should stay off (or the geometry grow). */
   private val IdBloomBits = 1 << 22
   private[operators] val IdBloomHashes = 3
 
   /** Load the append-guard's ids-bloom as a word-packed bitset, or
     * None when the store has no (readable) sidecar — the caller then
     * falls back to the always-correct full exact join. Any read
-    * problem degrades to None, never to a wrong answer. */
+    * problem degrades to None, never to a wrong answer. Reads the
+    * fixed-size `words` layout (≤ 2^16 nonzero (idx, word) rows however
+    * full the filter), falling back to the legacy `positions` list for
+    * stores written before round 14 — the next append republishes them
+    * in the words layout. */
   private def readIdBloom(spark: SparkSession, dir: String): Option[Array[Long]] = {
     val params = new org.apache.hadoop.fs.Path(s"$dir/_idbloom/_params")
     val fs = params.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -515,7 +531,18 @@ object Retrieval {
       val p = spark.read.parquet(params.toString).head()
       val mBits = p.getAs[Int]("m_bits")
       require(p.getAs[Int]("num_hashes") == IdBloomHashes && mBits % 64 == 0)
-      Some(Sketch.bloomBitset(
+      val wordsPath = new org.apache.hadoop.fs.Path(s"$dir/_idbloom/words")
+      if (fs.exists(wordsPath)) {
+        val out = new Array[Long](mBits >>> 6)
+        spark.read.parquet(wordsPath.toString)
+          .select(col("idx").cast("int"), col("word").cast("long"))
+          .collect().foreach { r =>
+            val i = r.getInt(0)
+            require(i >= 0 && i < out.length, s"bloom word index $i outside bitset")
+            out(i) = r.getLong(1)
+          }
+        Some(out)
+      } else Some(Sketch.bloomBitset(
         spark.read.parquet(s"$dir/_idbloom/positions"), mBits))
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bm25] unreadable _idbloom at '$dir' (${e.getMessage}) — " +
@@ -524,35 +551,52 @@ object Retrieval {
     }
   }
 
-  /** Fold a batch's id bits into the append-guard bloom (plus, on
-    * bootstrap, every live sidecar's — the one-time full derivation).
-    * The sidecar is positions-parquet + a `_params` row, staged to a
-    * sibling dir and swapped in; a crash anywhere in the swap leaves
-    * either the old filter (under-approximate ONLY by the batch whose
-    * segment was also not yet written — still a superset of stored
-    * ids) or no filter (full-join fallback). Size is bounded by
-    * [[IdBloomBits]] distinct positions however large the store. */
+  /** Fold a batch's id bits into the append-guard bloom (plus, when no
+    * readable filter exists yet, every live sidecar's — the one-time
+    * bootstrap). The sidecar stores the word-packed BITSET itself
+    * (nonzero (idx, word) rows — at most 2^16 however many ids are
+    * stored), NOT a position list: the round-14 crossover measurement
+    * showed the position-list maintenance growing with filter
+    * occupancy (≈3·|stored ids| rows re-distincted and rewritten per
+    * append — 2.8× slower than the exact join it was meant to beat at
+    * 10^6 ids), while the words layout keeps every append's
+    * maintenance at one batch-sized aggregate folded into ≤ 2^16 rows.
+    * `oldWords` is the filter the caller already read for its guard
+    * probe, so nothing is read twice. Staged to a sibling dir and
+    * swapped in; a crash anywhere in the swap leaves either the old
+    * filter (under-approximate ONLY by the batch whose segment was
+    * also not yet written — still a superset of stored ids) or no
+    * filter (full-join fallback). */
   private def writeIdBloom(spark: SparkSession, dir: String, idCol: String,
                            batchIds: DataFrame, priorSegs: Seq[String],
-                           bootstrap: Boolean): Unit = {
+                           oldWords: Option[Array[Long]]): Unit = {
     val ids =
-      if (bootstrap && priorSegs.nonEmpty)
+      if (oldWords.isEmpty && priorSegs.nonEmpty)
         priorSegs.map(s => spark.read.parquet(s + "/docs")).reduce(_ unionByName _)
           .unionByName(batchIds)
       else batchIds
-    val newPos = ids.select(explode(Sketch.bloomPositions(
-      col(idCol).cast("string"), IdBloomHashes, IdBloomBits)).as("pos"))
-    val oldPosPath = new org.apache.hadoop.fs.Path(s"$dir/_idbloom/positions")
-    val fs = oldPosPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val allPos = (if (!bootstrap && fs.exists(oldPosPath))
-        newPos.unionByName(spark.read.parquet(oldPosPath.toString))
-      else newPos).distinct()
+    // batch positions → word contributions: a ≤ 2^16-row aggregate
+    // (bit_or per word index) regardless of batch or store size
+    val contrib = ids.select(explode(Sketch.bloomPositions(
+        col(idCol).cast("string"), IdBloomHashes, IdBloomBits)).as("pos"))
+      .select(expr("cast(shiftright(pos, 6) as int) as idx"),
+        expr("shiftleft(cast(1 as bigint), cast(pos & 63 as int)) as w"))
+      .groupBy("idx").agg(expr("bit_or(w) as w"))
+      .collect()
+    val words = oldWords.map(_.clone()).getOrElse(new Array[Long](IdBloomBits >>> 6))
+    contrib.foreach { r => words(r.getInt(0)) |= r.getLong(1) }
+    val sess = spark; import sess.implicits._
+    val nz = words.iterator.zipWithIndex
+      .collect { case (w, i) if w != 0L => (i, w) }.toSeq
     val tmp = new org.apache.hadoop.fs.Path(
       s"$dir/_idbloom_tmp_${java.util.UUID.randomUUID}")
-    allPos.coalesce(1).write.mode("overwrite").parquet(s"$tmp/positions")
+    nz.toDF("idx", "word")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/words")
     spark.range(1)
-      .select(lit(IdBloomBits).as("m_bits"), lit(IdBloomHashes).as("num_hashes"))
+      .select(lit(IdBloomBits).as("m_bits"), lit(IdBloomHashes).as("num_hashes"),
+        lit("words").as("layout"))
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_params")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$dir/_idbloom")
     fs.delete(live, true)
     if (!fs.rename(tmp, live)) {
