@@ -36,14 +36,14 @@ object PmcRecallProbe {
     val n = index.count()
     println(s"PMC index: $n chunks")
 
-    val queries = index.filter(col("chunk_idx") === 0)
+    lazy val queries = index.filter(col("chunk_idx") === 0)
       .orderBy("doc_id").select("chunk_text").limit(20)
       .as[String].collect()
       .map(_.split("\\s+").filter(_.nonEmpty).take(8).mkString(" ")).toSeq
-    val qvecs = queries.map(q =>
+    lazy val qvecs = queries.map(q =>
       operators.Embed.embedQueryTfIdf(spark, q, dfreq, nDocs, dim = 1024).toSeq)
 
-    val exact: Seq[Set[(String, Int)]] = qvecs.map { qv =>
+    lazy val exact: Seq[Set[(String, Int)]] = qvecs.map { qv =>
       operators.Similarity.topK(index, "embedding", qv, 10,
           tieBreak = Seq("doc_id", "chunk_idx"))
         .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSet
@@ -54,7 +54,7 @@ object PmcRecallProbe {
     // positive — one bucket), so the probe centers the plane vectors on
     // the corpus mean, which restores ~balanced sign splits while
     // staying fully deterministic
-    val meanVec = {
+    lazy val meanVec = {
       val sum = index.select(col("embedding").cast("array<double>")).rdd
         .map(_.getSeq[Double](0).toArray)
         .treeReduce { (a, b) =>
@@ -64,17 +64,17 @@ object PmcRecallProbe {
         }
       sum.map(_ / n)
     }
-    val rawPlanes = index.filter(col("chunk_idx") === 0)
+    lazy val rawPlanes = index.filter(col("chunk_idx") === 0)
       .orderBy("doc_id").limit(4)
       .select(col("embedding").cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
-    val centered: Seq[Seq[Double]] =
+    lazy val centered: Seq[Seq[Double]] =
       rawPlanes.map(p => p.zip(meanVec).map { case (x, m) => x - m }.toSeq).toSeq
 
     // TRAINED super book: 2 Lloyd rounds over the corpus from the 13
     // head seeds — the FAISS coarse-quantizer discipline (head-of-
     // codebook supers are a random sample, which routes poorly here)
-    val headSeeds = index.orderBy("doc_id", "chunk_idx").limit(13)
+    lazy val headSeeds = index.orderBy("doc_id", "chunk_idx").limit(13)
       .select(monotonically_increasing_id().as("centroid_id"),
         col("embedding").cast("array<double>").as("centroid_vec"))
     def refine(seeds: org.apache.spark.sql.DataFrame, frac: Double): Seq[Seq[Double]] =
@@ -83,30 +83,30 @@ object PmcRecallProbe {
         .orderBy("centroid_id")
         .select(col("centroid_vec").cast("array<double>")).collect()
         .map(_.getSeq[Double](0)).toSeq
-    val trainedSupers: Seq[Seq[Double]] = refine(headSeeds, 1.0)
+    lazy val trainedSupers: Seq[Seq[Double]] = refine(headSeeds, 1.0)
     // seed/frac DIAGNOSTICS for the buildServing routing collapse
     // (gate said 0.955 on self-including probes, text queries said
     // 0.405): isolate which ingredient differs from the proven recipe
-    val trainedSupersHalf = refine(headSeeds, 0.5)
-    val uidSeeds = index
+    lazy val trainedSupersHalf = refine(headSeeds, 0.5)
+    lazy val uidSeeds = index
       .withColumn("_pid", operators.GraphIndex.uidFor(Seq("doc_id", "chunk_idx")))
       .orderBy("_pid").limit(13)
       .select(monotonically_increasing_id().as("centroid_id"),
         col("embedding").cast("array<double>").as("centroid_vec"))
-    val trainedSupersUid = refine(uidSeeds, 1.0)
-    val trainedSupersUidHalf = refine(uidSeeds, 0.5)
+    lazy val trainedSupersUid = refine(uidSeeds, 1.0)
+    lazy val trainedSupersUidHalf = refine(uidSeeds, 0.5)
 
     // banded OR-amplified edge bands (Ann.centeredPlaneBands over the
     // library path — same centering the hand-rolled planes above use)
-    val withPid = index.withColumn("_pid",
+    lazy val withPid = index.withColumn("_pid",
       operators.GraphIndex.uidFor(Seq("doc_id", "chunk_idx")))
-    val bands2x2 = operators.Ann.centeredPlaneBands(
+    lazy val bands2x2 = operators.Ann.centeredPlaneBands(
       withPid, "_pid", "embedding", nBands = 2, planesPerBand = 2)
-    val bands3x2 = operators.Ann.centeredPlaneBands(
+    lazy val bands3x2 = operators.Ann.centeredPlaneBands(
       withPid, "_pid", "embedding", nBands = 3, planesPerBand = 2)
-    val bandsOrtho2x2 = operators.Ann.orthogonalPlaneBands(
+    lazy val bandsOrtho2x2 = operators.Ann.orthogonalPlaneBands(
       withPid, "_pid", "embedding", nBands = 2, planesPerBand = 2)
-    val bandsOrtho3x2 = operators.Ann.orthogonalPlaneBands(
+    lazy val bandsOrtho3x2 = operators.Ann.orthogonalPlaneBands(
       withPid, "_pid", "embedding", nBands = 3, planesPerBand = 2)
 
     case class Cfg(label: String, nc: Int, nSupers: Int,
@@ -114,7 +114,7 @@ object PmcRecallProbe {
                    supers: Seq[Seq[Double]] = Nil,
                    bands: Seq[Seq[Seq[Double]]] = Nil,
                    m: Int = 16, beam: Int = 32)
-    val allCfgs = Seq(
+    lazy val allCfgs = Seq(
       Cfg("flat |C|=64 (old ServeBench)", 64, 0, Nil),
       Cfg("flat |C|=181 (sqrt-N)", 181, 0, Nil),
       Cfg("hier p=1 |C|=181 |S|=13", 181, 13, Nil, 1),
@@ -143,6 +143,9 @@ object PmcRecallProbe {
       Cfg("DIAG hier p=4 head seeds frac=0.5", 181, 13, Nil, 4, trainedSupersHalf),
       Cfg("DIAG hier p=4 uid seeds frac=1.0", 181, 13, Nil, 4, trainedSupersUid),
       Cfg("DIAG hier p=4 uid seeds frac=0.5", 181, 13, Nil, 4, trainedSupersUidHalf))
+    // diagnostics above are LAZY: a mode that never reads the trained
+    // supers / bands / brute-force truth sets never pays their Spark
+    // jobs (the ivf/semdedup sections build their own inputs).
     // `runMain graft.PmcRecallProbe gated` skips the config sweep;
     // `... banded` runs only the banded rows — the sweep is ~25 min;
     // `... ivf` / `... semdedup` run ONLY their own sections below

@@ -232,11 +232,20 @@ object ServeBench {
     // contending on the one DAG-scheduler event loop, SCALE.md) and
     // FALLS past it — slots ≈ the measured knee, accept queue unbounded
     // (admission control, the reference's 5-way semaphore). Print the
-    // measured recommendation so it travels with every run's output.
+    // measured recommendation so it travels with every run's output —
+    // but only when the sweep actually OBSERVED a knee: a pools=
+    // override runs one level (nothing to compare), and a sweep whose
+    // max sits on the last level never saw throughput fall, so
+    // claiming "more slots reduce throughput" would be unsupported.
     val knee = levels.maxBy(_._6)
-    println(f"SERVE sizing: throughput knee at c=${knee._1} " +
-      f"(${knee._6}%.2f ask/s) — set AskServer(concurrency ≈ ${knee._1}) " +
-      "and let excess requests queue; more slots past the knee REDUCE " +
-      "throughput (driver beam-walk contention, see SCALE.md c=16 table)")
+    if (levels.length > 1 && knee._1 != levels.last._1)
+      println(f"SERVE sizing: throughput knee at c=${knee._1} " +
+        f"(${knee._6}%.2f ask/s) — set AskServer(concurrency ≈ ${knee._1}) " +
+        "and let excess requests queue; more slots past the knee REDUCE " +
+        "throughput (driver beam-walk contention, see SCALE.md c=16 table)")
+    else if (levels.length > 1)
+      println(f"SERVE sizing: throughput still rising at the widest level " +
+        f"measured (c=${knee._1}, ${knee._6}%.2f ask/s) — no knee observed; " +
+        "extend the sweep before sizing the pool")
   }
 }

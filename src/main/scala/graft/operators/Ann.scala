@@ -250,6 +250,13 @@ object Ann {
       s"writeIvfIndexGated: queries must be (query_id, vector), got ${qcols.toSeq}")
     val qDf = queries.select(col(qcols(0)).as("_qid"),
       col(qcols(1)).cast("array<double>").as("_qv"))
+    // refuse the empty workload BEFORE anything is published — throwing
+    // after writeIvfIndex would leave a complete, never-gated store on
+    // disk for a separate serving process to find (the exact artifact
+    // this function exists to prevent)
+    require(!qDf.isEmpty,
+      "writeIvfIndexGated: the query workload produced zero probes — " +
+        "refusing to build a store that would publish ungated")
     writeIvfIndex(assigned, indexDir)
     val w = Window.partitionBy("_qid").orderBy(desc("_sim"), col(idCol))
     def topkOf(scored: DataFrame): Map[Any, Set[Any]] = scored

@@ -420,30 +420,33 @@ object Retrieval {
           .otherwise(lit(null).cast("int"))
       case None => lit(if (priorSegs.isEmpty) null else 1).cast("int")
     }
-    val g = batchIds.withColumn("_hit", hitCol)
-      .agg(count(lit(1)).as("_n"), count_distinct(col(idCol)).as("_nd"),
-        count(col("_hit")).as("_sus")).head()
-    require(g.getLong(0) == g.getLong(1),
-      s"appendBm25Segment: batch for segment '$segment' repeats doc ids " +
-        s"(${g.getLong(0)} rows, ${g.getLong(1)} distinct) — " +
-        "df/N would be silently wrong; deduplicate the batch first")
-    if (g.getLong(2) > 0L && priorSegs.nonEmpty) {
-      // suspects only: bloom hits (or the whole batch when no bloom)
-      val nDup = batchIds.withColumn("_hit", hitCol).filter(col("_hit").isNotNull)
-        .join(priorSegs.map(s => spark.read.parquet(s + "/docs")).reduce(_ unionByName _),
-          Seq(idCol), "left_semi")
-        .count()
-      require(nDup == 0L,
-        s"appendBm25Segment: batch for segment '$segment' duplicates $nDup doc " +
-          s"id(s) already stored in '$dir' — refusing before the segment is " +
-          "written; re-ingest the batch with fresh ids (updates go through " +
-          "compaction to the monolithic layout + its delete lifecycle)")
-    }
-    // every job that reads the broadcast filter has executed (the guard
-    // aggregate above and the suspect join's count) — release it, or a
-    // long-running hourly-append writer accrues one 512 KiB broadcast
-    // per append on the driver and executors indefinitely
-    bloomBc.foreach(_.destroy())
+    // the try/finally releases the broadcast filter even when a guard
+    // REFUSES (a long-running writer retrying a bad batch would
+    // otherwise accrue one 512 KiB broadcast per refused attempt — the
+    // exact leak the destroy exists to prevent); by the finally, every
+    // job that reads it (the guard aggregate, the suspect join's
+    // count) has executed
+    try {
+      val g = batchIds.withColumn("_hit", hitCol)
+        .agg(count(lit(1)).as("_n"), count_distinct(col(idCol)).as("_nd"),
+          count(col("_hit")).as("_sus")).head()
+      require(g.getLong(0) == g.getLong(1),
+        s"appendBm25Segment: batch for segment '$segment' repeats doc ids " +
+          s"(${g.getLong(0)} rows, ${g.getLong(1)} distinct) — " +
+          "df/N would be silently wrong; deduplicate the batch first")
+      if (g.getLong(2) > 0L && priorSegs.nonEmpty) {
+        // suspects only: bloom hits (or the whole batch when no bloom)
+        val nDup = batchIds.withColumn("_hit", hitCol).filter(col("_hit").isNotNull)
+          .join(priorSegs.map(s => spark.read.parquet(s + "/docs")).reduce(_ unionByName _),
+            Seq(idCol), "left_semi")
+          .count()
+        require(nDup == 0L,
+          s"appendBm25Segment: batch for segment '$segment' duplicates $nDup doc " +
+            s"id(s) already stored in '$dir' — refusing before the segment is " +
+            "written; re-ingest the batch with fresh ids (updates go through " +
+            "compaction to the monolithic layout + its delete lifecycle)")
+      }
+    } finally bloomBc.foreach(_.destroy())
     // bloom maintenance, BEFORE anything durable: fold the batch's bits
     // in (and on first use, every live sidecar's — the one-time
     // bootstrap that makes legacy stores eligible). A crash between
@@ -575,15 +578,22 @@ object Retrieval {
         priorSegs.map(s => spark.read.parquet(s + "/docs")).reduce(_ unionByName _)
           .unionByName(batchIds)
       else batchIds
-    // batch positions → word contributions: a ≤ 2^16-row aggregate
+    // fold at the STORED geometry when a filter exists: an existing
+    // sidecar's m_bits wins over the compile-time default, so raising
+    // IdBloomBits later re-geometries only fresh bootstraps — folding
+    // 2^23-hashed positions into a 2^22 array would throw on every
+    // append to every pre-existing store (and silently corrupt the
+    // filter the other way)
+    val mBits = oldWords.map(_.length << 6).getOrElse(IdBloomBits)
+    // batch positions → word contributions: a ≤ mBits/64-row aggregate
     // (bit_or per word index) regardless of batch or store size
     val contrib = ids.select(explode(Sketch.bloomPositions(
-        col(idCol).cast("string"), IdBloomHashes, IdBloomBits)).as("pos"))
+        col(idCol).cast("string"), IdBloomHashes, mBits)).as("pos"))
       .select(expr("cast(shiftright(pos, 6) as int) as idx"),
         expr("shiftleft(cast(1 as bigint), cast(pos & 63 as int)) as w"))
       .groupBy("idx").agg(expr("bit_or(w) as w"))
       .collect()
-    val words = oldWords.map(_.clone()).getOrElse(new Array[Long](IdBloomBits >>> 6))
+    val words = oldWords.map(_.clone()).getOrElse(new Array[Long](mBits >>> 6))
     contrib.foreach { r => words(r.getInt(0)) |= r.getLong(1) }
     val sess = spark; import sess.implicits._
     val nz = words.iterator.zipWithIndex
@@ -593,7 +603,7 @@ object Retrieval {
     nz.toDF("idx", "word")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/words")
     spark.range(1)
-      .select(lit(IdBloomBits).as("m_bits"), lit(IdBloomHashes).as("num_hashes"),
+      .select(lit(mBits).as("m_bits"), lit(IdBloomHashes).as("num_hashes"),
         lit("words").as("layout"))
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_params")
     val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -605,6 +615,21 @@ object Retrieval {
       System.err.println(s"[bm25] could not publish _idbloom at '$dir' — " +
         "appends fall back to the full exact join until one succeeds")
     }
+  }
+
+  /** Retire a store's append-guard bloom. Once an `_idbloom` sidecar
+    * exists every append maintains and probes it (the store-level
+    * superset invariant) — which is a net LOSS once the filter
+    * saturates (measured ~10^5 ids at the default 2^22 bits: past
+    * that, batch false positives force the exact join anyway and the
+    * maintenance is pure overhead; SCALE.md crossover table). This is
+    * the documented escape: deleting the sidecar is always safe — the
+    * guard falls back to the always-correct full exact join, and a
+    * later `idBloom = true` append re-bootstraps a fresh filter from
+    * every live sidecar (at the then-current geometry). */
+  def dropIdBloom(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_idbloom")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   private def listBm25Segments(spark: SparkSession, dir: String): Seq[String] = {

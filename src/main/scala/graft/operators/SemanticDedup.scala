@@ -105,14 +105,16 @@ object SemanticDedup {
     val cells = assign(vecs, idCol, vecCol, centroids, cIdCol, cVecCol,
       nSupers, superProbes, superVecs)
     val keyed = withBandBuckets(cells, bands)
-    val allKeys = keySets(bands).flatten.distinct.map(col)
-    val x = keyed.select(allKeys :+ col("_id").as("_xid") :+ col("_vec").as("_xvec"): _*)
-    val y = keyed.select(allKeys :+ col("_id").as("_yid") :+ col("_vec").as("_yvec"): _*)
-    val candOf = (ks: Seq[String]) =>
+    // each band's join projects only its own key columns, so the other
+    // bands' bucket longs never ride the N^1.5-row in-cell term
+    val candOf = (ks: Seq[String]) => {
+      val x = keyed.select(ks.map(col) :+ col("_id").as("_xid") :+ col("_vec").as("_xvec"): _*)
+      val y = keyed.select(ks.map(col) :+ col("_id").as("_yid") :+ col("_vec").as("_yvec"): _*)
       x.join(y, ks)
         .filter(col("_yid") < col("_xid") &&
           cosine(col("_xvec"), col("_yvec")) >= tau)
         .select(col("_xid"), col("_yid"))
+    }
     val dups = keySets(bands).map(candOf).reduce(_ unionByName _)
       .groupBy(col("_xid"))
       .agg(min(col("_yid")).as("dup_of"))
@@ -138,14 +140,15 @@ object SemanticDedup {
     val cells = assign(vecs, idCol, vecCol, centroids, cIdCol, cVecCol,
       nSupers, superProbes, superVecs)
     val keyed = withBandBuckets(cells, bands)
-    val allKeys = keySets(bands).flatten.distinct.map(col)
-    val x = keyed.select(allKeys :+ col("_id").as("id_a") :+ col("_vec").as("_xvec"): _*)
-    val y = keyed.select(allKeys :+ col("_id").as("id_b") :+ col("_vec").as("_yvec"): _*)
-    val candOf = (ks: Seq[String]) =>
+    // per-band key projection, like dedup: nothing extra rides the wire
+    val candOf = (ks: Seq[String]) => {
+      val x = keyed.select(ks.map(col) :+ col("_id").as("id_a") :+ col("_vec").as("_xvec"): _*)
+      val y = keyed.select(ks.map(col) :+ col("_id").as("id_b") :+ col("_vec").as("_yvec"): _*)
       x.join(y, ks)
         .filter(col("id_a") < col("id_b") &&
           cosine(col("_xvec"), col("_yvec")) >= tau)
         .select(col("id_a"), col("id_b"))
+    }
     val all = keySets(bands).map(candOf).reduce(_ unionByName _)
     if (bands.length > 1) all.distinct() else all
   }

@@ -80,6 +80,11 @@ class AnnSpec extends AnyFunSuite {
         nprobe = 2, k = 10, recallFloor = 0.9)
     }
     assert(e2.getMessage.contains("zero probes"), e2.getMessage)
+    // the refusal must come BEFORE the store is written — an ungated
+    // store left on disk is exactly what the gate exists to prevent
+    assert(!new java.io.File(s"$dir3").exists() ||
+      new java.io.File(s"$dir3").list().isEmpty,
+      "empty-workload refusal must not publish a store")
   }
 
   test("hierarchical assignment: nSupers = |C| is exactly flat assignCells") {
