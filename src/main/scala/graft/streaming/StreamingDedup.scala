@@ -362,18 +362,45 @@ object StreamingDedup {
     * codebook differs in ANY id or vector is refused. The inline guard
     * in `semanticIncrement` only catches alien cell IDS — two drifted
     * codebooks with the same id set would silently mis-route probes to
-    * the wrong cells; byte-equality on the sidecar catches that too. */
+    * the wrong cells; byte-equality on the sidecar catches that too.
+    *
+    * The production assignment/confinement knobs
+    * (`nSupers`/`superProbes`/`superVecs` two-level routing, `bands`
+    * OR-confined probes — see [[graft.operators.SemanticDedup]]) pass
+    * through, and they widen the drift surface the same way the
+    * codebook does: hier routing can assign a vector a DIFFERENT
+    * (valid) cell than flat, so an index built at one recipe probed at
+    * another silently misses. The `_recipe` sidecar therefore persists
+    * the complete recipe (knob values, super vectors, band planes) and
+    * any mismatch refuses exactly like codebook drift. */
   def incrementalSemanticStream(vecs: DataFrame, idCol: String, vecCol: String,
                                 centroids: DataFrame, cIdCol: String, cVecCol: String,
                                 indexDir: String, outDir: String, checkpoint: String,
-                                tau: Double): org.apache.spark.sql.streaming.StreamingQuery =
+                                tau: Double, nSupers: Int = 0, superProbes: Int = 1,
+                                superVecs: Seq[Seq[Double]] = Nil,
+                                bands: Seq[Seq[Seq[Double]]] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processSemanticIncrement(batch, batchId, idCol, vecCol,
-          centroids, cIdCol, cVecCol, indexDir, outDir, tau)
+          centroids, cIdCol, cVecCol, indexDir, outDir, tau,
+          nSupers, superProbes, superVecs, bands)
       }
       .start()
+
+  /** Canonical JSON of the assignment/confinement recipe — the value
+    * the `_recipe` sidecar stores and every probe must match. Doubles
+    * print via Scala's shortest-roundtrip toString, so equal values
+    * always render equal strings. */
+  private def semanticRecipeJson(nSupers: Int, superProbes: Int,
+                                 superVecs: Seq[Seq[Double]],
+                                 bands: Seq[Seq[Seq[Double]]]): String = {
+    def a1(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+    def a2(xs: Seq[Seq[Double]]) = xs.map(a1).mkString("[", ",", "]")
+    def a3(xs: Seq[Seq[Seq[Double]]]) = xs.map(a2).mkString("[", ",", "]")
+    s"""{"nSupers":$nSupers,"superProbes":$superProbes,""" +
+      s""""superVecs":${a2(superVecs)},"bands":${a3(bands)}}"""
+  }
 
   /** One micro-batch of [[incrementalSemanticStream]] — testable replay
     * contract, as with [[processIncrement]]. */
@@ -382,12 +409,17 @@ object StreamingDedup {
                                               centroids: DataFrame,
                                               cIdCol: String, cVecCol: String,
                                               indexDir: String, outDir: String,
-                                              tau: Double): Unit = {
+                                              tau: Double, nSupers: Int = 0,
+                                              superProbes: Int = 1,
+                                              superVecs: Seq[Seq[Double]] = Nil,
+                                              bands: Seq[Seq[Seq[Double]]] = Nil): Unit = {
     val spark = batch.sparkSession
     val idxPath = new org.apache.hadoop.fs.Path(indexDir)
     val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = centroids.select(col(cIdCol).as("cell_id"), col(cVecCol).as("cvec"))
     val cbPath = new org.apache.hadoop.fs.Path(s"$indexDir/_codebook")
+    val recipePath = new org.apache.hadoop.fs.Path(s"$indexDir/_recipe")
+    val recipe = semanticRecipeJson(nSupers, superProbes, superVecs, bands)
     if (fs.exists(cbPath)) {
       val stored = spark.read.parquet(cbPath.toString)
       val drift = stored.exceptAll(cur).count() + cur.exceptAll(stored).count()
@@ -395,6 +427,19 @@ object StreamingDedup {
         s"incrementalSemanticStream: vector index at $indexDir was assigned " +
           s"under a different codebook than this probe's ($drift centroid " +
           "rows differ) — probing it would mis-route vectors to wrong cells")
+      // legacy stores (pre-recipe sidecar) were assigned flat — their
+      // missing sidecar means the default recipe, which the canonical
+      // JSON of (0, 1, Nil, Nil) IS, so the comparison still applies
+      val storedRecipe =
+        if (fs.exists(recipePath))
+          spark.read.parquet(recipePath.toString).head().getString(0)
+        else semanticRecipeJson(0, 1, Nil, Nil)
+      require(storedRecipe == recipe,
+        s"incrementalSemanticStream: vector index at $indexDir was assigned " +
+          s"under a different RECIPE than this probe's (stored $storedRecipe " +
+          s"vs probe $recipe) — hier routing/banding can place the same " +
+          "vector in a different cell or bucket, so probing would silently " +
+          "miss stored near-duplicates")
     }
     val existing: DataFrame =
       if (fs.exists(idxPath))
@@ -407,7 +452,8 @@ object StreamingDedup {
           .withColumn("cell_id", lit(null).cast(cType))
       }
     val verdicts = graft.operators.SemanticDedup.semanticIncrement(
-      batch, idCol, vecCol, existing, centroids, cIdCol, cVecCol, tau)
+      batch, idCol, vecCol, existing, centroids, cIdCol, cVecCol, tau,
+      nSupers, superProbes, superVecs, bands)
     verdicts.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
     // index rows for the COMMITTED `new` rows only (read-back, as in the
     // other tiers): the verdict sink's cell_id rides along so the index
@@ -418,10 +464,15 @@ object StreamingDedup {
     batch.select(col(idCol), col(vecCol))
       .join(newRows, Seq(idCol))
       .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-    // persist the codebook once the index exists (idempotent on replay:
-    // same call → same codebook, validated above)
+    // persist the codebook + recipe once the index exists (idempotent
+    // on replay: same call → same codebook/recipe, validated above)
     if (!fs.exists(cbPath))
       cur.coalesce(1).write.mode("overwrite").parquet(cbPath.toString)
+    if (!fs.exists(recipePath)) {
+      val sess = spark; import sess.implicits._
+      Seq(recipe).toDF("recipe")
+        .coalesce(1).write.mode("overwrite").parquet(recipePath.toString)
+    }
   }
 
   /** The GRAPH incremental loop — live maintenance of the HNSW-analog

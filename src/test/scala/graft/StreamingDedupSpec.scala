@@ -470,6 +470,45 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("different codebook"), e.getMessage)
   }
 
+  test("semantic loop: production recipe passes through; recipe drift refuses loudly") {
+    // the hier/banded knobs widen the drift surface beyond the codebook:
+    // the same vector can land in a DIFFERENT valid cell under a
+    // different recipe, so the _recipe sidecar must refuse a mismatched
+    // probe exactly like codebook drift
+    val ySign = Seq(Seq(0.0, 1.0)); val xSign = Seq(Seq(1.0, 0.0))
+    val root = Files.createTempDirectory("graft_semrecipe").toFile.getAbsolutePath
+    def run(b: org.apache.spark.sql.DataFrame, id: Long,
+            nSupers: Int, bands: Seq[Seq[Seq[Double]]]): Unit =
+      StreamingDedup.processSemanticIncrement(b, id, "vec_id", "vec",
+        semCents, "cid", "cvec", s"$root/index", s"$root/out", tau = 0.98,
+        nSupers = nSupers, superProbes = 4, bands = bands)
+    val b0 = Seq((1L, onCircle(0)), (2L, onCircle(90))).toDF("vec_id", "vec")
+    run(b0, 0L, 2, Seq(ySign, xSign))
+    assert(new java.io.File(s"$root/index/_recipe").exists,
+      "the recipe sidecar must persist with the index")
+    // same recipe: a near-copy of a stored vector is caught across batches
+    val b1 = Seq((3L, onCircle(1))).toDF("vec_id", "vec")
+    run(b1, 1L, 2, Seq(ySign, xSign))
+    val got = spark.read.parquet(s"$root/out")
+      .select("vec_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "new", 2L -> "new", 3L -> "dup_corpus"), s"got $got")
+    // drifted recipe (flat, no bands) against the hier+banded index: refuse
+    val b2 = Seq((4L, onCircle(45))).toDF("vec_id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.processSemanticIncrement(b2, 2L, "vec_id", "vec",
+        semCents, "cid", "cvec", s"$root/index", s"$root/out", tau = 0.98)
+    }
+    assert(e.getMessage.contains("different RECIPE"), e.getMessage)
+    // a store with NO _recipe sidecar reads as the flat-default legacy
+    // recipe, so a hier probe against it refuses too
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$root/index/_recipe"))
+    val e2 = intercept[IllegalArgumentException] {
+      run(b2, 2L, 2, Seq(ySign, xSign))
+    }
+    assert(e2.getMessage.contains("different RECIPE"), e2.getMessage)
+  }
+
   // ---- graph incremental loop (live HNSW-analog index maintenance) ----
 
   test("excise loop: spans duplicated against earlier batches are removed; stream ≡ batch on id-ordered input") {
