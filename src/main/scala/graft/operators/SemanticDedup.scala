@@ -102,8 +102,12 @@ object SemanticDedup {
             tau: Double, nSupers: Int = 0, superProbes: Int = 1,
             superVecs: Seq[Seq[Double]] = Nil,
             bands: Seq[Seq[Seq[Double]]] = Nil): DataFrame = {
-    val cells = assign(vecs, idCol, vecCol, centroids, cIdCol, cVecCol,
+    // with R > 1 bands the assignment feeds 2R join sides (plus the
+    // final left join) — materialize it once instead of re-paying the
+    // map-side argmax per scan (semanticIncrement's discipline)
+    val cells0 = assign(vecs, idCol, vecCol, centroids, cIdCol, cVecCol,
       nSupers, superProbes, superVecs)
+    val cells = if (bands.length > 1) graft.Materialize(cells0) else cells0
     val keyed = withBandBuckets(cells, bands)
     // each band's join projects only its own key columns, so the other
     // bands' bucket longs never ride the N^1.5-row in-cell term
@@ -137,8 +141,10 @@ object SemanticDedup {
             tau: Double, nSupers: Int = 0, superProbes: Int = 1,
             superVecs: Seq[Seq[Double]] = Nil,
             bands: Seq[Seq[Seq[Double]]] = Nil): DataFrame = {
-    val cells = assign(vecs, idCol, vecCol, centroids, cIdCol, cVecCol,
+    // R > 1 bands scan the assignment 2R times — materialize, as in dedup
+    val cells0 = assign(vecs, idCol, vecCol, centroids, cIdCol, cVecCol,
       nSupers, superProbes, superVecs)
+    val cells = if (bands.length > 1) graft.Materialize(cells0) else cells0
     val keyed = withBandBuckets(cells, bands)
     // per-band key projection, like dedup: nothing extra rides the wire
     val candOf = (ks: Seq[String]) => {

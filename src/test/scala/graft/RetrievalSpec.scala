@@ -455,6 +455,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicates"), e.getMessage)
     assert(!new java.io.File(s"$dir/segments/s3").exists(),
       "refused append must not leave a segment behind")
+    // the documented retire path for a saturated filter: dropping the
+    // sidecar is safe (guard degrades to the full exact join — still
+    // refuses dups), default appends stop maintaining it, and a later
+    // bloom append re-bootstraps a fresh filter that knows EVERY
+    // stored id, including ones appended while retired
+    Retrieval.dropIdBloom(spark, dir)
+    assert(!new java.io.File(s"$dir/_idbloom").exists())
+    val e2 = intercept[IllegalArgumentException] {
+      Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 1L),
+        "doc_id", "text", dir, "s3")
+    }
+    assert(e2.getMessage.contains("duplicates"), e2.getMessage)
+    Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 3L),
+      "doc_id", "text", dir, "s3")
+    assert(!new java.io.File(s"$dir/_idbloom").exists(),
+      "a retired store must stay retired under default appends")
+    Retrieval.appendBm25Segment(
+      Seq((9L, "fresh row")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, "s4", idBloom = true)
+    val e3 = intercept[IllegalArgumentException] {
+      Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 3L),
+        "doc_id", "text", dir, "s5", idBloom = true)
+    }
+    assert(e3.getMessage.contains("duplicates"),
+      s"re-bootstrapped bloom must know ids stored while retired: ${e3.getMessage}")
   }
 
   test("interrupted in-place compaction: marker blocks probes, recovery completes the swap") {
