@@ -102,12 +102,16 @@ object SemanticDedup {
             tau: Double, nSupers: Int = 0, superProbes: Int = 1,
             superVecs: Seq[Seq[Double]] = Nil,
             bands: Seq[Seq[Seq[Double]]] = Nil): DataFrame = {
-    // with R > 1 bands the assignment feeds 2R join sides (plus the
-    // final left join) — materialize it once instead of re-paying the
-    // map-side argmax per scan (semanticIncrement's discipline)
+    // the assignment feeds 2R band-join sides plus the final left join
+    // — whenever it is non-trivial (two-level routing) or scanned more
+    // than the flat baseline's three times (R > 1 bands), materialize
+    // it once instead of re-paying the map-side argmax per scan
+    // (semanticIncrement's discipline); the flat band-less default
+    // keeps its original plan untouched
     val cells0 = assign(vecs, idCol, vecCol, centroids, cIdCol, cVecCol,
       nSupers, superProbes, superVecs)
-    val cells = if (bands.length > 1) graft.Materialize(cells0) else cells0
+    val cells =
+      if (bands.length > 1 || nSupers > 0) graft.Materialize(cells0) else cells0
     val keyed = withBandBuckets(cells, bands)
     // each band's join projects only its own key columns, so the other
     // bands' bucket longs never ride the N^1.5-row in-cell term
@@ -141,10 +145,11 @@ object SemanticDedup {
             tau: Double, nSupers: Int = 0, superProbes: Int = 1,
             superVecs: Seq[Seq[Double]] = Nil,
             bands: Seq[Seq[Seq[Double]]] = Nil): DataFrame = {
-    // R > 1 bands scan the assignment 2R times — materialize, as in dedup
+    // same materialization rule as dedup: hier routing or R > 1 bands
     val cells0 = assign(vecs, idCol, vecCol, centroids, cIdCol, cVecCol,
       nSupers, superProbes, superVecs)
-    val cells = if (bands.length > 1) graft.Materialize(cells0) else cells0
+    val cells =
+      if (bands.length > 1 || nSupers > 0) graft.Materialize(cells0) else cells0
     val keyed = withBandBuckets(cells, bands)
     // per-band key projection, like dedup: nothing extra rides the wire
     val candOf = (ks: Seq[String]) => {

@@ -390,12 +390,17 @@ object StreamingDedup {
 
   /** Canonical JSON of the assignment/confinement recipe — the value
     * the `_recipe` sidecar stores and every probe must match. Doubles
-    * print via Scala's shortest-roundtrip toString, so equal values
-    * always render equal strings. */
+    * print via Scala's shortest-roundtrip toString with negative zero
+    * folded to 0.0 first (−0.0 == 0.0 numerically and hashes/assigns
+    * identically, but renders differently — without the fold a recipe
+    * re-derived with the opposite zero sign would be spuriously
+    * refused forever), so numerically equal recipes always render
+    * equal strings. */
   private def semanticRecipeJson(nSupers: Int, superProbes: Int,
                                  superVecs: Seq[Seq[Double]],
                                  bands: Seq[Seq[Seq[Double]]]): String = {
-    def a1(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+    def a1(xs: Seq[Double]) =
+      xs.map(x => if (x == 0.0) 0.0 else x).mkString("[", ",", "]")
     def a2(xs: Seq[Seq[Double]]) = xs.map(a1).mkString("[", ",", "]")
     def a3(xs: Seq[Seq[Seq[Double]]]) = xs.map(a2).mkString("[", ",", "]")
     s"""{"nSupers":$nSupers,"superProbes":$superProbes,""" +
@@ -464,15 +469,21 @@ object StreamingDedup {
     batch.select(col(idCol), col(vecCol))
       .join(newRows, Seq(idCol))
       .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-    // persist the codebook + recipe once the index exists (idempotent
-    // on replay: same call → same codebook/recipe, validated above)
-    if (!fs.exists(cbPath))
-      cur.coalesce(1).write.mode("overwrite").parquet(cbPath.toString)
+    // persist the recipe + codebook once the index exists (idempotent
+    // on replay: same call → same codebook/recipe, validated above).
+    // RECIPE FIRST: the drift guard triggers on the codebook sidecar's
+    // existence and reads a missing recipe as the flat legacy default,
+    // so writing the codebook first would open a crash window where a
+    // non-default-recipe stream's own checkpoint replay is refused
+    // forever; recipe-without-codebook just skips the guard and the
+    // replay rewrites both.
     if (!fs.exists(recipePath)) {
       val sess = spark; import sess.implicits._
       Seq(recipe).toDF("recipe")
         .coalesce(1).write.mode("overwrite").parquet(recipePath.toString)
     }
+    if (!fs.exists(cbPath))
+      cur.coalesce(1).write.mode("overwrite").parquet(cbPath.toString)
   }
 
   /** The GRAPH incremental loop — live maintenance of the HNSW-analog
