@@ -191,24 +191,29 @@ object PmcRecallProbe {
           col("embedding").cast("array<double>").as("centroid_vec"))
       val trainedCents = operators.Ann.kmeansRefine(index, "doc_id", "embedding",
         headCents, dim = 1024, iters = 2)
-      def ivfRecallRow(label: String, cents: org.apache.spark.sql.DataFrame,
-                       nprobe: Int): Double = {
+      // assign ONCE per centroid set and persist: the nprobe sweep
+      // below probes the same assignment 4-6 times × 20 queries each
+      def ivfRecallRows(label: String, cents: org.apache.spark.sql.DataFrame,
+                        nprobes: Seq[Int]): Unit = {
         val assigned = operators.Ann.assignCells(index, "doc_id", "embedding",
-          cents, "centroid_id", "centroid_vec")
-        val recalls = qvecs.zip(exact).map { case (qv, truth) =>
-          val got = operators.Ann.ivfCandidates(assigned, "embedding",
-              cents, "centroid_id", "centroid_vec", qv, nprobe)
-            .orderBy(desc("sim"), col("doc_id"), col("chunk_idx")).limit(10)
-            .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSet
-          truth.intersect(got).size / 10.0
+          cents, "centroid_id", "centroid_vec").persist()
+        assigned.count()
+        nprobes.foreach { nprobe =>
+          val recalls = qvecs.zip(exact).map { case (qv, truth) =>
+            val got = operators.Ann.ivfCandidates(assigned, "embedding",
+                cents, "centroid_id", "centroid_vec", qv, nprobe)
+              .orderBy(desc("sim"), col("doc_id"), col("chunk_idx")).limit(10)
+              .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSet
+            truth.intersect(got).size / 10.0
+          }
+          val r = recalls.sum / recalls.length
+          println(f"IVF $label%-28s |C|=$nCents nprobe=$nprobe%3d: mean recall@10 = $r%.3f " +
+            f"(min ${recalls.min}%.2f)")
         }
-        val r = recalls.sum / recalls.length
-        println(f"IVF $label%-28s |C|=$nCents nprobe=$nprobe%3d: mean recall@10 = $r%.3f " +
-          f"(min ${recalls.min}%.2f)")
-        r
+        assigned.unpersist()
       }
-      Seq(1, 2, 4, 8, 16, 32).foreach(p => ivfRecallRow("head centroids", headCents, p))
-      Seq(4, 8, 16, 32).foreach(p => ivfRecallRow("TRAINED centroids", trainedCents, p))
+      ivfRecallRows("head centroids", headCents, Seq(1, 2, 4, 8, 16, 32))
+      ivfRecallRows("TRAINED centroids", trainedCents, Seq(4, 8, 16, 32))
       // IVF-PQ: head codebooks m=8 k=16 (the q_ivfpq knobs), ADC top-100
       // candidates, exact re-rank — recall vs full brute force. Pq keys
       // on LONG ids (EncodedVec), so the natural key folds to the same

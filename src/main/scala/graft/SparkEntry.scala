@@ -2979,33 +2979,34 @@ object SparkEntry {
        |pl1 AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings
        |        WHERE vec_id >= 2 AND vec_id < 4)""".stripMargin
 
-  private def semanticHierAssignCtes(srcCte: String, outCte: String): String =
-    s"""${srcCte}_v2s AS (SELECT vec_id, sid FROM (
-       |  SELECT v.vec_id, sup.sid,
-       |         row_number() OVER (PARTITION BY v.vec_id
+  private def semanticHierAssignCtes(srcCte: String, outCte: String,
+                                     idCol: String = "vec_id"): String =
+    s"""${srcCte}_v2s AS (SELECT $idCol, sid FROM (
+       |  SELECT v.$idCol, sup.sid,
+       |         row_number() OVER (PARTITION BY v.$idCol
        |           ORDER BY ${dCosine("v.embedding", "sup.sv")} DESC, sup.sid) AS rn
        |  FROM $srcCte v, sup) WHERE rn = 1),
        |${srcCte}_asg AS (
-       |  SELECT vec_id, embedding, cid AS cell_id FROM (
-       |    SELECT v.vec_id, v.embedding, c.cid,
-       |           row_number() OVER (PARTITION BY v.vec_id
+       |  SELECT $idCol, embedding, cid AS cell_id FROM (
+       |    SELECT v.$idCol, v.embedding, c.cid,
+       |           row_number() OVER (PARTITION BY v.$idCol
        |             ORDER BY ${dCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
        |    FROM $srcCte v
-       |    JOIN ${srcCte}_v2s s ON v.vec_id = s.vec_id
+       |    JOIN ${srcCte}_v2s s ON v.$idCol = s.$idCol
        |    JOIN c2s ON c2s.sid = s.sid
        |    JOIN c ON c.cid = c2s.cid) x WHERE rn = 1
        |),
        |${srcCte}_b0 AS (
-       |  SELECT a.vec_id, a.embedding, a.cell_id,
+       |  SELECT a.$idCol, a.embedding, a.cell_id,
        |         CAST(sum(CASE WHEN ${dDot("a.embedding", "pl0.pv")} > 0
        |                       THEN CAST(pow(2, pl0.pid) AS BIGINT) ELSE 0 END) AS BIGINT) AS lb0
-       |  FROM ${srcCte}_asg a, pl0 GROUP BY a.vec_id, a.embedding, a.cell_id
+       |  FROM ${srcCte}_asg a, pl0 GROUP BY a.$idCol, a.embedding, a.cell_id
        |),
        |$outCte AS (
-       |  SELECT b.vec_id, b.embedding, b.cell_id, b.lb0,
+       |  SELECT b.$idCol, b.embedding, b.cell_id, b.lb0,
        |         CAST(sum(CASE WHEN ${dDot("b.embedding", "pl1.pv")} > 0
        |                       THEN CAST(pow(2, pl1.pid - 2) AS BIGINT) ELSE 0 END) AS BIGINT) AS lb1
-       |  FROM ${srcCte}_b0 b, pl1 GROUP BY b.vec_id, b.embedding, b.cell_id, b.lb0
+       |  FROM ${srcCte}_b0 b, pl1 GROUP BY b.$idCol, b.embedding, b.cell_id, b.lb0
        |)""".stripMargin
 
   /** q_semantic_dedup_scaled: the production recipe — two-level
@@ -3312,11 +3313,12 @@ object SparkEntry {
         |       min(quality) AS min_quality, max(quality) AS max_quality""".stripMargin
     // The semantic-tier extension: planted-paraphrase input, the shared
     // t → surv chain, then SemDeDup over survivors that HAVE an
-    // embedding row (vectorless pass through) at the PRODUCTION recipe:
-    // two-level assignment (sup/c2s/v2s — the q_ann_graph_hier CTEs,
-    // |S| = ⌊√|C|⌋ size-derived by the nested-sqrt scalar subquery) and
-    // the pair join OR-confined to two 2-plane sign-LSH bands
-    // (q_ann_graph_banded's bucket folds over data-row planes 0-1/2-3).
+    // embedding row (vectorless pass through) at the PRODUCTION recipe —
+    // the SAME shared CTE blocks the scaled-dedup oracles use
+    // (semanticHierHeadCtes: size-derived c/sup + routing + band
+    // planes; semanticHierAssignCtes: two-level argmax + bucket folds,
+    // keyed here by doc_id), so the recipe replay cannot drift between
+    // the curation chain and the standalone queries.
     val dCurationSemanticCtes: String =
       s"""docs0 AS (
          |  SELECT doc_id, text FROM documents
@@ -3331,48 +3333,9 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
          |),
-         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-         |      WHERE vec_id < greatest(1, (SELECT CAST(floor(sqrt(count(*))) AS BIGINT)
-         |                                  FROM embeddings))),
-         |sup AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings
-         |        WHERE vec_id < greatest(1, (SELECT CAST(floor(sqrt(floor(sqrt(count(*))))) AS BIGINT)
-         |                                    FROM embeddings))),
-         |c2s AS (SELECT cid, sid FROM (
-         |  SELECT c.cid, sup.sid,
-         |         row_number() OVER (PARTITION BY c.cid
-         |           ORDER BY ${dCosine("c.cv", "sup.sv")} DESC, sup.sid) AS rn
-         |  FROM c, sup) WHERE rn = 1),
+         |$semanticHierHeadCtes,
          |sv AS (SELECT surv.doc_id, emb.embedding FROM surv JOIN emb ON surv.doc_id = emb.vec_id),
-         |v2s AS (SELECT doc_id, sid FROM (
-         |  SELECT v.doc_id, sup.sid,
-         |         row_number() OVER (PARTITION BY v.doc_id
-         |           ORDER BY ${dCosine("v.embedding", "sup.sv")} DESC, sup.sid) AS rn
-         |  FROM sv v, sup) WHERE rn = 1),
-         |asg AS (
-         |  SELECT doc_id, embedding, cid AS cell_id FROM (
-         |    SELECT v.doc_id, v.embedding, c.cid,
-         |           row_number() OVER (PARTITION BY v.doc_id
-         |             ORDER BY ${dCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
-         |    FROM sv v
-         |    JOIN v2s ON v.doc_id = v2s.doc_id
-         |    JOIN c2s ON c2s.sid = v2s.sid
-         |    JOIN c ON c.cid = c2s.cid) x WHERE rn = 1
-         |),
-         |spl0 AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings WHERE vec_id < 2),
-         |spl1 AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings
-         |         WHERE vec_id >= 2 AND vec_id < 4),
-         |asgA AS (
-         |  SELECT a.doc_id, a.embedding, a.cell_id,
-         |         CAST(sum(CASE WHEN ${dDot("a.embedding", "spl0.pv")} > 0
-         |                       THEN CAST(pow(2, spl0.pid) AS BIGINT) ELSE 0 END) AS BIGINT) AS lb0
-         |  FROM asg a, spl0 GROUP BY a.doc_id, a.embedding, a.cell_id
-         |),
-         |asgB AS (
-         |  SELECT aa.doc_id, aa.embedding, aa.cell_id, aa.lb0,
-         |         CAST(sum(CASE WHEN ${dDot("aa.embedding", "spl1.pv")} > 0
-         |                       THEN CAST(pow(2, spl1.pid - 2) AS BIGINT) ELSE 0 END) AS BIGINT) AS lb1
-         |  FROM asgA aa, spl1 GROUP BY aa.doc_id, aa.embedding, aa.cell_id, aa.lb0
-         |),
+         |${semanticHierAssignCtes("sv", "asgB", "doc_id")},
          |sdrops AS (
          |  SELECT DISTINCT y.doc_id FROM asgB y
          |  JOIN asgB x ON y.cell_id = x.cell_id AND x.doc_id < y.doc_id

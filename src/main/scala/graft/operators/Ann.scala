@@ -258,40 +258,48 @@ object Ann {
       "writeIvfIndexGated: the query workload produced zero probes — " +
         "refusing to build a store that would publish ungated")
     writeIvfIndex(assigned, indexDir)
-    val w = Window.partitionBy("_qid").orderBy(desc("_sim"), col(idCol))
-    def topkOf(scored: DataFrame): Map[Any, Set[Any]] = scored
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
-      .select(col("_qid"), col(idCol))
-      .collect().groupBy(_.get(0)).map { case (q, rs) => q -> rs.map(_.get(1)).toSet }
-    val exact = topkOf(assigned.crossJoin(broadcast(qDf))
-      .withColumn("_sim", cosine(col(vecCol), col("_qv"))))
-    // probe the PUBLISHED store, not the in-memory assignment — the
-    // artifact on disk is what serving reads, so it is what gets gated
-    val wc = Window.partitionBy("_qid").orderBy(desc("_csim"), col(cIdCol))
-    val probeCells = centroids.crossJoin(broadcast(qDf))
-      .withColumn("_csim", cosine(col(cVecCol), col("_qv")))
-      .withColumn("_crn", row_number().over(wc)).filter(col("_crn") <= nprobe)
-      .select(col("_qid"), col("_qv"), col(cIdCol).as("cell_id"))
-    val got = topkOf(spark.read.parquet(indexDir)
-      .join(broadcast(probeCells), "cell_id")
-      .withColumn("_sim", cosine(col(vecCol), col("_qv"))))
-    val recalls = exact.toSeq.map { case (q, truth) =>
-      truth.intersect(got.getOrElse(q, Set.empty)).size.toDouble / k
-    }
-    require(recalls.nonEmpty,
-      "writeIvfIndexGated: the query workload produced zero probes — " +
-        "refusing to report a recall over nothing")
-    val recall = recalls.sum / recalls.length
-    if (recall < recallFloor) {
+    def deleteStore(): Unit = {
       val p = new org.apache.hadoop.fs.Path(indexDir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      throw new IllegalStateException(
-        f"Ann.writeIvfIndexGated: measured recall@$k = $recall%.3f over " +
-          f"${recalls.length} probes is below the floor $recallFloor%.2f " +
-          s"(nprobe=$nprobe) — the store was deleted, not published. Raise " +
-          "nprobe / retrain the codebook, or lower the floor deliberately.")
     }
-    recall
+    // from here the store is on disk but NOT yet gated: any failure in
+    // the measurement (empty assignment → zero truth sets, a thrown
+    // job, the floor breach itself) must remove it before propagating,
+    // or a separate serving process finds a complete, never-gated
+    // store — the exact artifact this function exists to prevent
+    try {
+      val w = Window.partitionBy("_qid").orderBy(desc("_sim"), col(idCol))
+      def topkOf(scored: DataFrame): Map[Any, Set[Any]] = scored
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+        .select(col("_qid"), col(idCol))
+        .collect().groupBy(_.get(0)).map { case (q, rs) => q -> rs.map(_.get(1)).toSet }
+      val exact = topkOf(assigned.crossJoin(broadcast(qDf))
+        .withColumn("_sim", cosine(col(vecCol), col("_qv"))))
+      // probe the PUBLISHED store, not the in-memory assignment — the
+      // artifact on disk is what serving reads, so it is what gets gated
+      val wc = Window.partitionBy("_qid").orderBy(desc("_csim"), col(cIdCol))
+      val probeCells = centroids.crossJoin(broadcast(qDf))
+        .withColumn("_csim", cosine(col(cVecCol), col("_qv")))
+        .withColumn("_crn", row_number().over(wc)).filter(col("_crn") <= nprobe)
+        .select(col("_qid"), col("_qv"), col(cIdCol).as("cell_id"))
+      val got = topkOf(spark.read.parquet(indexDir)
+        .join(broadcast(probeCells), "cell_id")
+        .withColumn("_sim", cosine(col(vecCol), col("_qv"))))
+      val recalls = exact.toSeq.map { case (q, truth) =>
+        truth.intersect(got.getOrElse(q, Set.empty)).size.toDouble / k
+      }
+      require(recalls.nonEmpty,
+        "writeIvfIndexGated: the measurement produced zero truth sets " +
+          "(empty index?) — refusing to report a recall over nothing")
+      val recall = recalls.sum / recalls.length
+      if (recall < recallFloor)
+        throw new IllegalStateException(
+          f"Ann.writeIvfIndexGated: measured recall@$k = $recall%.3f over " +
+            f"${recalls.length} probes is below the floor $recallFloor%.2f " +
+            s"(nprobe=$nprobe) — the store was deleted, not published. Raise " +
+            "nprobe / retrain the codebook, or lower the floor deliberately.")
+      recall
+    } catch { case t: Throwable => deleteStore(); throw t }
   }
 
   /** Scored candidates from a partitioned IVF store: rank centroids vs

@@ -405,10 +405,18 @@ object Retrieval {
     // append of those same ids would bloom-miss, skip the exact join,
     // and durably write a duplicate segment (silent df/N double-count
     // until the compaction backstop refuses). An unreadable sidecar
-    // still degrades to None = the full exact join, never a wrong
-    // answer; the next idBloom=true append rebuilds it from scratch.
-    val sidecarBloom = readIdBloom(spark, dir)
+    // degrades THIS append to the full exact join (never a wrong
+    // answer) — and must also be RETIRED unless this append rebuilds
+    // it: leaving the broken file on disk while appending unmaintained
+    // would let a later append read a then-healthy-but-STALE filter
+    // whose missing ids bloom-miss — the exact superset violation the
+    // store-level maintenance exists to prevent.
+    val idBloomPath = new org.apache.hadoop.fs.Path(s"$dir/_idbloom")
+    val sidecarExists = fs.exists(idBloomPath)
+    val sidecarBloom = if (sidecarExists) readIdBloom(spark, dir) else None
     val maintainBloom = idBloom || sidecarBloom.isDefined
+    if (sidecarExists && sidecarBloom.isEmpty && !idBloom)
+      dropIdBloom(spark, dir) // unreadable + not rebuilding: retire it
     val bloomWords = sidecarBloom
     val bloomBc = bloomWords.map(words => spark.sparkContext.broadcast(words))
     val hitCol: Column = bloomBc match {

@@ -476,14 +476,34 @@ object StreamingDedup {
     // so writing the codebook first would open a crash window where a
     // non-default-recipe stream's own checkpoint replay is refused
     // forever; recipe-without-codebook just skips the guard and the
-    // replay rewrites both.
-    if (!fs.exists(recipePath)) {
+    // replay rewrites both. Both sidecars publish by STAGE-AND-RENAME:
+    // a crash mid-write must leave no sidecar (replay rewrites it),
+    // never a torn parquet dir that fs.exists treats as present and
+    // the guard then fails to read forever — the same window the BM25
+    // compaction marker closes the same way.
+    def publishSidecar(target: org.apache.hadoop.fs.Path)(write: String => Unit): Unit =
+      if (!fs.exists(target)) {
+        val staged = new org.apache.hadoop.fs.Path(
+          target.getParent, s"${target.getName}_tmp_${java.util.UUID.randomUUID}")
+        write(staged.toString)
+        if (!fs.rename(staged, target)) fs.delete(staged, true)
+      }
+    publishSidecar(recipePath) { staged =>
       val sess = spark; import sess.implicits._
       Seq(recipe).toDF("recipe")
-        .coalesce(1).write.mode("overwrite").parquet(recipePath.toString)
+        .coalesce(1).write.mode("overwrite").parquet(staged)
     }
-    if (!fs.exists(cbPath))
-      cur.coalesce(1).write.mode("overwrite").parquet(cbPath.toString)
+    publishSidecar(cbPath) { staged =>
+      cur.coalesce(1).write.mode("overwrite").parquet(staged)
+    }
+    // sweep stagings orphaned by a crash mid-write (inert — reads only
+    // ever touch the published names)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$indexDir/_codebook_tmp_*")))
+      .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, true))
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$indexDir/_recipe_tmp_*")))
+      .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, true))
   }
 
   /** The GRAPH incremental loop — live maintenance of the HNSW-analog
