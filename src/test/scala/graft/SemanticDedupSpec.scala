@@ -249,6 +249,27 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(out(201L) == (("dup_batch", Some(200L))))
   }
 
+  test("degenerate knobs reproduce the flat build exactly: nSupers=|C|, one all-zero-plane band") {
+    // the AnnSpec equivalence discipline applied here: with every
+    // centroid its own super the two-level argmax IS the flat one, and
+    // a single band whose plane dots are all zero puts every vector in
+    // bucket 0 — banding becomes a no-op — so the full knobbed build
+    // must equal the flat default row for row
+    val zeroBand = Seq(Seq(0.0, 0.0))
+    val flat = SemanticDedup.dedup(vecs, "id", "vec", cents, "cid", "cvec", tau = 0.98)
+      .collect().map(_.toString).sorted.toSeq
+    val knobbed = SemanticDedup.dedup(vecs, "id", "vec", cents, "cid", "cvec",
+        tau = 0.98, nSupers = 2, bands = Seq(zeroBand))
+      .collect().map(_.toString).sorted.toSeq
+    assert(knobbed == flat, "degenerate hier+band must replay the flat verdicts")
+    val flatPairs = SemanticDedup.pairs(vecs, "id", "vec", cents, "cid", "cvec", tau = -1.0)
+      .as[(Long, Long)].collect().toSet
+    val knobbedPairs = SemanticDedup.pairs(vecs, "id", "vec", cents, "cid", "cvec",
+        tau = -1.0, nSupers = 2, bands = Seq(zeroBand))
+      .as[(Long, Long)].collect().toSet
+    assert(knobbedPairs == flatPairs)
+  }
+
   test("plan: hier + banded build stays cartesian-free (per-band equi-joins)") {
     val plan = SemanticDedup.dedup(vecs, "id", "vec", cents, "cid", "cvec",
         tau = 0.9, nSupers = 2, bands = Seq(ySign, xSign))
