@@ -305,22 +305,48 @@ object PmcRecallProbe {
       val bandsO = operators.Ann.orthogonalPlaneBands(vecs, "id", "embedding",
         nBands = 2, planesPerBand = 2)
       def foundBy(label: String, nSupers: Int, sv: Seq[Seq[Double]],
-                  bands: Seq[Seq[Seq[Double]]]): Long = {
+                  bands: Seq[Seq[Seq[Double]]], cellProbes: Int = 1,
+                  margin: Double = Double.PositiveInfinity): Long = {
+        val t0 = System.nanoTime()
         val prs = operators.SemanticDedup.pairs(vecs, "id", "embedding",
           cents, "cid", "cvec", tau, nSupers = nSupers, superProbes = 4,
-          superVecs = sv, bands = bands)
+          superVecs = sv, bands = bands, cellProbes = cellProbes,
+          probeMargin = margin)
         val hits = prs.filter(col("id_b") === concat(col("id_a"), lit("~dup"))).count()
+        val dt = (System.nanoTime() - t0) / 1e9
         println(f"semdedup $label%-34s |C|=$nc |S|=$nSupers: planted tau-pairs found = " +
-          f"$hits%3d / $eligible (${hits.toDouble / math.max(eligible, 1)}%.3f)")
+          f"$hits%3d / $eligible (${hits.toDouble / math.max(eligible, 1)}%.3f), $dt%.1f s")
         hits
       }
       val flatFound = foundBy("flat cells only (baseline)", 0, Nil, Nil)
+      // the round-15 recovery rows: the boundary loss is the whole gap
+      // (hier/bands are recall-clean below), so top-p cell probing on
+      // the pair join's probe side is where the 111/200 lost pairs are.
+      // UNBOUNDED probing recovers them at hub-cell cost (runner-up
+      // choices concentrate — the margin sweep below is the honest
+      // cost/recall frontier; shipping default = the cheapest margin
+      // holding ≥ 0.9)
+      val flatP2 = foundBy("flat + cellProbes=2", 0, Nil, Nil, 2)
+      val flatP3 = foundBy("flat + cellProbes=3", 0, Nil, Nil, 3)
+      Seq(0.1, 0.05, 0.02, 0.01).foreach { m =>
+        foundBy(f"flat + p=2 margin=$m%.2f", 0, Nil, Nil, 2, m)
+      }
       val hierFound = foundBy("hier p=4 TRAINED supers", ns, supers, Nil)
+      val hierP2 = foundBy("hier p=4 TRAINED + cellProbes=2", ns, supers, Nil, 2)
+      val hierP2m = foundBy("hier p=4 + p=2 margin=0.05", ns, supers, Nil, 2, 0.05)
       val bandFound = foundBy("hier p=4 + ORTHO 2x2 bands", ns, supers, bandsO)
+      val bandP2 = foundBy("hier p=4 + ORTHO 2x2 + cellProbes=2", ns, supers, bandsO, 2)
+      val bandP2m = foundBy("hier+bands + p=2 margin=0.05", ns, supers, bandsO, 2, 0.05)
+      println(f"semdedup margin rows: hierP2m=$hierP2m bandP2m=$bandP2m")
       println(f"semdedup confined-stage recall: hier/flat = " +
         f"${hierFound.toDouble / math.max(flatFound, 1)}%.3f, " +
         f"banded/hier = ${bandFound.toDouble / math.max(hierFound, 1)}%.3f, " +
         f"banded/flat = ${bandFound.toDouble / math.max(flatFound, 1)}%.3f")
+      println(f"semdedup multi-probe recovery: flatP2/eligible = " +
+        f"${flatP2.toDouble / math.max(eligible, 1)}%.3f, flatP3/eligible = " +
+        f"${flatP3.toDouble / math.max(eligible, 1)}%.3f, hierP2/eligible = " +
+        f"${hierP2.toDouble / math.max(eligible, 1)}%.3f, bandP2/eligible = " +
+        f"${bandP2.toDouble / math.max(eligible, 1)}%.3f")
       planted.unpersist(); vecs.unpersist()
     }
 

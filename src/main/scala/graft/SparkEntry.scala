@@ -2250,6 +2250,76 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Multi-probe SemDeDup — the recovery of the recipe's own blind
+    // spot: a cell-confined pair stage can never score a tau-pair that
+    // straddles a coarse-cell boundary (measured on the real PMC
+    // corpus: 111/200 planted near-dups lost to the boundary ALONE —
+    // SCALE.md "Confined-pair recall"; the hier/band knobs are
+    // recall-clean, the cell wall is the whole loss). cellProbes = 2
+    // assigns the probe side of the pair join to its top-2 cells
+    // (Ann.assignCellsMulti — FAISS's nprobe applied at the cell
+    // level) and normalizes both join directions, so a boundary pair
+    // meets in the runner-up cell at ≤ 2× the single-cell candidate
+    // term. The planted dups here are MIXED vectors (0.8·a + 0.2·b
+    // element-wise, identical IEEE arithmetic on both engines) — still
+    // tau-close to a (cos ≈ 0.97 ≥ 0.9) but nudged enough that some
+    // plants argmax into a DIFFERENT cell than their original: exactly
+    // the pair class the flat build provably misses and the probes
+    // recover. The oracle replays the top-2 assignment as one windowed
+    // rank (rn <= 2) and the either-direction candidate rule as a
+    // normalized (hi, lo) projection.
+    "q_semantic_dedup_probes" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val a = base.filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding").as("_av"))
+      val b = base.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+        .select((col("vec_id") - 100).as("vec_id"), col("embedding").as("_bv"))
+      val planted = a.join(b, "vec_id")
+        .select((col("vec_id") + 10000).as("vec_id"),
+          zip_with(col("_av"), col("_bv"),
+            (x, y) => x * lit(0.8) + y * lit(0.2)).as("embedding"))
+      val cents = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      SemanticDedup.dedup(base.unionByName(planted), "vec_id", "embedding",
+          cents, "centroid_id", "cvec", tau = 0.9, cellProbes = 2)
+        .orderBy("vec_id")
+    }),
+
+    // The probes composed with the PRODUCTION routing — multi-probe on
+    // top of the size-derived codebook and two-level assignment of
+    // q_semantic_dedup_scaled (|C| = ⌊√N⌋, |S| = ⌊√|C|⌋), PLUS the
+    // probeMargin cost lever (0.05): a runner-up cell is probed only
+    // when its sim is within the margin of the primary's — the
+    // boundary-vector confinement that keeps the pair term off hub
+    // cells (PMC margin sweep, SCALE.md). The top-2 cells come from
+    // the probed super's MEMBER set, so the oracle replays the super
+    // argmax (rn = 1 over supers), the member rank at rn <= 2, AND the
+    // margin cut (csim >= per-row max csim − 0.05, identical double
+    // arithmetic) — every probe list, both join directions, and every
+    // dup_of hash-checked. Same mixed-vector plant as
+    // q_semantic_dedup_probes.
+    "q_semantic_dedup_probes_hier" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val a = base.filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding").as("_av"))
+      val b = base.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+        .select((col("vec_id") - 100).as("vec_id"), col("embedding").as("_bv"))
+      val planted = a.join(b, "vec_id")
+        .select((col("vec_id") + 10000).as("vec_id"),
+          zip_with(col("_av"), col("_bv"),
+            (x, y) => x * lit(0.8) + y * lit(0.2)).as("embedding"))
+      val nCents = math.max(1L, math.floor(math.sqrt(base.count().toDouble)).toLong)
+      val nSupers = math.max(1L, math.floor(math.sqrt(nCents.toDouble)).toLong)
+      val cents = base.filter(col("vec_id") < nCents)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      SemanticDedup.dedup(base.unionByName(planted), "vec_id", "embedding",
+          cents, "centroid_id", "cvec", tau = 0.9,
+          nSupers = nSupers.toInt, cellProbes = 2, probeMargin = 0.05)
+        .orderBy("vec_id")
+    }),
+
     // Incremental semantic dedup: batch (ids >= 250, plus planted copies
     // of corpus vectors at +20000 → dup_corpus, and of batch vectors at
     // +30000 → dup_batch) probed against the corpus's cell-assigned
@@ -3031,6 +3101,100 @@ object SparkEntry {
        |SELECT cells.vec_id, cells.cell_id, d.dup_of IS NULL AS is_kept, d.dup_of
        |FROM cells LEFT JOIN dups d ON cells.vec_id = d.vec_id
        |ORDER BY cells.vec_id""".stripMargin
+
+  /** Shared mixed-vector plant for the multi-probe oracles: doubles
+    * everywhere, each planted element computed as a[i]*0.8 + b[i]*0.2
+    * — the exact IEEE ops (same order) the Spark side's zip_with
+    * lambda runs, so planted vectors are bitwise identical across
+    * engines. */
+  private def mixedPlantCtes: String =
+    s"""bse AS (SELECT vec_id,
+       |               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       |        FROM embeddings),
+       |all_v AS (
+       |  SELECT vec_id, embedding FROM bse
+       |  UNION ALL
+       |  SELECT a.vec_id + 10000 AS vec_id,
+       |         list_transform(range(1, ${Schemas.EmbeddingDim + 1}),
+       |           i -> a.embedding[i] * CAST(0.8 AS DOUBLE)
+       |              + b.embedding[i] * CAST(0.2 AS DOUBLE)) AS embedding
+       |  FROM bse a JOIN bse b ON b.vec_id = a.vec_id + 100
+       |  WHERE a.vec_id < 100
+       |)""".stripMargin
+
+  /** The multi-probe candidate + verdict tail shared by both probes
+    * oracles: `prob` (each vector × its top-2 cells) joins `prim`
+    * (primary cells only) — either direction — and every tau-hit is
+    * normalized to (hi, lo), replaying SemanticDedup.dedup's
+    * cellProbes > 1 rule exactly (min over the direction/probe-overlap
+    * multiset = min over the set). */
+  private def probesVerdictTail: String =
+    s"""cand AS (
+       |  SELECT CASE WHEN x.vec_id > y.vec_id THEN x.vec_id ELSE y.vec_id END AS hi,
+       |         CASE WHEN x.vec_id > y.vec_id THEN y.vec_id ELSE x.vec_id END AS lo
+       |  FROM prob x JOIN prim y ON x.cell_id = y.cell_id AND x.vec_id <> y.vec_id
+       |  WHERE ${dCosine("x.embedding", "y.embedding")} >= 0.9
+       |),
+       |dups AS (SELECT hi AS vec_id, min(lo) AS dup_of FROM cand GROUP BY 1)
+       |SELECT prim.vec_id, prim.cell_id, d.dup_of IS NULL AS is_kept, d.dup_of
+       |FROM prim LEFT JOIN dups d ON prim.vec_id = d.vec_id
+       |ORDER BY prim.vec_id""".stripMargin
+
+  /** q_semantic_dedup_probes: flat head-8 codebook, every vector's
+    * top-2 cells as one windowed rank (rn <= 2 where the flat oracle
+    * keeps rn = 1). */
+  private def semanticDedupProbesOracle: String =
+    s"""WITH $mixedPlantCtes,
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM bse WHERE vec_id < 8),
+       |asg AS (
+       |  SELECT vec_id, embedding, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+       |  FROM (SELECT v.vec_id, v.embedding, c.cid,
+       |               ${dCosine("v.embedding", "c.cv")} AS csim
+       |        FROM all_v v, c)
+       |),
+       |prim AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1),
+       |prob AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn <= 2),
+       |$probesVerdictTail""".stripMargin
+
+  /** q_semantic_dedup_probes_hier: the probes on top of the two-level
+    * production routing — size-derived |C|/|S| (nested sqrt
+    * subqueries), super argmax at rn = 1, then the top-2 MEMBER cells
+    * of the probed super (rn <= 2 over the routed candidate set — the
+    * q_ann_graph_hier CTE pattern widened by one rank). */
+  private def semanticDedupProbesHierOracle: String =
+    s"""WITH $mixedPlantCtes,
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM bse
+       |      WHERE vec_id < greatest(1, (SELECT CAST(floor(sqrt(count(*))) AS BIGINT)
+       |                                  FROM embeddings))),
+       |sup AS (SELECT vec_id AS sid, embedding AS sv FROM bse
+       |        WHERE vec_id < greatest(1, (SELECT CAST(floor(sqrt(floor(sqrt(count(*))))) AS BIGINT)
+       |                                    FROM embeddings))),
+       |c2s AS (SELECT cid, sid FROM (
+       |  SELECT c.cid, sup.sid,
+       |         row_number() OVER (PARTITION BY c.cid
+       |           ORDER BY ${dCosine("c.cv", "sup.sv")} DESC, sup.sid) AS rn
+       |  FROM c, sup) WHERE rn = 1),
+       |v2s AS (SELECT vec_id, sid FROM (
+       |  SELECT v.vec_id, sup.sid,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${dCosine("v.embedding", "sup.sv")} DESC, sup.sid) AS rn
+       |  FROM all_v v, sup) WHERE rn = 1),
+       |rk AS (
+       |  SELECT vec_id, embedding, cid, csim,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn,
+       |         max(csim) OVER (PARTITION BY vec_id) AS topsim
+       |  FROM (SELECT v.vec_id, v.embedding, c.cid,
+       |               ${dCosine("v.embedding", "c.cv")} AS csim
+       |        FROM all_v v
+       |        JOIN v2s s ON v.vec_id = s.vec_id
+       |        JOIN c2s ON c2s.sid = s.sid
+       |        JOIN c ON c.cid = c2s.cid)
+       |),
+       |prim AS (SELECT vec_id, embedding, cid AS cell_id FROM rk WHERE rn = 1),
+       |prob AS (SELECT vec_id, embedding, cid AS cell_id FROM rk
+       |         WHERE rn <= 2 AND csim >= topsim - CAST(0.05 AS DOUBLE)),
+       |$probesVerdictTail""".stripMargin
 
   /** q_ann_graph_batch: the same hop-by-hop walk replay as
     * [[annGraphOracle]], but every walk CTE carries `qid` — three
@@ -4473,6 +4637,8 @@ object SparkEntry {
       // assignment (|S|=8 head supers) + two-band OR'd confinement of
       // the pair join — every cell id, bucket bit, and dup_of replayed
       "q_semantic_dedup_scaled" -> semanticDedupHierBandedOracle,
+      "q_semantic_dedup_probes" -> semanticDedupProbesOracle,
+      "q_semantic_dedup_probes_hier" -> semanticDedupProbesHierOracle,
 
       // Incremental semantic dedup: same nearest-centroid assignment CTE
       // shape as q_semantic_dedup (row_number over csim DESC, cid = the

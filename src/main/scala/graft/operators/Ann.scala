@@ -133,13 +133,44 @@ object Ann {
                       centroids: DataFrame, cIdCol: String, cVecCol: String,
                       nSupers: Int, superProbes: Int = 1,
                       superVecs: Seq[Seq[Double]] = Nil): DataFrame = {
+    val cents = collectCentroids(centroids, cIdCol, cVecCol, "assignCellsHier")
+    val codebook = cents.map(_._2)
+    val (superBook, membersOf) =
+      hierRouting(codebook, nSupers, superVecs, "assignCellsHier")
+    import org.apache.spark.sql.GraftColumnBridge._
+    val best = column(graft.functions.NearestCentroidHier(
+      expression(col(vecCol).cast("array<double>")),
+      codebook, superBook, membersOf, superProbes))
+    index
+      .withColumn("_best", best)
+      .withColumn("cell_id",
+        element_at(array(cents.toIndexedSeq.map(c => lit(c._1)): _*), col("_best.idx") + 1))
+      .withColumn("cell_sim", col("_best.sim"))
+      .drop("_best")
+  }
+
+  private def collectCentroids(centroids: DataFrame, cIdCol: String,
+                               cVecCol: String, what: String): Array[(Any, Array[Double])] = {
     val cents = centroids.orderBy(col(cIdCol))
       .select(col(cIdCol), col(cVecCol).cast("array<double>"))
       .collect()
       .map(r => (r.get(0), r.getSeq[Double](1).toArray))
-    require(cents.nonEmpty, "assignCellsHier: empty centroid set")
-    val nS = math.min(math.max(nSupers, 1), cents.length)
-    val codebook = cents.map(_._2)
+    require(cents.nonEmpty, s"$what: empty centroid set")
+    cents
+  }
+
+  /** The driver-side half of the two-level assignment, shared by
+    * [[assignCellsHier]] and [[assignCellsMulti]]: pick the super book
+    * (trained `superVecs`, or the head-of-codebook sample), route each
+    * centroid to its nearest super with the expression's exact cosine
+    * semantics (|C|·|S| dots, once), and prune memberless supers
+    * (trained books can have them — standard k-means cell death;
+    * head-of-codebook books can't, every data-row super routes
+    * itself). Returns the LIVE (superBook, membersOf) pair. */
+  private def hierRouting(codebook: Array[Array[Double]], nSupers: Int,
+                          superVecs: Seq[Seq[Double]], what: String)
+      : (Array[Array[Double]], Array[Array[Int]]) = {
+    val nS = math.min(math.max(nSupers, 1), codebook.length)
     // superVecs, when given, is a TRAINED super book (e.g. a few
     // kmeansRefine rounds over the corpus) — head-of-codebook supers
     // are a deterministic random sample, which on real sparse
@@ -150,8 +181,6 @@ object Ann {
       else codebook.take(nS)
     val cnorms = graft.functions.NearestCentroid.norms(codebook)
     val snorms = graft.functions.NearestCentroid.norms(superBook)
-    // centroid → nearest-super routing, precomputed once on the driver
-    // (|C|·|S| dots) with the expression's exact semantics
     val membersOf = Array.fill(superBook.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
     codebook.indices.foreach { c =>
       var bestIdx = 0
@@ -161,7 +190,7 @@ object Ann {
         val a = codebook(c)
         val b = superBook(k)
         require(a.length == b.length,
-          s"assignCellsHier: dimension mismatch (${a.length} vs ${b.length})")
+          s"$what: dimension mismatch (${a.length} vs ${b.length})")
         var dot = 0.0
         var j = 0
         while (j < a.length) { dot += a(j) * b(j); j += 1 }
@@ -173,21 +202,48 @@ object Ann {
       }
       membersOf(bestIdx) += c
     }
-    // prune memberless supers (trained books can have them — standard
-    // k-means cell death; head-of-codebook books can't, every data-row
-    // super routes itself): rows then only ever probe live supers
     val live = superBook.zip(membersOf).filter(_._2.nonEmpty)
-    require(live.nonEmpty, "assignCellsHier: every super lost its members")
+    require(live.nonEmpty, s"$what: every super lost its members")
+    (live.map(_._1), live.map(_._2.toArray))
+  }
+
+  /** MULTI-PROBE cell assignment — [[assignCells]]/[[assignCellsHier]]
+    * generalized to the top-`cellProbes` cells per row
+    * ([[graft.functions.NearestCells]]; see its scaladoc for why:
+    * cell-confined pair stages lose exactly the pairs that straddle a
+    * cell boundary, and probing the runner-up cells recovers them).
+    * Output contract: input columns + `cell_ids` (array of centroid
+    * ids in probe order — sim desc, centroid id asc) + `cell_id` (its
+    * head, which equals the flat/hier primary assignment bit-for-bit).
+    * Still one codegen'd map-side projection: zero shuffle, zero join;
+    * the extra probes reuse the dots the argmax already computes, so
+    * per-row cost is unchanged by `cellProbes`. `probeMargin` trims
+    * runner-up probes to those within the margin of the primary's sim
+    * (see [[graft.functions.NearestCells]] — the cost lever that
+    * confines probing to boundary vectors). */
+  def assignCellsMulti(index: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame, cIdCol: String, cVecCol: String,
+                       cellProbes: Int, nSupers: Int = 0, superProbes: Int = 1,
+                       superVecs: Seq[Seq[Double]] = Nil,
+                       probeMargin: Double = Double.PositiveInfinity): DataFrame = {
+    require(cellProbes >= 1, s"assignCellsMulti: cellProbes=$cellProbes must be >= 1")
+    val cents = collectCentroids(centroids, cIdCol, cVecCol, "assignCellsMulti")
+    val codebook = cents.map(_._2)
+    val (superBook, membersOf) =
+      if (nSupers > 0 || superVecs.nonEmpty)
+        hierRouting(codebook, nSupers, superVecs, "assignCellsMulti")
+      else (Array.empty[Array[Double]], Array.empty[Array[Int]])
     import org.apache.spark.sql.GraftColumnBridge._
-    val best = column(graft.functions.NearestCentroidHier(
+    val probes = column(graft.functions.NearestCells(
       expression(col(vecCol).cast("array<double>")),
-      codebook, live.map(_._1), live.map(_._2.toArray), superProbes))
+      codebook, superBook, membersOf, superProbes, cellProbes, probeMargin))
+    val idLut = array(cents.toIndexedSeq.map(c => lit(c._1)): _*)
     index
-      .withColumn("_best", best)
-      .withColumn("cell_id",
-        element_at(array(cents.toIndexedSeq.map(c => lit(c._1)): _*), col("_best.idx") + 1))
-      .withColumn("cell_sim", col("_best.sim"))
-      .drop("_best")
+      .withColumn("_probes", probes)
+      .withColumn("cell_ids",
+        transform(col("_probes"), i => element_at(idLut, i + 1)))
+      .withColumn("cell_id", element_at(col("cell_ids"), 1))
+      .drop("_probes")
   }
 
   /** IVF search: rank centroids vs the query, keep the nprobe nearest
@@ -224,20 +280,86 @@ object Ann {
   def writeIvfIndex(assigned: DataFrame, indexDir: String): Unit =
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(indexDir)
 
+  /** The stage→measure→publish core shared by every gated store build
+    * ([[writeIvfIndexGated]], [[Pq.writeIvfPqIndexGated]],
+    * [[Sq.writeIndexGated]], and any future gated publisher): `write`
+    * builds the store into a STAGING directory — never the final
+    * path — `measure` probes that staged artifact and returns its
+    * recall, and only a measurement at or above `recallFloor` renames
+    * the staging dir into `dir`. So a crash anywhere before the rename
+    * (mid-write, mid-measure, the floor breach itself) leaves the
+    * PRIOR store — if any — untouched at the published path and never
+    * a complete-but-ungated artifact there, and an in-place rebuild
+    * that fails its gate keeps serving the old store instead of
+    * deleting it. The staged files ARE the published files (one
+    * rename, no rewrite), so the measured artifact is bit-identical
+    * to the served one. The only remaining crash window is the two
+    * metadata ops of the swap itself (delete-old + rename-staging):
+    * a crash between them leaves NO store — a loud missing-path
+    * failure at the next open, never a silent wrong one. */
+  private[operators] def gatedPublish(spark: SparkSession, dir: String,
+                                      recallFloor: Double, what: String,
+                                      knobs: String)
+                                     (write: String => Unit)
+                                     (measure: String => Double): Double = {
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // deterministic sibling name: a retried build overwrites its own
+    // orphaned staging instead of accreting UUID-named leftovers
+    val staging = new org.apache.hadoop.fs.Path(
+      dir.stripSuffix("/") + "__gate_staging")
+    try {
+      write(staging.toString)
+      val recall = measure(staging.toString)
+      if (recall < recallFloor)
+        throw new IllegalStateException(
+          f"$what: measured recall = $recall%.3f is below the floor " +
+            f"$recallFloor%.2f ($knobs) — the staged store was discarded " +
+            "and the published path left untouched. Raise the probe/" +
+            "candidate knobs, retrain the codebook, or lower the floor " +
+            "deliberately.")
+      fs.delete(target, true)
+      require(fs.rename(staging, target),
+        s"$what: gate passed but the staged store could not be renamed " +
+          s"into '$dir' — no store is published there")
+      recall
+    } catch { case t: Throwable => fs.delete(staging, true); throw t }
+  }
+
+  /** Mean recall over per-query truth/got top-k sets, each query
+    * normalized by min(k, |truth|) — a store smaller than k rows whose
+    * probe returns the exact answer measures 1.0, not |index|/k. */
+  private[operators] def meanRecall(exact: Map[Any, Set[Any]],
+                                    got: Map[Any, Set[Any]], k: Int,
+                                    what: String): Double = {
+    val recalls = exact.toSeq.map { case (q, truth) =>
+      truth.intersect(got.getOrElse(q, Set.empty)).size.toDouble /
+        math.max(1, math.min(k, truth.size))
+    }
+    require(recalls.nonEmpty,
+      s"$what: the measurement produced zero truth sets (empty index?) — " +
+        "refusing to report a recall over nothing")
+    recalls.sum / recalls.length
+  }
+
   /** [[writeIvfIndex]] behind the recall discipline
-    * [[GraphIndex.buildServing]] established for the graph store: write
-    * the partitioned store, measure recall@`k` of the published
-    * artifact's nprobe search against exact brute force ON THE CALLER'S
-    * QUERY WORKLOAD, and when the number lands under `recallFloor`
-    * DELETE the store and refuse loudly — an IVF store probed at a
-    * silently bad nprobe (or assigned off a mis-trained codebook) must
-    * never reach serving. `queries` is (query_id, vector) and must be
-    * non-empty (an empty workload would make the mean recall NaN and
-    * NaN < floor is false — the gate-bypass measureRecall also
-    * refuses). Both the truth and probe sides are batched: one
-    * broadcast of the workload, per-query row_number windows, ties
-    * (sim desc, id asc) exactly like [[ivfSearch]]. Returns the
-    * measured recall — the build's acceptance evidence; record it. */
+    * [[GraphIndex.buildServing]] established for the graph store: build
+    * the partitioned store to a STAGING dir, measure recall@`k` of that
+    * staged artifact's nprobe search against exact brute force ON THE
+    * CALLER'S QUERY WORKLOAD, and only a measurement at or above
+    * `recallFloor` publishes it (one rename — [[gatedPublish]]); a
+    * breach or any measurement failure discards the staging and leaves
+    * the published path untouched, so an IVF store probed at a silently
+    * bad nprobe (or assigned off a mis-trained codebook) can never
+    * reach serving, and a failed in-place rebuild keeps the prior good
+    * store. `queries` is (query_id, vector) and must be non-empty (an
+    * empty workload would make the mean recall NaN and NaN < floor is
+    * false). Both the truth and probe sides are batched: one broadcast
+    * of the workload, per-query row_number windows, ties (sim desc,
+    * id asc) exactly like [[ivfSearch]]. Per-query recall divides by
+    * min(k, |truth|), so an index smaller than k measures honestly.
+    * Returns the measured recall — the build's acceptance evidence;
+    * record it. */
   def writeIvfIndexGated(spark: SparkSession, assigned: DataFrame,
                          idCol: String, vecCol: String,
                          centroids: DataFrame, cIdCol: String, cVecCol: String,
@@ -250,24 +372,15 @@ object Ann {
       s"writeIvfIndexGated: queries must be (query_id, vector), got ${qcols.toSeq}")
     val qDf = queries.select(col(qcols(0)).as("_qid"),
       col(qcols(1)).cast("array<double>").as("_qv"))
-    // refuse the empty workload BEFORE anything is published — throwing
-    // after writeIvfIndex would leave a complete, never-gated store on
-    // disk for a separate serving process to find (the exact artifact
-    // this function exists to prevent)
+    // refuse the empty workload BEFORE anything is even staged — the
+    // gate-bypass measureRecall refuses the same way
     require(!qDf.isEmpty,
       "writeIvfIndexGated: the query workload produced zero probes — " +
         "refusing to build a store that would publish ungated")
-    writeIvfIndex(assigned, indexDir)
-    def deleteStore(): Unit = {
-      val p = new org.apache.hadoop.fs.Path(indexDir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
-    // from here the store is on disk but NOT yet gated: any failure in
-    // the measurement (empty assignment → zero truth sets, a thrown
-    // job, the floor breach itself) must remove it before propagating,
-    // or a separate serving process finds a complete, never-gated
-    // store — the exact artifact this function exists to prevent
-    try {
+    gatedPublish(spark, indexDir, recallFloor,
+      "Ann.writeIvfIndexGated", s"nprobe=$nprobe, k=$k") { staging =>
+      writeIvfIndex(assigned, staging)
+    } { staged =>
       val w = Window.partitionBy("_qid").orderBy(desc("_sim"), col(idCol))
       def topkOf(scored: DataFrame): Map[Any, Set[Any]] = scored
         .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
@@ -275,31 +388,18 @@ object Ann {
         .collect().groupBy(_.get(0)).map { case (q, rs) => q -> rs.map(_.get(1)).toSet }
       val exact = topkOf(assigned.crossJoin(broadcast(qDf))
         .withColumn("_sim", cosine(col(vecCol), col("_qv"))))
-      // probe the PUBLISHED store, not the in-memory assignment — the
-      // artifact on disk is what serving reads, so it is what gets gated
+      // probe the STAGED store — the same files one rename later IS the
+      // published artifact, so what serving reads is what got gated
       val wc = Window.partitionBy("_qid").orderBy(desc("_csim"), col(cIdCol))
       val probeCells = centroids.crossJoin(broadcast(qDf))
         .withColumn("_csim", cosine(col(cVecCol), col("_qv")))
         .withColumn("_crn", row_number().over(wc)).filter(col("_crn") <= nprobe)
         .select(col("_qid"), col("_qv"), col(cIdCol).as("cell_id"))
-      val got = topkOf(spark.read.parquet(indexDir)
+      val got = topkOf(spark.read.parquet(staged)
         .join(broadcast(probeCells), "cell_id")
         .withColumn("_sim", cosine(col(vecCol), col("_qv"))))
-      val recalls = exact.toSeq.map { case (q, truth) =>
-        truth.intersect(got.getOrElse(q, Set.empty)).size.toDouble / k
-      }
-      require(recalls.nonEmpty,
-        "writeIvfIndexGated: the measurement produced zero truth sets " +
-          "(empty index?) — refusing to report a recall over nothing")
-      val recall = recalls.sum / recalls.length
-      if (recall < recallFloor)
-        throw new IllegalStateException(
-          f"Ann.writeIvfIndexGated: measured recall@$k = $recall%.3f over " +
-            f"${recalls.length} probes is below the floor $recallFloor%.2f " +
-            s"(nprobe=$nprobe) — the store was deleted, not published. Raise " +
-            "nprobe / retrain the codebook, or lower the floor deliberately.")
-      recall
-    } catch { case t: Throwable => deleteStore(); throw t }
+      meanRecall(exact, got, k, "writeIvfIndexGated")
+    }
   }
 
   /** Scored candidates from a partitioned IVF store: rank centroids vs

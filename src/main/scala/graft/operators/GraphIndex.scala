@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   * [[insert]] is the live-upload half (ref app/embedding_gen.py:315-409
   * appends new docs to the running index): batch-vs-cell work only,
   * append-only writes.
+  *
+  * SINGLE-WRITER CONTRACT: at most one mutator ([[insert]]/[[delete]]/
+  * [[compact]]/[[rebuild]]) per store at a time. Insert's guards are
+  * check-then-append (two racing inserts of the same uid could both
+  * pass the clash probe before either's sidecar row lands), and
+  * compact/rebuild stage-and-overwrite whole bucket dirs — an append
+  * interleaved with the overwrite would be silently dropped. Readers
+  * (cold handles, warm/hot snapshots) are unaffected; serialize the
+  * WRITERS (one ingestion driver per store — the streaming loop's
+  * shape, [[graft.streaming.StreamingDedup]]).
   */
 object GraphIndex {
 
@@ -195,6 +205,187 @@ object GraphIndex {
     }
   }
 
+  /** The IN-PROCESS serving tier — [[Warm]] taken to its conclusion:
+    * the reference's HNSW is a plain in-memory graph walked by the
+    * serving PROCESS (app/main.py:262-283 — no cluster in the hot
+    * path), and this is that posture on the driver JVM. [[Warm]] keeps
+    * the store resident in EXECUTOR caches but still schedules one
+    * Spark job per hop (frontier filter + join + collect) — measured
+    * as the entire c≈8 admission knee in SCALE.md: per-job driver
+    * scheduling, not data work, dominates a ~1 ms walk into ~1.2 s of
+    * wall-clock. Hot collects the SAME normalized layout
+    * (O(|V|·dim + |E|) — the node vectors and id pairs, never the
+    * denormalized edge vectors, never the chunk text) into primitive
+    * arrays once at warm-up and walks them with zero jobs per hop; the
+    * only Spark work left per ask is the sidecar re-attach (a pruned,
+    * broadcast join — the chunk TEXT stays distributed, which is what
+    * keeps this honest at 100 TB: index-scale state in the serving
+    * process, corpus-scale state on the cluster, exactly the
+    * reference's OpenSearch split).
+    *
+    * The walk reproduces [[Ann.graphSearchResidentNormalized]]'s
+    * visited set BIT-FOR-BIT (GraphIndexSpec pins equality): same
+    * ascending-fold cosine, same (sim desc, id asc) entry/frontier
+    * ordering, same hop count. Like [[Warm]] it is an immutable
+    * SNAPSHOT — inserts/deletes after [[hot]] are invisible until
+    * re-hot. */
+  final class Hot private[GraphIndex] (
+      val handle: Handle,
+      nodeIds: Array[Long],
+      nodeVecs: Array[Array[Double]],
+      nodeNorms: Array[Double],
+      adj: Array[Array[Int]],
+      centIdxs: Array[Int],
+      tombs: java.util.HashSet[java.lang.Long],
+      idToIdx: java.util.HashMap[java.lang.Long, Integer],
+      chunksDf: DataFrame, chunksCached: Boolean) extends Serving {
+
+    /** One query's full visited set — the in-JVM twin of
+      * [[Ann.beamWalk]]; pure driver compute, zero Spark jobs. */
+    private def walk(queryVec: Seq[Double]): Seq[(Long, Double)] = {
+      val q = queryVec.toArray
+      var qn = 0.0
+      var i = 0
+      while (i < q.length) { qn += q(i) * q(i); i += 1 }
+      val qnorm = math.sqrt(qn)
+      def simOf(idx: Int): Double = {
+        val v = nodeVecs(idx)
+        require(v.length == q.length,
+          s"Hot.walk: dimension mismatch (${v.length} vs ${q.length})")
+        var dot = 0.0
+        var j = 0
+        while (j < v.length) { dot += q(j) * v(j); j += 1 }
+        if (qnorm == 0.0 || nodeNorms(idx) == 0.0) 0.0
+        else dot / (qnorm * nodeNorms(idx))
+      }
+      val beam = handle.beamWidth
+      val visited = new java.util.HashMap[Long, Double]()
+      // entry: the beam nearest centroids (sim desc, id asc — the
+      // beamWalk ordering; ids are unique so the order is total)
+      centIdxs.map(ci => (nodeIds(ci), ci, simOf(ci)))
+        .sortBy { case (id, _, s) => (-s, id) }
+        .take(beam)
+        .foreach { case (id, _, s) => visited.put(id, s) }
+      var hop = 0
+      while (hop < handle.hops) {
+        import scala.jdk.CollectionConverters._
+        val frontier = visited.entrySet().asScala.toSeq
+          .map(e => (e.getKey.longValue(), e.getValue.doubleValue()))
+          .sortBy { case (id, s) => (-s, id) }
+          .take(beam)
+        frontier.foreach { case (id, _) =>
+          val idx = idToIdx.get(id)
+          if (idx != null) {
+            val ns = adj(idx)
+            var m = 0
+            while (m < ns.length) {
+              val nIdx = ns(m)
+              val nId = nodeIds(nIdx)
+              // re-scored ids recompute the same value (beamWalk's map
+              // overwrite) — skip the dot when already visited
+              if (!visited.containsKey(nId)) visited.put(nId, simOf(nIdx))
+              m += 1
+            }
+          }
+        }
+        hop += 1
+      }
+      import scala.jdk.CollectionConverters._
+      visited.entrySet().asScala.toSeq
+        .map(e => (e.getKey.longValue(), e.getValue.doubleValue()))
+        // the tombstone gate, applied here instead of dropTombstoned
+        // (same snapshot semantics as Warm's anti-join)
+        .filterNot { case (id, _) => tombs.contains(id) }
+    }
+
+    def search(spark: SparkSession, queryVec: Seq[Double]): DataFrame = {
+      import spark.implicits._
+      attach(chunksDf, walk(queryVec).toDF("vec_id", "sim"))
+    }
+
+    def searchBatch(spark: SparkSession, queries: DataFrame,
+                    qIdCol: String, qVecCol: String): DataFrame = {
+      import spark.implicits._
+      // the workload is request-sized by contract (the reference holds
+      // N open sessions, not a corpus of queries) — collect it and walk
+      // each in-JVM; one attach serves every query's visited set
+      val qs = queries.select(col(qIdCol).cast("long"),
+          col(qVecCol).cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val all = qs.toSeq.flatMap { case (qid, qv) =>
+        walk(qv).map { case (id, s) => (qid, id, s) }
+      }
+      attach(chunksDf, all.toDF("query_id", "vec_id", "sim"))
+    }
+
+    // the walk already filtered the snapshot's marks
+    protected def dropTombstoned(spark: SparkSession, visited: DataFrame): DataFrame =
+      visited
+
+    /** Release the cached chunk sidecar (driver arrays go with the
+      * object; a no-op when `cacheChunks = false`). */
+    def cool(): Unit = if (chunksCached) { chunksDf.unpersist(); () }
+  }
+
+  /** Collect a built store's NORMALIZED layout into driver-JVM arrays
+    * for [[Hot]] serving (index-scale only: node ids + vectors +
+    * adjacency + centroid list + mark snapshot — never chunk text,
+    * never denormalized edge vectors). `cacheChunks` governs the
+    * re-attach sidecar exactly as in [[warm]]: cache it for tiers
+    * that fit it, leave it a pruned disk read at 100 TB. */
+  def hot(spark: SparkSession, h: Handle, cacheChunks: Boolean = true): Hot = {
+    val nodeRows = h.chunks(spark)
+      .select(col("uid").cast("long"), col(h.vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val centRows = h.centroids(spark).orderBy("centroid_id")
+      .select(col("centroid_id").cast("long"),
+        col("centroid_vec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // node universe = chunk rows ∪ centroid rows (compacted-away
+    // structural marks keep routing, as in warm's vecs union; chunk
+    // version wins on overlap — values identical by construction)
+    val seen = new java.util.HashMap[java.lang.Long, Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    (nodeRows.iterator ++ centRows.iterator).foreach { case (id, v) =>
+      if (!seen.containsKey(Long.box(id))) {
+        seen.put(Long.box(id), Int.box(ids.length))
+        ids += id
+        vecs += v
+      }
+    }
+    val norms = vecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }.toArray
+    val edgePairs = spark.read.parquet(h.edgesDir)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adjBuf = Array.fill(ids.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    edgePairs.foreach { case (s, d) =>
+      val si = seen.get(Long.box(s))
+      val di = seen.get(Long.box(d))
+      // edges of rows compacted away (or pointing at them) are inert
+      if (si != null && di != null) adjBuf(si.intValue()) += di.intValue()
+    }
+    val centIdxs = centRows.map { case (id, _) => seen.get(Long.box(id)).intValue() }
+    val tombPath = new org.apache.hadoop.fs.Path(h.tombstonesDir)
+    val tombFs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombs = new java.util.HashSet[java.lang.Long]()
+    if (tombFs.exists(tombPath))
+      spark.read.parquet(h.tombstonesDir).select(col("tomb_id").cast("long"))
+        .collect().foreach(r => tombs.add(Long.box(r.getLong(0))))
+    val chunksDf =
+      if (cacheChunks) {
+        val c = h.chunks(spark).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count(); c
+      } else h.chunks(spark)
+    new Hot(h, ids.toArray, vecs.toArray, norms, adjBuf.map(_.toArray),
+      centIdxs, tombs, seen, chunksDf, cacheChunks)
+  }
+
   /** Load a built store into executor memory for resident serving (the
     * per-process startup step; see [[Warm]] for the cost model and the
     * `cacheChunks` scale trade-off). */
@@ -334,8 +525,13 @@ object GraphIndex {
       .filter(col("_rn") <= k)
       .select(col("query_id") +: keyCols.map(col): _*)
       .collect().groupBy(_.get(0)).map { case (q, rs) => q -> rs.map(keyOf).toSet }
+    // per-query normalization is min(k, |truth|), not k: an index with
+    // fewer than k rows whose walk returns the exact answer measures
+    // 1.0, not |index|/k — the same honesty fix as Ann.meanRecall (a
+    // tiny-but-perfect store must not be deleted by the gate)
     val recalls = exact.toSeq.map { case (q, truth) =>
-      truth.intersect(got.getOrElse(q, Set.empty)).size.toDouble / k
+      truth.intersect(got.getOrElse(q, Set.empty)).size.toDouble /
+        math.max(1, math.min(k, truth.size))
     }
     // an empty workload must refuse LOUDLY: recalls.sum/0 is NaN, and
     // NaN < recallFloor is false — an accidentally-empty recallQueriesDf

@@ -229,6 +229,67 @@ object Pq {
     adcThenRerank(inCells, idCol, vecCol, cb, query, topK, candidates)
   }
 
+  /** [[Ann.writeIvfIndex]] + recall gate for the composed IVF-PQ store
+    * — [[Ann.gatedPublish]]'s stage→measure→rename discipline applied
+    * to the stack whose knobs are the most silently dangerous
+    * (measured on the real PMC corpus, SCALE.md: untrained PQ
+    * codebooks = 0.19 recall@10; widening nprobe at a fixed candidate
+    * pool HURTS 0.855→0.380): build the cell-partitioned
+    * assigned+codes store to a staging dir, measure recall@`k` of
+    * [[ivfPqSearchPartitioned]] on that STAGED artifact against exact
+    * brute force over the same rows for the CALLER'S query workload,
+    * and publish only at or above `recallFloor` — a breach or any
+    * measurement failure discards the staging and leaves the
+    * published path (and any prior good store) untouched.
+    * `assignedEncoded` is the (cell_id, id, vecCol, codes) frame
+    * [[ivfPqSearchTopK]] takes; `queries` is (query_id, vector),
+    * non-empty. Per-query recall divides by min(k, |truth|)
+    * ([[Ann.meanRecall]]). Returns the measured recall — record it,
+    * it is the build's acceptance evidence. */
+  def writeIvfPqIndexGated(spark: SparkSession, assignedEncoded: DataFrame,
+                           idCol: String, vecCol: String, cb: Codebooks,
+                           centroids: DataFrame, cIdCol: String, cVecCol: String,
+                           indexDir: String, queries: DataFrame,
+                           nprobe: Int, candidates: Int = 100, k: Int = 10,
+                           recallFloor: Double = 0.9): Double = {
+    import graft.functions.VectorFunctions.cosine
+    import org.apache.spark.sql.expressions.Window
+    val qcols = queries.columns
+    require(qcols.length == 2,
+      s"writeIvfPqIndexGated: queries must be (query_id, vector), got ${qcols.toSeq}")
+    val qDf = queries.select(col(qcols(0)).as("_qid"),
+      col(qcols(1)).cast("array<double>").as("_qv"))
+    val workload = qDf.collect()
+      .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+    require(workload.nonEmpty,
+      "writeIvfPqIndexGated: the query workload produced zero probes — " +
+        "refusing to build a store that would publish ungated")
+    Ann.gatedPublish(spark, indexDir, recallFloor, "Pq.writeIvfPqIndexGated",
+      s"nprobe=$nprobe, candidates=$candidates, k=$k, m=${cb.m}") { staging =>
+      Ann.writeIvfIndex(assignedEncoded, staging)
+    } { staged =>
+      // exact truth: one batched pass (workload broadcast, per-query
+      // window — the writeIvfIndexGated shape)
+      val w = Window.partitionBy("_qid").orderBy(desc("_sim"), col(idCol))
+      val exact = assignedEncoded.crossJoin(broadcast(qDf))
+        .withColumn("_sim", cosine(col(vecCol).cast("array<double>"), col("_qv")))
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("_rn") <= k)
+        .select(col("_qid"), col(idCol))
+        .collect().groupBy(_.get(0)).map { case (q, rs) => q -> rs.map(_.get(1)).toSet }
+      // probe the STAGED store per query — the ADC + re-rank path a
+      // serving consumer runs, partition pruning included
+      val got = workload.map { case (qid, qv) =>
+        qid -> ivfPqSearchPartitioned(spark, staged, idCol, vecCol, cb,
+            centroids, cIdCol, cVecCol, qv, topK = k,
+            nprobe = nprobe, candidates = candidates)
+          .select(col(idCol)).collect().map(_.get(0)).toSet
+      }.toMap
+      Ann.meanRecall(exact, got.asInstanceOf[Map[Any, Set[Any]]], k,
+        "writeIvfPqIndexGated")
+    }
+  }
+
   /** IVF-PQ over a `partitionBy(cell_id)` store written by
     * [[Ann.writeIvfIndex]] — the full 100 TB ANN stack against cold
     * storage: probe cells are ranked on the driver (the coarse codebook

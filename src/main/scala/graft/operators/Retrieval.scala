@@ -330,7 +330,19 @@ object Retrieval {
     * is linear in segment count (measured 0.23 s/segment, SCALE.md),
     * so an unbounded append cadence would otherwise accrete an
     * unbounded probe floor. Pass `autoCompactAt <= 0` to opt out and
-    * schedule the maintenance call directly. */
+    * schedule the maintenance call directly.
+    *
+    * SINGLE-WRITER CONTRACT: at most one appender (and no concurrent
+    * compaction) per store at a time — the upload model this layout
+    * serves. The guards are check-then-write, so two interleaved
+    * appenders could each pass the disjointness probe before either's
+    * segment lands; the `_idbloom` generation stamp makes the bloom
+    * flavor of that race refuse loudly (see [[writeIdBloom]]), and the
+    * segment-exists check fails the name-collision flavor, but id-level
+    * overlap between two in-flight DIFFERENT-named segments is only
+    * caught by the compaction backstop. Serialize appends (one
+    * ingestion driver per store — the streaming sink shape) rather
+    * than racing them. */
   def appendBm25Segment(docs: DataFrame, idCol: String, textCol: String,
                         dir: String, segment: String,
                         nBuckets: Int = 64,
@@ -405,18 +417,43 @@ object Retrieval {
     // append of those same ids would bloom-miss, skip the exact join,
     // and durably write a duplicate segment (silent df/N double-count
     // until the compaction backstop refuses). An unreadable sidecar
-    // degrades THIS append to the full exact join (never a wrong
-    // answer) — and must also be RETIRED unless this append rebuilds
-    // it: leaving the broken file on disk while appending unmaintained
-    // would let a later append read a then-healthy-but-STALE filter
-    // whose missing ids bloom-miss — the exact superset violation the
-    // store-level maintenance exists to prevent.
-    val idBloomPath = new org.apache.hadoop.fs.Path(s"$dir/_idbloom")
-    val sidecarExists = fs.exists(idBloomPath)
-    val sidecarBloom = if (sidecarExists) readIdBloom(spark, dir) else None
-    val maintainBloom = idBloom || sidecarBloom.isDefined
-    if (sidecarExists && sidecarBloom.isEmpty && !idBloom)
-      dropIdBloom(spark, dir) // unreadable + not rebuilding: retire it
+    // degrades THIS append's guard to the full exact join (never a
+    // wrong answer); what happens to the FILE depends on why the read
+    // failed (the BloomRead taxonomy): a CORRUPT sidecar (torn write,
+    // bad layout) is retired — loudly — unless this append rebuilds
+    // it, because leaving it while appending unmaintained would let a
+    // later append read a then-healthy-but-STALE filter whose missing
+    // ids bloom-miss (the superset violation); a TRANSIENT-IO failure
+    // says nothing about the on-disk filter's health, so it is never
+    // deleted — instead this append REBUILDS the filter from every
+    // live sidecar (the bootstrap fold), which both preserves the file
+    // and keeps the superset invariant without trusting the unread
+    // pre-image.
+    val bloomRead = readIdBloom(spark, dir)
+    val sidecarBloom = bloomRead match {
+      case BloomOk(w, _) => Some(w)
+      case _ => None
+    }
+    val maintainBloom = bloomRead match {
+      case BloomAbsent => idBloom
+      case BloomCorrupt(why) =>
+        if (idBloom)
+          System.err.println(s"[bm25] corrupt _idbloom at '$dir' ($why) — " +
+            "rebuilding it from the live sidecars this append")
+        else {
+          System.err.println(s"[bm25] RETIRING corrupt _idbloom at '$dir' " +
+            s"($why) — appends use the full exact join until an " +
+            "idBloom=true append re-bootstraps the filter")
+          dropIdBloom(spark, dir)
+        }
+        idBloom
+      case BloomIoError(why) =>
+        System.err.println(s"[bm25] _idbloom at '$dir' unreadable on a " +
+          s"transient IO error ($why) — NOT retiring; rebuilding the " +
+          "filter from the live sidecars this append")
+        true
+      case BloomOk(_, _) => true
+    }
     val bloomWords = sidecarBloom
     val bloomBc = bloomWords.map(words => spark.sparkContext.broadcast(words))
     val hitCol: Column = bloomBc match {
@@ -462,7 +499,7 @@ object Retrieval {
     // over-approximate — safe (a re-ingest of the same ids bloom-hits,
     // exact-confirms against the sidecars, and is correctly accepted).
     if (maintainBloom)
-      writeIdBloom(spark, dir, idCol, batchIds, priorSegs, bloomWords)
+      writeIdBloom(spark, dir, idCol, batchIds, priorSegs, bloomRead)
     val withDl = docs
       .select(col(idCol), alnumTokens(col(textCol)).as("_toks"))
       .withColumn("_dl", size(col("_toks")).cast("long"))
@@ -526,22 +563,42 @@ object Retrieval {
   private val IdBloomBits = 1 << 22
   private[operators] val IdBloomHashes = 3
 
-  /** Load the append-guard's ids-bloom as a word-packed bitset, or
-    * None when the store has no (readable) sidecar — the caller then
-    * falls back to the always-correct full exact join. Any read
-    * problem degrades to None, never to a wrong answer. Reads the
+  /** What a pre-append read of the `_idbloom` sidecar observed. The
+    * distinction matters for what the append may do to the file:
+    * only a PARSE/SHAPE failure ([[BloomCorrupt]] — a torn write, a
+    * wrong layout) is evidence the sidecar itself is broken and
+    * retire-eligible; a pure IO failure ([[BloomIoError]] — a
+    * transient filesystem error) says nothing about the on-disk
+    * filter's health, so deleting on it would destroy a healthy fast
+    * path (the round-14 ADVICE case). [[BloomOk]] carries the
+    * generation stamp observed, which [[writeIdBloom]] re-checks at
+    * publish time to make a concurrent-writer lost-update LOUD. */
+  private sealed trait BloomRead
+  private case object BloomAbsent extends BloomRead
+  private final case class BloomOk(words: Array[Long], foldSeq: Long) extends BloomRead
+  private final case class BloomCorrupt(why: String) extends BloomRead
+  private final case class BloomIoError(why: String) extends BloomRead
+
+  /** Load the append-guard's ids-bloom as a word-packed bitset (see
+    * [[BloomRead]] for the failure taxonomy — IOExceptions classify as
+    * transient IO, everything else as corruption). Reads the
     * fixed-size `words` layout (≤ 2^16 nonzero (idx, word) rows however
     * full the filter), falling back to the legacy `positions` list for
     * stores written before round 14 — the next append republishes them
-    * in the words layout. */
-  private def readIdBloom(spark: SparkSession, dir: String): Option[Array[Long]] = {
+    * in the words layout. Legacy sidecars without a `fold_seq` column
+    * read as generation 0. */
+  private def readIdBloom(spark: SparkSession, dir: String): BloomRead = {
     val params = new org.apache.hadoop.fs.Path(s"$dir/_idbloom/_params")
-    val fs = params.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(params)) return None
     try {
+      val fs = params.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(params)) return BloomAbsent
       val p = spark.read.parquet(params.toString).head()
       val mBits = p.getAs[Int]("m_bits")
       require(p.getAs[Int]("num_hashes") == IdBloomHashes && mBits % 64 == 0)
+      val seq =
+        if (p.schema.fieldNames.contains("fold_seq"))
+          p.getAs[Long]("fold_seq")
+        else 0L
       val wordsPath = new org.apache.hadoop.fs.Path(s"$dir/_idbloom/words")
       if (fs.exists(wordsPath)) {
         val out = new Array[Long](mBits >>> 6)
@@ -552,13 +609,26 @@ object Retrieval {
             require(i >= 0 && i < out.length, s"bloom word index $i outside bitset")
             out(i) = r.getLong(1)
           }
-        Some(out)
-      } else Some(Sketch.bloomBitset(
-        spark.read.parquet(s"$dir/_idbloom/positions"), mBits))
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bm25] unreadable _idbloom at '$dir' (${e.getMessage}) — " +
-        "append guard falls back to the full exact join")
-      None
+        BloomOk(out, seq)
+      } else BloomOk(Sketch.bloomBitset(
+        spark.read.parquet(s"$dir/_idbloom/positions"), mBits), seq)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // Spark wraps executor-side failures — classify by the CAUSE
+        // CHAIN: a ChecksumException anywhere is definitive on-disk
+        // corruption (the bytes don't match their own crc — exactly
+        // what a torn or overwritten sidecar looks like), any other
+        // IOException is transient transport/filesystem trouble, and
+        // everything else (parquet footer, schema, require) is a
+        // parse/shape failure = corruption
+        val chain = Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+          .takeWhile(_ != null).take(8).toSeq
+        if (chain.exists(_.isInstanceOf[org.apache.hadoop.fs.ChecksumException]))
+          BloomCorrupt(e.toString)
+        else if (chain.exists(_.isInstanceOf[java.io.IOException]))
+          BloomIoError(chain.collectFirst {
+            case io: java.io.IOException => io.toString }.get)
+        else BloomCorrupt(e.toString)
     }
   }
 
@@ -572,15 +642,37 @@ object Retrieval {
     * append — 2.8× slower than the exact join it was meant to beat at
     * 10^6 ids), while the words layout keeps every append's
     * maintenance at one batch-sized aggregate folded into ≤ 2^16 rows.
-    * `oldWords` is the filter the caller already read for its guard
-    * probe, so nothing is read twice. Staged to a sibling dir and
-    * swapped in; a crash anywhere in the swap leaves either the old
-    * filter (under-approximate ONLY by the batch whose segment was
-    * also not yet written — still a superset of stored ids) or no
-    * filter (full-join fallback). */
+    * `preImage` is what the caller's guard probe already read, so
+    * nothing is read twice: a readable pre-image is FOLDED (one
+    * batch-sized aggregate); an absent/corrupt/IO-degraded one
+    * triggers the full bootstrap over every live sidecar. Staged to a
+    * sibling dir and swapped in; a crash anywhere in the swap leaves
+    * either the old filter (under-approximate ONLY by the batch whose
+    * segment was also not yet written — still a superset of stored
+    * ids) or no filter (full-join fallback).
+    *
+    * SINGLE-WRITER CONTRACT (shared by every mutable store in this
+    * repo — BM25 segments, the graph store's bucket appends, the
+    * streaming `_recipe`/`_codebook` sidecars): one appender at a
+    * time. Two concurrent appends would each fold only their own
+    * batch, and the loser's ids would vanish from the published
+    * filter — a later re-append of those ids then bloom-misses, skips
+    * the exact join, and durably writes a duplicate segment (silent
+    * df/N skew). The `fold_seq` generation stamp turns that silent
+    * corruption LOUD: each publish re-reads the live stamp and
+    * REFUSES the append (before anything durable — bloom maintenance
+    * precedes every segment write) when the pre-image changed since
+    * the guard read it. The check-then-swap is not atomic, so a
+    * sub-millisecond race can still slip through — the stamp narrows
+    * the window from the whole append to the swap itself; the
+    * single-writer contract remains the store's requirement. */
   private def writeIdBloom(spark: SparkSession, dir: String, idCol: String,
                            batchIds: DataFrame, priorSegs: Seq[String],
-                           oldWords: Option[Array[Long]]): Unit = {
+                           preImage: BloomRead): Unit = {
+    val oldWords = preImage match {
+      case BloomOk(w, _) => Some(w)
+      case _ => None
+    }
     val ids =
       if (oldWords.isEmpty && priorSegs.nonEmpty)
         priorSegs.map(s => spark.read.parquet(s + "/docs")).reduce(_ unionByName _)
@@ -606,16 +698,47 @@ object Retrieval {
     val sess = spark; import sess.implicits._
     val nz = words.iterator.zipWithIndex
       .collect { case (w, i) if w != 0L => (i, w) }.toSeq
+    val nextSeq = (preImage match {
+      case BloomOk(_, seq) => seq
+      case _ => 0L
+    }) + 1L
     val tmp = new org.apache.hadoop.fs.Path(
       s"$dir/_idbloom_tmp_${java.util.UUID.randomUUID}")
     nz.toDF("idx", "word")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/words")
     spark.range(1)
       .select(lit(mBits).as("m_bits"), lit(IdBloomHashes).as("num_hashes"),
-        lit("words").as("layout"))
+        lit("words").as("layout"), lit(nextSeq).as("fold_seq"))
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_params")
     val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$dir/_idbloom")
+    // concurrent-writer detection (see the scaladoc's single-writer
+    // contract): the live pre-image must be what the guard read, or a
+    // parallel append folded in between and publishing would silently
+    // drop its ids from the filter — refuse, before anything durable
+    val preSwapSeq = readIdBloom(spark, dir) match {
+      case BloomOk(_, seq) => Some(seq)
+      case BloomAbsent => None
+      case _ => Some(-1L) // unreadable at swap time: can't verify — refuse below
+    }
+    val expected = preImage match {
+      case BloomOk(_, seq) => Some(seq)
+      case BloomAbsent => None
+      // corrupt/IO pre-images rebuild from the sidecars; the file's
+      // generation is unknowable, so the stamp cannot verify it —
+      // accept whatever is live (the single-writer contract carries)
+      case _ => preSwapSeq
+    }
+    if (preSwapSeq != expected) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"appendBm25Segment: the _idbloom at '$dir' changed between this " +
+          s"append's guard read (fold_seq $expected) and its publish " +
+          s"(fold_seq $preSwapSeq) — a CONCURRENT append violated the " +
+          "store's single-writer contract. This append wrote nothing " +
+          "durable; retry it. If the filter is suspect, dropIdBloom() " +
+          "and re-bootstrap with an idBloom=true append.")
+    }
     fs.delete(live, true)
     if (!fs.rename(tmp, live)) {
       // losing the swap only loses the FAST PATH; make that loud-ish

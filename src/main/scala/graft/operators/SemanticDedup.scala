@@ -36,7 +36,31 @@ import graft.functions.VectorFunctions.cosine
   *    the [[GraphIndex.buildServing]] discipline;
   *  - without `bands`, size the codebook so cells hold ~thousands of
   *    vectors and split any residual hot cell by a secondary key the
-  *    way [[Dedup.jaccardPairs]] caps hot shingles.
+  *    way [[Dedup.jaccardPairs]] caps hot shingles;
+  *  - `cellProbes` > 1 recovers the recipe's inherent blind spot —
+  *    pairs that STRADDLE a coarse-cell boundary are never scored by
+  *    the published SemDeDup confinement (measured on the real PMC
+  *    corpus: 111/200 planted near-dup pairs lost to the boundary
+  *    alone, SCALE.md "Confined-pair recall") — by joining each
+  *    vector's top-p cells ([[Ann.assignCellsMulti]]) against the
+  *    others' PRIMARY cell, both directions normalized: a pair is a
+  *    candidate when either side's primary is among the other's
+  *    probes. The EXPLODED side is ≤ p rows per vector, but the PAIR
+  *    term is p×-bounded only when probe mass distributes like
+  *    primary mass — on real embedding spaces runner-up choices
+  *    concentrate on hub cells and blow past it (measured on PMC:
+  *    unbounded p=2 cost 28× the confined build for recall
+  *    0.445→0.965). `probeMargin` is the cost lever: emit a runner-up
+  *    probe only when its sim is within the margin of the primary's,
+  *    confining the explosion to BOUNDARY vectors — the only ones
+  *    whose pairs the single-cell build can lose (PMC margin sweep in
+  *    SCALE.md). p = 1 reproduces the confined build exactly. Under
+  *    two-level routing the probe
+  *    breadth is bounded by the probed supers' MEMBER sets — a pair
+  *    straddling a SUPER boundary needs `superProbes` ≥ 2 as well
+  *    (SemanticDedupSpec pins the coupling); at the production
+  *    |C|/|S| ≈ √|C| cells per super the member sets are wide and
+  *    cellProbes alone carries most of the recovery.
   *
   * Keep/drop rule (deterministic, engine-portable): a vector is dropped
   * iff ANY same-cell vector with a LOWER id — kept or itself dropped —
@@ -59,19 +83,42 @@ object SemanticDedup {
 
   /** Flat or two-level cell assignment, normalized to
     * (_id, _vec, cell_id) — `nSupers` > 0 selects
-    * [[Ann.assignCellsHier]] (see the object Scaladoc). */
+    * [[Ann.assignCellsHier]] (see the object Scaladoc). At
+    * `cellProbes` > 1 the multi-probe assignment rides along as a
+    * `cell_ids` array (probe order; head = the primary cell, identical
+    * to the single-probe assignment bit-for-bit). */
   private def assign(vecs: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame, cIdCol: String, cVecCol: String,
                      nSupers: Int, superProbes: Int,
-                     superVecs: Seq[Seq[Double]]): DataFrame = {
-    val a =
-      if (nSupers > 0)
-        Ann.assignCellsHier(vecs, idCol, vecCol, centroids, cIdCol, cVecCol,
-          nSupers, superProbes, superVecs)
-      else
-        Ann.assignCells(vecs, idCol, vecCol, centroids, cIdCol, cVecCol)
-    a.select(col(idCol).as("_id"), col(vecCol).as("_vec"), col("cell_id"))
+                     superVecs: Seq[Seq[Double]],
+                     cellProbes: Int = 1,
+                     probeMargin: Double = Double.PositiveInfinity): DataFrame = {
+    if (cellProbes > 1)
+      Ann.assignCellsMulti(vecs, idCol, vecCol, centroids, cIdCol, cVecCol,
+          cellProbes, nSupers, superProbes, superVecs, probeMargin)
+        .select(col(idCol).as("_id"), col(vecCol).as("_vec"),
+          col("cell_id"), col("cell_ids"))
+    else {
+      val a =
+        if (nSupers > 0)
+          Ann.assignCellsHier(vecs, idCol, vecCol, centroids, cIdCol, cVecCol,
+            nSupers, superProbes, superVecs)
+        else
+          Ann.assignCells(vecs, idCol, vecCol, centroids, cIdCol, cVecCol)
+      a.select(col(idCol).as("_id"), col(vecCol).as("_vec"), col("cell_id"))
+    }
   }
+
+  /** The x-side frame of a multi-probe pair join: each vector repeated
+    * once per probed cell (`cell_ids` exploded into `cell_id` — ≤ p
+    * rows per vector, fewer under a finite probeMargin), so a pair
+    * meets whenever EITHER vector's primary cell is among the other's
+    * probes; the anchor side stays primary. See the object scaladoc
+    * for the honest cost model (hub-cell concentration, the margin
+    * lever). Identity at cellProbes = 1. */
+  private def probeSide(keyed: DataFrame, cellProbes: Int): DataFrame =
+    if (cellProbes <= 1) keyed
+    else keyed.drop("cell_id").withColumn("cell_id", explode(col("cell_ids")))
 
   /** Attach one deterministic sign-LSH bucket column per band
     * (`_sb0`..`_sbR-1`) to a (_vec, cell_id)-shaped frame — map-only,
@@ -101,27 +148,47 @@ object SemanticDedup {
             centroids: DataFrame, cIdCol: String, cVecCol: String,
             tau: Double, nSupers: Int = 0, superProbes: Int = 1,
             superVecs: Seq[Seq[Double]] = Nil,
-            bands: Seq[Seq[Seq[Double]]] = Nil): DataFrame = {
+            bands: Seq[Seq[Seq[Double]]] = Nil,
+            cellProbes: Int = 1,
+            probeMargin: Double = Double.PositiveInfinity): DataFrame = {
     // the assignment feeds 2R band-join sides plus the final left join
-    // — whenever it is non-trivial (two-level routing) or scanned more
-    // than the flat baseline's three times (R > 1 bands), materialize
-    // it once instead of re-paying the map-side argmax per scan
-    // (semanticIncrement's discipline); the flat band-less default
+    // — whenever it is non-trivial (two-level routing, multi-probe) or
+    // scanned more than the flat baseline's three times (R > 1 bands),
+    // materialize it once instead of re-paying the map-side argmax per
+    // scan (semanticIncrement's discipline); the flat band-less default
     // keeps its original plan untouched
     val cells0 = assign(vecs, idCol, vecCol, centroids, cIdCol, cVecCol,
-      nSupers, superProbes, superVecs)
+      nSupers, superProbes, superVecs, cellProbes, probeMargin)
     val cells =
-      if (bands.length > 1 || nSupers > 0) graft.Materialize(cells0) else cells0
+      if (bands.length > 1 || nSupers > 0 || cellProbes > 1)
+        graft.Materialize(cells0)
+      else cells0
     val keyed = withBandBuckets(cells, bands)
+    val xSide = probeSide(keyed, cellProbes)
     // each band's join projects only its own key columns, so the other
     // bands' bucket longs never ride the N^1.5-row in-cell term
     val candOf = (ks: Seq[String]) => {
-      val x = keyed.select(ks.map(col) :+ col("_id").as("_xid") :+ col("_vec").as("_xvec"): _*)
+      val x = xSide.select(ks.map(col) :+ col("_id").as("_xid") :+ col("_vec").as("_xvec"): _*)
       val y = keyed.select(ks.map(col) :+ col("_id").as("_yid") :+ col("_vec").as("_yvec"): _*)
-      x.join(y, ks)
-        .filter(col("_yid") < col("_xid") &&
-          cosine(col("_xvec"), col("_yvec")) >= tau)
-        .select(col("_xid"), col("_yid"))
+      if (cellProbes <= 1)
+        x.join(y, ks)
+          .filter(col("_yid") < col("_xid") &&
+            cosine(col("_xvec"), col("_yvec")) >= tau)
+          .select(col("_xid"), col("_yid"))
+      else
+        // multi-probe: the x side is EXPLODED over its top-p cells and
+        // the y side stays PRIMARY, so a boundary pair {a,b} is caught
+        // when either's primary is among the other's probes — both
+        // directions survive the join, and normalizing each hit to
+        // (higher, lower) restores the lower-id dup_of rule; min() over
+        // the direction/band/probe-overlap multiset equals min() over
+        // the set, so no pre-distinct exchange is paid here either
+        x.join(y, ks)
+          .filter(col("_yid") =!= col("_xid") &&
+            cosine(col("_xvec"), col("_yvec")) >= tau)
+          .select(
+            when(col("_xid") > col("_yid"), col("_xid")).otherwise(col("_yid")).as("_xid"),
+            when(col("_xid") > col("_yid"), col("_yid")).otherwise(col("_xid")).as("_yid"))
     }
     val dups = keySets(bands).map(candOf).reduce(_ unionByName _)
       .groupBy(col("_xid"))
@@ -144,24 +211,43 @@ object SemanticDedup {
             centroids: DataFrame, cIdCol: String, cVecCol: String,
             tau: Double, nSupers: Int = 0, superProbes: Int = 1,
             superVecs: Seq[Seq[Double]] = Nil,
-            bands: Seq[Seq[Seq[Double]]] = Nil): DataFrame = {
-    // same materialization rule as dedup: hier routing or R > 1 bands
+            bands: Seq[Seq[Seq[Double]]] = Nil,
+            cellProbes: Int = 1,
+            probeMargin: Double = Double.PositiveInfinity): DataFrame = {
+    // same materialization rule as dedup: hier routing, R > 1 bands,
+    // or multi-probe
     val cells0 = assign(vecs, idCol, vecCol, centroids, cIdCol, cVecCol,
-      nSupers, superProbes, superVecs)
+      nSupers, superProbes, superVecs, cellProbes, probeMargin)
     val cells =
-      if (bands.length > 1 || nSupers > 0) graft.Materialize(cells0) else cells0
+      if (bands.length > 1 || nSupers > 0 || cellProbes > 1)
+        graft.Materialize(cells0)
+      else cells0
     val keyed = withBandBuckets(cells, bands)
+    val xSide = probeSide(keyed, cellProbes)
     // per-band key projection, like dedup: nothing extra rides the wire
     val candOf = (ks: Seq[String]) => {
-      val x = keyed.select(ks.map(col) :+ col("_id").as("id_a") :+ col("_vec").as("_xvec"): _*)
+      val x = xSide.select(ks.map(col) :+ col("_id").as("id_a") :+ col("_vec").as("_xvec"): _*)
       val y = keyed.select(ks.map(col) :+ col("_id").as("id_b") :+ col("_vec").as("_yvec"): _*)
-      x.join(y, ks)
-        .filter(col("id_a") < col("id_b") &&
-          cosine(col("_xvec"), col("_yvec")) >= tau)
-        .select(col("id_a"), col("id_b"))
+      if (cellProbes <= 1)
+        x.join(y, ks)
+          .filter(col("id_a") < col("id_b") &&
+            cosine(col("_xvec"), col("_yvec")) >= tau)
+          .select(col("id_a"), col("id_b"))
+      else
+        // multi-probe (see dedup): exploded x side × primary y side,
+        // both directions normalized to (id_a < id_b)
+        x.join(y, ks)
+          .filter(col("id_a") =!= col("id_b") &&
+            cosine(col("_xvec"), col("_yvec")) >= tau)
+          .select(
+            when(col("id_a") < col("id_b"), col("id_a")).otherwise(col("id_b")).as("id_a"),
+            when(col("id_a") < col("id_b"), col("id_b")).otherwise(col("id_a")).as("id_b"))
     }
     val all = keySets(bands).map(candOf).reduce(_ unionByName _)
-    if (bands.length > 1) all.distinct() else all
+    // band overlap, probe overlap, and the two normalized directions
+    // all repeat pairs; the distinct runs AFTER the tau filter, so it
+    // is output-sized, never candidate-sized
+    if (bands.length > 1 || cellProbes > 1) all.distinct() else all
   }
 
   /** Incremental semantic dedup — the daily-increment production shape
@@ -203,10 +289,12 @@ object SemanticDedup {
                         centroids: DataFrame, cIdCol: String, cVecCol: String,
                         tau: Double, nSupers: Int = 0, superProbes: Int = 1,
                         superVecs: Seq[Seq[Double]] = Nil,
-                        bands: Seq[Seq[Seq[Double]]] = Nil): DataFrame = {
+                        bands: Seq[Seq[Seq[Double]]] = Nil,
+                        cellProbes: Int = 1,
+                        probeMargin: Double = Double.PositiveInfinity): DataFrame = {
     val assigned = graft.Materialize(
       assign(newVecs, idCol, vecCol, centroids, cIdCol, cVecCol,
-        nSupers, superProbes, superVecs))
+        nSupers, superProbes, superVecs, cellProbes, probeMargin))
     val cellType = existingIndex.schema(existingIndex.schema.fieldIndex("cell_id")).dataType
     val known = centroids.select(col(cIdCol).as("cell_id"))
       .withColumn("_known", lit(true))
@@ -222,15 +310,23 @@ object SemanticDedup {
           .as("cell_id"),
         col("_cid"), col("_cvec"))
     val batchKeyed = withBandBuckets(assigned, bands)
+    // multi-probe: the BATCH side explodes over its top-p cells — the
+    // corpus index stores PRIMARY cells only, so the corpus probe
+    // catches index rows whose stored cell is among the batch row's
+    // probes (one-sided by construction: a boundary pair whose batch
+    // vector's probes miss the corpus vector's cell stays unflagged —
+    // widening p narrows that set; the index never re-assigns)
+    val batchProbed = probeSide(batchKeyed, cellProbes)
     val idxKeyed = bands.zipWithIndex.foldLeft(guardedIdx) {
       case (df, (planes, r)) =>
         df.withColumn(s"_sb$r", Ann.lshBucket(col("_cvec"), planes))
     }
-    // min() over the band-overlap multiset equals min() over the set —
-    // no pre-distinct exchange needed in either probe; each band's join
-    // projects only its own key columns so nothing extra rides the wire
+    // min() over the band/probe-overlap multiset equals min() over the
+    // set — no pre-distinct exchange needed in either probe; each
+    // band's join projects only its own key columns so nothing extra
+    // rides the wire
     val corpusCandOf = (ks: Seq[String]) =>
-      batchKeyed.select((ks.map(col) :+ col("_id") :+ col("_vec")): _*)
+      batchProbed.select((ks.map(col) :+ col("_id") :+ col("_vec")): _*)
         .join(idxKeyed.select((ks.map(col) :+ col("_cid") :+ col("_cvec")): _*), ks)
         .filter(cosine(col("_vec"), col("_cvec")) >= tau)
         .select(col("_id"), col("_cid"))
@@ -238,12 +334,22 @@ object SemanticDedup {
       .groupBy(col("_id"))
       .agg(min(col("_cid")).as("_corpus_of"))
     val batchCandOf = (ks: Seq[String]) => {
-      val l = batchKeyed.select(ks.map(col) :+ col("_id").as("_ida") :+ col("_vec").as("_va"): _*)
+      val l = batchProbed.select(ks.map(col) :+ col("_id").as("_ida") :+ col("_vec").as("_va"): _*)
       val r = batchKeyed.select(ks.map(col) :+ col("_id").as("_idb") :+ col("_vec").as("_vb"): _*)
-      l.join(r, ks)
-        .filter(col("_ida") < col("_idb") &&
-          cosine(col("_va"), col("_vb")) >= tau)
-        .select(col("_ida"), col("_idb"))
+      if (cellProbes <= 1)
+        l.join(r, ks)
+          .filter(col("_ida") < col("_idb") &&
+            cosine(col("_va"), col("_vb")) >= tau)
+          .select(col("_ida"), col("_idb"))
+      else
+        // exploded l side × primary r side, both directions normalized
+        // to (_ida < _idb) — the dedup() multi-probe shape
+        l.join(r, ks)
+          .filter(col("_ida") =!= col("_idb") &&
+            cosine(col("_va"), col("_vb")) >= tau)
+          .select(
+            when(col("_ida") < col("_idb"), col("_ida")).otherwise(col("_idb")).as("_ida"),
+            when(col("_ida") < col("_idb"), col("_idb")).otherwise(col("_ida")).as("_idb"))
     }
     val batchHit = keySets(bands).map(batchCandOf).reduce(_ unionByName _)
       .groupBy(col("_idb"))

@@ -84,4 +84,57 @@ object Sq {
       .select(idCol).collect().map(_.get(0)).toSeq
     Ann.rerankIds(index, idCol, vecCol, queryVec, k, candIds)
   }
+
+  /** Persist the two-tier SQ8 store behind [[Ann.gatedPublish]]'s
+    * stage→measure→rename recall gate — the same discipline the graph
+    * ([[GraphIndex.buildServing]]), IVF ([[Ann.writeIvfIndexGated]])
+    * and IVF-PQ ([[Pq.writeIvfPqIndexGated]]) publishes carry, closing
+    * the last ungated index path. The store is ONE parquet dir holding
+    * the original columns plus `sq_code`/`sq_scale`: the wide
+    * approximate scan reads only the 1-byte codes (column pruning) and
+    * the exact re-rank reads the float column for `candidates` rows
+    * through a pushed-down id filter, so the store is self-contained
+    * for [[searchRerank]] consumers. The gate probes the STAGED
+    * artifact with that exact two-stage search against full-precision
+    * brute force on the caller's query workload; a recall under
+    * `recallFloor` (quantization collapse — components that differ
+    * below the int8 resolution tie in the prefilter, and a tight
+    * `candidates` then evicts true neighbors) discards the staging and
+    * leaves any prior published store serving. Returns the measured
+    * recall — the build's acceptance evidence. */
+  def writeIndexGated(spark: SparkSession, index: DataFrame,
+                      idCol: String, vecCol: String, indexDir: String,
+                      queries: DataFrame, k: Int = 10, candidates: Int = 100,
+                      recallFloor: Double = 0.9): Double = {
+    import graft.functions.VectorFunctions.cosine
+    import org.apache.spark.sql.expressions.Window
+    val qcols = queries.columns
+    require(qcols.length == 2,
+      s"writeIndexGated: queries must be (query_id, vector), got ${qcols.toSeq}")
+    val qDf = queries.select(col(qcols(0)).as("_qid"),
+      col(qcols(1)).cast("array<double>").as("_qv"))
+    val workload = qDf.collect()
+      .map(r => (r.get(0), r.getSeq[Double](1).toSeq))
+    require(workload.nonEmpty,
+      "writeIndexGated: the query workload produced zero probes — " +
+        "refusing to build a store that would publish ungated")
+    Ann.gatedPublish(spark, indexDir, recallFloor, "Sq.writeIndexGated",
+      s"k=$k, candidates=$candidates") { staging =>
+      quantize(index, vecCol).write.mode("overwrite").parquet(staging)
+    } { staged =>
+      val w = Window.partitionBy("_qid").orderBy(desc("_sim"), col(idCol))
+      val exact = index.crossJoin(broadcast(qDf))
+        .withColumn("_sim", cosine(col(vecCol).cast("array<double>"), col("_qv")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k)
+        .select(col("_qid"), col(idCol))
+        .collect().groupBy(_.get(0)).map { case (q, rs) => q -> rs.map(_.get(1)).toSet }
+      val store = spark.read.parquet(staged)
+      val got: Map[Any, Set[Any]] = workload.map { case (qid, qv) =>
+        (qid: Any) -> searchRerank(store, store, idCol, vecCol, qv, k, candidates)
+          .select(col(idCol)).collect().map(_.get(0)).toSet[Any]
+      }.toMap
+      Ann.meanRecall(exact, got, k, "writeIndexGated")
+    }
+  }
 }

@@ -378,13 +378,14 @@ object StreamingDedup {
                                 indexDir: String, outDir: String, checkpoint: String,
                                 tau: Double, nSupers: Int = 0, superProbes: Int = 1,
                                 superVecs: Seq[Seq[Double]] = Nil,
-                                bands: Seq[Seq[Seq[Double]]] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+                                bands: Seq[Seq[Seq[Double]]] = Nil,
+                                cellProbes: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processSemanticIncrement(batch, batchId, idCol, vecCol,
           centroids, cIdCol, cVecCol, indexDir, outDir, tau,
-          nSupers, superProbes, superVecs, bands)
+          nSupers, superProbes, superVecs, bands, cellProbes)
       }
       .start()
 
@@ -403,8 +404,15 @@ object StreamingDedup {
       xs.map(x => if (x == 0.0) 0.0 else x).mkString("[", ",", "]")
     def a2(xs: Seq[Seq[Double]]) = xs.map(a1).mkString("[", ",", "]")
     def a3(xs: Seq[Seq[Seq[Double]]]) = xs.map(a2).mkString("[", ",", "]")
-    s"""{"nSupers":$nSupers,"superProbes":$superProbes,""" +
-      s""""superVecs":${a2(superVecs)},"bands":${a3(bands)}}"""
+    // inert-knob canonicalization: with nSupers == 0 assignment takes
+    // the flat path and superProbes/superVecs have NO effect on any
+    // cell id, so two recipes that assign identically must render the
+    // same JSON — without the fold, a legacy (no-sidecar) store read
+    // as the flat default would be spuriously refused forever by a
+    // flat probe that happens to carry superProbes=2
+    val (p, sv) = if (nSupers == 0) (1, Nil) else (superProbes, superVecs)
+    s"""{"nSupers":$nSupers,"superProbes":$p,""" +
+      s""""superVecs":${a2(sv)},"bands":${a3(bands)}}"""
   }
 
   /** One micro-batch of [[incrementalSemanticStream]] — testable replay
@@ -417,7 +425,8 @@ object StreamingDedup {
                                               tau: Double, nSupers: Int = 0,
                                               superProbes: Int = 1,
                                               superVecs: Seq[Seq[Double]] = Nil,
-                                              bands: Seq[Seq[Seq[Double]]] = Nil): Unit = {
+                                              bands: Seq[Seq[Seq[Double]]] = Nil,
+                                              cellProbes: Int = 1): Unit = {
     val spark = batch.sparkSession
     val idxPath = new org.apache.hadoop.fs.Path(indexDir)
     val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

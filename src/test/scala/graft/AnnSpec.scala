@@ -69,8 +69,30 @@ class AnnSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("below the floor"), err.getMessage)
     assert(err.getMessage.contains("0.600"), err.getMessage)
-    assert(!new java.io.File(dir2).exists(),
-      "refused IVF store must be deleted, not left to serve")
+    assert(!new java.io.File(s"$dir2/_SUCCESS").exists() &&
+      !new java.io.File(dir2 + "__gate_staging").exists(),
+      "refused IVF store must publish nothing — no store files, no staging leftovers")
+    // the stage-and-rename discipline (r14 ADVICE): an in-place REBUILD
+    // whose gate fails must leave the prior GOOD store serving — the
+    // old write-then-measure shape deleted it
+    val before = spark.read.parquet(dir).count()
+    intercept[IllegalStateException] {
+      Ann.writeIvfIndexGated(spark, assigned, "id", "vec",
+        cents, "cid", "cvec", dir, workload,
+        nprobe = 1, k = 10, recallFloor = 0.9)
+    }
+    assert(spark.read.parquet(dir).count() == before,
+      "a failed in-place rebuild must not touch the prior published store")
+    assert(!new java.io.File(dir + "__gate_staging").exists(),
+      "failed rebuild must clean its staging dir")
+    // tiny-but-perfect store: 12 rows probed at k=20 with full width IS
+    // the exact answer — recall must divide by min(k, |truth|), not k
+    val dir4 = java.nio.file.Files.createTempDirectory("graft_ivfgate4").toString
+    val r4 = Ann.writeIvfIndexGated(spark, assigned, "id", "vec",
+      cents, "cid", "cvec", dir4, workload,
+      nprobe = 2, k = 20, recallFloor = 0.9)
+    assert(r4 == 1.0,
+      s"a store smaller than k whose probe is exact must measure 1.0, got $r4")
     // an empty workload refuses loudly instead of NaN-ing past the gate
     val dir3 = java.nio.file.Files.createTempDirectory("graft_ivfgate3").toString
     val empty = Seq.empty[(Long, Seq[Double])].toDF("qid", "qvec")

@@ -224,6 +224,69 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(w.cents.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  // -------------------- the in-JVM Hot serving tier -------------------- //
+
+  test("hot serving: in-JVM walk equals the warm Spark walk on FULL visited sets") {
+    val w = GraphIndex.warm(spark, handle)
+    val hotH = GraphIndex.hot(spark, handle)
+    try {
+      // full visited set + exact sims — the walk must be bitwise the
+      // same beam expansion, not just the same top-k
+      demoQueries.foreach { q =>
+        val qv = Embed.embedQuery(spark, q).toSeq
+        val warmRows = w.search(spark, qv)
+          .select("doc_id", "chunk_idx", "sim")
+          .as[(String, Int, Double)].collect().toSeq.sorted
+        val hotRows = hotH.search(spark, qv)
+          .select("doc_id", "chunk_idx", "sim")
+          .as[(String, Int, Double)].collect().toSeq.sorted
+        assert(hotRows == warmRows, s"hot visited set diverged for '$q'")
+      }
+      // batch path: same per-query rows
+      val qdf = demoQueries.zipWithIndex
+        .map { case (q, i) => (i.toLong, Embed.embedQuery(spark, q).toSeq) }
+        .toDF("query_id", "qvec")
+      val warmBatch = w.topKBatch(spark, qdf, "query_id", "qvec",
+          3, tieBreak = Seq("doc_id", "chunk_idx"))
+        .select("query_id", "rank", "doc_id", "chunk_idx")
+        .as[(Long, Int, String, Int)].collect().toSeq.sorted
+      val hotBatch = hotH.topKBatch(spark, qdf, "query_id", "qvec",
+          3, tieBreak = Seq("doc_id", "chunk_idx"))
+        .select("query_id", "rank", "doc_id", "chunk_idx")
+        .as[(Long, Int, String, Int)].collect().toSeq.sorted
+      assert(hotBatch == warmBatch)
+      // the ask pipeline accepts a Hot wherever a Serving goes
+      val q = demoQueries.head
+      val warmPrompt = Retrieval.askGraph(spark, w, q, topK = 3)
+        .select("prompt").head().getString(0)
+      val hotPrompt = Retrieval.askGraph(spark, hotH, q, topK = 3)
+        .select("prompt").head().getString(0)
+      assert(hotPrompt == warmPrompt)
+    } finally { w.cool(); hotH.cool() }
+  }
+
+  test("hot serving is a snapshot: deletes after hot() appear only on re-hot") {
+    val h = freshHandle()
+    val qv = Embed.embedQuery(spark, demoQueries.head).toSeq
+    val hot0 = GraphIndex.hot(spark, h)
+    try {
+      val before = topIds(hot0, qv, 3)
+      val victim = before.head
+      GraphIndex.delete(spark, h,
+        Seq(victim).toDF("doc_id", "chunk_idx"), Seq("doc_id", "chunk_idx"))
+      // the live snapshot still serves the deleted row
+      assert(topIds(hot0, qv, 3) == before,
+        "a Hot snapshot must not see post-hot deletes")
+      // a fresh hot() sees the mark (and matches cold)
+      val hot1 = GraphIndex.hot(spark, h)
+      try {
+        val after = topIds(hot1, qv, 3)
+        assert(!after.contains(victim), s"re-hot must apply the mark: $after")
+        assert(after == topIds(h, qv, 3), "re-hot must match the cold store")
+      } finally hot1.cool()
+    } finally hot0.cool()
+  }
+
   // -------------------- lifecycle: delete + compact -------------------- //
 
   /** A private store per lifecycle test — these mutate, and the shared

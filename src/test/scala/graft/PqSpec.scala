@@ -78,4 +78,39 @@ class PqSpec extends AnyFunSuite {
     val recall = exact.intersect(got).size / 10.0
     assert(recall >= 0.7, s"PQ recall $recall below bound (got $got vs $exact)")
   }
+
+  test("gated IVF-PQ publish: full width passes; bad nprobe refuses, prior store survives") {
+    // AnnSpec's 2-cell circle geometry: the query's true top-10 spans
+    // both cells, so nprobe=1 provably recalls 0.6 and the gate must
+    // refuse it — while nprobe=2 with an all-rows candidate pool is
+    // exact after the re-rank and publishes at 1.0
+    def onCircle(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val vecs = ((0 until 6).map(i => (i.toLong, onCircle(i * 5))) ++
+      (0 until 6).map(i => (10L + i, onCircle(90 - i * 5)))).toDF("id", "vec")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cvec")
+    val cb2 = Pq.headCodebooks(vecs, "id", "vec", m = 2, k = 8)
+    val enc = Pq.encode(vecs, "id", "vec", cb2).toDF()
+      .select(col("id"), col("codes"))
+    val assignedEncoded = Ann.assignCells(vecs, "id", "vec", cents, "cid", "cvec")
+      .join(enc, "id")
+    val workload = Seq((0L, onCircle(0))).toDF("qid", "qvec")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqgate").toString
+    val r = Pq.writeIvfPqIndexGated(spark, assignedEncoded, "id", "vec", cb2,
+      cents, "cid", "cvec", dir, workload,
+      nprobe = 2, candidates = 12, k = 10, recallFloor = 0.9)
+    assert(r == 1.0, s"full-width IVF-PQ with an all-rows pool must be exact, got $r")
+    val published = spark.read.parquet(dir).count()
+    assert(published == 12L, "gate must publish the staged store")
+    // in-place rebuild at a silently bad nprobe: refused, prior store intact
+    val err = intercept[IllegalStateException] {
+      Pq.writeIvfPqIndexGated(spark, assignedEncoded, "id", "vec", cb2,
+        cents, "cid", "cvec", dir, workload,
+        nprobe = 1, candidates = 12, k = 10, recallFloor = 0.9)
+    }
+    assert(err.getMessage.contains("below the floor"), err.getMessage)
+    assert(spark.read.parquet(dir).count() == published,
+      "a refused rebuild must leave the prior store serving")
+    assert(!new java.io.File(dir + "__gate_staging").exists(),
+      "refused build must clean its staging dir")
+  }
 }

@@ -482,6 +482,54 @@ class RetrievalSpec extends AnyFunSuite {
       s"re-bootstrapped bloom must know ids stored while retired: ${e3.getMessage}")
   }
 
+  test("corrupt _idbloom: retired on default appends, rebuilt in place by idBloom=true") {
+    // the r15 read taxonomy: only a PARSE/SHAPE failure (a torn or
+    // garbage sidecar) is evidence the file is broken — it retires on a
+    // default append (else a later append could read a stale filter)
+    // but an idBloom=true append REBUILDS it from the live sidecars;
+    // either way the guard this append runs is the full exact join, so
+    // duplicates still refuse
+    val docs = Seq(
+      (1L, "spark shuffle partitions tune the join"),
+      (2L, "spark join"),
+      (3L, "broadcast the small side"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25bloomcorrupt").toString
+    Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 1L),
+      "doc_id", "text", dir, "s1", idBloom = true)
+    def corruptParams(): Unit = {
+      val pdir = new java.io.File(s"$dir/_idbloom/_params")
+      pdir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.write(f.toPath, "not a parquet file".getBytes)
+      }
+    }
+    corruptParams()
+    // duplicate still refused through the degraded (exact-join) guard,
+    // and the corrupt sidecar is retired by this default-flag append
+    val e1 = intercept[IllegalArgumentException] {
+      Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 1L),
+        "doc_id", "text", dir, "s2")
+    }
+    assert(e1.getMessage.contains("duplicates"), e1.getMessage)
+    assert(!new java.io.File(s"$dir/_idbloom").exists(),
+      "a corrupt sidecar must be retired by a default append")
+    // re-bootstrap, corrupt again, then an idBloom=true append REBUILDS
+    // in place (no retire) and the rebuilt filter knows every stored id
+    Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 2L),
+      "doc_id", "text", dir, "s2", idBloom = true)
+    corruptParams()
+    Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 3L),
+      "doc_id", "text", dir, "s3", idBloom = true)
+    assert(new java.io.File(s"$dir/_idbloom/_params").exists(),
+      "an idBloom=true append must rebuild a corrupt sidecar")
+    val e2 = intercept[IllegalArgumentException] {
+      Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 1L),
+        "doc_id", "text", dir, "s4", idBloom = true)
+    }
+    assert(e2.getMessage.contains("duplicates"),
+      s"the rebuilt filter must know pre-corruption ids: ${e2.getMessage}")
+  }
+
   test("interrupted in-place compaction: marker blocks probes, recovery completes the swap") {
     val docs = Seq(
       (1L, "spark shuffle partitions tune the join"),

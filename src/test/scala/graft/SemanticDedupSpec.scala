@@ -277,4 +277,164 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
   }
+
+  // --- multi-probe (cellProbes > 1): the cross-cell boundary recovery ---
+
+  // a boundary-straddling near-dup: 44° assigns to the x-cell, 46° to
+  // the y-cell, cosine = cos 2° ≈ 0.9994 — the published SemDeDup
+  // confinement can never score this pair (measured on PMC: 111/200
+  // planted near-dups lost to the boundary alone, SCALE.md)
+  private def onCircle(deg: Double) =
+    Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+  private def boundary = Seq(
+    (1L, onCircle(44.0)), (2L, onCircle(46.0)),
+    (10L, onCircle(0.0)), (20L, onCircle(90.0))
+  ).toDF("id", "vec")
+
+  test("cellProbes=2 recovers the boundary pair cellProbes=1 provably misses") {
+    val tau = 0.999
+    val p1 = SemanticDedup.pairs(boundary, "id", "vec", cents, "cid", "cvec", tau)
+      .as[(Long, Long)].collect().toSet
+    assert(p1.isEmpty, s"single-probe confinement must miss the straddling pair: $p1")
+    val p2 = SemanticDedup.pairs(boundary, "id", "vec", cents, "cid", "cvec", tau,
+        cellProbes = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(p2 == Set((1L, 2L)), s"multi-probe must recover exactly the boundary pair: $p2")
+    // dedup agrees: 2 drops with dup_of = 1 at p=2, survives at p=1
+    val d1 = SemanticDedup.dedup(boundary, "id", "vec", cents, "cid", "cvec", tau)
+      .filter(!col("is_kept")).count()
+    assert(d1 == 0L)
+    val d2 = SemanticDedup.dedup(boundary, "id", "vec", cents, "cid", "cvec", tau,
+        cellProbes = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(d2(1L) == ((true, None)))
+    assert(d2(2L) == ((false, Some(1L))), s"got $d2")
+    assert(d2(10L)._1 && d2(20L)._1)
+  }
+
+  test("cellProbes=1 equals the default build; p=2 candidates are a superset, bounded by p x") {
+    // degenerate equivalence: the p=1 call IS the default path
+    val flat = SemanticDedup.dedup(vecs, "id", "vec", cents, "cid", "cvec", tau = 0.98)
+      .collect().map(_.toString).sorted.toSeq
+    val p1 = SemanticDedup.dedup(vecs, "id", "vec", cents, "cid", "cvec", tau = 0.98,
+        cellProbes = 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(p1 == flat)
+    // monotone recall: every p=1 pair survives at p=2 (tau = -1 makes
+    // the pair universe visible)
+    val u1 = SemanticDedup.pairs(vecs, "id", "vec", cents, "cid", "cvec", tau = -1.0)
+      .as[(Long, Long)].collect().toSet
+    val u2 = SemanticDedup.pairs(vecs, "id", "vec", cents, "cid", "cvec", tau = -1.0,
+        cellProbes = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(u1.subsetOf(u2), s"p=2 lost pairs p=1 found: ${u1 -- u2}")
+    // the candidate bound: one side explodes to ≤ p rows/vector, the
+    // other stays primary, so the distinct pair universe grows at most
+    // p× the single-probe one (6 vecs over 2 cells: 6 same-cell pairs
+    // at p=1; every cross-cell pair joins at p=2 → 15 = C(6,2) here,
+    // within 2× of 6... pinned numerically)
+    assert(u2.size <= 2 * u1.size + vecs.count(),
+      s"candidate growth exceeded the p x bound: ${u1.size} -> ${u2.size}")
+  }
+
+  test("assignCellsMulti: head of cell_ids is the primary assignment, flat and hier alike") {
+    val flat = graft.operators.Ann.assignCells(vecs, "id", "vec", cents, "cid", "cvec")
+      .select("id", "cell_id").as[(Long, Long)].collect().toMap
+    val multi = graft.operators.Ann.assignCellsMulti(vecs, "id", "vec",
+        cents, "cid", "cvec", cellProbes = 2)
+      .select(col("id"), col("cell_id"), col("cell_ids"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    multi.foreach { case (id, primary, probes) =>
+      assert(primary == flat(id), s"primary drift for $id")
+      assert(probes.head == primary, s"cell_ids head must be the primary for $id")
+      assert(probes.length <= 2 && probes.distinct.length == probes.length,
+        s"probe list malformed for $id: $probes")
+    }
+    val hier = graft.operators.Ann.assignCellsHier(vecs, "id", "vec",
+        cents, "cid", "cvec", nSupers = 2)
+      .select("id", "cell_id").as[(Long, Long)].collect().toMap
+    val multiHier = graft.operators.Ann.assignCellsMulti(vecs, "id", "vec",
+        cents, "cid", "cvec", cellProbes = 2, nSupers = 2)
+      .select(col("id"), col("cell_ids"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    hier.foreach { case (id, primary) =>
+      assert(multiHier(id).head == primary, s"hier primary drift for $id")
+    }
+  }
+
+  test("multi-probe composes with hier routing and bands; increment gains dup_corpus across the boundary") {
+    val tau = 0.999
+    // hier + p=2 with superProbes=1 CANNOT recover here: each super
+    // owns exactly one cell in this fixture, so the routed candidate
+    // set a vector can probe is a single cell — the probe breadth is
+    // bounded by the probed supers' members (the documented coupling:
+    // cellProbes recovers CELL boundaries within the routed set,
+    // superProbes recovers SUPER boundaries)
+    val routedOnly = SemanticDedup.pairs(boundary, "id", "vec", cents, "cid", "cvec",
+        tau, nSupers = 2, bands = Seq(xSign), cellProbes = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(routedOnly.isEmpty,
+      s"single-super routing cannot see the second cell: $routedOnly")
+    // widening the routing (superProbes=2) hands the probe join both
+    // cells and the agreeing x-band keeps the pair — full recovery
+    val composed = SemanticDedup.pairs(boundary, "id", "vec", cents, "cid", "cvec",
+        tau, nSupers = 2, superProbes = 2, bands = Seq(xSign), cellProbes = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(composed == Set((1L, 2L)), s"hier+band+probes must keep the recovery: $composed")
+    // increment: corpus holds the 44° vector (stored in the x-cell);
+    // the 46° batch row assigns to the y-cell — invisible at p=1,
+    // dup_corpus at p=2; and a batch-internal straddle pair flags
+    // dup_batch at p=2 only
+    val corpus = Seq((1L, onCircle(44.0))).toDF("id", "vec")
+    val index = graft.operators.Ann.assignCells(corpus, "id", "vec", cents, "cid", "cvec")
+      .select("id", "vec", "cell_id")
+    val batch = Seq(
+      (100L, onCircle(46.0)),   // boundary twin of corpus 1
+      (200L, onCircle(134.0)),  // y-cell; boundary twin of 201
+      (201L, onCircle(136.0))   // assigns across the y axis? no — 136° still y-cell
+    ).toDF("id", "vec")
+    val st1 = SemanticDedup.semanticIncrement(batch, "id", "vec",
+        index, cents, "cid", "cvec", tau)
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(st1(100L) == "new", s"p=1 must miss the cross-cell corpus dup: $st1")
+    val st2 = SemanticDedup.semanticIncrement(batch, "id", "vec",
+        index, cents, "cid", "cvec", tau, cellProbes = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(st2(100L) == (("dup_corpus", Some(1L))), s"got $st2")
+    assert(st2(200L) == (("new", None)))
+    assert(st2(201L) == (("dup_batch", Some(200L))))
+  }
+
+  test("probeMargin trims probing to boundary vectors; wide keeps the pair, tight drops it") {
+    // the boundary fixture's runner-up gap: vector at 44° scores
+    // cos(44°) ≈ 0.719 on the x-centroid and cos(46°) ≈ 0.695 on the
+    // y-centroid — a 0.025 gap. margin 0.05 emits the second probe
+    // (pair recovered); margin 0.01 trims it (pair lost, cost saved);
+    // margin 0.0 degenerates to the p=1 RESULTS (ties-only probing)
+    val tau = 0.999
+    val wide = SemanticDedup.pairs(boundary, "id", "vec", cents, "cid", "cvec", tau,
+        cellProbes = 2, probeMargin = 0.05)
+      .as[(Long, Long)].collect().toSet
+    assert(wide == Set((1L, 2L)), s"margin 0.05 must keep the boundary pair: $wide")
+    val tight = SemanticDedup.pairs(boundary, "id", "vec", cents, "cid", "cvec", tau,
+        cellProbes = 2, probeMargin = 0.01)
+      .as[(Long, Long)].collect().toSet
+    assert(tight.isEmpty, s"margin 0.01 must trim the far probe: $tight")
+    val zero = SemanticDedup.dedup(vecs, "id", "vec", cents, "cid", "cvec",
+        tau = 0.98, cellProbes = 2, probeMargin = 0.0)
+      .collect().map(_.toString).sorted.toSeq
+    val p1 = SemanticDedup.dedup(vecs, "id", "vec", cents, "cid", "cvec", tau = 0.98)
+      .collect().map(_.toString).sorted.toSeq
+    assert(zero == p1, "margin 0 must reproduce the single-probe verdicts")
+  }
+
+  test("plan: multi-probe build stays cartesian-free") {
+    val plan = SemanticDedup.dedup(boundary, "id", "vec", cents, "cid", "cvec",
+        tau = 0.99, cellProbes = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
+  }
 }

@@ -110,4 +110,42 @@ class SqSpec extends AnyFunSuite {
     // float side, so assert a conservative material reduction
     assert(sq < fp * 0.6, s"sq8 tier not smaller: $sq vs $fp bytes")
   }
+
+  test("gated SQ8 publish: healthy store passes; quantization collapse refuses, prior survives") {
+    // the breach is QUANTIZATION COLLAPSE, constructed exactly: rows 0
+    // and 1 differ only in a component below the int8 resolution
+    // (0.002 < half a code step of 1/127 ≈ 0.0079), so both quantize
+    // to code (127, 0) — the int8 prefilter ties and breaks to the
+    // LOWER id, which is the exact-cosine LOSER for this query. With
+    // candidates = k = 1 the true neighbor is evicted before the
+    // re-rank: recall 0, gate refuses.
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0)),    // code (127, 0); exact loser
+      (1L, Seq(1.0, 0.002))   // code (127, 0); exact winner for q
+    ).toDF("id", "vec")
+    val workload = Seq((0L, Seq(1.0, 0.004))).toDF("qid", "qvec")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqgate").toString
+    // healthy knobs first: candidates=2 re-ranks both ties exactly
+    val r = Sq.writeIndexGated(spark, rows, "id", "vec", dir, workload,
+      k = 1, candidates = 2, recallFloor = 0.9)
+    assert(r == 1.0, s"re-rank over the full tie set must be exact, got $r")
+    val published = spark.read.parquet(dir).count()
+    assert(published == 2L)
+    // collapse knobs: refused, prior store untouched, staging cleaned
+    val err = intercept[IllegalStateException] {
+      Sq.writeIndexGated(spark, rows, "id", "vec", dir, workload,
+        k = 1, candidates = 1, recallFloor = 0.9)
+    }
+    assert(err.getMessage.contains("below the floor"), err.getMessage)
+    assert(spark.read.parquet(dir).count() == published,
+      "a refused rebuild must leave the prior store serving")
+    assert(!new java.io.File(dir + "__gate_staging").exists(),
+      "refused build must clean its staging dir")
+    // the published artifact is self-contained for searchRerank
+    val store = spark.read.parquet(dir)
+    val got = Sq.searchRerank(store, store, "id", "vec",
+      Seq(1.0, 0.004), k = 1, candidates = 2)
+      .select("id").as[Long].head()
+    assert(got == 1L, "published two-tier store must serve the exact winner")
+  }
 }
