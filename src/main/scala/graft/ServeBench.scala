@@ -97,16 +97,28 @@ object ServeBench {
         superProbes = 4,
         recallFloor = 0.9, recallQueries = 20, recallK = 10,
         recallQueriesDf = Some(qWorkload))
-    val wh = operators.GraphIndex.warm(spark, h)
+    // `hot` serves from the in-JVM tier (GraphIndex.hot — zero Spark
+    // jobs per hop; the per-ask Spark work left is the pruned sidecar
+    // re-attach), the round-15 answer to the measured c≈8 knee whose
+    // root cause was per-hop job scheduling, not data work
+    val wh: operators.GraphIndex.Serving =
+      if (args.contains("hot")) operators.GraphIndex.hot(spark, h)
+      else operators.GraphIndex.warm(spark, h)
     println(f"SETUP chunks=$nChunks ingest+build+warm=${(System.nanoTime() - t0) / 1e9}%.1f s " +
-      f"build=${if (args.contains("flat")) "flat" else "servingGated"} recall=$recall%.3f")
+      f"build=${if (args.contains("flat")) "flat" else "servingGated"} " +
+      f"tier=${if (args.contains("hot")) "hot" else "warm"} recall=$recall%.3f")
 
+    def coolServing(): Unit = wh match {
+      case w: operators.GraphIndex.Warm => w.cool()
+      case hh: operators.GraphIndex.Hot => hh.cool()
+      case _ => ()
+    }
     val emptyCache = Seq.empty[(Long, Seq[Float], String, Int)]
       .toDF("entry_id", "embedding", "response", "freq")
 
     if (args.contains("http")) {
       httpConcurrencyBench(spark, index, wh, dfreq, nDocs, queries, nChunks, args)
-      wh.cool(); spark.stop(); return
+      coolServing(); spark.stop(); return
     }
 
     // warmup: JIT + codegen + cached-batch touch, outside every timer
@@ -152,7 +164,7 @@ object ServeBench {
       f""""batch8":{"n":${b8.length},"p50":$b8p50%.3f,"p95":$b8p95%.3f,"max":$b8max%.3f},""" +
       f""""batch32":{"n":${b32.length},"p50":$b32p50%.3f,"p95":$b32p95%.3f,"max":$b32max%.3f},""" +
       f""""per_ask_p50":{"solo":$s50%.3f,"batch8":${b8p50 / 8}%.3f,"batch32":${b32p50 / 32}%.3f}}""")
-    wh.cool()
+    coolServing()
     spark.stop()
   }
 

@@ -298,9 +298,23 @@ object GraphIndex {
         .filterNot { case (id, _) => tombs.contains(id) }
     }
 
+    /** [[Serving.attach]] minus its distinct().collect() job: the walk's
+      * visited ids are already in this JVM, so the bucket list comes
+      * straight off them — one fewer driver-scheduled job per ask (the
+      * entire point of this tier is per-ask job count). Same pruned
+      * filter + broadcast join, same output columns. */
+    private def attachIds(visited: DataFrame, ids: Seq[Long]): DataFrame = {
+      val nb = handle.nBuckets
+      val buckets = ids.map(id => Long.box(((id % nb) + nb) % nb)).distinct
+      chunksDf.filter(col("uid_bucket").isin(buckets: _*))
+        .join(broadcast(visited), "uid")
+        .drop("uid_bucket")
+    }
+
     def search(spark: SparkSession, queryVec: Seq[Double]): DataFrame = {
       import spark.implicits._
-      attach(chunksDf, walk(queryVec).toDF("vec_id", "sim"))
+      val rows = walk(queryVec)
+      attachIds(rows.toDF("uid", "sim"), rows.map(_._1))
     }
 
     def searchBatch(spark: SparkSession, queries: DataFrame,
@@ -315,7 +329,7 @@ object GraphIndex {
       val all = qs.toSeq.flatMap { case (qid, qv) =>
         walk(qv).map { case (id, s) => (qid, id, s) }
       }
-      attach(chunksDf, all.toDF("query_id", "vec_id", "sim"))
+      attachIds(all.toDF("query_id", "uid", "sim"), all.map(_._2))
     }
 
     // the walk already filtered the snapshot's marks
@@ -743,6 +757,79 @@ object GraphIndex {
     * and both stores grow by `mode("append")` files: existing data is
     * never rewritten. Cost is |batch|·|touched cells|, independent of
     * index size. Returns the number of edge rows appended. */
+  /** Drift accounting for [[insert]]: the `_drift` sidecar carries
+    * (inserts_since_rebuild, last_recall) — incremental inserts are a
+    * provably bounded approximation that [[rebuild]] trues up
+    * (GraphIndexSpec pins rebuild ≡ fresh build), but WITHOUT a
+    * cadence nothing ever says when a store has drifted enough to need
+    * it. [[driftStatus]] reads the counter; [[driftProbe]] runs the
+    * sampled recall measurement and surfaces the rebuild signal.
+    * Reset (sidecar deleted) by [[rebuild]]. */
+  private def driftPath(h: Handle) = new org.apache.hadoop.fs.Path(h.dir + "/_drift")
+
+  /** (inserts since the last rebuild, the last cadence-probe recall if
+    * one ever ran). (0, None) for a store that never inserted. */
+  def driftStatus(spark: SparkSession, h: Handle): (Long, Option[Double]) = {
+    val p = driftPath(h)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (0L, None)
+    else {
+      val r = spark.read.parquet(p.toString).head()
+      val rec = r.getAs[Double]("last_recall")
+      (r.getAs[Long]("inserts_since_rebuild"),
+        if (rec.isNaN) None else Some(rec))
+    }
+  }
+
+  private def writeDrift(spark: SparkSession, h: Handle,
+                         inserts: Long, lastRecall: Double): Unit = {
+    val p = driftPath(h)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stage-and-rename like every other sidecar: a crash mid-write
+    // must leave the old counter (or none), never a torn dir
+    val tmp = new org.apache.hadoop.fs.Path(
+      h.dir + s"/_drift_tmp_${java.util.UUID.randomUUID}")
+    spark.range(1)
+      .select(lit(inserts).as("inserts_since_rebuild"),
+        lit(lastRecall).as("last_recall"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p)) fs.delete(tmp, true)
+  }
+
+  /** The insert-drift cadence probe: when the store has accumulated a
+    * multiple of `every` inserts since its last rebuild, measure
+    * sampled recall@`k` of the live store against exact brute force
+    * over its OWN chunk sidecar (the [[measureRecall]] defaults —
+    * deterministic leave-self-out probes; self-contained, no external
+    * corpus needed) and record it in the `_drift` sidecar. Returns
+    * Some((recall, rebuildRecommended)) when the probe ran, None when
+    * the cadence hasn't come due. The signal is ADVISORY — inserts
+    * are individually correct (every guard unaffected); a recall
+    * under `floor` says the accumulated approximation (unpruned
+    * reverse degree, stale entry routing) has drifted past the
+    * serving bar and [[rebuild]] should run. Cost: one nQueries×N
+    * batched scan — schedule `every` so it amortizes against the
+    * inserts themselves. */
+  def driftProbe(spark: SparkSession, h: Handle, keyCols: Seq[String],
+                 every: Int, floor: Double = 0.9,
+                 nQueries: Int = 20, k: Int = 10): Option[(Double, Boolean)] = {
+    require(every >= 1, s"driftProbe: every=$every must be >= 1")
+    val (inserts, _) = driftStatus(spark, h)
+    if (inserts == 0 || inserts % every != 0) None
+    else {
+      val idx = h.chunks(spark).drop("uid", "uid_bucket", "cell_id")
+      val recall = measureRecall(spark, h, idx, keyCols, h.vecCol, nQueries, k)
+      writeDrift(spark, h, inserts, recall)
+      val recommend = recall < floor
+      if (recommend)
+        System.err.println(f"[graph] drift probe at $inserts inserts: sampled " +
+          f"recall@$k = $recall%.3f < floor $floor%.2f — REBUILD RECOMMENDED " +
+          s"(GraphIndex.rebuild trues the store up to the fresh-build invariant)")
+      Some((recall, recommend))
+    }
+  }
+
   def insert(spark: SparkSession, h: Handle, newRows: DataFrame,
              keyCols: Seq[String], vecCol: String): Long = {
     import spark.implicits._
@@ -801,6 +888,11 @@ object GraphIndex {
     newAssigned.drop("cell_sim")
       .withColumn("uid_bucket", bucketOf(col("uid"), h.nBuckets))
       .write.mode("append").partitionBy("uid_bucket").parquet(h.chunksDir)
+    // drift accounting, AFTER both appends landed: a refused or failed
+    // insert must not advance the cadence ([[driftProbe]] decides when
+    // the counter warrants a sampled recall measurement)
+    val (prevInserts, prevRecall) = driftStatus(spark, h)
+    writeDrift(spark, h, prevInserts + 1, prevRecall.getOrElse(Double.NaN))
     newAssigned.unpersist() // no-op under localCheckpoint; frees the persist path
     n
   }
@@ -938,6 +1030,9 @@ object GraphIndex {
     val sp = new org.apache.hadoop.fs.Path(staging)
     sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
     if (fs.exists(tombPath)) fs.delete(tombPath, true)
+    // the rebuild trues the store up to the fresh-build invariant —
+    // the drift counter (and its last probe) restarts from zero
+    if (fs.exists(driftPath(h))) fs.delete(driftPath(h), true)
     out.copy(vecCol = h.vecCol)
   }
 }

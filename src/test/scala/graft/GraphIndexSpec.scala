@@ -477,6 +477,61 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(!topIds(hReb, qv, 3).contains(victim))
   }
 
+  test("insert-drift cadence: counter tracks appends, probe fires on schedule, rebuild resets") {
+    import operators.{GraphIndex => GI}
+    val docIds = embedded.select("doc_id").distinct().orderBy("doc_id")
+      .as[String].collect()
+    val (heldOut, baseIds) = docIds.splitAt(2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gdrift").toString
+    val h = GI.build(spark, embedded.filter(col("doc_id").isin(baseIds: _*)),
+      Seq("doc_id", "chunk_idx"), "embedding",
+      dir, nCentroids = 16, m = 16, nBuckets = 16, beamWidth = 32, hops = 3)
+    assert(GI.driftStatus(spark, h) == ((0L, None)), "fresh store starts at zero")
+    // the recall the probe will sample, measured BEFORE any insert —
+    // the baseline the drifted store is judged against
+    val keyCols = Seq("doc_id", "chunk_idx")
+    val before = GI.measureRecall(spark, h,
+      h.chunks(spark).drop("uid", "uid_bucket", "cell_id"), keyCols, "embedding",
+      nQueries = 8, k = 5)
+    // insert #1: counter advances, cadence (every=2) not yet due
+    GI.insert(spark, h, embedded.filter(col("doc_id") === heldOut(0)),
+      keyCols, "embedding")
+    assert(GI.driftStatus(spark, h)._1 == 1L)
+    assert(GI.driftProbe(spark, h, keyCols, every = 2, nQueries = 8, k = 5).isEmpty,
+      "probe must not fire off-cadence")
+    assert(GI.driftStatus(spark, h)._2.isEmpty, "no recall recorded off-cadence")
+    // insert #2: due — the probe measures the LIVE store (which now
+    // contains both batches) and records the number
+    GI.insert(spark, h, embedded.filter(col("doc_id") === heldOut(1)),
+      keyCols, "embedding")
+    val probed = GI.driftProbe(spark, h, keyCols, every = 2, nQueries = 8, k = 5)
+    assert(probed.isDefined, "probe must fire on the cadence")
+    val (afterInserts, recommend) = probed.get
+    assert(GI.driftStatus(spark, h) == ((2L, Some(afterInserts))),
+      "the probe's recall must persist in the sidecar")
+    // graphInsert links batch-vs-cell with reverse edges — on this tiny
+    // fixture the approximation stays healthy; the REBUILD signal is
+    // advisory and must reflect the floor comparison exactly
+    assert(recommend == (afterInserts < 0.9))
+    // rebuild trues the store up and resets the accounting
+    val hReb = GI.rebuild(spark, h, nCentroids = 16)
+    assert(GI.driftStatus(spark, hReb) == ((0L, None)), "rebuild must reset drift")
+    val after = GI.measureRecall(spark, hReb,
+      hReb.chunks(spark).drop("uid", "uid_bucket", "cell_id"), keyCols, "embedding",
+      nQueries = 8, k = 5)
+    assert(after >= before - 0.2,
+      f"rebuilt store recall $after%.3f fell far below the pre-insert $before%.3f")
+    // insert guards are UNAFFECTED by drift accounting: a refused
+    // duplicate insert must not advance the counter
+    intercept[IllegalArgumentException] {
+      GI.insert(spark, hReb, embedded.filter(col("doc_id") === heldOut(0))
+        .unionByName(embedded.filter(col("doc_id") === heldOut(0))),
+        keyCols, "embedding")
+    }
+    assert(GI.driftStatus(spark, hReb)._1 == 0L,
+      "a refused insert must not advance the drift counter")
+  }
+
   test("compact merges per-insert small files back to one per bucket, results unchanged") {
     import operators.{GraphIndex => GI}
     // build over part of the corpus, then two insert batches — each
