@@ -150,7 +150,7 @@ object PmcRecallProbe {
     // `... banded` runs only the banded rows — the sweep is ~25 min;
     // `... ivf` / `... semdedup` run ONLY their own sections below
     val cfgs =
-      if (args.exists(Set("gated", "ivf", "semdedup"))) Seq.empty
+      if (args.exists(Set("gated", "ivf", "semdedup", "gates"))) Seq.empty
       else if (args.contains("banded2")) allCfgs.filter(c =>
         c.label.contains("m=32") || c.label.contains("beam=64") ||
           c.label.startsWith("DIAG"))
@@ -348,6 +348,59 @@ object PmcRecallProbe {
         f"${hierP2.toDouble / math.max(eligible, 1)}%.3f, bandP2/eligible = " +
         f"${bandP2.toDouble / math.max(eligible, 1)}%.3f")
       planted.unpersist(); vecs.unpersist()
+    }
+
+    // ---- `gates` mode: the round-15 gated publishers exercised on the
+    // real corpus at their default knobs — the acceptance evidence that
+    // the SQ8 and IVF-PQ gates PASS healthy stores here (the refusal
+    // paths are spec-pinned on constructed fixtures; these rows prove
+    // the floors are attainable on real data, so the gates gate rather
+    // than block).
+    if (args.contains("gates")) {
+      val pidx = index
+        .withColumn("pid", operators.GraphIndex.uidFor(Seq("doc_id", "chunk_idx")))
+        .select(col("pid"), col("embedding").cast("array<double>").as("vec"))
+        .persist()
+      pidx.count()
+      val workload = qvecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("query_id", "qv")
+      // SQ8 two-tier store, default knobs (k=10, candidates=100)
+      val sqDir = java.nio.file.Files.createTempDirectory("pmc_sq_gate").toString + "/store"
+      val t0 = System.nanoTime()
+      val sqRecall = operators.Sq.writeIndexGated(spark, pidx, "pid", "vec",
+        sqDir, workload, k = 10, candidates = 100, recallFloor = 0.9)
+      println(f"GATE sq8 two-tier (k=10 cand=100): published at recall@10 = " +
+        f"$sqRecall%.3f, ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      // IVF-PQ at the honest knobs the r14 rows found (trained cents,
+      // trained codebooks, cand=500, nprobe=8) — floor 0.8: the r14
+      // measured ceiling for IVF-PQ on sparse TF-IDF was 0.855, so 0.9
+      // would refuse the best-known config; the floor is a deliberate
+      // per-store choice and THIS one is documented
+      val nCents = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+      val headCents = index.orderBy("doc_id", "chunk_idx").limit(nCents)
+        .select(monotonically_increasing_id().as("centroid_id"),
+          col("embedding").cast("array<double>").as("centroid_vec"))
+      val trainedCents = operators.Ann.kmeansRefine(index, "doc_id", "embedding",
+        headCents, dim = 1024, iters = 2)
+      val cbT = operators.Pq.train(pidx, "pid", "vec", m = 8, k = 16, iters = 2)
+      val encT = operators.Pq.encode(pidx, "pid", "vec", cbT).toDF()
+        .select(col("id").as("pid"), col("codes"))
+      val asg = operators.Ann.assignCells(pidx, "pid", "vec",
+          trainedCents, "centroid_id", "centroid_vec")
+        .select("pid", "vec", "cell_id").join(encT, "pid")
+      val pqDir = java.nio.file.Files.createTempDirectory("pmc_ivfpq_gate").toString + "/store"
+      val t1 = System.nanoTime()
+      val pqRecall = operators.Pq.writeIvfPqIndexGated(spark, asg, "pid", "vec",
+        cbT, trainedCents, "centroid_id", "centroid_vec", pqDir, workload,
+        nprobe = 8, candidates = 500, k = 10, recallFloor = 0.8)
+      println(f"GATE ivf-pq (trained cents+codebooks, nprobe=8 cand=500): " +
+        f"published at recall@10 = $pqRecall%.3f, ${(System.nanoTime() - t1) / 1e9}%.1f s")
+      pidx.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(sqDir).getParentFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(pqDir).getParentFile)
+      spark.stop(); return
     }
 
     if (args.exists(Set("ivf", "semdedup"))) { spark.stop(); return }

@@ -509,6 +509,41 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("different RECIPE"), e2.getMessage)
   }
 
+  test("semantic loop: cellProbes is probe-side-only — recovers a cross-cell dup, never recipe drift") {
+    // the 44°/46° boundary pair: the corpus row stores in the x-cell,
+    // the probe batch's near-dup assigns to the y-cell — invisible to
+    // the cell-confined probe at p=1, dup_corpus at p=2. cellProbes
+    // changes NO stored assignment (primary cells are identical), so
+    // mixed-p batches against one store must all be ACCEPTED by the
+    // recipe guard — it is a probe-time knob like tau, not a recipe.
+    val root = Files.createTempDirectory("graft_semprobes").toFile.getAbsolutePath
+    def run(b: org.apache.spark.sql.DataFrame, id: Long, p: Int): Unit =
+      StreamingDedup.processSemanticIncrement(b, id, "vec_id", "vec",
+        semCents, "cid", "cvec", s"$root/index", s"$root/out", tau = 0.999,
+        cellProbes = p)
+    run(Seq((1L, onCircle(44))).toDF("vec_id", "vec"), 0L, 1)
+    // p=1 probe of the boundary twin: cross-cell, reported new
+    run(Seq((2L, onCircle(46))).toDF("vec_id", "vec"), 1L, 1)
+    // p=2 probe of another twin against the SAME store: caught — and
+    // the recipe guard accepted the widened probe against a p=1 store
+    run(Seq((3L, onCircle(45.5))).toDF("vec_id", "vec"), 2L, 2)
+    val got = spark.read.parquet(s"$root/out")
+      .select("vec_id", "status").as[(Long, String)].collect().toMap
+    assert(got(1L) == "new")
+    assert(got(2L) == "new", "p=1 cannot see across the cell boundary")
+    assert(got(3L) == "dup_corpus", s"p=2 must recover the boundary dup: $got")
+    // inert-knob canonicalization (the r14 ADVICE low): a flat store's
+    // recipe must equal a flat probe's even when the probe carries a
+    // superProbes value — with nSupers=0 it has no effect on any cell
+    StreamingDedup.processSemanticIncrement(
+      Seq((4L, onCircle(170))).toDF("vec_id", "vec"), 3L, "vec_id", "vec",
+      semCents, "cid", "cvec", s"$root/index", s"$root/out", tau = 0.999,
+      superProbes = 2)
+    val s4 = spark.read.parquet(s"$root/out").filter(col("vec_id") === 4L)
+      .select("status").as[String].head()
+    assert(s4 == "new", "an inert superProbes must not refuse a flat store")
+  }
+
   // ---- graph incremental loop (live HNSW-analog index maintenance) ----
 
   test("excise loop: spans duplicated against earlier batches are removed; stream ≡ batch on id-ordered input") {
