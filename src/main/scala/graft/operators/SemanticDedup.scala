@@ -400,4 +400,49 @@ object SemanticDedup {
         min_by(col("_bid"), struct((-col("_sim")).as("s"), col("_bid").as("t")))
           .as("worst_bench_id"))
   }
+
+  /** [[contamination]] at the scale its own scaladoc warns about —
+    * when the BENCH side grows (many eval suites, held-out shards,
+    * canary sets: 10^5-10^6 items), the broadcast fan-out is |bench|
+    * cosines per corpus doc, corpus-wide. This is the prescribed
+    * cell prefilter: both sides assign under the SAME codebook (bench
+    * PRIMARY cell, corpus its top-`cellProbes` cells within
+    * `probeMargin` — [[dedup]]'s boundary-recovery discipline, which
+    * matters MORE here because a missed bench item is silent eval
+    * leakage), candidates are the cell-sharing pairs (an equi-join on
+    * cell_id — per-doc fan-out drops from |bench| to the probed
+    * cells' bench counts), and the per-doc reduction is
+    * [[contamination]]'s exactly. A corpus row's probed cells are
+    * distinct, and a bench row has one primary cell, so each
+    * (doc, bench) pair joins AT MOST ONCE — counts need no distinct.
+    * Candidate loss is the cell boundary on the BENCH side of each
+    * pair (a tau-close bench item whose primary cell the doc doesn't
+    * probe); widen cellProbes to trade compute for recall. The join
+    * is deliberately un-hinted: a truly large bench side should
+    * shuffle-hash on cell_id, and a small one will broadcast on its
+    * own statistics. */
+  def contaminationConfined(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            benchIdCol: String, benchVecCol: String,
+                            centroids: DataFrame, cIdCol: String, cVecCol: String,
+                            tau: Double, cellProbes: Int = 1,
+                            probeMargin: Double = Double.PositiveInfinity,
+                            nSupers: Int = 0, superProbes: Int = 1,
+                            superVecs: Seq[Seq[Double]] = Nil): DataFrame = {
+    val cAssigned = assign(corpus, idCol, vecCol, centroids, cIdCol, cVecCol,
+      nSupers, superProbes, superVecs, cellProbes, probeMargin)
+    val cSide = probeSide(cAssigned, cellProbes)
+      .select(col("_id").as(idCol), col("_vec").as("_cv"), col("cell_id"))
+    val bSide = assign(bench, benchIdCol, benchVecCol,
+        centroids, cIdCol, cVecCol, nSupers, superProbes, superVecs)
+      .select(col("_id").as("_bid"), col("_vec").as("_bv"), col("cell_id"))
+    cSide.join(bSide, "cell_id")
+      .withColumn("_sim", cosine(col("_cv"), col("_bv")))
+      .filter(col("_sim") >= tau)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        max(col("_sim")).as("max_sim"),
+        min_by(col("_bid"), struct((-col("_sim")).as("s"), col("_bid").as("t")))
+          .as("worst_bench_id"))
+  }
 }

@@ -430,6 +430,45 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(zero == p1, "margin 0 must reproduce the single-probe verdicts")
   }
 
+  test("confined contamination: cell prefilter confines, probes recover the boundary hit") {
+    // bench: one item per axis cell plus a boundary item at 44°
+    // (assigns x-cell). Corpus: an in-cell leak of the x-item, a
+    // boundary paraphrase at 46° (assigns y-cell, cosine cos 2° ≈
+    // 0.9994 to the 44° bench item), and a clean row.
+    val bench = Seq((0L, onCircle(0.0)), (1L, onCircle(90.0)), (2L, onCircle(44.0)))
+      .toDF("bid", "bvec")
+    val corpus = Seq(
+      (100L, onCircle(1.0)),   // in-cell leak of bench 0
+      (101L, onCircle(46.0)),  // boundary paraphrase of bench 2 — cross-cell
+      (102L, onCircle(170.0))  // clean
+    ).toDF("id", "vec")
+    val tau = 0.999
+    def flagged(p: Int): Map[Long, Long] =
+      SemanticDedup.contaminationConfined(corpus, bench, "id", "vec",
+          "bid", "bvec", cents, "cid", "cvec", tau, cellProbes = p)
+        .select("id", "worst_bench_id").as[(Long, Long)].collect().toMap
+    val p1 = flagged(1)
+    assert(p1 == Map(100L -> 0L), s"single-cell confinement must miss the boundary hit: $p1")
+    val p2 = flagged(2)
+    assert(p2 == Map(100L -> 0L, 101L -> 2L),
+      s"probes must recover the cross-cell bench hit: $p2")
+    // the unconfined operator is the recall ceiling: confined(p=2)
+    // equals it here, and every confined hit is an unconfined hit
+    val full = SemanticDedup.contamination(corpus, bench, "id", "vec",
+        "bid", "bvec", tau)
+      .select("id", "worst_bench_id").as[(Long, Long)].collect().toMap
+    assert(p2 == full, s"confined p=2 should reach the unconfined result here: $full")
+    // per-doc stats are computed over the CONFINED candidate set and
+    // agree with the unconfined ones when the sets coincide
+    val statsConf = SemanticDedup.contaminationConfined(corpus, bench, "id", "vec",
+        "bid", "bvec", cents, "cid", "cvec", tau, cellProbes = 2)
+      .select("id", "n_bench_hits", "max_sim").as[(Long, Long, Double)].collect().toSet
+    val statsFull = SemanticDedup.contamination(corpus, bench, "id", "vec",
+        "bid", "bvec", tau)
+      .select("id", "n_bench_hits", "max_sim").as[(Long, Long, Double)].collect().toSet
+    assert(statsConf == statsFull)
+  }
+
   test("plan: multi-probe build stays cartesian-free") {
     val plan = SemanticDedup.dedup(boundary, "id", "vec", cents, "cid", "cvec",
         tau = 0.99, cellProbes = 2)
