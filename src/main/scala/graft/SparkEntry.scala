@@ -2514,6 +2514,42 @@ object SparkEntry {
         .limit(5)
     }),
 
+    // The flagship at the 1000×-SCALE edge recipe: identical pipeline
+    // to q_rag_graph, but the in-cell edge build is OR-band-confined
+    // (Ann.knnGraphLshBanded via GraphIndex.build(lshBands) — two
+    // 2-plane sign-LSH bands; a pair is an edge candidate when EITHER
+    // band's sign bits fully agree). The sf10 decade measured the
+    // unbanded flagship's Σ|cell|² edge stage at ~N^1.35 while the
+    // banded edge build held 3.7× across 10× — this query makes that
+    // prescription itself hash-gated end to end. Band planes are the
+    // 4 lowest-uid chunk embeddings (data rows; the hashed-BoW space
+    // is sign-mixed, so raw sign buckets split ~evenly — no centering
+    // needed, and the oracle replays the plane pick by uid order, both
+    // bucket folds, and the OR'd pair condition inside the same
+    // chunk→embed→build→walk replay as q_rag_graph).
+    "q_rag_graph_banded" -> ((s, dir) => {
+      val chunks = Ingest.chunk(wide(s, dir, "documents").select("doc_id", "text"), "text", 32)
+        .select("doc_id", "chunk_idx", "chunk_text")
+      val embedded = Embed.withEmbedding(chunks, "chunk_text", "embedding")
+      val nCents = math.max(1L, math.floor(math.sqrt(chunks.count().toDouble)).toLong)
+      val planeRows = embedded
+        .withColumn("_uid", GraphIndex.uidFor(Seq("doc_id", "chunk_idx")))
+        .orderBy("_uid").limit(4)
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0)).toSeq
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val gdir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_raggraphbnd$safe").getAbsolutePath
+      val h = GraphIndex.build(s, embedded, Seq("doc_id", "chunk_idx"), "embedding",
+        gdir, nCentroids = nCents.toInt, m = 4, nBuckets = 16, beamWidth = 4,
+        hops = 3, lshBands = Seq(planeRows.take(2), planeRows.drop(2)))
+      GraphIndex.search(s, h, Embed.embedQuery(s, RagQueryText).toSeq)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          stableRound(col("sim")).as("sim"))
+        .orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))
+        .limit(5)
+    }),
+
     // Retrieve → rerank: BM25 top-20 candidates rescored by the batched
     // RerankClient (mapPartitions, per-partition setup — the real
     // cross-encoder plumbing; the deterministic md5 stand-in scorer is
@@ -5150,69 +5186,96 @@ object SparkEntry {
       // nearest-cell assignment, undirected in-cell top-4 edges +
       // up-links + centroid clique, and the 3-hop beam-4 walk (the
       // annGraphOracle CTE chain, re-keyed to chunk uids).
-      "q_rag_graph" -> {
-        val uid = dMd5Long("doc_id || '#' || CAST(chunk_idx AS VARCHAR)")
-        s"""WITH u AS MATERIALIZED (
-           |  WITH $dChunkOnlyCtes
-           |  SELECT doc_id, chunk_idx, nv, $uid AS uid FROM cn),
-           |qn AS MATERIALIZED (
-           |  WITH ${dQueryEmbedCtes("qn0")}
-           |  SELECT nv FROM qn0),
-           |cents AS (
-           |  SELECT uid AS cid, nv AS cv FROM (
-           |    SELECT uid, nv, row_number() OVER (ORDER BY uid) AS crn,
-           |           count(*) OVER () AS cn_total FROM u)
-           |  WHERE crn <= greatest(1, CAST(floor(sqrt(cn_total)) AS BIGINT))),
-           |asg AS (
-           |  SELECT uid, nv, cid,
-           |         row_number() OVER (PARTITION BY uid ORDER BY csim DESC, cid) AS rn
-           |  FROM (SELECT u.uid, u.nv, c.cid, ${dCosine("u.nv", "c.cv")} AS csim
-           |        FROM u, cents c)
-           |),
-           |cells AS MATERIALIZED (SELECT uid, nv, cid AS cell_id FROM asg WHERE rn = 1),
-           |pair AS MATERIALIZED (
-           |  -- sim is PROJECTED before the window so the sort carries
-           |  -- (src, dst, sim) triples, not two 64-double vectors per
-           |  -- pair row — without this (and the MATERIALIZED marks that
-           |  -- stop CTE-inlining re-computation) DuckDB's spill on the
-           |  -- sf0.1 quadratic pair set exceeded 80 GB
-           |  SELECT src, dst, rn FROM (
-           |    SELECT src, dst,
-           |           row_number() OVER (PARTITION BY src
-           |             ORDER BY sim DESC, dst) AS rn
-           |    FROM (SELECT a.uid AS src, b.uid AS dst,
-           |                 ${dCosine("a.nv", "b.nv")} AS sim
-           |          FROM cells a JOIN cells b
-           |            ON a.cell_id = b.cell_id AND a.uid <> b.uid))
-           |),
-           |edges AS MATERIALIZED (
-           |  SELECT src, dst FROM pair WHERE rn <= 4
-           |  UNION
-           |  SELECT dst, src FROM pair WHERE rn <= 4
-           |  UNION
-           |  SELECT uid, cell_id FROM cells WHERE uid <> cell_id
-           |  UNION
-           |  SELECT c1.cid, c2.cid FROM cents c1, cents c2 WHERE c1.cid <> c2.cid
-           |),
-           |sims AS MATERIALIZED (
-           |  SELECT u.uid AS id, u.doc_id, u.chunk_idx, ${dCosine("u.nv", "q.nv")} AS sim
-           |  FROM u, qn q),
-           |v0 AS (SELECT id, sim FROM sims WHERE id IN (SELECT cid FROM cents)
-           |       ORDER BY sim DESC, id LIMIT 4),
-           |f0 AS (SELECT id FROM v0 ORDER BY sim DESC, id LIMIT 4),
-           |v1 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v0)
-           |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f0))),
-           |f1 AS (SELECT id FROM v1 ORDER BY sim DESC, id LIMIT 4),
-           |v2 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v1)
-           |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f1))),
-           |f2 AS (SELECT id FROM v2 ORDER BY sim DESC, id LIMIT 4),
-           |v3 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v2)
-           |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f2)))
-           |SELECT s.doc_id, CAST(s.chunk_idx AS BIGINT) AS chunk_idx,
-           |       round(v3.sim + 1.2345e-9, 6) AS sim
-           |FROM v3 JOIN sims s ON s.id = v3.id
-           |ORDER BY sim DESC, doc_id, chunk_idx LIMIT 5""".stripMargin
-      })
+      "q_rag_graph" -> ragGraphOracle(banded = false),
+      "q_rag_graph_banded" -> ragGraphOracle(banded = true))
+  }
+
+  /** The flagship chunk→embed→uid→build→walk replay. `banded` adds the
+    * q_ann_graph_banded discipline inside the same template: the 4
+    * lowest-uid chunk embeddings become two 2-plane sign-LSH bands
+    * (bucket folds lb0/lb1 over the dot signs, identical arithmetic to
+    * Ann.lshBucket), and the in-cell pair join gains the OR'd
+    * agreement condition — one join with OR ≡ the Spark side's
+    * per-band joins deduped (dense_rank over the duplicated multiset =
+    * row_number over the set; duplicates share the exact order key). */
+  private def ragGraphOracle(banded: Boolean): String = {
+    val uid = dMd5Long("doc_id || '#' || CAST(chunk_idx AS VARCHAR)")
+    val bandCtes =
+      if (!banded) ""
+      else s"""
+           |pl AS MATERIALIZED (
+           |  SELECT nv, prn FROM (
+           |    SELECT nv, row_number() OVER (ORDER BY uid) AS prn FROM u)
+           |  WHERE prn <= 4),
+           |cb AS MATERIALIZED (
+           |  SELECT c.uid, c.nv, c.cell_id,
+           |         CAST(sum(CASE WHEN pl.prn <= 2 AND ${dDot("c.nv", "pl.nv")} > 0
+           |                       THEN CAST(pow(2, pl.prn - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS lb0,
+           |         CAST(sum(CASE WHEN pl.prn >= 3 AND ${dDot("c.nv", "pl.nv")} > 0
+           |                       THEN CAST(pow(2, pl.prn - 3) AS BIGINT) ELSE 0 END) AS BIGINT) AS lb1
+           |  FROM cells c, pl GROUP BY c.uid, c.nv, c.cell_id),""".stripMargin
+    val pairSrc = if (banded) "cb" else "cells"
+    val bandCond = if (banded) "\n            AND (a.lb0 = b.lb0 OR a.lb1 = b.lb1)" else ""
+    s"""WITH u AS MATERIALIZED (
+       |  WITH $dChunkOnlyCtes
+       |  SELECT doc_id, chunk_idx, nv, $uid AS uid FROM cn),
+       |qn AS MATERIALIZED (
+       |  WITH ${dQueryEmbedCtes("qn0")}
+       |  SELECT nv FROM qn0),
+       |cents AS (
+       |  SELECT uid AS cid, nv AS cv FROM (
+       |    SELECT uid, nv, row_number() OVER (ORDER BY uid) AS crn,
+       |           count(*) OVER () AS cn_total FROM u)
+       |  WHERE crn <= greatest(1, CAST(floor(sqrt(cn_total)) AS BIGINT))),
+       |asg AS (
+       |  SELECT uid, nv, cid,
+       |         row_number() OVER (PARTITION BY uid ORDER BY csim DESC, cid) AS rn
+       |  FROM (SELECT u.uid, u.nv, c.cid, ${dCosine("u.nv", "c.cv")} AS csim
+       |        FROM u, cents c)
+       |),
+       |cells AS MATERIALIZED (SELECT uid, nv, cid AS cell_id FROM asg WHERE rn = 1),$bandCtes
+       |pair AS MATERIALIZED (
+       |  -- sim is PROJECTED before the window so the sort carries
+       |  -- (src, dst, sim) triples, not two 64-double vectors per
+       |  -- pair row — without this (and the MATERIALIZED marks that
+       |  -- stop CTE-inlining re-computation) DuckDB's spill on the
+       |  -- sf0.1 quadratic pair set exceeded 80 GB
+       |  SELECT src, dst, rn FROM (
+       |    SELECT src, dst,
+       |           row_number() OVER (PARTITION BY src
+       |             ORDER BY sim DESC, dst) AS rn
+       |    FROM (SELECT a.uid AS src, b.uid AS dst,
+       |                 ${dCosine("a.nv", "b.nv")} AS sim
+       |          FROM $pairSrc a JOIN $pairSrc b
+       |            ON a.cell_id = b.cell_id AND a.uid <> b.uid$bandCond))
+       |),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM pair WHERE rn <= 4
+       |  UNION
+       |  SELECT dst, src FROM pair WHERE rn <= 4
+       |  UNION
+       |  SELECT uid, cell_id FROM cells WHERE uid <> cell_id
+       |  UNION
+       |  SELECT c1.cid, c2.cid FROM cents c1, cents c2 WHERE c1.cid <> c2.cid
+       |),
+       |sims AS MATERIALIZED (
+       |  SELECT u.uid AS id, u.doc_id, u.chunk_idx, ${dCosine("u.nv", "q.nv")} AS sim
+       |  FROM u, qn q),
+       |v0 AS (SELECT id, sim FROM sims WHERE id IN (SELECT cid FROM cents)
+       |       ORDER BY sim DESC, id LIMIT 4),
+       |f0 AS (SELECT id FROM v0 ORDER BY sim DESC, id LIMIT 4),
+       |v1 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v0)
+       |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f0))),
+       |f1 AS (SELECT id FROM v1 ORDER BY sim DESC, id LIMIT 4),
+       |v2 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v1)
+       |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f1))),
+       |f2 AS (SELECT id FROM v2 ORDER BY sim DESC, id LIMIT 4),
+       |v3 AS (SELECT id, sim FROM sims WHERE id IN (SELECT id FROM v2)
+       |          OR id IN (SELECT dst FROM edges WHERE src IN (SELECT id FROM f2)))
+       |SELECT s.doc_id, CAST(s.chunk_idx AS BIGINT) AS chunk_idx,
+       |       round(v3.sim + 1.2345e-9, 6) AS sim
+       |FROM v3 JOIN sims s ON s.id = v3.id
+       |ORDER BY sim DESC, doc_id, chunk_idx LIMIT 5""".stripMargin
   }
 
   private def dEmbedVec: String =
