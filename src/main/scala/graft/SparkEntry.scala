@@ -2491,10 +2491,17 @@ object SparkEntry {
     // discipline that keeps cells ~√N-sized, so the in-cell quadratic
     // edge build stays N^1.5 total instead of N²/8 (the pinned-|C|=8
     // build OOM'd at sf1; the reference, too, sizes HNSW params by
-    // corpus — app/main.py:272-277). The oracle replays EVERYTHING —
-    // embedding, uid derivation, graph construction, and the
-    // hop-by-hop walk — so the full ingest+serve path is hash-checked,
-    // not just rows-counted.
+    // corpus — app/main.py:272-277). The EDGE stage rides
+    // GraphIndex.build's size-derived DEFAULT: plain in-cell join
+    // below DefaultAutoBandAt nodes, OR-banded LSH-confined at/above
+    // it (the sf10 decade measured the plain join at 22.2×/decade vs
+    // banded 9.7× — the scale-safe shape is the default, not a knob a
+    // caller must remember), and the oracle replays the SAME count
+    // gate so the flagship stays hash-green in either regime. The
+    // oracle replays EVERYTHING — embedding, uid derivation, graph
+    // construction incl. the band gate, and the hop-by-hop walk — so
+    // the full ingest+serve path is hash-checked, not just
+    // rows-counted.
     "q_rag_graph" -> ((s, dir) => {
       val chunks = Ingest.chunk(wide(s, dir, "documents").select("doc_id", "text"), "text", 32)
         .select("doc_id", "chunk_idx", "chunk_text")
@@ -5186,36 +5193,57 @@ object SparkEntry {
       // nearest-cell assignment, undirected in-cell top-4 edges +
       // up-links + centroid clique, and the 3-hop beam-4 walk (the
       // annGraphOracle CTE chain, re-keyed to chunk uids).
-      "q_rag_graph" -> ragGraphOracle(banded = false),
-      "q_rag_graph_banded" -> ragGraphOracle(banded = true))
+      "q_rag_graph" -> ragGraphOracle(bandMode = "auto"),
+      "q_rag_graph_banded" -> ragGraphOracle(bandMode = "always"))
   }
 
-  /** The flagship chunk→embed→uid→build→walk replay. `banded` adds the
-    * q_ann_graph_banded discipline inside the same template: the 4
-    * lowest-uid chunk embeddings become two 2-plane sign-LSH bands
-    * (bucket folds lb0/lb1 over the dot signs, identical arithmetic to
-    * Ann.lshBucket), and the in-cell pair join gains the OR'd
-    * agreement condition — one join with OR ≡ the Spark side's
-    * per-band joins deduped (dense_rank over the duplicated multiset =
-    * row_number over the set; duplicates share the exact order key). */
-  private def ragGraphOracle(banded: Boolean): String = {
+  /** The flagship chunk→embed→uid→build→walk replay. `bandMode`
+    * selects the edge-stage discipline inside the same template:
+    *  - "always": the q_ann_graph_banded shape — the 4 lowest-uid
+    *    chunk embeddings become two 2-plane sign-LSH bands (bucket
+    *    folds lb0/lb1 over the dot signs, identical arithmetic to
+    *    Ann.lshBucket), and the in-cell pair join gains the OR'd
+    *    agreement condition — one join with OR ≡ the Spark side's
+    *    per-band joins deduped (dense_rank over the duplicated
+    *    multiset = row_number over the set; duplicates share the exact
+    *    order key);
+    *  - "auto": GraphIndex.build's SIZE-DERIVED default, replayed —
+    *    the same band CTEs, but both bucket folds collapse to the
+    *    constant 0 when count(*) < DefaultAutoBandAt (the OR condition
+    *    is then vacuously true = the plain unbanded join), and carry
+    *    the real sign buckets at/above it. One SQL template covers
+    *    both regimes of the default, so the flagship stays hash-green
+    *    at every SF the default build can encounter. */
+  private def ragGraphOracle(bandMode: String): String = {
+    require(Set("auto", "always")(bandMode), s"ragGraphOracle: $bandMode")
     val uid = dMd5Long("doc_id || '#' || CAST(chunk_idx AS VARCHAR)")
+    val auto = bandMode == "auto"
+    // the size gate: in auto mode the fold is live only at/above the
+    // crossover the Spark default derives from the same count
+    val ncCte = if (auto) "\nnc AS (SELECT count(*) AS n FROM u)," else ""
+    val ncSrc = if (auto) ", nc" else ""
+    val ncGrp = if (auto) ", nc.n" else ""
+    def fold(expr: String) =
+      if (auto)
+        s"CASE WHEN nc.n >= ${operators.GraphIndex.DefaultAutoBandAt} THEN $expr ELSE 0 END"
+      else expr
+    val lb0 = fold(s"CAST(sum(CASE WHEN pl.prn <= 2 AND ${dDot("c.nv", "pl.nv")} > 0 " +
+      "THEN CAST(pow(2, pl.prn - 1) AS BIGINT) ELSE 0 END) AS BIGINT)")
+    val lb1 = fold(s"CAST(sum(CASE WHEN pl.prn >= 3 AND ${dDot("c.nv", "pl.nv")} > 0 " +
+      "THEN CAST(pow(2, pl.prn - 3) AS BIGINT) ELSE 0 END) AS BIGINT)")
     val bandCtes =
-      if (!banded) ""
-      else s"""
-           |pl AS MATERIALIZED (
-           |  SELECT nv, prn FROM (
-           |    SELECT nv, row_number() OVER (ORDER BY uid) AS prn FROM u)
-           |  WHERE prn <= 4),
-           |cb AS MATERIALIZED (
-           |  SELECT c.uid, c.nv, c.cell_id,
-           |         CAST(sum(CASE WHEN pl.prn <= 2 AND ${dDot("c.nv", "pl.nv")} > 0
-           |                       THEN CAST(pow(2, pl.prn - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS lb0,
-           |         CAST(sum(CASE WHEN pl.prn >= 3 AND ${dDot("c.nv", "pl.nv")} > 0
-           |                       THEN CAST(pow(2, pl.prn - 3) AS BIGINT) ELSE 0 END) AS BIGINT) AS lb1
-           |  FROM cells c, pl GROUP BY c.uid, c.nv, c.cell_id),""".stripMargin
-    val pairSrc = if (banded) "cb" else "cells"
-    val bandCond = if (banded) "\n            AND (a.lb0 = b.lb0 OR a.lb1 = b.lb1)" else ""
+      s"""$ncCte
+         |pl AS MATERIALIZED (
+         |  SELECT nv, prn FROM (
+         |    SELECT nv, row_number() OVER (ORDER BY uid) AS prn FROM u)
+         |  WHERE prn <= 4),
+         |cb AS MATERIALIZED (
+         |  SELECT c.uid, c.nv, c.cell_id,
+         |         $lb0 AS lb0,
+         |         $lb1 AS lb1
+         |  FROM cells c, pl$ncSrc GROUP BY c.uid, c.nv, c.cell_id$ncGrp),""".stripMargin
+    val pairSrc = "cb"
+    val bandCond = "\n            AND (a.lb0 = b.lb0 OR a.lb1 = b.lb1)"
     s"""WITH u AS MATERIALIZED (
        |  WITH $dChunkOnlyCtes
        |  SELECT doc_id, chunk_idx, nv, $uid AS uid FROM cn),

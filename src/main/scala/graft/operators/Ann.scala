@@ -229,8 +229,15 @@ object Ann {
     require(cellProbes >= 1, s"assignCellsMulti: cellProbes=$cellProbes must be >= 1")
     val cents = collectCentroids(centroids, cIdCol, cVecCol, "assignCellsMulti")
     val codebook = cents.map(_._2)
+    // Hier routing is gated on nSupers > 0 ONLY — superVecs alone must
+    // be inert, matching SemanticDedup.assign's flat/hier gate and the
+    // `_recipe` canonicalization (which folds superVecs to Nil at
+    // nSupers = 0, asserting it affects no cell id). Before this gate a
+    // cellProbes>1 probe batch carrying superVecs against a flat store
+    // passed the recipe guard yet assigned under multi-super routing —
+    // silently different primaries than the stored flat assignment.
     val (superBook, membersOf) =
-      if (nSupers > 0 || superVecs.nonEmpty)
+      if (nSupers > 0)
         hierRouting(codebook, nSupers, superVecs, "assignCellsMulti")
       else (Array.empty[Array[Double]], Array.empty[Array[Int]])
     import org.apache.spark.sql.GraftColumnBridge._

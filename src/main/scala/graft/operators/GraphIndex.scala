@@ -341,13 +341,53 @@ object GraphIndex {
     def cool(): Unit = if (chunksCached) { chunksDf.unpersist(); () }
   }
 
+  /** Default driver-RAM budget for [[hot]]: 8 GiB of estimated layout.
+    * The measured PMC tier (32.7k nodes × dim 1024) is ~300 MB
+    * (SCALE.md), so the default admits ~25× that; a 100 TB-index store
+    * refuses with a number instead of OOMing the serving process at
+    * startup. */
+  val DefaultHotBudgetBytes: Long = 8L << 30
+
+  /** Conservative estimate of [[hot]]'s driver footprint from the
+    * store's own sidecar row counts — computed BEFORE any collect, from
+    * parquet metadata-cheap counts. Per node: the vector (dim doubles +
+    * header), id, norm, and the boxed id→idx map entry; per edge: the
+    * adjacency int plus the transient collected pair (the peak, before
+    * the buffers are compacted). An estimate, deliberately on the high
+    * side: the guard's job is to refuse with a number, not to meter. */
+  def hotBytesEstimate(spark: SparkSession, h: Handle): Long = {
+    val nChunks = h.chunks(spark).count()
+    val nCents = h.centroids(spark).count()
+    val dim = h.chunks(spark).select(size(col(h.vecCol))).head().getInt(0)
+    val nEdges = spark.read.parquet(h.edgesDir).count()
+    val nNodes = nChunks + nCents // upper bound; overlap only shrinks it
+    nNodes * (dim.toLong * 8 + 96) + nEdges * 48
+  }
+
   /** Collect a built store's NORMALIZED layout into driver-JVM arrays
     * for [[Hot]] serving (index-scale only: node ids + vectors +
     * adjacency + centroid list + mark snapshot — never chunk text,
     * never denormalized edge vectors). `cacheChunks` governs the
     * re-attach sidecar exactly as in [[warm]]: cache it for tiers
-    * that fit it, leave it a pruned disk read at 100 TB. */
-  def hot(spark: SparkSession, h: Handle, cacheChunks: Boolean = true): Hot = {
+    * that fit it, leave it a pruned disk read at 100 TB.
+    *
+    * SIZE-GUARDED: the estimated layout ([[hotBytesEstimate]], from the
+    * store's own row counts × dim — no data read) must fit
+    * `budgetBytes` or hot() REFUSES with the numbers, before any
+    * collect — the [[Ann.gatedPublish]] discipline applied to driver
+    * RAM. An index past the budget belongs on the [[warm]] tier (or a
+    * sharded hot tier); an OOM mid-startup is never the answer. */
+  def hot(spark: SparkSession, h: Handle, cacheChunks: Boolean = true,
+          budgetBytes: Long = DefaultHotBudgetBytes): Hot = {
+    val est = hotBytesEstimate(spark, h)
+    if (est > budgetBytes)
+      throw new IllegalStateException(
+        f"GraphIndex.hot: estimated driver layout $est%,d bytes " +
+          f"(~${est / (1L << 20)}%,d MiB) exceeds the budget $budgetBytes%,d " +
+          f"(~${budgetBytes / (1L << 20)}%,d MiB) — refusing before any " +
+          "collect. Serve this store from warm() (executor-resident), " +
+          "shard it, or raise budgetBytes deliberately if the driver " +
+          "really has the headroom.")
     val nodeRows = h.chunks(spark)
       .select(col("uid").cast("long"), col(h.vecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -441,6 +481,47 @@ object GraphIndex {
   private def bucketOf(uid: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(uid, lit(nBuckets))
 
+  /** Node-count crossover at which the DEFAULT edge build switches
+    * from the plain in-cell pair join to the OR-banded LSH-confined one
+    * ([[Ann.knnGraphLshBanded]] over two 2-plane data-row bands — the
+    * q_rag_graph_banded recipe, oracle-replayable because the planes
+    * are the 4 lowest-uid rows' own vectors).
+    *
+    * Why 100k and not the equal-cost point: the sf1→sf10 decade
+    * (SCALECURVE_SF10.json, ~108k → ~1.08M nodes) measured the plain
+    * edge stage at 22.2×/decade (~N^1.35, Σ|cell|² under the √N
+    * codebook) vs the banded one at 9.7× (~N^0.99), with banding
+    * costing 1.81× at 108k nodes (11.4 vs 20.6 s whole-query). Fitting
+    * those power laws, costs cross at ~5× the sf1 corpus ≈ 5×10^5
+    * nodes — but the penalty for banding early is BOUNDED (≤1.81×,
+    * measured, and shrinking toward parity), while the penalty for
+    * banding late compounds per decade without bound. The default
+    * flips at 10^5 — below the fitted crossover, deliberately on the
+    * bounded side of that asymmetry — so the default build is never
+    * the named scale-killer. Explicit `lshPlanes`/`lshBands` always
+    * win; `autoBandAt = Long.MaxValue` restores the old always-plain
+    * default. */
+  val DefaultAutoBandAt: Long = 100000L
+
+  /** The size-derived default bands: above the crossover, two 2-plane
+    * sign-LSH bands whose plane vectors are the 4 lowest-uid rows' own
+    * vectors — deterministic in the row set alone (so [[rebuild]] ≡
+    * fresh [[build]] holds), and exactly what the q_rag_graph_banded
+    * oracle replays by uid order. Below the crossover: none (the plain
+    * build, bit-for-bit the pre-auto-band behavior). */
+  private def deriveAutoBands(withUid: DataFrame, vecCol: String,
+                              n: Long, autoBandAt: Long): Seq[Seq[Seq[Double]]] = {
+    if (n < autoBandAt) Nil
+    else {
+      val rows = withUid.orderBy("uid").limit(4)
+        .select(col(vecCol).cast("array<double>")).collect()
+        .map(_.getSeq[Double](0)).toSeq
+      // a corpus past the crossover trivially has >= 4 rows; the guard
+      // keeps a pathological autoBandAt=1 test fixture honest
+      if (rows.length >= 4) Seq(rows.take(2), rows.drop(2)) else Nil
+    }
+  }
+
   /** Ingest-time build over an embedded index (any schema with `vecCol`
     * plus natural-key `keyCols`). Entry centroids are the `nCentroids`
     * lowest-uid rows — with hashed uids that is a deterministic random
@@ -451,13 +532,20 @@ object GraphIndex {
     * degree uids) partition-prunes; it also carries `cell_id` so
     * [[insert]] can read a cell's members with a pushed filter instead
     * of re-assigning the corpus. The whole build is the one
-    * corpus-sized job; everything after reads the store. */
+    * corpus-sized job; everything after reads the store.
+    *
+    * The DEFAULT edge build is size-derived ([[DefaultAutoBandAt]]):
+    * below the crossover it is the plain in-cell pair join, bit-for-bit
+    * the historical behavior; at/above it the in-cell join is OR-band-
+    * confined to two data-row sign-LSH bands — the measured scale-safe
+    * shape. Passing explicit `lshPlanes`/`lshBands` overrides. */
   def build(spark: SparkSession, index: DataFrame, keyCols: Seq[String],
             vecCol: String, dir: String, nCentroids: Int = 8, m: Int = 4,
             nBuckets: Int = 16, beamWidth: Int = 8, hops: Int = 3,
             nSupers: Int = 0, lshPlanes: Seq[Seq[Double]] = Nil,
             superProbes: Int = 2, superVecs: Seq[Seq[Double]] = Nil,
-            lshBands: Seq[Seq[Seq[Double]]] = Nil): Handle = {
+            lshBands: Seq[Seq[Seq[Double]]] = Nil,
+            autoBandAt: Long = DefaultAutoBandAt): Handle = {
     require(nCentroids >= 1 && m >= 1 && nBuckets >= 1 && beamWidth >= 1 && hops >= 0,
       s"GraphIndex.build: nCentroids=$nCentroids m=$m nBuckets=$nBuckets " +
         s"beamWidth=$beamWidth hops=$hops must all be positive (hops >= 0)")
@@ -475,9 +563,12 @@ object GraphIndex {
     require(n == nDistinct,
       s"GraphIndex.build: ${n - nDistinct} duplicate uid(s) — keyCols " +
         s"${keyCols.mkString("(", ",", ")")} are not unique over the index")
+    val effBands =
+      if (lshPlanes.nonEmpty || lshBands.nonEmpty) lshBands
+      else deriveAutoBands(withUid, vecCol, n, autoBandAt)
     val h = buildFromUid(spark, withUid, vecCol, dir, nCentroids, m,
       nBuckets, beamWidth, hops, nSupers, lshPlanes, superProbes, superVecs,
-      lshBands)
+      effBands)
     withUid.unpersist() // no-op under localCheckpoint; frees the persist path
     h.copy(vecCol = vecCol)
   }
@@ -592,15 +683,26 @@ object GraphIndex {
                    m: Int = 16, nBuckets: Int = 64, beamWidth: Int = 32,
                    hops: Int = 3, superProbes: Int = 4, trainIters: Int = 2,
                    trainSampleFrac: Double = 1.0,
-                   lshBands: Int = 0, lshPlanesPerBand: Int = 2,
+                   lshBands: Int = -1, lshPlanesPerBand: Int = 2,
                    lshOrthogonal: Boolean = true,
                    recallFloor: Double = 0.9, recallQueries: Int = 20,
                    recallK: Int = 10,
-                   recallQueriesDf: Option[DataFrame] = None): (Handle, Double) = {
+                   recallQueriesDf: Option[DataFrame] = None,
+                   autoBandAt: Long = DefaultAutoBandAt): (Handle, Double) = {
     val mat = graft.Materialize(index.withColumn("_suid", uidFor(keyCols)))
     try {
       val n = mat.count()
       require(n > 0, "buildServing: empty index")
+      // lshBands < 0 (the default) SIZE-DERIVES the band count: 0 below
+      // the measured crossover (banding costs ~1.8× while cells are
+      // small), 2 at/above it (the Σ|cell|² in-cell join is the one
+      // edge stage measured super-linear at the sf10 decade — see
+      // [[DefaultAutoBandAt]]). Explicit 0 still means "never band";
+      // the recall gate below guards quality either way.
+      val effLshBands =
+        if (lshBands >= 0) lshBands
+        else if (n >= autoBandAt) 2
+        else 0
       val nCents = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
       val nSupers = math.max(1, math.floor(math.sqrt(nCents.toDouble)).toInt)
       val dim = mat.select(size(col(vecCol))).head().getInt(0)
@@ -621,16 +723,19 @@ object GraphIndex {
         .select(col("centroid_vec").cast("array<double>")).collect()
         .map(_.getSeq[Double](0)).toSeq
       val bands =
-        if (lshBands > 0 && lshOrthogonal)
-          Ann.orthogonalPlaneBands(mat, "_suid", vecCol, lshBands, lshPlanesPerBand)
-        else if (lshBands > 0)
-          Ann.centeredPlaneBands(mat, "_suid", vecCol, lshBands, lshPlanesPerBand)
+        if (effLshBands > 0 && lshOrthogonal)
+          Ann.orthogonalPlaneBands(mat, "_suid", vecCol, effLshBands, lshPlanesPerBand)
+        else if (effLshBands > 0)
+          Ann.centeredPlaneBands(mat, "_suid", vecCol, effLshBands, lshPlanesPerBand)
         else Nil
+      // the band decision was made HERE (size-derived or explicit) —
+      // suppress build()'s own auto-derivation so an explicit
+      // lshBands=0 stays genuinely unbanded
       val h = build(spark, mat.drop("_suid"), keyCols, vecCol, dir,
         nCentroids = nCents, m = m, nBuckets = nBuckets,
         beamWidth = beamWidth, hops = hops, nSupers = nSupers,
         superProbes = superProbes, superVecs = trainedSupers,
-        lshBands = bands)
+        lshBands = bands, autoBandAt = Long.MaxValue)
       val recall = measureRecall(spark, h, index, keyCols, vecCol,
         recallQueries, recallK, recallQueriesDf)
       if (recall < recallFloor) {
@@ -639,7 +744,7 @@ object GraphIndex {
         throw new IllegalStateException(
           f"GraphIndex.buildServing: measured recall@$recallK = $recall%.3f over " +
             f"$recallQueries probes is below the floor $recallFloor%.2f " +
-            s"(|C|=$nCents, |S|=$nSupers, p=$superProbes, bands=$lshBands" +
+            s"(|C|=$nCents, |S|=$nSupers, p=$superProbes, bands=$effLshBands" +
             s"x$lshPlanesPerBand, trainFrac=$trainSampleFrac) — the store was " +
             "deleted, not published. Raise superProbes / drop the LSH bands / " +
             "train on a larger fraction, or lower the floor deliberately.")
@@ -767,34 +872,86 @@ object GraphIndex {
     * Reset (sidecar deleted) by [[rebuild]]. */
   private def driftPath(h: Handle) = new org.apache.hadoop.fs.Path(h.dir + "/_drift")
 
+  private def driftAsidePath(h: Handle) =
+    new org.apache.hadoop.fs.Path(h.dir + "/_drift_prev")
+
   /** (inserts since the last rebuild, the last cadence-probe recall if
-    * one ever ran). (0, None) for a store that never inserted. */
+    * one ever ran). (0, None) for a store that never inserted. If a
+    * crash mid-[[writeDrift]] swap left only the renamed-aside prior
+    * counter, it is mechanically restored here — the accumulated
+    * rebuild-cadence signal survives the crash (the whole point of the
+    * rename-aside-then-swap discipline). */
   def driftStatus(spark: SparkSession, h: Handle): (Long, Option[Double]) = {
+    val (inserts, recall, _) = driftStatusFull(spark, h)
+    (inserts, recall)
+  }
+
+  /** [[driftStatus]] plus the insert count at the LAST cadence probe
+    * (0 when none ever ran) — what [[driftProbe]]'s due test runs on. */
+  private def driftStatusFull(spark: SparkSession, h: Handle): (Long, Option[Double], Long) = {
     val p = driftPath(h)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) (0L, None)
+    val aside = driftAsidePath(h)
+    // crash recovery: swap died between aside and publish — the prior
+    // counter IS the aside; restore it rather than silently resetting
+    // to a fresh-store (0, None)
+    if (!fs.exists(p) && fs.exists(aside) && !fs.rename(aside, p))
+      throw new IllegalStateException(
+        s"GraphIndex.driftStatus: found an interrupted _drift swap at $aside " +
+          "but could not restore it — fix the filesystem before trusting " +
+          "the drift counter")
+    if (!fs.exists(p)) (0L, None, 0L)
     else {
-      val r = spark.read.parquet(p.toString).head()
+      val df = spark.read.parquet(p.toString)
+      val r = df.head()
       val rec = r.getAs[Double]("last_recall")
+      // sidecars written before the cadence fix lack the column — their
+      // probe position is unknown; 0 makes the next probe fire as soon
+      // as the cadence allows, the conservative reading
+      val probed =
+        if (df.columns.contains("last_probe_inserts"))
+          r.getAs[Long]("last_probe_inserts")
+        else 0L
       (r.getAs[Long]("inserts_since_rebuild"),
-        if (rec.isNaN) None else Some(rec))
+        if (rec.isNaN) None else Some(rec), probed)
     }
   }
 
-  private def writeDrift(spark: SparkSession, h: Handle,
-                         inserts: Long, lastRecall: Double): Unit = {
+  private def writeDrift(spark: SparkSession, h: Handle, inserts: Long,
+                         lastRecall: Double, lastProbeInserts: Long): Unit = {
     val p = driftPath(h)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // stage-and-rename like every other sidecar: a crash mid-write
-    // must leave the old counter (or none), never a torn dir
+    // rename-aside-then-swap (not delete-then-rename): the prior
+    // counter survives a crash at ANY point — before the aside (old
+    // dir intact), between aside and publish (recovered by
+    // driftStatus), after publish (aside is garbage, swept below).
+    // Rename failures PROPAGATE: silently losing the counter is the
+    // exact failure this sidecar exists to prevent.
     val tmp = new org.apache.hadoop.fs.Path(
       h.dir + s"/_drift_tmp_${java.util.UUID.randomUUID}")
     spark.range(1)
       .select(lit(inserts).as("inserts_since_rebuild"),
-        lit(lastRecall).as("last_recall"))
+        lit(lastRecall).as("last_recall"),
+        lit(lastProbeInserts).as("last_probe_inserts"))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    if (!fs.rename(tmp, p)) fs.delete(tmp, true)
+    val aside = driftAsidePath(h)
+    fs.delete(aside, true) // a stale aside from a post-publish crash
+    if (fs.exists(p) && !fs.rename(p, aside)) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"GraphIndex.writeDrift: could not rename-aside the prior _drift " +
+          s"sidecar at $p — refusing to overwrite the drift counter")
+    }
+    if (!fs.rename(tmp, p)) {
+      // restore the prior counter before failing; a false return here
+      // used to be silently swallowed (the counter reset to fresh-store)
+      if (fs.exists(aside)) fs.rename(aside, p)
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"GraphIndex.writeDrift: publish rename to $p failed — prior " +
+          "counter restored, update not recorded")
+    }
+    fs.delete(aside, true)
   }
 
   /** The insert-drift cadence probe: when the store has accumulated a
@@ -815,12 +972,17 @@ object GraphIndex {
                  every: Int, floor: Double = 0.9,
                  nQueries: Int = 20, k: Int = 10): Option[(Double, Boolean)] = {
     require(every >= 1, s"driftProbe: every=$every must be >= 1")
-    val (inserts, _) = driftStatus(spark, h)
-    if (inserts == 0 || inserts % every != 0) None
+    // due = `every` or more inserts since the LAST probe (recorded in
+    // the sidecar), not `inserts % every == 0`: a caller that does not
+    // probe after every single insert used to be able to step OVER the
+    // exact multiple and never fire again — silently disabling the
+    // advisory signal this probe exists to provide
+    val (inserts, _, lastProbed) = driftStatusFull(spark, h)
+    if (inserts == 0 || inserts - lastProbed < every) None
     else {
       val idx = h.chunks(spark).drop("uid", "uid_bucket", "cell_id")
       val recall = measureRecall(spark, h, idx, keyCols, h.vecCol, nQueries, k)
-      writeDrift(spark, h, inserts, recall)
+      writeDrift(spark, h, inserts, recall, inserts)
       val recommend = recall < floor
       if (recommend)
         System.err.println(f"[graph] drift probe at $inserts inserts: sampled " +
@@ -830,8 +992,15 @@ object GraphIndex {
     }
   }
 
+  /** `trackDrift = false` skips the per-call `_drift` sidecar
+    * read-modify-write (a parquet read + staged write + two renames —
+    * several driver-side FS ops per call, one per streaming
+    * micro-batch) for ingestion paths that run their rebuild cadence
+    * externally; the counter then simply under-counts, and
+    * [[driftProbe]] fires later than a fully-tracked store would. */
   def insert(spark: SparkSession, h: Handle, newRows: DataFrame,
-             keyCols: Seq[String], vecCol: String): Long = {
+             keyCols: Seq[String], vecCol: String,
+             trackDrift: Boolean = true): Long = {
     import spark.implicits._
     val cents = h.centroids(spark)
     // many actions consume the assigned batch (three guards, the
@@ -891,8 +1060,11 @@ object GraphIndex {
     // drift accounting, AFTER both appends landed: a refused or failed
     // insert must not advance the cadence ([[driftProbe]] decides when
     // the counter warrants a sampled recall measurement)
-    val (prevInserts, prevRecall) = driftStatus(spark, h)
-    writeDrift(spark, h, prevInserts + 1, prevRecall.getOrElse(Double.NaN))
+    if (trackDrift) {
+      val (prevInserts, prevRecall, prevProbed) = driftStatusFull(spark, h)
+      writeDrift(spark, h, prevInserts + 1,
+        prevRecall.getOrElse(Double.NaN), prevProbed)
+    }
     newAssigned.unpersist() // no-op under localCheckpoint; frees the persist path
     n
   }
@@ -1009,7 +1181,7 @@ object GraphIndex {
 
   def rebuild(spark: SparkSession, h: Handle, nCentroids: Int,
               m: Int, nBuckets: Int, beamWidth: Int,
-              hops: Int): Handle = {
+              hops: Int, autoBandAt: Long = DefaultAutoBandAt): Handle = {
     val tombPath = new org.apache.hadoop.fs.Path(h.tombstonesDir)
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rows = {
@@ -1025,14 +1197,23 @@ object GraphIndex {
     // store after a lost block)
     val staging = h.dir + "/_rebuild_staging"
     rows.write.mode("overwrite").parquet(staging)
-    val out = buildFromUid(spark, spark.read.parquet(staging), h.vecCol,
-      h.dir, nCentroids, m, nBuckets, beamWidth, hops)
+    val staged = spark.read.parquet(staging)
+    // rebuild ≡ fresh build is THE invariant — a fresh build past the
+    // crossover auto-bands, so rebuild must derive the same bands from
+    // the same (surviving) rows or the invariant breaks exactly where
+    // the banding matters
+    val autoBands = deriveAutoBands(staged, h.vecCol, staged.count(), autoBandAt)
+    val out = buildFromUid(spark, staged, h.vecCol,
+      h.dir, nCentroids, m, nBuckets, beamWidth, hops, lshBands = autoBands)
     val sp = new org.apache.hadoop.fs.Path(staging)
     sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
     if (fs.exists(tombPath)) fs.delete(tombPath, true)
     // the rebuild trues the store up to the fresh-build invariant —
-    // the drift counter (and its last probe) restarts from zero
+    // the drift counter (and its last probe) restarts from zero; the
+    // aside goes too, or a later driftStatus would "recover" the
+    // pre-rebuild counter from it
     if (fs.exists(driftPath(h))) fs.delete(driftPath(h), true)
+    fs.delete(driftAsidePath(h), true)
     out.copy(vecCol = h.vecCol)
   }
 }

@@ -660,4 +660,128 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dir2/edges").exists(),
       "refused store must be deleted, not published")
   }
+
+  private def edgeSnapshot(h: GraphIndex.Handle): Seq[(Long, Long)] =
+    spark.read.parquet(h.dir + "/edges")
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect().toSeq.sorted
+
+  test("size-derived banding: small-corpus default ≡ plain build bit-for-bit; past the crossover ≡ explicit bands") {
+    import operators.{GraphIndex => GI}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    // BELOW the crossover (this fixture ≪ DefaultAutoBandAt): the
+    // default build must be the historical plain build, bit-for-bit —
+    // compare against autoBandAt = MaxValue (auto-banding suppressed)
+    val hDefault = GI.build(spark, embedded, Seq("doc_id", "chunk_idx"), "embedding",
+      tmp("graft_gab_dflt"), nCentroids = 16, m = 16, nBuckets = 16,
+      beamWidth = 32, hops = 3)
+    val hPlain = GI.build(spark, embedded, Seq("doc_id", "chunk_idx"), "embedding",
+      tmp("graft_gab_plain"), nCentroids = 16, m = 16, nBuckets = 16,
+      beamWidth = 32, hops = 3, autoBandAt = Long.MaxValue)
+    assert(edgeSnapshot(hDefault) == edgeSnapshot(hPlain),
+      "below the crossover the default must equal the plain build bit-for-bit")
+    // AT/ABOVE the crossover (forced with autoBandAt = 1): the default
+    // must equal the EXPLICIT banded build over the same derived planes
+    // (the 4 lowest-uid rows, 2 bands × 2 planes) bit-for-bit
+    val planeRows = embedded
+      .withColumn("_uid", GI.uidFor(Seq("doc_id", "chunk_idx")))
+      .orderBy("_uid").limit(4)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0)).toSeq
+    val hAuto = GI.build(spark, embedded, Seq("doc_id", "chunk_idx"), "embedding",
+      tmp("graft_gab_auto"), nCentroids = 16, m = 16, nBuckets = 16,
+      beamWidth = 32, hops = 3, autoBandAt = 1L)
+    val hBanded = GI.build(spark, embedded, Seq("doc_id", "chunk_idx"), "embedding",
+      tmp("graft_gab_expl"), nCentroids = 16, m = 16, nBuckets = 16,
+      beamWidth = 32, hops = 3,
+      lshBands = Seq(planeRows.take(2), planeRows.drop(2)))
+    assert(edgeSnapshot(hAuto) == edgeSnapshot(hBanded),
+      "past the crossover the default must equal the explicit banded build")
+    assert(edgeSnapshot(hAuto) != edgeSnapshot(hPlain),
+      "fixture must actually band past the crossover (bands change edges here)")
+    // rebuild preserves the fresh-build invariant in the banded regime
+    // too: rebuilding the banded store at the same forced crossover
+    // reproduces it bit-for-bit
+    val hReb = GI.rebuild(spark, hAuto, nCentroids = 16, m = 16,
+      nBuckets = 16, beamWidth = 32, hops = 3, autoBandAt = 1L)
+    assert(edgeSnapshot(hReb) == edgeSnapshot(hBanded),
+      "rebuild must derive the same auto-bands as a fresh build")
+    // buildServing's size-derived default: below the crossover it
+    // resolves to 0 bands — identical store shape to explicit lshBands=0
+    // (same codebook, same recall path; spot-check the edge sets match)
+    val (hs1, _) = GI.buildServing(spark, embedded, Seq("doc_id", "chunk_idx"),
+      "embedding", tmp("graft_gab_srv1"), m = 16, nBuckets = 16,
+      beamWidth = 32, hops = 3, recallFloor = 0.0, recallQueries = 10, recallK = 3)
+    val (hs0, _) = GI.buildServing(spark, embedded, Seq("doc_id", "chunk_idx"),
+      "embedding", tmp("graft_gab_srv0"), m = 16, nBuckets = 16,
+      beamWidth = 32, hops = 3, lshBands = 0, recallFloor = 0.0,
+      recallQueries = 10, recallK = 3)
+    assert(edgeSnapshot(hs1) == edgeSnapshot(hs0),
+      "buildServing's size-derived default below the crossover must equal explicit lshBands=0")
+  }
+
+  test("hot() is size-guarded: refuses past the budget with the estimate, before any collect") {
+    import operators.{GraphIndex => GI}
+    val est = GI.hotBytesEstimate(spark, handle)
+    assert(est > 0, "estimate must be positive on a non-empty store")
+    val err = intercept[IllegalStateException] {
+      GI.hot(spark, handle, budgetBytes = est - 1)
+    }
+    assert(err.getMessage.contains("exceeds the budget"), err.getMessage)
+    // at/over the estimate the same store hots fine and serves
+    val hot = GI.hot(spark, handle, budgetBytes = est)
+    try {
+      val qv = Embed.embedQuery(spark, demoQueries.head).toSeq
+      assert(hot.search(spark, qv).count() > 0)
+    } finally hot.cool()
+  }
+
+  test("drift sidecar: interrupted swap recovers the prior counter; probe cadence survives skipped multiples") {
+    import operators.{GraphIndex => GI}
+    val docIds = embedded.select("doc_id").distinct().orderBy("doc_id")
+      .as[String].collect()
+    val (heldOut, baseIds) = docIds.splitAt(3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gdrift2").toString
+    val h = GI.build(spark, embedded.filter(col("doc_id").isin(baseIds: _*)),
+      Seq("doc_id", "chunk_idx"), "embedding",
+      dir, nCentroids = 16, m = 16, nBuckets = 16, beamWidth = 32, hops = 3)
+    val keyCols = Seq("doc_id", "chunk_idx")
+    GI.insert(spark, h, embedded.filter(col("doc_id") === heldOut(0)),
+      keyCols, "embedding")
+    assert(GI.driftStatus(spark, h)._1 == 1L)
+    // simulate a crash mid-swap: the prior counter sits renamed-aside
+    // and the published path is gone — driftStatus must restore it,
+    // never silently reset to a fresh-store (0, None)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir + "/_drift"),
+      new org.apache.hadoop.fs.Path(dir + "/_drift_prev")))
+    assert(GI.driftStatus(spark, h)._1 == 1L,
+      "an interrupted swap must recover the prior drift counter")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir + "/_drift")),
+      "recovery must republish the sidecar")
+    // cadence: with every=2, skip the exact multiple (no probe at 2),
+    // probe at 3 — inserts-since-last-probe (3-0) >= 2 must fire, where
+    // the old `inserts % every == 0` test would never fire again
+    GI.insert(spark, h, embedded.filter(col("doc_id") === heldOut(1)),
+      keyCols, "embedding")
+    GI.insert(spark, h, embedded.filter(col("doc_id") === heldOut(2)),
+      keyCols, "embedding")
+    assert(GI.driftStatus(spark, h)._1 == 3L)
+    val fired = GI.driftProbe(spark, h, keyCols, every = 2, nQueries = 8, k = 5)
+    assert(fired.isDefined,
+      "probe must fire once the skipped cadence point is passed")
+    // and the probe position persists: immediately re-probing is NOT due
+    assert(GI.driftProbe(spark, h, keyCols, every = 2, nQueries = 8, k = 5).isEmpty,
+      "a just-probed store must not probe again until `every` more inserts")
+    // trackDrift=false: the insert lands but the counter stays put
+    val more = embedded.filter(col("doc_id") === baseIds.head)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_gdrift3").toString
+    val h2 = GI.build(spark, embedded.filter(col("doc_id").isin(baseIds.tail: _*)),
+      keyCols, "embedding", dir2, nCentroids = 16, m = 16, nBuckets = 16,
+      beamWidth = 32, hops = 3)
+    GI.insert(spark, h2, more, keyCols, "embedding", trackDrift = false)
+    assert(GI.driftStatus(spark, h2) == ((0L, None)),
+      "trackDrift=false must skip the per-insert sidecar round-trip")
+  }
 }

@@ -363,6 +363,34 @@ class SemanticDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("assignCellsMulti: superVecs is inert at nSupers = 0 (matches the recipe canonicalization)") {
+    // The `_recipe` sidecar folds superVecs to Nil when nSupers == 0,
+    // asserting it affects no cell id — so the assignment itself must
+    // honor that: a probe batch carrying a trained super book against a
+    // flat store must assign EXACTLY like the flat multi-probe path
+    // (probes included), not under multi-super routing. This book would
+    // visibly change routing if honored: each axis-super owns one cell,
+    // so honored superProbes=1 routing would shrink boundary vectors'
+    // probe lists to a single cell.
+    val book = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("cell_id"), col("cell_ids"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq.sortBy(_._1)
+    val flat = snap(graft.operators.Ann.assignCellsMulti(vecs, "id", "vec",
+      cents, "cid", "cvec", cellProbes = 2))
+    val withBook = snap(graft.operators.Ann.assignCellsMulti(vecs, "id", "vec",
+      cents, "cid", "cvec", cellProbes = 2, nSupers = 0, superVecs = book))
+    assert(withBook == flat,
+      s"superVecs must be inert at nSupers = 0:\n flat=$flat\n book=$withBook")
+    // sanity: the same book DOES change probe breadth once hier routing
+    // is actually enabled (nSupers > 0) — the fixture is not vacuous
+    val routed = snap(graft.operators.Ann.assignCellsMulti(vecs, "id", "vec",
+      cents, "cid", "cvec", cellProbes = 2, nSupers = 2, superVecs = book))
+    assert(routed.exists { case (id, _, probes) =>
+      probes.length < flat.find(_._1 == id).get._3.length
+    }, "fixture must demonstrate the book restricts probes under real routing")
+  }
+
   test("multi-probe composes with hier routing and bands; increment gains dup_corpus across the boundary") {
     val tau = 0.999
     // hier + p=2 with superProbes=1 CANNOT recover here: each super
