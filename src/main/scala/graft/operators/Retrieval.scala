@@ -332,17 +332,22 @@ object Retrieval {
     * unbounded probe floor. Pass `autoCompactAt <= 0` to opt out and
     * schedule the maintenance call directly.
     *
-    * SINGLE-WRITER CONTRACT: at most one appender (and no concurrent
-    * compaction) per store at a time — the upload model this layout
-    * serves. The guards are check-then-write, so two interleaved
-    * appenders could each pass the disjointness probe before either's
-    * segment lands; the `_idbloom` generation stamp makes the bloom
-    * flavor of that race refuse loudly (see [[writeIdBloom]]), and the
-    * segment-exists check fails the name-collision flavor, but id-level
-    * overlap between two in-flight DIFFERENT-named segments is only
-    * caught by the compaction backstop. Serialize appends (one
-    * ingestion driver per store — the streaming sink shape) rather
-    * than racing them. */
+    * SINGLE-WRITER CONTRACT, made MECHANICAL: each append atomically
+    * creates a `_append_lease` marker before its first guard read and
+    * removes it after its last durable write (refusals release too) —
+    * two interleaved appenders deterministically produce one refusal
+    * at the lease, BEFORE either reads a guard, closing the
+    * check-then-write races the r15 design only narrowed (the
+    * `_idbloom` fold_seq stamp caught the bloom flavor at the swap;
+    * id-level overlap between two in-flight different-named segments
+    * had only the compaction backstop). Atomic create-if-absent is
+    * exact on HDFS/local filesystems; on object stores without atomic
+    * create it narrows the window rather than closing it — keep one
+    * ingestion driver per store there. A writer that CRASHES holding
+    * the lease leaves a loud blocker, not silent corruption:
+    * [[releaseBm25AppendLease]] is the documented recovery (the
+    * `_compact_pending` posture — an operator decision, never
+    * automatic expiry that could un-lease a live slow writer). */
   def appendBm25Segment(docs: DataFrame, idCol: String, textCol: String,
                         dir: String, segment: String,
                         nBuckets: Int = 64,
@@ -369,6 +374,12 @@ object Retrieval {
     val segDir = s"$dir/segments/$segment"
     require(!fs.exists(new org.apache.hadoop.fs.Path(segDir)),
       s"segment '$segment' already exists in '$dir' — appends never overwrite")
+    // the single-writer lease (see the scaladoc): taken before the
+    // first guard read, released by the finally at the bottom — on
+    // success, on refusal, on failure; only a crash leaves it, loudly
+    val leasePath = new org.apache.hadoop.fs.Path(s"$dir/_append_lease")
+    acquireAppendLease(fs, leasePath, dir)
+    try {
     // Disjointness is checked BEFORE anything durable is written: a
     // batch that repeats an id (within itself, or against any existing
     // segment's docs sidecar) is refused here, while the store is still
@@ -528,6 +539,39 @@ object Retrieval {
     if (autoCompactAt > 0 &&
         listBm25Segments(docs.sparkSession, dir).length > autoCompactAt)
       compactBm25SegmentsInPlace(docs.sparkSession, dir)
+    } finally fs.delete(leasePath, false)
+  }
+
+  /** Take the store's append lease by atomic create-if-absent; an
+    * already-present lease means another appender is in flight (or
+    * crashed holding it) — refuse LOUDLY with the recovery named. */
+  private def acquireAppendLease(fs: org.apache.hadoop.fs.FileSystem,
+                                 lease: org.apache.hadoop.fs.Path,
+                                 dir: String): Unit = {
+    val taken =
+      try { fs.create(lease, false).close(); true }
+      catch {
+        case e: java.io.IOException =>
+          // FileAlreadyExists arrives as an IOException subclass; a
+          // genuine IO failure with no lease on disk is not "held"
+          if (fs.exists(lease)) false else throw e
+      }
+    if (!taken)
+      throw new IllegalStateException(
+        s"appendBm25Segment: another appender holds the _append_lease at " +
+          s"'$dir' — concurrent appends violate the store's single-writer " +
+          "contract, so this append wrote nothing and read no guard. If " +
+          "the holder CRASHED (no live appender exists), recover with " +
+          s"releaseBm25AppendLease(spark, \"$dir\") and retry.")
+  }
+
+  /** Operator recovery for a lease orphaned by a crashed appender (the
+    * [[appendBm25Segment]] scaladoc's contract). Removing a LIVE
+    * writer's lease re-opens the race the lease closes — only call
+    * this when no appender is running against the store. */
+  def releaseBm25AppendLease(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_append_lease")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
   }
 
   /** Refuse a compaction whose output path is (or resolves to) its
@@ -632,6 +676,29 @@ object Retrieval {
     }
   }
 
+  /** The fold_seq stamp ALONE — a `_params`-only read for
+    * [[writeIdBloom]]'s pre-swap verification. The full [[readIdBloom]]
+    * collects the entire words parquet, which the stamp check neither
+    * needs nor should pay (nor should its failure modes bleed in: a
+    * words-read hiccup is irrelevant to whether the stamp moved).
+    * Right(None) = no sidecar, Right(Some(seq)) = the live stamp,
+    * Left(why) = `_params` itself unreadable right now. */
+  private def readIdBloomStamp(spark: SparkSession, dir: String): Either[String, Option[Long]] = {
+    val params = new org.apache.hadoop.fs.Path(s"$dir/_idbloom/_params")
+    try {
+      val fs = params.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(params)) Right(None)
+      else {
+        val p = spark.read.parquet(params.toString).head()
+        Right(Some(
+          if (p.schema.fieldNames.contains("fold_seq")) p.getAs[Long]("fold_seq")
+          else 0L))
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) => Left(e.toString)
+    }
+  }
+
   /** Fold a batch's id bits into the append-guard bloom (plus, when no
     * readable filter exists yet, every live sidecar's — the one-time
     * bootstrap). The sidecar stores the word-packed BITSET itself
@@ -662,10 +729,10 @@ object Retrieval {
     * corruption LOUD: each publish re-reads the live stamp and
     * REFUSES the append (before anything durable — bloom maintenance
     * precedes every segment write) when the pre-image changed since
-    * the guard read it. The check-then-swap is not atomic, so a
-    * sub-millisecond race can still slip through — the stamp narrows
-    * the window from the whole append to the swap itself; the
-    * single-writer contract remains the store's requirement. */
+    * the guard read it. The check-then-swap is not atomic by itself;
+    * since r16 the `_append_lease` taken by [[appendBm25Segment]]
+    * serializes whole appends, so the stamp is now defense-in-depth
+    * (and the refusal for out-of-band writers that bypass the lease). */
   private def writeIdBloom(spark: SparkSession, dir: String, idCol: String,
                            batchIds: DataFrame, priorSegs: Seq[String],
                            preImage: BloomRead): Unit = {
@@ -715,29 +782,42 @@ object Retrieval {
     // concurrent-writer detection (see the scaladoc's single-writer
     // contract): the live pre-image must be what the guard read, or a
     // parallel append folded in between and publishing would silently
-    // drop its ids from the filter — refuse, before anything durable
-    val preSwapSeq = readIdBloom(spark, dir) match {
-      case BloomOk(_, seq) => Some(seq)
-      case BloomAbsent => None
-      case _ => Some(-1L) // unreadable at swap time: can't verify — refuse below
-    }
+    // drop its ids from the filter — refuse, before anything durable.
+    // The stamp comes from a `_params`-ONLY read (never the whole words
+    // parquet), and an UNREADABLE-right-now stamp is its own refusal —
+    // a read hiccup must not masquerade as "a CONCURRENT append" and
+    // send an operator chasing a phantom writer.
     val expected = preImage match {
-      case BloomOk(_, seq) => Some(seq)
-      case BloomAbsent => None
+      case BloomOk(_, seq) => Some(Some(seq))
+      case BloomAbsent => Some(None)
       // corrupt/IO pre-images rebuild from the sidecars; the file's
       // generation is unknowable, so the stamp cannot verify it —
       // accept whatever is live (the single-writer contract carries)
-      case _ => preSwapSeq
+      case _ => None
     }
-    if (preSwapSeq != expected) {
-      fs.delete(tmp, true)
-      throw new IllegalStateException(
-        s"appendBm25Segment: the _idbloom at '$dir' changed between this " +
-          s"append's guard read (fold_seq $expected) and its publish " +
-          s"(fold_seq $preSwapSeq) — a CONCURRENT append violated the " +
-          "store's single-writer contract. This append wrote nothing " +
-          "durable; retry it. If the filter is suspect, dropIdBloom() " +
-          "and re-bootstrap with an idBloom=true append.")
+    expected.foreach { want =>
+      readIdBloomStamp(spark, dir) match {
+        case Left(why) =>
+          fs.delete(tmp, true)
+          throw new IllegalStateException(
+            s"appendBm25Segment: the _idbloom/_params at '$dir' was " +
+              s"UNREADABLE at publish time ($why) — the guard's fold_seq " +
+              s"stamp ($want at the guard read) cannot be verified. This is " +
+              "a READ failure, not evidence of a concurrent writer; nothing " +
+              "durable was written — retry the append, and if it persists " +
+              "inspect the sidecar or dropIdBloom() to fall back to the " +
+              "exact join.")
+        case Right(live) if live != want =>
+          fs.delete(tmp, true)
+          throw new IllegalStateException(
+            s"appendBm25Segment: the _idbloom at '$dir' changed between this " +
+              s"append's guard read (fold_seq $want) and its publish " +
+              s"(fold_seq $live) — a CONCURRENT append violated the " +
+              "store's single-writer contract. This append wrote nothing " +
+              "durable; retry it. If the filter is suspect, dropIdBloom() " +
+              "and re-bootstrap with an idBloom=true append.")
+        case Right(_) => ()
+      }
     }
     fs.delete(live, true)
     if (!fs.rename(tmp, live)) {

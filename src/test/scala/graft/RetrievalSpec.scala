@@ -381,6 +381,42 @@ class RetrievalSpec extends AnyFunSuite {
     assert(errCmp.getMessage.contains("disjoint"), errCmp.getMessage)
   }
 
+  test("append lease: a held lease refuses a second appender; refusals and successes both release it") {
+    val docs = Seq(
+      (1L, "spark shuffle partitions tune the join"),
+      (2L, "spark join broadcast threshold"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25lease").toString
+    // first append creates the store and must leave NO lease behind
+    Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 1L),
+      "doc_id", "text", dir, "s1")
+    assert(!new java.io.File(s"$dir/_append_lease").exists(),
+      "a successful append must release the lease")
+    // another appender in flight (simulated by the held marker):
+    // deterministic refusal BEFORE any guard read or durable write
+    assert(new java.io.File(s"$dir/_append_lease").createNewFile())
+    val err = intercept[IllegalStateException] {
+      Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 2L),
+        "doc_id", "text", dir, "s2")
+    }
+    assert(err.getMessage.contains("_append_lease"), err.getMessage)
+    assert(!new java.io.File(s"$dir/segments/s2").exists(),
+      "an append refused at the lease must write nothing")
+    // the documented crash recovery re-opens the store
+    Retrieval.releaseBm25AppendLease(spark, dir)
+    Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 2L),
+      "doc_id", "text", dir, "s2")
+    assert(Retrieval.bm25FromSegments(spark, dir, "doc_id", "spark join").count() == 2)
+    // a GUARD refusal (duplicate id) must release the lease too — a
+    // retrying writer is not locked out of its own store
+    intercept[IllegalArgumentException] {
+      Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 1L),
+        "doc_id", "text", dir, "s3")
+    }
+    assert(!new java.io.File(s"$dir/_append_lease").exists(),
+      "a refused append must release the lease")
+  }
+
   test("append guard ids-bloom: fast path refuses dups, fallback survives a deleted sidecar") {
     val docs = Seq(
       (1L, "spark shuffle partitions tune the join"),
