@@ -306,12 +306,13 @@ object PmcRecallProbe {
         nBands = 2, planesPerBand = 2)
       def foundBy(label: String, nSupers: Int, sv: Seq[Seq[Double]],
                   bands: Seq[Seq[Seq[Double]]], cellProbes: Int = 1,
-                  margin: Double = Double.PositiveInfinity): Long = {
+                  margin: Double = Double.PositiveInfinity,
+                  cap: Int = Int.MaxValue): Long = {
         val t0 = System.nanoTime()
         val prs = operators.SemanticDedup.pairs(vecs, "id", "embedding",
           cents, "cid", "cvec", tau, nSupers = nSupers, superProbes = 4,
           superVecs = sv, bands = bands, cellProbes = cellProbes,
-          probeMargin = margin)
+          probeMargin = margin, probeCellCap = cap)
         val hits = prs.filter(col("id_b") === concat(col("id_a"), lit("~dup"))).count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"semdedup $label%-34s |C|=$nc |S|=$nSupers: planted tau-pairs found = " +
@@ -330,6 +331,23 @@ object PmcRecallProbe {
       val flatP3 = foundBy("flat + cellProbes=3", 0, Nil, Nil, 3)
       Seq(0.1, 0.05, 0.02, 0.01).foreach { m =>
         foundBy(f"flat + p=2 margin=$m%.2f", 0, Nil, Nil, 2, m)
+      }
+      // round-16 rows: the margin DERIVED from this corpus's own gap
+      // distribution (deriveProbeMargin — "probe the boundary X%"
+      // instead of an absolute guess), and the hub probe cap bounding
+      // worst-cell runner-up inflow at the derived margin
+      val derived = Seq(0.10, 0.25, 0.50).map { f =>
+        f -> operators.SemanticDedup.deriveProbeMargin(vecs, "id", "embedding",
+          cents, "cid", "cvec", f)
+      }
+      println(derived.map { case (f, m) => f"frac=$f%.2f -> margin=$m%.4f" }
+        .mkString("semdedup derived margins: ", ", ", ""))
+      derived.foreach { case (f, m) =>
+        foundBy(f"flat + p=2 margin=derived($f%.2f)", 0, Nil, Nil, 2, m)
+      }
+      val mQ = derived.find(_._1 == 0.25).get._2
+      Seq(2000, 500, 100).foreach { cap =>
+        foundBy(f"flat + p=2 derived(0.25) cap=$cap%d", 0, Nil, Nil, 2, mQ, cap)
       }
       val hierFound = foundBy("hier p=4 TRAINED supers", ns, supers, Nil)
       val hierP2 = foundBy("hier p=4 TRAINED + cellProbes=2", ns, supers, Nil, 2)

@@ -158,12 +158,20 @@ object ServeBench {
     val (b32, b32p50, b32p95, b32max) = batched(32)
     println(f"SERVE batch32 n=${b32.length} p50=$b32p50%.3f p95=$b32p95%.3f max=$b32max%.3f s/batch " +
       f"(${b32p50 / 32}%.3f s/ask at p50)")
+    // batch saturation: one 64-wide batch (the whole workload) names
+    // the batch path's amortization floor — when s/ask stops improving
+    // with batch size, the residual is the fixed per-batch job set,
+    // i.e. the single driver JVM, not batch width
+    val (b64, b64p50, b64p95, b64max) = batched(64)
+    println(f"SERVE batch64 n=${b64.length} p50=$b64p50%.3f p95=$b64p95%.3f max=$b64max%.3f s/batch " +
+      f"(${b64p50 / 64}%.3f s/ask at p50)")
 
     println(s"""{"bench":"serve_only","corpus":"PMC","chunks":$nChunks,""" +
       f""""solo":{"n":${solo.length},"p50":$s50%.3f,"p95":$s95%.3f,"max":$sMax%.3f},""" +
       f""""batch8":{"n":${b8.length},"p50":$b8p50%.3f,"p95":$b8p95%.3f,"max":$b8max%.3f},""" +
       f""""batch32":{"n":${b32.length},"p50":$b32p50%.3f,"p95":$b32p95%.3f,"max":$b32max%.3f},""" +
-      f""""per_ask_p50":{"solo":$s50%.3f,"batch8":${b8p50 / 8}%.3f,"batch32":${b32p50 / 32}%.3f}}""")
+      f""""batch64":{"n":${b64.length},"p50":$b64p50%.3f,"p95":$b64p95%.3f,"max":$b64max%.3f},""" +
+      f""""per_ask_p50":{"solo":$s50%.3f,"batch8":${b8p50 / 8}%.3f,"batch32":${b32p50 / 32}%.3f,"batch64":${b64p50 / 64}%.3f}}""")
     coolServing()
     spark.stop()
   }
@@ -198,7 +206,13 @@ object ServeBench {
     // loop being the usual local-mode suspect for many tiny jobs)
     val poolOverride = args.collectFirst {
       case a if a.startsWith("pools=") => a.drop(6).toInt }
-    val clientLevels = if (poolOverride.isDefined) Seq(16) else Seq(1, 4, 8, 16)
+    // `http wide` extends the sweep past c=16 — the round-16 ask: name
+    // the saturation point the single driver JVM imposes BEFORE a
+    // deploy finds it (the knee's position, not just its existence)
+    val clientLevels =
+      if (poolOverride.isDefined) Seq(16)
+      else if (args.contains("wide")) Seq(1, 4, 8, 16, 24, 32, 48)
+      else Seq(1, 4, 8, 16)
     val levels = clientLevels.map { c =>
       val srv = new AskServer(spark, index, graph = Some(wh),
         embedQuery = Some(q =>

@@ -2354,6 +2354,41 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // The probeMargin DERIVED from the corpus's own argmax-gap
+    // distribution instead of guessed (SemanticDedup.deriveProbeMargin
+    // — one codegen map-only NearestCellGap pass + one exact
+    // percentile): boundaryFrac = 0.25 probes "the boundary quartile".
+    // The margin is stable-rounded to 6dp on BOTH engines (the repo's
+    // float convention) and the oracle replays the WHOLE derivation —
+    // gap = topsim − rn-2 csim per vector, quantile_cont(gaps, 0.25)
+    // (≡ Spark's exact percentile, the q_length_quantiles precedent),
+    // then the same rn <= 2 + margin-cut probe lists and
+    // either-direction rule as q_semantic_dedup_probes. Same
+    // mixed-vector plant.
+    "q_semantic_dedup_margin_derived" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val a = base.filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding").as("_av"))
+      val b = base.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+        .select((col("vec_id") - 100).as("vec_id"), col("embedding").as("_bv"))
+      val planted = a.join(b, "vec_id")
+        .select((col("vec_id") + 10000).as("vec_id"),
+          zip_with(col("_av"), col("_bv"),
+            (x, y) => x * lit(0.8) + y * lit(0.2)).as("embedding"))
+      val cents = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val all = base.unionByName(planted)
+      val raw = SemanticDedup.deriveProbeMargin(all, "vec_id", "embedding",
+        cents, "centroid_id", "cvec", boundaryFrac = 0.25)
+      val margin = BigDecimal(raw + 1.2345e-9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      SemanticDedup.dedup(all, "vec_id", "embedding",
+          cents, "centroid_id", "cvec", tau = 0.9,
+          cellProbes = 2, probeMargin = margin)
+        .orderBy("vec_id")
+    }),
+
     // Incremental semantic dedup: batch (ids >= 250, plus planted copies
     // of corpus vectors at +20000 → dup_corpus, and of batch vectors at
     // +30000 → dup_batch) probed against the corpus's cell-assigned
@@ -3232,6 +3267,30 @@ object SparkEntry {
        |),
        |prim AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1),
        |prob AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn <= 2),
+       |$probesVerdictTail""".stripMargin
+
+  /** q_semantic_dedup_margin_derived: the probes oracle with the
+    * margin DERIVED in-query — gap = topsim − the rn-2 csim per
+    * vector, margin = quantile_cont(gaps, 0.25) stable-rounded to 6dp
+    * (Spark's exact percentile uses the same linear interpolation —
+    * the q_length_quantiles cross-engine precedent), then the same
+    * rn <= 2 + inclusive margin-cut probe list as the hier oracle. */
+  private def semanticDedupMarginDerivedOracle: String =
+    s"""WITH $mixedPlantCtes,
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM bse WHERE vec_id < 8),
+       |asg AS (
+       |  SELECT vec_id, embedding, cid, csim,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn,
+       |         max(csim) OVER (PARTITION BY vec_id) AS topsim
+       |  FROM (SELECT v.vec_id, v.embedding, c.cid,
+       |               ${dCosine("v.embedding", "c.cv")} AS csim
+       |        FROM all_v v, c)
+       |),
+       |mg AS (SELECT round(quantile_cont(topsim - csim, 0.25) + 1.2345e-9, 6) AS m
+       |       FROM asg WHERE rn = 2),
+       |prim AS (SELECT vec_id, embedding, cid AS cell_id FROM asg WHERE rn = 1),
+       |prob AS (SELECT vec_id, embedding, cid AS cell_id FROM asg, mg
+       |         WHERE rn <= 2 AND csim >= topsim - mg.m),
        |$probesVerdictTail""".stripMargin
 
   /** q_semantic_dedup_probes_hier: the probes on top of the two-level
@@ -4751,6 +4810,7 @@ object SparkEntry {
       "q_semantic_dedup_scaled" -> semanticDedupHierBandedOracle,
       "q_semantic_dedup_probes" -> semanticDedupProbesOracle,
       "q_semantic_dedup_probes_hier" -> semanticDedupProbesHierOracle,
+      "q_semantic_dedup_margin_derived" -> semanticDedupMarginDerivedOracle,
 
       // Incremental semantic dedup: same nearest-centroid assignment CTE
       // shape as q_semantic_dedup (row_number over csim DESC, cid = the

@@ -253,6 +253,32 @@ object Ann {
       .drop("_probes")
   }
 
+  /** Attach the ARGMAX-GAP column (`cell_gap` = cosine(primary cell) −
+    * cosine(runner-up cell), [[graft.functions.NearestCellGap]]) — the
+    * per-row boundary-closeness number whose DISTRIBUTION derives a
+    * principled `probeMargin` ([[SemanticDedup.deriveProbeMargin]]):
+    * [[NearestCells]]' margin emits a runner-up probe iff
+    * cell_gap <= margin, so the margin that probes "the boundary
+    * decile" is exactly the 0.1-quantile of this column. Same hier
+    * routing gate as [[assignCellsMulti]] (nSupers > 0 only; superVecs
+    * inert without it); one codegen'd map-side projection, zero
+    * shuffle. */
+  def assignCellGaps(index: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, cIdCol: String, cVecCol: String,
+                     nSupers: Int = 0, superProbes: Int = 1,
+                     superVecs: Seq[Seq[Double]] = Nil): DataFrame = {
+    val cents = collectCentroids(centroids, cIdCol, cVecCol, "assignCellGaps")
+    val codebook = cents.map(_._2)
+    val (superBook, membersOf) =
+      if (nSupers > 0)
+        hierRouting(codebook, nSupers, superVecs, "assignCellGaps")
+      else (Array.empty[Array[Double]], Array.empty[Array[Int]])
+    import org.apache.spark.sql.GraftColumnBridge._
+    index.withColumn("cell_gap", column(graft.functions.NearestCellGap(
+      expression(col(vecCol).cast("array<double>")),
+      codebook, superBook, membersOf, superProbes)))
+  }
+
   /** IVF search: rank centroids vs the query, keep the nprobe nearest
     * cells, exact top-k within those cells only. On a partitioned index
     * the cell filter becomes partition pruning. */

@@ -125,29 +125,41 @@ object AskPipeline {
           TouchEffect(row.getLong(0)))
 
       case None =>
-        val hits = (graph match {
+        val topDf = graph match {
           case Some(h) => h.topK(spark, qVec.toSeq, topK,
             tieBreak = Seq("doc_id", "chunk_idx"))
           case None => Similarity.topK(index, "embedding", qVec.toSeq, topK,
             tieBreak = Seq("doc_id", "chunk_idx"))
-        })
-          .withColumn("rank", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))))
-        val ctx = Retrieval.renderContext(
-          Retrieval.assembleContext(hits, "doc_id", "rank", "chunk_text"), "doc_id")
-        val blocks = ctx.orderBy("best_rank")
-          .select("context_block").collect().map(_.getString(0))
+        }
+        // THE SOLO FUSE: the hit set is ≤ topK rows by construction, so
+        // the rank window + per-doc context aggregation + block sort +
+        // prompt projection run DRIVER-SIDE on one collected batch —
+        // one Spark job (the top-k fetch) instead of a multi-stage
+        // aggregation job plus a prompt projection job. Stage count ×
+        // scheduler latency was most of the solo hot-ask residual
+        // (SCALE.md); data volume here never justified the stages.
+        // Byte-identical to the DataFrame tail (contextBlocksLocal's
+        // contract, spec-pinned); an exotic doc_id type keeps the
+        // declarative tail.
+        import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+        val docType = topDf.schema(topDf.schema.fieldIndex("doc_id")).dataType
+        val blocks: Seq[String] =
+          if (docType == StringType || docType == LongType || docType == IntegerType) {
+            val rows = topDf.select(col("doc_id"), col("chunk_idx").cast("long"),
+              col("chunk_text"), col("sim")).collect()
+            Retrieval.contextBlocksLocal(rows.toSeq.map(r =>
+              (r.get(0), r.getLong(1), r.getString(2), r.getDouble(3))))
+          } else {
+            val hits = topDf.withColumn("rank", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))))
+            val ctx = Retrieval.renderContext(
+              Retrieval.assembleContext(hits, "doc_id", "rank", "chunk_text"), "doc_id")
+            ctx.orderBy("best_rank")
+              .select("context_block").collect().map(_.getString(0)).toSeq
+          }
         val contextText = blocks.mkString("\n\n")
-        val prompt = Retrieval.buildPrompt(
-          spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
-            org.apache.spark.sql.Row(query, contextText)),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("query", org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("context", org.apache.spark.sql.types.StringType))))
-            .withColumn("hist", lit(history.getOrElse(""))),
-          "query", "context", history.map(_ => "hist"))
-          .select("prompt").head().getString(0)
+        val prompt = Retrieval.promptStringLocal(query, contextText, history)
 
         // the replaceable model call (app/main.py:537-541): a real
         // client (e.g. HttpGenerateClient.generate) receives the FULL

@@ -45,6 +45,66 @@ object Retrieval {
       "context_block",
       format_string("--- Document ID: %s ---\n%s", col(docCol).cast("string"), col("context_text")))
 
+  /** The DRIVER-SIDE twin of the rank → context tail
+    * ([[assembleContext]] + [[renderContext]] + the best_rank block
+    * ordering) for REQUEST-SIZED hit sets — the solo serving fuse: a
+    * top-k ask's hits are ≤ k rows by construction, and running the
+    * global rank window + per-doc aggregation + block sort as Spark
+    * stages costs stage-count × driver scheduling (measured as most of
+    * the solo hot-ask residual, SCALE.md), not data work. Semantics
+    * are byte-identical to the DataFrame tail (spec-pinned in
+    * AskPipelineSpec): rank = (sim desc, doc_id asc, chunk_idx asc)
+    * with StringType compared in UTF-8 BINARY order (Spark's
+    * UTF8String ordering — java String compareTo diverges past ASCII),
+    * texts per doc joined "\n" in rank order, blocks emitted in
+    * best_rank order. Input: (doc_id raw value, chunk_idx, chunk_text,
+    * sim); doc ids must be string or integral (the serving schemas) —
+    * anything else refuses, and the caller keeps the DataFrame tail. */
+  private[graft] def contextBlocksLocal(hits: Seq[(Any, Long, String, Double)]): Seq[String] = {
+    def cmpDoc(a: Any, b: Any): Int = (a, b) match {
+      case (x: String, y: String) =>
+        val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        var c = 0
+        while (c == 0 && i < xb.length && i < yb.length) {
+          c = (xb(i) & 0xff) - (yb(i) & 0xff)
+          i += 1
+        }
+        if (c != 0) c else xb.length - yb.length
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        java.lang.Long.compare(x.longValue, y.longValue)
+      case _ => throw new IllegalArgumentException(
+        s"contextBlocksLocal: unsupported doc id type ${a.getClass.getName}")
+    }
+    val ranked = hits.sortWith { (a, b) =>
+      if (a._4 != b._4) a._4 > b._4
+      else {
+        val c = cmpDoc(a._1, b._1)
+        if (c != 0) c < 0 else a._2 < b._2
+      }
+    }
+    val byDoc = scala.collection.mutable.LinkedHashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[String]]
+    ranked.foreach { h =>
+      byDoc.getOrElseUpdate(h._1,
+        scala.collection.mutable.ArrayBuffer.empty[String]) += h._3
+    }
+    // first-occurrence order in the ranked sequence IS best_rank order
+    byDoc.iterator.map { case (doc, texts) =>
+      s"--- Document ID: ${String.valueOf(doc)} ---\n${texts.mkString("\n")}"
+    }.toSeq
+  }
+
+  /** [[buildPrompt]] as one driver-side string — identical concat
+    * (Spark's concat of string literals/columns is plain string
+    * concatenation), for the fused solo tail. */
+  private[graft] def promptStringLocal(query: String, contextText: String,
+                                       history: Option[String]): String =
+    "You are a helpful medical assistant. Use ONLY the provided context to answer.\n\n" +
+      history.map(h => s"Conversation so far:\n$h\n\n").getOrElse("") +
+      s"User Query:\n$query\n\nContext:\n$contextText\n\nAnswer:"
+
   /** Prompt projection (F-8): system rules + optional history + query +
     * context — shape of app/main.py:519-535. */
   def buildPrompt(df: DataFrame, queryCol: String, contextCol: String,

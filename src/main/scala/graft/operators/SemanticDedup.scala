@@ -109,16 +109,74 @@ object SemanticDedup {
     }
   }
 
+  /** Derive `probeMargin` from the corpus's OWN argmax-gap
+    * distribution instead of guessing an absolute number: the margin
+    * that makes (about) the `boundaryFrac` closest-to-a-boundary
+    * fraction of vectors emit a runner-up probe is exactly the
+    * `boundaryFrac`-quantile of cell_gap = cos(primary) −
+    * cos(runner-up) ([[Ann.assignCellGaps]] — one codegen'd map-only
+    * pass, the scan the assignment already pays). boundaryFrac = 0.1
+    * reads as "probe the boundary decile". The quantile is Spark's
+    * EXACT `percentile` (≡ DuckDB quantile_cont, linear-interpolated —
+    * oracle-replayable, the q_length_quantiles precedent); its buffer
+    * grows with distinct gap values, so at the 10^9-row regime swap in
+    * percentile_approx and accept the sketch (the margin is a cost
+    * knob, not a correctness bound — any value is CORRECT, the
+    * quantile only sizes the probe set). Infinity gaps (single-cell
+    * codebooks) order above every finite gap, so they never drag the
+    * quantile down. */
+  def deriveProbeMargin(vecs: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, cIdCol: String, cVecCol: String,
+                        boundaryFrac: Double, nSupers: Int = 0,
+                        superProbes: Int = 1,
+                        superVecs: Seq[Seq[Double]] = Nil): Double = {
+    require(boundaryFrac >= 0.0 && boundaryFrac <= 1.0,
+      s"deriveProbeMargin: boundaryFrac=$boundaryFrac must be in [0, 1]")
+    val gaps = Ann.assignCellGaps(vecs, idCol, vecCol,
+      centroids, cIdCol, cVecCol, nSupers, superProbes, superVecs)
+    val m = gaps.agg(expr(s"percentile(cell_gap, $boundaryFrac)")).head().getDouble(0)
+    require(!m.isNaN, "deriveProbeMargin: empty corpus — no gap distribution")
+    m
+  }
+
   /** The x-side frame of a multi-probe pair join: each vector repeated
     * once per probed cell (`cell_ids` exploded into `cell_id` — ≤ p
     * rows per vector, fewer under a finite probeMargin), so a pair
     * meets whenever EITHER vector's primary cell is among the other's
     * probes; the anchor side stays primary. See the object scaladoc
     * for the honest cost model (hub-cell concentration, the margin
-    * lever). Identity at cellProbes = 1. */
-  private def probeSide(keyed: DataFrame, cellProbes: Int): DataFrame =
+    * lever). Identity at cellProbes = 1.
+    *
+    * `probeCellCap` bounds HUB-CELL skew the way [[Dedup.jaccardPairs]]'
+    * maxDf bounds hot shingles: runner-up probe mass concentrates on a
+    * few hub cells on real embedding spaces (measured on PMC — the 27×
+    * blowup), and a finite cap DROPS every runner-up probe aimed at a
+    * cell that would receive more than `probeCellCap` of them (primary
+    * rows are never dropped — the confined baseline is always intact).
+    * The recall trade is one-directional and explicit: a boundary pair
+    * into a capped hub is then caught only if the HUB vector's own
+    * probes reach back out. Cost: one map-side-combinable count over
+    * the exploded frame + a ≤|C|-row broadcast — paid only when the
+    * cap is finite. */
+  private def probeSide(keyed: DataFrame, cellProbes: Int,
+                        probeCellCap: Int = Int.MaxValue): DataFrame =
     if (cellProbes <= 1) keyed
-    else keyed.drop("cell_id").withColumn("cell_id", explode(col("cell_ids")))
+    else {
+      val exploded = keyed.drop("cell_id")
+        .withColumn("cell_id", explode(col("cell_ids")))
+      if (probeCellCap == Int.MaxValue) exploded
+      else {
+        require(probeCellCap >= 0, s"probeCellCap=$probeCellCap must be >= 0")
+        val isPrimary = col("cell_id") === element_at(col("cell_ids"), 1)
+        val hubs = exploded.filter(!isPrimary)
+          .groupBy("cell_id").agg(count(lit(1)).as("_nprobes"))
+          .filter(col("_nprobes") > probeCellCap)
+          .select(col("cell_id"), lit(true).as("_hub"))
+        exploded.join(broadcast(hubs), Seq("cell_id"), "left")
+          .filter(isPrimary || col("_hub").isNull)
+          .drop("_hub")
+      }
+    }
 
   /** Attach one deterministic sign-LSH bucket column per band
     * (`_sb0`..`_sbR-1`) to a (_vec, cell_id)-shaped frame — map-only,
@@ -150,7 +208,8 @@ object SemanticDedup {
             superVecs: Seq[Seq[Double]] = Nil,
             bands: Seq[Seq[Seq[Double]]] = Nil,
             cellProbes: Int = 1,
-            probeMargin: Double = Double.PositiveInfinity): DataFrame = {
+            probeMargin: Double = Double.PositiveInfinity,
+            probeCellCap: Int = Int.MaxValue): DataFrame = {
     // the assignment feeds 2R band-join sides plus the final left join
     // — whenever it is non-trivial (two-level routing, multi-probe) or
     // scanned more than the flat baseline's three times (R > 1 bands),
@@ -164,7 +223,7 @@ object SemanticDedup {
         graft.Materialize(cells0)
       else cells0
     val keyed = withBandBuckets(cells, bands)
-    val xSide = probeSide(keyed, cellProbes)
+    val xSide = probeSide(keyed, cellProbes, probeCellCap)
     // each band's join projects only its own key columns, so the other
     // bands' bucket longs never ride the N^1.5-row in-cell term
     val candOf = (ks: Seq[String]) => {
@@ -213,7 +272,8 @@ object SemanticDedup {
             superVecs: Seq[Seq[Double]] = Nil,
             bands: Seq[Seq[Seq[Double]]] = Nil,
             cellProbes: Int = 1,
-            probeMargin: Double = Double.PositiveInfinity): DataFrame = {
+            probeMargin: Double = Double.PositiveInfinity,
+            probeCellCap: Int = Int.MaxValue): DataFrame = {
     // same materialization rule as dedup: hier routing, R > 1 bands,
     // or multi-probe
     val cells0 = assign(vecs, idCol, vecCol, centroids, cIdCol, cVecCol,
@@ -223,7 +283,7 @@ object SemanticDedup {
         graft.Materialize(cells0)
       else cells0
     val keyed = withBandBuckets(cells, bands)
-    val xSide = probeSide(keyed, cellProbes)
+    val xSide = probeSide(keyed, cellProbes, probeCellCap)
     // per-band key projection, like dedup: nothing extra rides the wire
     val candOf = (ks: Seq[String]) => {
       val x = xSide.select(ks.map(col) :+ col("_id").as("id_a") :+ col("_vec").as("_xvec"): _*)
@@ -291,7 +351,8 @@ object SemanticDedup {
                         superVecs: Seq[Seq[Double]] = Nil,
                         bands: Seq[Seq[Seq[Double]]] = Nil,
                         cellProbes: Int = 1,
-                        probeMargin: Double = Double.PositiveInfinity): DataFrame = {
+                        probeMargin: Double = Double.PositiveInfinity,
+                        probeCellCap: Int = Int.MaxValue): DataFrame = {
     val assigned = graft.Materialize(
       assign(newVecs, idCol, vecCol, centroids, cIdCol, cVecCol,
         nSupers, superProbes, superVecs, cellProbes, probeMargin))
@@ -316,7 +377,7 @@ object SemanticDedup {
     // probes (one-sided by construction: a boundary pair whose batch
     // vector's probes miss the corpus vector's cell stays unflagged —
     // widening p narrows that set; the index never re-assigns)
-    val batchProbed = probeSide(batchKeyed, cellProbes)
+    val batchProbed = probeSide(batchKeyed, cellProbes, probeCellCap)
     val idxKeyed = bands.zipWithIndex.foldLeft(guardedIdx) {
       case (df, (planes, r)) =>
         df.withColumn(s"_sb$r", Ann.lshBucket(col("_cvec"), planes))
@@ -428,10 +489,11 @@ object SemanticDedup {
                             tau: Double, cellProbes: Int = 1,
                             probeMargin: Double = Double.PositiveInfinity,
                             nSupers: Int = 0, superProbes: Int = 1,
-                            superVecs: Seq[Seq[Double]] = Nil): DataFrame = {
+                            superVecs: Seq[Seq[Double]] = Nil,
+                            probeCellCap: Int = Int.MaxValue): DataFrame = {
     val cAssigned = assign(corpus, idCol, vecCol, centroids, cIdCol, cVecCol,
       nSupers, superProbes, superVecs, cellProbes, probeMargin)
-    val cSide = probeSide(cAssigned, cellProbes)
+    val cSide = probeSide(cAssigned, cellProbes, probeCellCap)
       .select(col("_id").as(idCol), col("_vec").as("_cv"), col("cell_id"))
     val bSide = assign(bench, benchIdCol, benchVecCol,
         centroids, cIdCol, cVecCol, nSupers, superProbes, superVecs)

@@ -56,6 +56,43 @@ class AskPipelineSpec extends AnyFunSuite {
     assert(!ids.contains(2L), s"expected newest min-freq eviction, cache has $ids")
   }
 
+  test("fused solo tail is byte-identical to the declarative rank/context/prompt tail") {
+    import org.apache.spark.sql.functions._
+    // the DataFrame tail (Retrieval.askGraph / promptFromHits) is the
+    // oracle-gated shape; askStateless's fused driver-side tail must
+    // reproduce its prompt BYTE-FOR-BYTE — exact path and graph path
+    val query = "spark join tuning"
+    val (resExact, _) = AskPipeline.askStateless(spark, index, emptyCache, query)
+    val declarativeExact = operators.Retrieval.ask(spark,
+        Seq(("d1", "spark shuffle join performance tuning for large tables"),
+          ("d2", "pasta recipes and pizza dough for the home cook"),
+          ("d3", "broadcast join strategies in distributed query engines"))
+          .toDF("doc_id", "text"),
+        query, chunkSize = 16)
+      .select("prompt").head().getString(0)
+    assert(resExact.prompt == declarativeExact,
+      "fused exact-path prompt diverged from the declarative tail")
+    // graph path (the hot serving shape): askGraph's DataFrame tail vs
+    // the fused askStateless over the same store
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuse").toString
+    val h = operators.GraphIndex.build(spark, index, Seq("doc_id", "chunk_idx"),
+      "embedding", dir, nCentroids = 4, m = 4, nBuckets = 4, beamWidth = 8, hops = 3)
+    val hot = operators.GraphIndex.hot(spark, h)
+    try {
+      val (resHot, _) = AskPipeline.askStateless(spark, index, emptyCache, query,
+        graph = Some(hot))
+      val declarativeGraph = operators.Retrieval.askGraph(spark, hot, query)
+        .select("prompt").head().getString(0)
+      assert(resHot.prompt == declarativeGraph,
+        "fused graph-path prompt diverged from the declarative tail")
+      // history section renders identically too
+      val (resHist, _) = AskPipeline.askStateless(spark, index, emptyCache, query,
+        history = Some("Human: hi\nAI: hello"))
+      assert(resHist.prompt.contains(
+        "Conversation so far:\nHuman: hi\nAI: hello\n\nUser Query:\n"))
+    } finally hot.cool()
+  }
+
   test("empty hook answer is a failure: error answer, cache NOT poisoned") {
     // HttpGenerateClient degrades to "" on any transport/LLM error by
     // contract; the reference (app/main.py:541-548) answers an error and

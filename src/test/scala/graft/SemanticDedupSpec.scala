@@ -363,6 +363,84 @@ class SemanticDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("deriveProbeMargin: the boundary-fraction quantile of the argmax gap, end to end") {
+    def onCircle(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    // two straddlers at 44°/47° (tiny gaps), six well-inside vectors
+    val angles = Seq(1L -> 2.0, 2L -> 5.0, 3L -> 10.0, 4L -> 80.0,
+      5L -> 85.0, 6L -> 88.0, 7L -> 44.0, 8L -> 47.0)
+    val vs = angles.map { case (id, d) => (id, onCircle(d)) }.toDF("id", "vec")
+    // cell_gap must equal cos(to nearer axis) − cos(to farther axis),
+    // computed with the expression's own cosine semantics
+    val gaps = graft.operators.Ann.assignCellGaps(vs, "id", "vec",
+        cents, "cid", "cvec")
+      .select("id", "cell_gap").as[(Long, Double)].collect().toMap
+    angles.foreach { case (id, d) =>
+      val near = math.min(d, 90.0 - d)
+      val far = math.max(d, 90.0 - d)
+      val expected = math.cos(math.toRadians(near)) - math.cos(math.toRadians(far))
+      assert(math.abs(gaps(id) - expected) < 1e-9,
+        s"gap for id $id (angle $d): ${gaps(id)} vs $expected")
+    }
+    // frac 0.25 over 8 gaps interpolates between the two straddler-side
+    // order statistics — large enough to admit BOTH straddlers, small
+    // enough to exclude every well-inside vector
+    val m = SemanticDedup.deriveProbeMargin(vs, "id", "vec", cents, "cid", "cvec",
+      boundaryFrac = 0.25)
+    val sorted = gaps.values.toSeq.sorted
+    val pos = 0.25 * (sorted.length - 1)
+    val expectedQ = sorted(pos.toInt) +
+      (pos - pos.toInt) * (sorted(pos.toInt + 1) - sorted(pos.toInt))
+    assert(math.abs(m - expectedQ) < 1e-9, s"derived margin $m vs $expectedQ")
+    assert(gaps(7L) <= m && gaps(8L) <= m && gaps(3L) > m,
+      "the derived margin must admit exactly the boundary vectors here")
+    // end to end: the derived margin recovers the straddle pair a
+    // guessed-too-tight margin misses
+    val tau = 0.998 // cos(3°) = 0.99863 — only the 44°/47° pair crosses cells
+    val withDerived = SemanticDedup.pairs(vs, "id", "vec", cents, "cid", "cvec",
+        tau, cellProbes = 2, probeMargin = m)
+      .as[(Long, Long)].collect().toSet
+    assert(withDerived.contains((7L, 8L)),
+      s"derived margin must recover the boundary pair: $withDerived")
+    val tooTight = SemanticDedup.pairs(vs, "id", "vec", cents, "cid", "cvec",
+        tau, cellProbes = 2, probeMargin = 1e-9)
+      .as[(Long, Long)].collect().toSet
+    assert(!tooTight.contains((7L, 8L)),
+      "a margin below every gap must reproduce the confined build's miss")
+  }
+
+  test("probeCellCap bounds hub-cell probe inflow (the jaccardPairs maxDf pattern)") {
+    def onCircle(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    // 5 vectors per side, all near the boundary: each cell receives 5
+    // runner-up probes at p=2 — both cells are "hubs" at cap < 5
+    val vs = (Seq(35.0, 37.0, 39.0, 41.0, 43.0).zipWithIndex.map {
+        case (d, i) => ((i + 1).toLong, onCircle(d)) } ++
+      Seq(47.0, 49.0, 51.0, 53.0, 55.0).zipWithIndex.map {
+        case (d, i) => ((i + 6).toLong, onCircle(d)) }).toDF("id", "vec")
+    val tau = 0.9975 // cos(4°) = 0.99756: (43°,47°) is the one cross-cell pair
+    val confined = SemanticDedup.pairs(vs, "id", "vec", cents, "cid", "cvec", tau)
+      .as[(Long, Long)].collect().toSet
+    assert(!confined.contains((5L, 10L)) && !confined.contains((5L, 6L)),
+      s"fixture: the boundary pair must straddle cells: $confined")
+    val uncapped = SemanticDedup.pairs(vs, "id", "vec", cents, "cid", "cvec", tau,
+        cellProbes = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((5L, 6L)),
+      s"p=2 must recover the 43°/47° boundary pair: $uncapped")
+    // a cap ABOVE the inflow changes nothing
+    val roomy = SemanticDedup.pairs(vs, "id", "vec", cents, "cid", "cvec", tau,
+        cellProbes = 2, probeCellCap = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(roomy == uncapped, "a non-binding cap must be a no-op")
+    // a cap BELOW the inflow drops every runner-up probe into the hub
+    // cells — output degrades to the confined build exactly (the
+    // explicit, one-directional recall trade)
+    val capped = SemanticDedup.pairs(vs, "id", "vec", cents, "cid", "cvec", tau,
+        cellProbes = 2, probeCellCap = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == confined,
+      s"with every probed cell over the cap, output must equal the confined build: $capped vs $confined")
+  }
+
   test("assignCellsMulti: superVecs is inert at nSupers = 0 (matches the recipe canonicalization)") {
     // The `_recipe` sidecar folds superVecs to Nil when nSupers == 0,
     // asserting it affects no cell id — so the assignment itself must
