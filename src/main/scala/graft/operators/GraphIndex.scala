@@ -376,7 +376,21 @@ object GraphIndex {
     * `budgetBytes` or hot() REFUSES with the numbers, before any
     * collect — the [[Ann.gatedPublish]] discipline applied to driver
     * RAM. An index past the budget belongs on the [[warm]] tier (or a
-    * sharded hot tier); an OOM mid-startup is never the answer. */
+    * sharded hot tier); an OOM mid-startup is never the answer.
+    *
+    * THE SHARDED HOT TIER (the design past both this budget and the
+    * single-JVM ~11 ask/s knee, deliberately not built until a
+    * workload needs it): partition nodes by `cell_id` group into K
+    * shards, each EXECUTOR pins one shard's (ids, vecs, adjacency)
+    * arrays via a mapPartitions-resident singleton (the broadcast-once,
+    * walk-many shape), and a batch of queries fans out as one Spark
+    * job — each query walks the shards whose entry centroids it
+    * probes, results union + re-rank driver-side. Cross-shard edges
+    * are dropped at shard build (the banded-confinement trade, gated
+    * by the same measureRecall floor). That turns the serving ceiling
+    * from one JVM's scheduler into executor count, keeps per-shard RAM
+    * under THIS budget by construction, and reuses the existing gated
+    * publish + drift cadence per shard. */
   def hot(spark: SparkSession, h: Handle, cacheChunks: Boolean = true,
           budgetBytes: Long = DefaultHotBudgetBytes): Hot = {
     val est = hotBytesEstimate(spark, h)

@@ -124,7 +124,17 @@ object SemanticDedup {
     * knob, not a correctness bound — any value is CORRECT, the
     * quantile only sizes the probe set). Infinity gaps (single-cell
     * codebooks) order above every finite gap, so they never drag the
-    * quantile down. */
+    * quantile down.
+    *
+    * What the fraction BUYS is a property of the embedding space, not
+    * of this API — measured on PMC TF-IDF (SCALE.md r16 table): the
+    * gap CDF concentrates near zero (median 0.0047, CDF(0.05) =
+    * 0.996) and lost near-dup pairs spread across the whole (0, 0.05]
+    * range, so low fractions recover little recall there (0.465 at
+    * frac 0.25; the recall-0.95 margin corresponds to frac ≈ 0.996 ≈
+    * unbounded top-p). Treat the fraction as the exact COST bound it
+    * is (probe-side rows inflate by ≤ frac), and measure
+    * recall-per-fraction per corpus before shipping a low one. */
   def deriveProbeMargin(vecs: DataFrame, idCol: String, vecCol: String,
                         centroids: DataFrame, cIdCol: String, cVecCol: String,
                         boundaryFrac: Double, nSupers: Int = 0,
