@@ -139,15 +139,21 @@ object AskPipeline {
         // scheduler latency was most of the solo hot-ask residual
         // (SCALE.md); data volume here never justified the stages.
         // Byte-identical to the DataFrame tail (contextBlocksLocal's
-        // contract, spec-pinned); an exotic doc_id type keeps the
-        // declarative tail.
+        // contract, spec-pinned); an exotic doc_id type — or any NULL
+        // field in the collected hits (a null chunk_text would render
+        // the literal "null" where concat_ws skips it; a null chunk_idx
+        // would NPE in getLong) — keeps the declarative tail. NaN sims
+        // are fine: contextBlocksLocal orders them exactly like Spark.
         import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
         val docType = topDf.schema(topDf.schema.fieldIndex("doc_id")).dataType
+        lazy val fusedRows: Array[org.apache.spark.sql.Row] =
+          topDf.select(col("doc_id"), col("chunk_idx").cast("long"),
+            col("chunk_text"), col("sim")).collect()
         val blocks: Seq[String] =
-          if (docType == StringType || docType == LongType || docType == IntegerType) {
-            val rows = topDf.select(col("doc_id"), col("chunk_idx").cast("long"),
-              col("chunk_text"), col("sim")).collect()
-            Retrieval.contextBlocksLocal(rows.toSeq.map(r =>
+          if ((docType == StringType || docType == LongType || docType == IntegerType)
+              && fusedRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)
+                && !r.isNullAt(2) && !r.isNullAt(3))) {
+            Retrieval.contextBlocksLocal(fusedRows.toSeq.map(r =>
               (r.get(0), r.getLong(1), r.getString(2), r.getDouble(3))))
           } else {
             val hits = topDf.withColumn("rank", row_number().over(

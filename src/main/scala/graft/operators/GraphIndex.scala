@@ -358,6 +358,14 @@ object GraphIndex {
   def hotBytesEstimate(spark: SparkSession, h: Handle): Long = {
     val nChunks = h.chunks(spark).count()
     val nCents = h.centroids(spark).count()
+    // dim via headOption: an EMPTY chunks sidecar must surface as hot()'s
+    // deliberate refusal story, not a bare NoSuchElementException from
+    // head() — and the dim probe is the one row-data read here (one
+    // column of one row; the counts are parquet-footer-cheap)
+    if (nChunks == 0L)
+      throw new IllegalStateException(
+        s"GraphIndex.hot: the chunks sidecar at '${h.dir}' is EMPTY — " +
+          "nothing to serve; build the index before loading a hot tier")
     val dim = h.chunks(spark).select(size(col(h.vecCol))).head().getInt(0)
     val nEdges = spark.read.parquet(h.edgesDir).count()
     val nNodes = nChunks + nCents // upper bound; overlap only shrinks it
@@ -892,12 +900,39 @@ object GraphIndex {
   /** (inserts since the last rebuild, the last cadence-probe recall if
     * one ever ran). (0, None) for a store that never inserted. If a
     * crash mid-[[writeDrift]] swap left only the renamed-aside prior
-    * counter, it is mechanically restored here — the accumulated
+    * counter, its CONTENTS are read from the aside — the accumulated
     * rebuild-cadence signal survives the crash (the whole point of the
-    * rename-aside-then-swap discipline). */
+    * rename-aside-then-swap discipline) — but this is a READ API and
+    * never mutates the store: the r16 shape renamed the aside back
+    * here, which made a reader racing a live [[writeDrift]]'s swap
+    * window (after rename-aside, before publish) "recover" the aside
+    * out from under the writer — its publish rename then failed
+    * spuriously — and made nominally read-only callers fail outright
+    * on read-only filesystems. The on-disk restore happens only in
+    * [[writeDrift]] (the next write publishes the merged counter and
+    * sweeps the aside) or [[repairDrift]]. */
   def driftStatus(spark: SparkSession, h: Handle): (Long, Option[Double]) = {
     val (inserts, recall, _) = driftStatusFull(spark, h)
     (inserts, recall)
+  }
+
+  /** Explicit repair entry point for a `_drift` swap interrupted by a
+    * crash (aside present, `_drift` absent): restores the aside as the
+    * live sidecar. [[driftStatus]] already READS the aside in that
+    * state, and the next [[writeDrift]] re-publishes through it, so
+    * this is only needed to normalize the on-disk layout by hand.
+    * Never call it while a writer is live against the store. */
+  def repairDrift(spark: SparkSession, h: Handle): Boolean = {
+    val p = driftPath(h)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = driftAsidePath(h)
+    if (!fs.exists(p) && fs.exists(aside)) {
+      if (!fs.rename(aside, p))
+        throw new IllegalStateException(
+          s"GraphIndex.repairDrift: could not restore the interrupted " +
+            s"_drift swap from $aside — fix the filesystem first")
+      true
+    } else false
   }
 
   /** [[driftStatus]] plus the insert count at the LAST cadence probe
@@ -906,17 +941,17 @@ object GraphIndex {
     val p = driftPath(h)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val aside = driftAsidePath(h)
-    // crash recovery: swap died between aside and publish — the prior
-    // counter IS the aside; restore it rather than silently resetting
-    // to a fresh-store (0, None)
-    if (!fs.exists(p) && fs.exists(aside) && !fs.rename(aside, p))
-      throw new IllegalStateException(
-        s"GraphIndex.driftStatus: found an interrupted _drift swap at $aside " +
-          "but could not restore it — fix the filesystem before trusting " +
-          "the drift counter")
-    if (!fs.exists(p)) (0L, None, 0L)
+    // crash tolerance, read-only: swap died between aside and publish —
+    // the prior counter IS the aside; read it where it lies rather than
+    // silently resetting to a fresh-store (0, None). No rename here
+    // (see the scaladoc); writeDrift/repairDrift own the restore.
+    val readFrom =
+      if (fs.exists(p)) Some(p)
+      else if (fs.exists(aside)) Some(aside)
+      else None
+    if (readFrom.isEmpty) (0L, None, 0L)
     else {
-      val df = spark.read.parquet(p.toString)
+      val df = spark.read.parquet(readFrom.get.toString)
       val r = df.head()
       val rec = r.getAs[Double]("last_recall")
       // sidecars written before the cadence fix lack the column — their
@@ -949,7 +984,12 @@ object GraphIndex {
         lit(lastProbeInserts).as("last_probe_inserts"))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val aside = driftAsidePath(h)
-    fs.delete(aside, true) // a stale aside from a post-publish crash
+    // sweep the aside: either stale garbage from a post-publish crash,
+    // or — after a crash BETWEEN aside and publish — the prior counter,
+    // whose contents every writer already folded in via the
+    // driftStatusFull read that precedes each writeDrift call (the
+    // publish below re-persists the merged value)
+    fs.delete(aside, true)
     if (fs.exists(p) && !fs.rename(p, aside)) {
       fs.delete(tmp, true)
       throw new IllegalStateException(
@@ -1224,7 +1264,7 @@ object GraphIndex {
     if (fs.exists(tombPath)) fs.delete(tombPath, true)
     // the rebuild trues the store up to the fresh-build invariant —
     // the drift counter (and its last probe) restarts from zero; the
-    // aside goes too, or a later driftStatus would "recover" the
+    // aside goes too, or a later driftStatus would READ the
     // pre-rebuild counter from it
     if (fs.exists(driftPath(h))) fs.delete(driftPath(h), true)
     fs.delete(driftAsidePath(h), true)

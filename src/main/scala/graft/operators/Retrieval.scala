@@ -55,12 +55,26 @@ object Retrieval {
     * are byte-identical to the DataFrame tail (spec-pinned in
     * AskPipelineSpec): rank = (sim desc, doc_id asc, chunk_idx asc)
     * with StringType compared in UTF-8 BINARY order (Spark's
-    * UTF8String ordering — java String compareTo diverges past ASCII),
-    * texts per doc joined "\n" in rank order, blocks emitted in
-    * best_rank order. Input: (doc_id raw value, chunk_idx, chunk_text,
-    * sim); doc ids must be string or integral (the serving schemas) —
-    * anything else refuses, and the caller keeps the DataFrame tail. */
+    * UTF8String ordering — java String compareTo diverges past ASCII)
+    * and sim compared in Spark's DOUBLE ordering (NaN is the LARGEST
+    * double, so a NaN sim ranks FIRST under desc; -0.0 folds to 0.0 —
+    * java.lang.Double.compare alone would put -0.0 below 0.0 where
+    * Spark's sort key normalization ties them), texts per doc joined
+    * "\n" in rank order, blocks emitted in best_rank order. Input:
+    * (doc_id raw value, chunk_idx, chunk_text, sim); doc ids must be
+    * string or integral (the serving schemas) and every field NON-NULL
+    * — anything else refuses, and the caller keeps the DataFrame tail
+    * (AskPipeline pre-checks nulls on the collected rows and falls
+    * back rather than trip this). */
   private[graft] def contextBlocksLocal(hits: Seq[(Any, Long, String, Double)]): Seq[String] = {
+    // Spark's double sort order: NaN compares greater than everything
+    // (and equal to itself); -0.0 == 0.0. Double.compare gives the NaN
+    // behavior; the zero-fold handles the -0.0 divergence.
+    def cmpSim(x: Double, y: Double): Int = {
+      val xn = if (x == 0.0d) 0.0d else x
+      val yn = if (y == 0.0d) 0.0d else y
+      java.lang.Double.compare(xn, yn)
+    }
     def cmpDoc(a: Any, b: Any): Int = (a, b) match {
       case (x: String, y: String) =>
         val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -77,13 +91,19 @@ object Retrieval {
       case _ => throw new IllegalArgumentException(
         s"contextBlocksLocal: unsupported doc id type ${a.getClass.getName}")
     }
-    val ranked = hits.sortWith { (a, b) =>
-      if (a._4 != b._4) a._4 > b._4
-      else {
-        val c = cmpDoc(a._1, b._1)
-        if (c != 0) c < 0 else a._2 < b._2
+    // a total Ordering (not sortWith with !=, which violates the
+    // strict-weak contract on NaN: NaN != NaN yet neither ranks above
+    // the other, leaving the sort's behavior undefined)
+    val ranked = hits.sorted(new Ordering[(Any, Long, String, Double)] {
+      def compare(a: (Any, Long, String, Double), b: (Any, Long, String, Double)): Int = {
+        val s = cmpSim(b._4, a._4) // desc
+        if (s != 0) s
+        else {
+          val c = cmpDoc(a._1, b._1)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
       }
-    }
+    })
     val byDoc = scala.collection.mutable.LinkedHashMap
       .empty[Any, scala.collection.mutable.ArrayBuffer[String]]
     ranked.foreach { h =>
@@ -393,10 +413,12 @@ object Retrieval {
     * schedule the maintenance call directly.
     *
     * SINGLE-WRITER CONTRACT, made MECHANICAL: each append atomically
-    * creates a `_append_lease` marker before its first guard read and
-    * removes it after its last durable write (refusals release too) —
-    * two interleaved appenders deterministically produce one refusal
-    * at the lease, BEFORE either reads a guard, closing the
+    * creates a `_append_lease` marker as its VERY FIRST store access —
+    * before the meta bootstrap write, before the segment-exists guard,
+    * before any id read — and removes it after its last durable write
+    * (refusals release too). Two interleaved appenders deterministically
+    * produce one refusal at the lease, BEFORE either reads a guard
+    * or writes meta, closing the
     * check-then-write races the r15 design only narrowed (the
     * `_idbloom` fold_seq stamp caught the bloom flavor at the swap;
     * id-level overlap between two in-flight different-named segments
@@ -417,6 +439,19 @@ object Retrieval {
     val spark = docs.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the single-writer lease (see the scaladoc): taken FIRST — before
+    // the meta bootstrap write and the segment-exists guard, not just
+    // before the id-disjointness reads — released by the finally at the
+    // bottom on success, refusal, or failure; only a crash leaves it,
+    // loudly. Ordering matters twice over: two first-appenders racing on
+    // a fresh store could otherwise both write meta (the loser's
+    // n_buckets/id_col clobbering the holder's, corrupting bucket
+    // pruning for every later read), and a same-name appender passing
+    // the exists check before the holder publishes could acquire the
+    // freed lease later and overwrite the published segment's parquet.
+    val leasePath = new org.apache.hadoop.fs.Path(s"$dir/_append_lease")
+    acquireAppendLease(fs, leasePath, dir)
+    try {
     val metaPath = new org.apache.hadoop.fs.Path(dir + "/meta")
     val buckets =
       if (!fs.exists(metaPath)) {
@@ -434,12 +469,6 @@ object Retrieval {
     val segDir = s"$dir/segments/$segment"
     require(!fs.exists(new org.apache.hadoop.fs.Path(segDir)),
       s"segment '$segment' already exists in '$dir' — appends never overwrite")
-    // the single-writer lease (see the scaladoc): taken before the
-    // first guard read, released by the finally at the bottom — on
-    // success, on refusal, on failure; only a crash leaves it, loudly
-    val leasePath = new org.apache.hadoop.fs.Path(s"$dir/_append_lease")
-    acquireAppendLease(fs, leasePath, dir)
-    try {
     // Disjointness is checked BEFORE anything durable is written: a
     // batch that repeats an id (within itself, or against any existing
     // segment's docs sidecar) is refused here, while the store is still

@@ -54,7 +54,10 @@ import graft.functions.VectorFunctions.cosine
   *    probe only when its sim is within the margin of the primary's,
   *    confining the explosion to BOUNDARY vectors — the only ones
   *    whose pairs the single-cell build can lose (PMC margin sweep in
-  *    SCALE.md). p = 1 reproduces the confined build exactly. Under
+  *    SCALE.md). `probeCellCap` bounds residual hub-cell inflow as a
+  *    TRUE cap: a cell keeps its `cap` lowest-gap runner-up probes and
+  *    drops the rest (graceful recall degradation; see probeSide).
+  *    p = 1 reproduces the confined build exactly. Under
   *    two-level routing the probe
   *    breadth is bounded by the probed supers' MEMBER sets — a pair
   *    straddling a SUPER boundary needs `superProbes` ≥ 2 as well
@@ -118,13 +121,22 @@ object SemanticDedup {
     * pass, the scan the assignment already pays). boundaryFrac = 0.1
     * reads as "probe the boundary decile". The quantile is Spark's
     * EXACT `percentile` (≡ DuckDB quantile_cont, linear-interpolated —
-    * oracle-replayable, the q_length_quantiles precedent); its buffer
-    * grows with distinct gap values, so at the 10^9-row regime swap in
-    * percentile_approx and accept the sketch (the margin is a cost
-    * knob, not a correctness bound — any value is CORRECT, the
-    * quantile only sizes the probe set). Infinity gaps (single-cell
-    * codebooks) order above every finite gap, so they never drag the
-    * quantile down.
+    * oracle-replayable, the q_length_quantiles precedent) UP TO
+    * `exactQuantileMaxRows` input vectors; past it the derivation
+    * AUTO-SWITCHES to `percentile_approx` (bounded KLL-style sketch
+    * buffer) instead of letting the exact aggregate's buffer — which
+    * grows with distinct gap values — OOM an executor at the 10^9-row
+    * regime. The switch is enforced, not advisory (the hot()/idBloom
+    * refuse-or-degrade discipline): the margin is a cost knob, not a
+    * correctness bound — ANY value is CORRECT, the quantile only sizes
+    * the probe set — so a sketched quantile degrades probe-set sizing
+    * precision, never results. The row gate reads `vecs.count()` (one
+    * column-pruned scan; the gap pass itself is not recomputed).
+    * Infinity gaps (single-cell codebooks) order above every finite
+    * gap, so they never drag the quantile down on the exact path; the
+    * approx path folds them to Double.MaxValue first (the sketch's
+    * rank arithmetic differences values, and Inf − Inf is NaN) —
+    * order is preserved.
     *
     * What the fraction BUYS is a property of the embedding space, not
     * of this API — measured on PMC TF-IDF (SCALE.md r16 table): the
@@ -135,16 +147,37 @@ object SemanticDedup {
     * unbounded top-p). Treat the fraction as the exact COST bound it
     * is (probe-side rows inflate by ≤ frac), and measure
     * recall-per-fraction per corpus before shipping a low one. */
+  /** Above this many input vectors [[deriveProbeMargin]] switches from
+    * the exact `percentile` to `percentile_approx`: the exact
+    * aggregate buffers every distinct gap double (~10^7 rows ≈ 100s of
+    * MB in one buffer — tolerable; 10^9 ≈ tens of GB — an executor
+    * OOM), while the sketch's buffer is bounded by its accuracy. */
+  val DefaultExactQuantileMaxRows: Long = 10L * 1000 * 1000
+
   def deriveProbeMargin(vecs: DataFrame, idCol: String, vecCol: String,
                         centroids: DataFrame, cIdCol: String, cVecCol: String,
                         boundaryFrac: Double, nSupers: Int = 0,
                         superProbes: Int = 1,
-                        superVecs: Seq[Seq[Double]] = Nil): Double = {
+                        superVecs: Seq[Seq[Double]] = Nil,
+                        exactQuantileMaxRows: Long = DefaultExactQuantileMaxRows): Double = {
     require(boundaryFrac >= 0.0 && boundaryFrac <= 1.0,
       s"deriveProbeMargin: boundaryFrac=$boundaryFrac must be in [0, 1]")
     val gaps = Ann.assignCellGaps(vecs, idCol, vecCol,
       centroids, cIdCol, cVecCol, nSupers, superProbes, superVecs)
-    val m = gaps.agg(expr(s"percentile(cell_gap, $boundaryFrac)")).head().getDouble(0)
+    // the gate reads the INPUT's row count (column-pruned scan), not the
+    // gap frame's — counting gaps would re-pay the argmax pass
+    val m =
+      if (vecs.count() <= exactQuantileMaxRows)
+        gaps.agg(expr(s"percentile(cell_gap, $boundaryFrac)")).head().getDouble(0)
+      else
+        gaps.select(
+            // fold +Inf (single-cell codebook rows) to MaxValue: the
+            // sketch differences ranks and Inf − Inf is NaN; order is
+            // preserved so the quantile is unaffected
+            when(col("cell_gap") === Double.PositiveInfinity, lit(Double.MaxValue))
+              .otherwise(col("cell_gap")).as("cell_gap"))
+          .agg(expr(s"percentile_approx(cell_gap, $boundaryFrac, 10000)"))
+          .head().getDouble(0)
     require(!m.isNaN, "deriveProbeMargin: empty corpus — no gap distribution")
     m
   }
@@ -160,16 +193,25 @@ object SemanticDedup {
     * `probeCellCap` bounds HUB-CELL skew the way [[Dedup.jaccardPairs]]'
     * maxDf bounds hot shingles: runner-up probe mass concentrates on a
     * few hub cells on real embedding spaces (measured on PMC — the 27×
-    * blowup), and a finite cap DROPS every runner-up probe aimed at a
-    * cell that would receive more than `probeCellCap` of them (primary
-    * rows are never dropped — the confined baseline is always intact).
-    * The recall trade is one-directional and explicit: a boundary pair
-    * into a capped hub is then caught only if the HUB vector's own
-    * probes reach back out. Cost: one map-side-combinable count over
-    * the exploded frame + a ≤|C|-row broadcast — paid only when the
-    * cap is finite. */
+    * blowup). It is a TRUE cap since r17: a cell whose runner-up inflow
+    * exceeds `probeCellCap` keeps the `probeCellCap` LOWEST-GAP probes
+    * into it (gap = cos(primary) − cos(this cell), the boundary-
+    * closeness number — ties broken by `_id` for determinism) and drops
+    * the rest, so recall degrades gracefully as inflow crosses the
+    * threshold instead of falling discontinuously to the confined
+    * baseline (the r16 drop-all shape). Primary rows are never touched
+    * — the confined baseline is always intact — and the recall trade
+    * stays one-directional and explicit: a dropped boundary pair into a
+    * capped hub is then caught only if the HUB vector's own probes
+    * reach back out. Cost, paid only when the cap is finite AND binding:
+    * one map-side-combinable count over the exploded frame, a ≤|C|-row
+    * broadcast hub set, two broadcast centroid joins + a per-hub-cell
+    * rank window over ONLY the hub-bound runner-up rows (≤ inflow
+    * rows, never the whole frame). */
   private def probeSide(keyed: DataFrame, cellProbes: Int,
-                        probeCellCap: Int = Int.MaxValue): DataFrame =
+                        probeCellCap: Int,
+                        centroids: DataFrame, cIdCol: String,
+                        cVecCol: String): DataFrame =
     if (cellProbes <= 1) keyed
     else {
       val exploded = keyed.drop("cell_id")
@@ -182,9 +224,33 @@ object SemanticDedup {
           .groupBy("cell_id").agg(count(lit(1)).as("_nprobes"))
           .filter(col("_nprobes") > probeCellCap)
           .select(col("cell_id"), lit(true).as("_hub"))
-        exploded.join(broadcast(hubs), Seq("cell_id"), "left")
-          .filter(isPrimary || col("_hub").isNull)
-          .drop("_hub")
+        val tagged = exploded.join(broadcast(hubs), Seq("cell_id"), "left")
+        val kept = tagged.filter(isPrimary || col("_hub").isNull).drop("_hub")
+        if (probeCellCap == 0) kept
+        else {
+          // hub-bound runner-ups: rank by the probe's own argmax gap
+          // (recomputed from the codebook — two broadcast joins of the
+          // ≤|C|-row centroid table) and keep the cap lowest per cell
+          val probeCents = broadcast(centroids.select(
+            col(cIdCol).as("_cap_cid"),
+            col(cVecCol).cast("array<double>").as("_cap_cvec")))
+          val primCents = broadcast(centroids.select(
+            col(cIdCol).as("_cap_pid"),
+            col(cVecCol).cast("array<double>").as("_cap_pvec")))
+          val ranked = tagged.filter(!isPrimary && col("_hub").isNotNull).drop("_hub")
+            .join(probeCents, col("cell_id") === col("_cap_cid"))
+            .join(primCents, element_at(col("cell_ids"), 1) === col("_cap_pid"))
+            .withColumn("_cap_gap",
+              cosine(col("_vec"), col("_cap_pvec")) - cosine(col("_vec"), col("_cap_cvec")))
+            .withColumn("_cap_rank", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("cell_id"))
+                .orderBy(col("_cap_gap"), col("_id"))))
+            .filter(col("_cap_rank") <= probeCellCap)
+            .drop("_cap_cid", "_cap_cvec", "_cap_pid", "_cap_pvec",
+              "_cap_gap", "_cap_rank")
+          kept.unionByName(ranked)
+        }
       }
     }
 
@@ -233,7 +299,7 @@ object SemanticDedup {
         graft.Materialize(cells0)
       else cells0
     val keyed = withBandBuckets(cells, bands)
-    val xSide = probeSide(keyed, cellProbes, probeCellCap)
+    val xSide = probeSide(keyed, cellProbes, probeCellCap, centroids, cIdCol, cVecCol)
     // each band's join projects only its own key columns, so the other
     // bands' bucket longs never ride the N^1.5-row in-cell term
     val candOf = (ks: Seq[String]) => {
@@ -293,7 +359,7 @@ object SemanticDedup {
         graft.Materialize(cells0)
       else cells0
     val keyed = withBandBuckets(cells, bands)
-    val xSide = probeSide(keyed, cellProbes, probeCellCap)
+    val xSide = probeSide(keyed, cellProbes, probeCellCap, centroids, cIdCol, cVecCol)
     // per-band key projection, like dedup: nothing extra rides the wire
     val candOf = (ks: Seq[String]) => {
       val x = xSide.select(ks.map(col) :+ col("_id").as("id_a") :+ col("_vec").as("_xvec"): _*)
@@ -387,7 +453,7 @@ object SemanticDedup {
     // probes (one-sided by construction: a boundary pair whose batch
     // vector's probes miss the corpus vector's cell stays unflagged —
     // widening p narrows that set; the index never re-assigns)
-    val batchProbed = probeSide(batchKeyed, cellProbes, probeCellCap)
+    val batchProbed = probeSide(batchKeyed, cellProbes, probeCellCap, centroids, cIdCol, cVecCol)
     val idxKeyed = bands.zipWithIndex.foldLeft(guardedIdx) {
       case (df, (planes, r)) =>
         df.withColumn(s"_sb$r", Ann.lshBucket(col("_cvec"), planes))
@@ -503,7 +569,7 @@ object SemanticDedup {
                             probeCellCap: Int = Int.MaxValue): DataFrame = {
     val cAssigned = assign(corpus, idCol, vecCol, centroids, cIdCol, cVecCol,
       nSupers, superProbes, superVecs, cellProbes, probeMargin)
-    val cSide = probeSide(cAssigned, cellProbes, probeCellCap)
+    val cSide = probeSide(cAssigned, cellProbes, probeCellCap, centroids, cIdCol, cVecCol)
       .select(col("_id").as(idCol), col("_vec").as("_cv"), col("cell_id"))
     val bSide = assign(bench, benchIdCol, benchVecCol,
         centroids, cIdCol, cVecCol, nSupers, superProbes, superVecs)

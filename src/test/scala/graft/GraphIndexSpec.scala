@@ -750,21 +750,41 @@ class GraphIndexSpec extends AnyFunSuite {
       keyCols, "embedding")
     assert(GI.driftStatus(spark, h)._1 == 1L)
     // simulate a crash mid-swap: the prior counter sits renamed-aside
-    // and the published path is gone — driftStatus must restore it,
-    // never silently reset to a fresh-store (0, None)
+    // and the published path is gone — driftStatus must READ the aside
+    // (never silently reset to a fresh-store (0, None)) but, being a
+    // read API, must NOT mutate the store: the r16 rename-on-read shape
+    // raced a live writeDrift's swap window and failed outright on
+    // read-only filesystems
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.rename(new org.apache.hadoop.fs.Path(dir + "/_drift"),
       new org.apache.hadoop.fs.Path(dir + "/_drift_prev")))
     assert(GI.driftStatus(spark, h)._1 == 1L,
-      "an interrupted swap must recover the prior drift counter")
-    assert(fs.exists(new org.apache.hadoop.fs.Path(dir + "/_drift")),
-      "recovery must republish the sidecar")
+      "an interrupted swap must surface the prior drift counter")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "/_drift")),
+      "a READ must not republish the sidecar")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir + "/_drift_prev")),
+      "a READ must leave the aside where it lies")
+    // the explicit repair normalizes the layout on demand...
+    assert(GI.repairDrift(spark, h), "repairDrift must restore an aside")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir + "/_drift")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dir + "/_drift_prev")),
+      "repairDrift must publish the aside as the live sidecar")
+    assert(!GI.repairDrift(spark, h), "repairDrift is a no-op on a healthy store")
+    assert(GI.driftStatus(spark, h)._1 == 1L)
+    // ...and the next WRITE also heals it (re-break, then insert: the
+    // writer folds the aside's contents in through its status read and
+    // publishes the merged counter)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir + "/_drift"),
+      new org.apache.hadoop.fs.Path(dir + "/_drift_prev")))
     // cadence: with every=2, skip the exact multiple (no probe at 2),
     // probe at 3 — inserts-since-last-probe (3-0) >= 2 must fire, where
     // the old `inserts % every == 0` test would never fire again
     GI.insert(spark, h, embedded.filter(col("doc_id") === heldOut(1)),
       keyCols, "embedding")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir + "/_drift")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dir + "/_drift_prev")),
+      "the next write must publish the merged counter and sweep the aside")
     GI.insert(spark, h, embedded.filter(col("doc_id") === heldOut(2)),
       keyCols, "embedding")
     assert(GI.driftStatus(spark, h)._1 == 3L)

@@ -402,6 +402,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(err.getMessage.contains("_append_lease"), err.getMessage)
     assert(!new java.io.File(s"$dir/segments/s2").exists(),
       "an append refused at the lease must write nothing")
+    // the lease is the append's VERY FIRST store access (r17): on a
+    // FRESH store a held lease refuses before even the meta bootstrap
+    // write — two racing first-appenders can no longer both write meta
+    // (the loser clobbering the holder's n_buckets/id_col)
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_bm25lease0").toString
+    assert(new java.io.File(s"$freshDir/_append_lease").createNewFile())
+    intercept[IllegalStateException] {
+      Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 1L),
+        "doc_id", "text", freshDir, "s1")
+    }
+    assert(!new java.io.File(s"$freshDir/meta").exists(),
+      "a lease refusal on a fresh store must not bootstrap meta")
     // the documented crash recovery re-opens the store
     Retrieval.releaseBm25AppendLease(spark, dir)
     Retrieval.appendBm25Segment(docs.filter(col("doc_id") === 2L),

@@ -406,6 +406,20 @@ class SemanticDedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(!tooTight.contains((7L, 8L)),
       "a margin below every gap must reproduce the confined build's miss")
+    // the row-gated quantile switch: BELOW exactQuantileMaxRows the
+    // derivation is the exact percentile (pinned above); ABOVE it (gate
+    // forced to 0 rows) it auto-switches to percentile_approx — still a
+    // usable margin that admits the straddlers (on 8 distinct gaps the
+    // sketch is exact up to picking an observed value instead of
+    // interpolating, so it lands on an adjacent order statistic)
+    val mApprox = SemanticDedup.deriveProbeMargin(vs, "id", "vec", cents,
+      "cid", "cvec", boundaryFrac = 0.25, exactQuantileMaxRows = 0L)
+    assert(java.lang.Double.isFinite(mApprox) && mApprox > 0.0,
+      s"approx-path margin must be finite and positive: $mApprox")
+    assert(gaps(7L) <= mApprox && gaps(8L) <= mApprox,
+      s"approx-path margin must still admit the straddlers: $mApprox")
+    assert(mApprox <= sorted(3),
+      s"approx-path margin must stay near the quartile, got $mApprox vs ${sorted.toList}")
   }
 
   test("probeCellCap bounds hub-cell probe inflow (the jaccardPairs maxDf pattern)") {
@@ -431,14 +445,25 @@ class SemanticDedupSpec extends AnyFunSuite {
         cellProbes = 2, probeCellCap = 10)
       .as[(Long, Long)].collect().toSet
     assert(roomy == uncapped, "a non-binding cap must be a no-op")
-    // a cap BELOW the inflow drops every runner-up probe into the hub
-    // cells — output degrades to the confined build exactly (the
-    // explicit, one-directional recall trade)
+    // a cap BELOW the inflow is a TRUE cap (r17): each hub cell keeps
+    // its `cap` LOWEST-GAP runner-up probes — here the boundary-nearest
+    // vectors (43° and 47° at rank 1 on their sides), so the boundary
+    // pair SURVIVES a binding cap instead of recall falling
+    // discontinuously to the confined baseline
     val capped = SemanticDedup.pairs(vs, "id", "vec", cents, "cid", "cvec", tau,
         cellProbes = 2, probeCellCap = 3)
       .as[(Long, Long)].collect().toSet
-    assert(capped == confined,
-      s"with every probed cell over the cap, output must equal the confined build: $capped vs $confined")
+    assert(capped.contains((5L, 6L)),
+      s"a binding cap must keep the lowest-gap probes (43°/47° rank first): $capped")
+    assert(capped == uncapped,
+      s"here every recovered pair rides a rank<=3 probe, so cap=3 == uncapped: $capped vs $uncapped")
+    // cap = 0 drops every hub-bound runner-up — the confined build is
+    // the floor the cap degrades to, never below
+    val zeroCap = SemanticDedup.pairs(vs, "id", "vec", cents, "cid", "cvec", tau,
+        cellProbes = 2, probeCellCap = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(zeroCap == confined,
+      s"cap=0 must equal the confined build: $zeroCap vs $confined")
   }
 
   test("assignCellsMulti: superVecs is inert at nSupers = 0 (matches the recipe canonicalization)") {
