@@ -100,24 +100,41 @@ object ServeBench {
     // `hot` serves from the in-JVM tier (GraphIndex.hot — zero Spark
     // jobs per hop; the per-ask Spark work left is the pruned sidecar
     // re-attach), the round-15 answer to the measured c≈8 knee whose
-    // root cause was per-hop job scheduling, not data work
+    // root cause was per-hop job scheduling, not data work.
+    // `sharded [shards=K]` serves from the executor-resident sharded
+    // tier (GraphIndex.hotSharded, default K=4) — the round-17 answer
+    // to the knee the hot tier itself hits: walks run as executor
+    // tasks, a batch fans out as ONE job, per-shard RAM is budgeted.
+    val nShards = args.collectFirst {
+      case a if a.startsWith("shards=") => a.drop(7).toInt }.getOrElse(4)
+    // `text` = hot + the resident uid→chunk-text map: the solo ask's
+    // retrieval tail runs with ZERO Spark jobs (cache probe and insert
+    // remain — the measured residual past the r16 fuse)
+    val tierName =
+      if (args.contains("sharded")) s"sharded$nShards"
+      else if (args.contains("text")) "hotText"
+      else if (args.contains("hot")) "hot"
+      else "warm"
     val wh: operators.GraphIndex.Serving =
-      if (args.contains("hot")) operators.GraphIndex.hot(spark, h)
+      if (args.contains("sharded")) operators.GraphIndex.hotSharded(spark, h, nShards)
+      else if (args.contains("text")) operators.GraphIndex.hot(spark, h, residentText = true)
+      else if (args.contains("hot")) operators.GraphIndex.hot(spark, h)
       else operators.GraphIndex.warm(spark, h)
     println(f"SETUP chunks=$nChunks ingest+build+warm=${(System.nanoTime() - t0) / 1e9}%.1f s " +
       f"build=${if (args.contains("flat")) "flat" else "servingGated"} " +
-      f"tier=${if (args.contains("hot")) "hot" else "warm"} recall=$recall%.3f")
+      f"tier=$tierName recall=$recall%.3f")
 
     def coolServing(): Unit = wh match {
       case w: operators.GraphIndex.Warm => w.cool()
       case hh: operators.GraphIndex.Hot => hh.cool()
+      case sh: operators.GraphIndex.HotSharded => sh.cool()
       case _ => ()
     }
     val emptyCache = Seq.empty[(Long, Seq[Float], String, Int)]
       .toDF("entry_id", "embedding", "response", "freq")
 
     if (args.contains("http")) {
-      httpConcurrencyBench(spark, index, wh, dfreq, nDocs, queries, nChunks, args)
+      httpConcurrencyBench(spark, index, wh, dfreq, nDocs, queries, nChunks, args, tierName)
       coolServing(); spark.stop(); return
     }
 
@@ -166,7 +183,7 @@ object ServeBench {
     println(f"SERVE batch64 n=${b64.length} p50=$b64p50%.3f p95=$b64p95%.3f max=$b64max%.3f s/batch " +
       f"(${b64p50 / 64}%.3f s/ask at p50)")
 
-    println(s"""{"bench":"serve_only","corpus":"PMC","chunks":$nChunks,""" +
+    println(s"""{"bench":"serve_only","corpus":"PMC","tier":"$tierName","chunks":$nChunks,""" +
       f""""solo":{"n":${solo.length},"p50":$s50%.3f,"p95":$s95%.3f,"max":$sMax%.3f},""" +
       f""""batch8":{"n":${b8.length},"p50":$b8p50%.3f,"p95":$b8p95%.3f,"max":$b8max%.3f},""" +
       f""""batch32":{"n":${b32.length},"p50":$b32p50%.3f,"p95":$b32p95%.3f,"max":$b32max%.3f},""" +
@@ -185,7 +202,8 @@ object ServeBench {
                                    wh: operators.GraphIndex.Serving,
                                    dfreq: org.apache.spark.sql.DataFrame,
                                    nDocs: Long, queries: Seq[String],
-                                   nChunks: Long, args: Array[String]): Unit = {
+                                   nChunks: Long, args: Array[String],
+                                   tierName: String): Unit = {
     val http = java.net.http.HttpClient.newHttpClient()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def ask(port: Int, q: String): Unit = {
@@ -252,7 +270,7 @@ object ServeBench {
     val levelJson = levels.map { case (c, p50, p95, mx, wall, thr) =>
       f""""c$c":{"p50":$p50%.3f,"p95":$p95%.3f,"max":$mx%.3f,"wall":$wall%.1f,"ask_per_sec":$thr%.2f}"""
     }.mkString(",")
-    println(s"""{"bench":"serve_http_concurrent","corpus":"PMC","chunks":$nChunks,$levelJson}""")
+    println(s"""{"bench":"serve_http_concurrent","corpus":"PMC","tier":"$tierName","chunks":$nChunks,$levelJson}""")
     // the sizing rule a deploy should copy instead of the default 8:
     // throughput rises to a KNEE (concurrent driver-side beam walks
     // contending on the one DAG-scheduler event loop, SCALE.md) and

@@ -125,45 +125,59 @@ object AskPipeline {
           TouchEffect(row.getLong(0)))
 
       case None =>
-        val topDf = graph match {
-          case Some(h) => h.topK(spark, qVec.toSeq, topK,
-            tieBreak = Seq("doc_id", "chunk_idx"))
-          case None => Similarity.topK(index, "embedding", qVec.toSeq, topK,
-            tieBreak = Seq("doc_id", "chunk_idx"))
+        // RESIDENT-TEXT fast path (r17): a hot tier carrying the text
+        // map serves the ENTIRE retrieval tail driver-side — walk,
+        // top-k ordering, context blocks — zero Spark jobs between the
+        // cache probe and the cache insert. Byte-identical to the
+        // DataFrame tail by the shared-comparator discipline
+        // (Retrieval.hitOrdering; spec-pinned in AskPipelineSpec).
+        val localRows = graph match {
+          case Some(hh: GraphIndex.Hot) => hh.topKLocalRows(qVec.toSeq, topK)
+          case _ => None
         }
-        // THE SOLO FUSE: the hit set is ≤ topK rows by construction, so
-        // the rank window + per-doc context aggregation + block sort +
-        // prompt projection run DRIVER-SIDE on one collected batch —
-        // one Spark job (the top-k fetch) instead of a multi-stage
-        // aggregation job plus a prompt projection job. Stage count ×
-        // scheduler latency was most of the solo hot-ask residual
-        // (SCALE.md); data volume here never justified the stages.
-        // Byte-identical to the DataFrame tail (contextBlocksLocal's
-        // contract, spec-pinned); an exotic doc_id type — or any NULL
-        // field in the collected hits (a null chunk_text would render
-        // the literal "null" where concat_ws skips it; a null chunk_idx
-        // would NPE in getLong) — keeps the declarative tail. NaN sims
-        // are fine: contextBlocksLocal orders them exactly like Spark.
-        import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-        val docType = topDf.schema(topDf.schema.fieldIndex("doc_id")).dataType
-        lazy val fusedRows: Array[org.apache.spark.sql.Row] =
-          topDf.select(col("doc_id"), col("chunk_idx").cast("long"),
-            col("chunk_text"), col("sim")).collect()
-        val blocks: Seq[String] =
-          if ((docType == StringType || docType == LongType || docType == IntegerType)
-              && fusedRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)
-                && !r.isNullAt(2) && !r.isNullAt(3))) {
-            Retrieval.contextBlocksLocal(fusedRows.toSeq.map(r =>
-              (r.get(0), r.getLong(1), r.getString(2), r.getDouble(3))))
-          } else {
-            val hits = topDf.withColumn("rank", row_number().over(
-              org.apache.spark.sql.expressions.Window
-                .orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))))
-            val ctx = Retrieval.renderContext(
-              Retrieval.assembleContext(hits, "doc_id", "rank", "chunk_text"), "doc_id")
-            ctx.orderBy("best_rank")
-              .select("context_block").collect().map(_.getString(0)).toSeq
-          }
+        val blocks: Seq[String] = localRows match {
+          case Some(rows) => Retrieval.contextBlocksLocal(rows)
+          case None =>
+            val topDf = graph match {
+              case Some(h) => h.topK(spark, qVec.toSeq, topK,
+                tieBreak = Seq("doc_id", "chunk_idx"))
+              case None => Similarity.topK(index, "embedding", qVec.toSeq, topK,
+                tieBreak = Seq("doc_id", "chunk_idx"))
+            }
+            // THE SOLO FUSE: the hit set is ≤ topK rows by construction,
+            // so the rank window + per-doc context aggregation + block
+            // sort + prompt projection run DRIVER-SIDE on one collected
+            // batch — one Spark job (the top-k fetch) instead of a
+            // multi-stage aggregation job plus a prompt projection job.
+            // Stage count × scheduler latency was most of the solo
+            // hot-ask residual (SCALE.md); data volume here never
+            // justified the stages. Byte-identical to the DataFrame
+            // tail (contextBlocksLocal's contract, spec-pinned); an
+            // exotic doc_id type — or any NULL field in the collected
+            // hits (a null chunk_text would render the literal "null"
+            // where concat_ws skips it; a null chunk_idx would NPE in
+            // getLong) — keeps the declarative tail. NaN sims are fine:
+            // contextBlocksLocal orders them exactly like Spark.
+            import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+            val docType = topDf.schema(topDf.schema.fieldIndex("doc_id")).dataType
+            lazy val fusedRows: Array[org.apache.spark.sql.Row] =
+              topDf.select(col("doc_id"), col("chunk_idx").cast("long"),
+                col("chunk_text"), col("sim")).collect()
+            if ((docType == StringType || docType == LongType || docType == IntegerType)
+                && fusedRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)
+                  && !r.isNullAt(2) && !r.isNullAt(3))) {
+              Retrieval.contextBlocksLocal(fusedRows.toSeq.map(r =>
+                (r.get(0), r.getLong(1), r.getString(2), r.getDouble(3))))
+            } else {
+              val hits = topDf.withColumn("rank", row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))))
+              val ctx = Retrieval.renderContext(
+                Retrieval.assembleContext(hits, "doc_id", "rank", "chunk_text"), "doc_id")
+              ctx.orderBy("best_rank")
+                .select("context_block").collect().map(_.getString(0)).toSeq
+            }
+        }
         val contextText = blocks.mkString("\n\n")
         val prompt = Retrieval.promptStringLocal(query, contextText, history)
 

@@ -205,6 +205,110 @@ object GraphIndex {
     }
   }
 
+  /** One tier's (or one shard's) resident graph: primitive-array node
+    * ids, vectors, norms, and adjacency — the normalized O(|V|·dim +
+    * |E|) layout [[Hot]] collects, factored out so the single-JVM tier
+    * and each [[HotSharded]] executor shard run the IDENTICAL arrays
+    * (and the identical [[walkArrays]] over them — the two tiers
+    * cannot drift). Serializable: a shard ships to its executor once
+    * inside a persisted, deserialized RDD partition; `idToIdx` is
+    * rebuilt lazily per JVM rather than serialized (boxed maps ship
+    * badly; the arrays are the contract). */
+  private[graft] final class GraphArrays(
+      val ids: Array[Long],
+      val vecs: Array[Array[Double]],
+      val norms: Array[Double],
+      val adjOf: Array[Array[Int]],
+      @transient private var idx0: java.util.HashMap[java.lang.Long, Integer])
+      extends Serializable {
+    def this(ids: Array[Long], vecs: Array[Array[Double]],
+             norms: Array[Double], adjOf: Array[Array[Int]]) =
+      this(ids, vecs, norms, adjOf, null)
+    def idToIdx: java.util.HashMap[java.lang.Long, Integer] = {
+      if (idx0 == null) {
+        val m = new java.util.HashMap[java.lang.Long, Integer](ids.length * 2)
+        var i = 0
+        while (i < ids.length) { m.put(Long.box(ids(i)), Int.box(i)); i += 1 }
+        idx0 = m
+      }
+      idx0
+    }
+  }
+
+  /** THE beam walk over resident arrays — [[Ann.beamWalk]]'s in-JVM
+    * twin, shared verbatim by [[Hot]] (driver) and [[HotSharded]]
+    * (executors). Entry: the beam nearest of `entryIdxs` (sim desc, id
+    * asc — the beamWalk ordering; ids are unique so the order is
+    * total); then `hops` rounds of top-beam frontier expansion, each
+    * visited node scored once with the ascending-fold cosine. Returns
+    * the full visited set, UNFILTERED (tombstone snapshots are a tier
+    * concern — [[Hot]] filters driver-side, [[HotSharded]] after the
+    * collect — so the walk itself stays a pure function of
+    * (arrays, entries, query)). */
+  private[graft] def walkArrays(g: GraphArrays, entryIdxs: Array[Int],
+                                q: Array[Double], beam: Int,
+                                hops: Int): Seq[(Long, Double)] = {
+    var qn = 0.0
+    var i = 0
+    while (i < q.length) { qn += q(i) * q(i); i += 1 }
+    val qnorm = math.sqrt(qn)
+    def simOf(idx: Int): Double = {
+      val v = g.vecs(idx)
+      require(v.length == q.length,
+        s"GraphIndex.walkArrays: dimension mismatch (${v.length} vs ${q.length})")
+      var dot = 0.0
+      var j = 0
+      while (j < v.length) { dot += q(j) * v(j); j += 1 }
+      if (qnorm == 0.0 || g.norms(idx) == 0.0) 0.0
+      else dot / (qnorm * g.norms(idx))
+    }
+    val visited = new java.util.HashMap[Long, Double]()
+    entryIdxs.map(ci => (g.ids(ci), ci, simOf(ci)))
+      .sortBy { case (id, _, s) => (-s, id) }
+      .take(beam)
+      .foreach { case (id, _, s) => visited.put(id, s) }
+    var hop = 0
+    while (hop < hops) {
+      import scala.jdk.CollectionConverters._
+      val frontier = visited.entrySet().asScala.toSeq
+        .map(e => (e.getKey.longValue(), e.getValue.doubleValue()))
+        .sortBy { case (id, s) => (-s, id) }
+        .take(beam)
+      frontier.foreach { case (id, _) =>
+        val idx = g.idToIdx.get(id)
+        if (idx != null) {
+          val ns = g.adjOf(idx.intValue())
+          var m = 0
+          while (m < ns.length) {
+            val nIdx = ns(m)
+            val nId = g.ids(nIdx)
+            // re-scored ids recompute the same value (beamWalk's map
+            // overwrite) — skip the dot when already visited
+            if (!visited.containsKey(nId)) visited.put(nId, simOf(nIdx))
+            m += 1
+          }
+        }
+      }
+      hop += 1
+    }
+    import scala.jdk.CollectionConverters._
+    visited.entrySet().asScala.toSeq
+      .map(e => (e.getKey.longValue(), e.getValue.doubleValue()))
+  }
+
+  /** The resident tiers' sidecar re-attach: [[Serving.attach]] minus
+    * its distinct().collect() job — the visited ids are already in the
+    * driver JVM, so the bucket list comes straight off them. Same
+    * pruned filter + broadcast join, same output columns. */
+  private def attachResident(chunksDf: DataFrame, nBuckets: Int,
+                             visited: DataFrame, ids: Seq[Long]): DataFrame = {
+    val buckets = ids.map(id =>
+      Long.box(((id % nBuckets) + nBuckets) % nBuckets)).distinct
+    chunksDf.filter(col("uid_bucket").isin(buckets: _*))
+      .join(broadcast(visited), "uid")
+      .drop("uid_bucket")
+  }
+
   /** The IN-PROCESS serving tier — [[Warm]] taken to its conclusion:
     * the reference's HNSW is a plain in-memory graph walked by the
     * serving PROCESS (app/main.py:262-283 — no cluster in the hot
@@ -238,78 +342,55 @@ object GraphIndex {
       centIdxs: Array[Int],
       tombs: java.util.HashSet[java.lang.Long],
       idToIdx: java.util.HashMap[java.lang.Long, Integer],
-      chunksDf: DataFrame, chunksCached: Boolean) extends Serving {
+      chunksDf: DataFrame, chunksCached: Boolean,
+      textMap: Option[java.util.HashMap[java.lang.Long, (Any, Long, String)]] = None)
+      extends Serving {
+
+    private val arrays =
+      new GraphArrays(nodeIds, nodeVecs, nodeNorms, adj, idToIdx)
+
+    /** True when [[hot]] was asked for (and the budget admitted) the
+      * RESIDENT-TEXT option — see [[topKLocalRows]]. */
+    def hasResidentText: Boolean = textMap.isDefined
+
+    /** The solo serving tail with ZERO Spark jobs: walk + tombstone
+      * filter + uid→(doc_id, chunk_idx, chunk_text) lookup in the
+      * resident text map + the exact `orderBy(desc(sim), doc_id,
+      * chunk_idx).limit(k)` ordering ([[Retrieval.hitOrdering]] — the
+      * driver twin, byte-identical by the shared-comparator
+      * discipline). None when the tier was built without resident
+      * text — the caller keeps the DataFrame tail. Centroid-only
+      * structural nodes miss the map exactly as the attach join drops
+      * them. */
+    def topKLocalRows(queryVec: Seq[Double],
+                      k: Int): Option[Seq[(Any, Long, String, Double)]] =
+      textMap.map { tm =>
+        walk(queryVec)
+          .flatMap { case (id, s) =>
+            Option(tm.get(Long.box(id))).map { case (d, ci, t) => (d, ci, t, s) }
+          }
+          .sorted(Retrieval.hitOrdering)
+          .take(k)
+      }
 
     /** One query's full visited set — the in-JVM twin of
-      * [[Ann.beamWalk]]; pure driver compute, zero Spark jobs. */
-    private def walk(queryVec: Seq[Double]): Seq[(Long, Double)] = {
-      val q = queryVec.toArray
-      var qn = 0.0
-      var i = 0
-      while (i < q.length) { qn += q(i) * q(i); i += 1 }
-      val qnorm = math.sqrt(qn)
-      def simOf(idx: Int): Double = {
-        val v = nodeVecs(idx)
-        require(v.length == q.length,
-          s"Hot.walk: dimension mismatch (${v.length} vs ${q.length})")
-        var dot = 0.0
-        var j = 0
-        while (j < v.length) { dot += q(j) * v(j); j += 1 }
-        if (qnorm == 0.0 || nodeNorms(idx) == 0.0) 0.0
-        else dot / (qnorm * nodeNorms(idx))
-      }
-      val beam = handle.beamWidth
-      val visited = new java.util.HashMap[Long, Double]()
-      // entry: the beam nearest centroids (sim desc, id asc — the
-      // beamWalk ordering; ids are unique so the order is total)
-      centIdxs.map(ci => (nodeIds(ci), ci, simOf(ci)))
-        .sortBy { case (id, _, s) => (-s, id) }
-        .take(beam)
-        .foreach { case (id, _, s) => visited.put(id, s) }
-      var hop = 0
-      while (hop < handle.hops) {
-        import scala.jdk.CollectionConverters._
-        val frontier = visited.entrySet().asScala.toSeq
-          .map(e => (e.getKey.longValue(), e.getValue.doubleValue()))
-          .sortBy { case (id, s) => (-s, id) }
-          .take(beam)
-        frontier.foreach { case (id, _) =>
-          val idx = idToIdx.get(id)
-          if (idx != null) {
-            val ns = adj(idx)
-            var m = 0
-            while (m < ns.length) {
-              val nIdx = ns(m)
-              val nId = nodeIds(nIdx)
-              // re-scored ids recompute the same value (beamWalk's map
-              // overwrite) — skip the dot when already visited
-              if (!visited.containsKey(nId)) visited.put(nId, simOf(nIdx))
-              m += 1
-            }
-          }
-        }
-        hop += 1
-      }
-      import scala.jdk.CollectionConverters._
-      visited.entrySet().asScala.toSeq
-        .map(e => (e.getKey.longValue(), e.getValue.doubleValue()))
+      * [[Ann.beamWalk]]; pure driver compute, zero Spark jobs. The
+      * algorithm lives in [[GraphIndex.walkArrays]] (shared with the
+      * [[HotSharded]] executor walk so the two tiers cannot drift). */
+    private def walk(queryVec: Seq[Double]): Seq[(Long, Double)] =
+      walkArrays(arrays, centIdxs, queryVec.toArray,
+        handle.beamWidth, handle.hops)
         // the tombstone gate, applied here instead of dropTombstoned
         // (same snapshot semantics as Warm's anti-join)
         .filterNot { case (id, _) => tombs.contains(id) }
-    }
 
     /** [[Serving.attach]] minus its distinct().collect() job: the walk's
       * visited ids are already in this JVM, so the bucket list comes
       * straight off them — one fewer driver-scheduled job per ask (the
       * entire point of this tier is per-ask job count). Same pruned
       * filter + broadcast join, same output columns. */
-    private def attachIds(visited: DataFrame, ids: Seq[Long]): DataFrame = {
-      val nb = handle.nBuckets
-      val buckets = ids.map(id => Long.box(((id % nb) + nb) % nb)).distinct
-      chunksDf.filter(col("uid_bucket").isin(buckets: _*))
-        .join(broadcast(visited), "uid")
-        .drop("uid_bucket")
-    }
+    private def attachIds(visited: DataFrame, ids: Seq[Long]): DataFrame =
+      attachResident(chunksDf, handle.nBuckets, visited, ids)
 
     def search(spark: SparkSession, queryVec: Seq[Double]): DataFrame = {
       import spark.implicits._
@@ -386,21 +467,31 @@ object GraphIndex {
     * RAM. An index past the budget belongs on the [[warm]] tier (or a
     * sharded hot tier); an OOM mid-startup is never the answer.
     *
-    * THE SHARDED HOT TIER (the design past both this budget and the
-    * single-JVM ~11 ask/s knee, deliberately not built until a
-    * workload needs it): partition nodes by `cell_id` group into K
-    * shards, each EXECUTOR pins one shard's (ids, vecs, adjacency)
-    * arrays via a mapPartitions-resident singleton (the broadcast-once,
-    * walk-many shape), and a batch of queries fans out as one Spark
-    * job — each query walks the shards whose entry centroids it
-    * probes, results union + re-rank driver-side. Cross-shard edges
-    * are dropped at shard build (the banded-confinement trade, gated
-    * by the same measureRecall floor). That turns the serving ceiling
-    * from one JVM's scheduler into executor count, keeps per-shard RAM
-    * under THIS budget by construction, and reuses the existing gated
-    * publish + drift cadence per shard. */
+    * Past both this budget and the single-JVM ~11 ask/s knee, the
+    * SHARDED tier is [[hotSharded]]: nodes partitioned by cell group
+    * into executor-pinned shards, queries fanned out as one job to the
+    * shards their entry centroids name, per-shard RAM under this same
+    * budget by construction. */
+  /** Driver-footprint estimate of [[hot]]'s RESIDENT-TEXT map, from one
+    * aggregate over the chunk sidecar (octet lengths + row count —
+    * never the texts themselves): text and doc-id bytes plus a
+    * deliberately high-side 160 B/row for the map entry, tuple, and
+    * boxing. The same refuse-with-a-number role as
+    * [[hotBytesEstimate]], for the same reason: a corpus past the
+    * budget belongs on the attach join, not OOMing the driver. */
+  def hotTextBytesEstimate(spark: SparkSession, h: Handle): Long = {
+    val r = h.chunks(spark).agg(
+      count(lit(1)).as("_n"),
+      coalesce(sum(octet_length(col("chunk_text"))), lit(0L)).as("_tb"),
+      coalesce(sum(octet_length(col("doc_id").cast("string"))), lit(0L)).as("_db"))
+      .head()
+    r.getLong(1) + r.getLong(2) + r.getLong(0) * 160L
+  }
+
   def hot(spark: SparkSession, h: Handle, cacheChunks: Boolean = true,
-          budgetBytes: Long = DefaultHotBudgetBytes): Hot = {
+          budgetBytes: Long = DefaultHotBudgetBytes,
+          residentText: Boolean = false,
+          textBudgetBytes: Long = DefaultHotBudgetBytes): Hot = {
     val est = hotBytesEstimate(spark, h)
     if (est > budgetBytes)
       throw new IllegalStateException(
@@ -410,6 +501,17 @@ object GraphIndex {
           "collect. Serve this store from warm() (executor-resident), " +
           "shard it, or raise budgetBytes deliberately if the driver " +
           "really has the headroom.")
+    if (residentText) {
+      val tEst = hotTextBytesEstimate(spark, h)
+      if (tEst > textBudgetBytes)
+        throw new IllegalStateException(
+          f"GraphIndex.hot: resident-text map estimates $tEst%,d bytes " +
+            f"(~${tEst / (1L << 20)}%,d MiB) — over textBudgetBytes " +
+            f"$textBudgetBytes%,d (~${textBudgetBytes / (1L << 20)}%,d MiB). " +
+            "Refusing before any collect; serve without residentText " +
+            "(the attach join stays pruned + broadcast) or raise the " +
+            "budget deliberately.")
+    }
     val nodeRows = h.chunks(spark)
       .select(col("uid").cast("long"), col(h.vecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -458,8 +560,319 @@ object GraphIndex {
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         c.count(); c
       } else h.chunks(spark)
+    // the resident-text map (budget-checked above): serving-schema
+    // columns only, types pinned to what the fused tail can order
+    // (string/integral doc ids, non-null idx/text) — anything else
+    // refuses at BUILD time, so topKLocalRows can never diverge from
+    // the DataFrame tail at serve time
+    val textMap =
+      if (!residentText) None
+      else {
+        import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+        val schema = chunksDf.schema
+        require(Seq("doc_id", "chunk_idx", "chunk_text").forall(schema.fieldNames.contains),
+          "GraphIndex.hot(residentText): the chunk sidecar must carry " +
+            "doc_id/chunk_idx/chunk_text (the serving schema)")
+        val docType = schema(schema.fieldIndex("doc_id")).dataType
+        require(docType == StringType || docType == LongType || docType == IntegerType,
+          s"GraphIndex.hot(residentText): doc_id type $docType is not " +
+            "orderable by the fused tail — serve without residentText")
+        val tm = new java.util.HashMap[java.lang.Long, (Any, Long, String)](
+          ids.length * 2)
+        chunksDf.select(col("uid").cast("long"), col("doc_id"),
+            col("chunk_idx").cast("long"), col("chunk_text"))
+          .collect().foreach { r =>
+            require(!r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3),
+              "GraphIndex.hot(residentText): null doc_id/chunk_idx/" +
+                "chunk_text in the sidecar — the fused tail would " +
+                "diverge from the DataFrame tail; serve without residentText")
+            tm.put(Long.box(r.getLong(0)), (r.get(1), r.getLong(2), r.getString(3)))
+          }
+        Some(tm)
+      }
     new Hot(h, ids.toArray, vecs.toArray, norms, adjBuf.map(_.toArray),
-      centIdxs, tombs, seen, chunksDf, cacheChunks)
+      centIdxs, tombs, seen, chunksDf, cacheChunks, textMap)
+  }
+
+  /** The SHARDED executor-resident hot tier — [[Hot]]'s answer to both
+    * of its measured ceilings: the single serving JVM (knee ~11.7
+    * ask/s at c=8, monotone decline past it — SCALE.md r16 c-sweep;
+    * batch amortization floor 0.223 s/ask past ~32-wide) and the
+    * driver-RAM budget. Nodes are partitioned by CELL group into
+    * `nShards` shards (shard = cell_id mod nShards — deterministic,
+    * balanced under md5-derived uids); each shard's [[GraphArrays]]
+    * lives in ONE partition of a persisted, DESERIALIZED RDD, i.e.
+    * pinned as plain JVM arrays in an executor's block manager — built
+    * once, walked by every query, re-materialized automatically on
+    * executor loss (the broadcast-once/walk-many shape without
+    * replicating the whole graph per executor).
+    *
+    * A query routes DRIVER-side against the (codebook-sized) resident
+    * centroid table: its top-beam entry centroids name the shards it
+    * walks, and one Spark job fans the walk out over exactly those
+    * partitions ([[org.apache.spark.rdd.PartitionPruningRDD]]) — a
+    * BATCH of queries is still ONE job, each shard walking every query
+    * routed to it in parallel with the other shards. That turns the
+    * serving bound from one JVM's scheduler/CPU into executor count,
+    * and caps per-shard RAM at budget/shard by construction (the
+    * [[hot]] guard applied PER SHARD — see [[hotShardBytesEstimates]]).
+    *
+    * Semantics: each shard keeps only INTRA-shard edges. Because every
+    * top-m and up-link edge is in-cell by construction ([[Ann.knnGraph]]
+    * builds cell-confined), cell-sharding drops ONLY cross-shard
+    * centroid-clique edges — the walk loses mid-walk re-routing into
+    * cells outside its entry set, the same confinement trade as the
+    * banded edge build, and like it belongs behind a [[measureRecall]]
+    * gate (HotSharded is a [[Serving]], so the existing gate runs
+    * against it unchanged). At `nShards = 1` nothing is dropped and
+    * the walk is BIT-FOR-BIT [[hot]]'s (spec-pinned); at any shard
+    * count the distributed result is bit-for-bit the in-JVM
+    * [[walkArrays]] union over the routed shards (the same code runs
+    * in both places — spec-pinned against a driver-side replay).
+    * Like [[Hot]], an immutable snapshot: re-shard after mutations. */
+  final class HotSharded private[GraphIndex] (
+      val handle: Handle,
+      val nShards: Int,
+      shardRdd: org.apache.spark.rdd.RDD[(Int, GraphArrays)],
+      centIds: Array[Long],
+      centVecs: Array[Array[Double]],
+      tombs: java.util.HashSet[java.lang.Long],
+      chunksDf: DataFrame, chunksCached: Boolean) extends Serving {
+
+    private val centNorms: Array[Double] = centVecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+
+    /** Driver-side routing: the top-beam entry centroids (the walk's
+      * entry rule, computed once against the resident codebook — same
+      * ascending-fold cosine as [[walkArrays]], so the per-shard entry
+      * sets union to EXACTLY the unsharded walk's entry set). */
+    private def routeEntries(q: Array[Double]): Seq[(Long, Int)] = {
+      var qn = 0.0
+      var i = 0
+      while (i < q.length) { qn += q(i) * q(i); i += 1 }
+      val qnorm = math.sqrt(qn)
+      centIds.indices.map { ci =>
+        val v = centVecs(ci)
+        require(v.length == q.length,
+          s"HotSharded.route: dimension mismatch (${v.length} vs ${q.length})")
+        var dot = 0.0
+        var j = 0
+        while (j < v.length) { dot += q(j) * v(j); j += 1 }
+        val s = if (qnorm == 0.0 || centNorms(ci) == 0.0) 0.0
+                else dot / (qnorm * centNorms(ci))
+        (centIds(ci), s)
+      }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(handle.beamWidth)
+        .map { case (id, _) =>
+          (id, (((id % nShards) + nShards) % nShards).toInt) }
+    }
+
+    /** One fan-out job over the routed shards for a whole query batch:
+      * emits (query position, uid, sim) — tombstone filtering happens
+      * after the collect (snapshot semantics, like [[Hot]]). */
+    private def walkFanout(qVecs: Array[Array[Double]]): Array[(Int, Long, Double)] = {
+      val perShard: Map[Int, Seq[(Int, Array[Long])]] =
+        qVecs.indices.flatMap { qi =>
+          routeEntries(qVecs(qi)).groupBy(_._2).map {
+            case (sid, es) => (sid, (qi, es.map(_._1).toArray))
+          }
+        }.groupBy(_._1).map { case (sid, xs) => (sid, xs.map(_._2)) }
+      if (perShard.isEmpty) return Array.empty
+      val touched = perShard.keySet
+      val beam = handle.beamWidth
+      val hops = handle.hops
+      val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
+        shardRdd, pid => touched.contains(pid))
+      pruned.flatMap { case (sid, g) =>
+        perShard.getOrElse(sid, Nil).iterator.flatMap { case (qi, entryIds) =>
+          val idxs = entryIds.flatMap(id =>
+            Option(g.idToIdx.get(Long.box(id))).map(_.intValue()))
+          walkArrays(g, idxs, qVecs(qi), beam, hops)
+            .map { case (id, s) => (qi, id, s) }
+        }
+      }.collect()
+        .filterNot { case (_, id, _) => tombs.contains(id) }
+    }
+
+    def search(spark: SparkSession, queryVec: Seq[Double]): DataFrame = {
+      import spark.implicits._
+      val rows = walkFanout(Array(queryVec.toArray))
+        .map { case (_, id, s) => (id, s) }.toSeq
+      attachResident(chunksDf, handle.nBuckets, rows.toDF("uid", "sim"),
+        rows.map(_._1))
+    }
+
+    def searchBatch(spark: SparkSession, queries: DataFrame,
+                    qIdCol: String, qVecCol: String): DataFrame = {
+      import spark.implicits._
+      // request-sized by contract (the reference holds N open sessions,
+      // not a corpus of queries) — collect, route, fan out as ONE job
+      val qs = queries.select(col(qIdCol).cast("long"),
+          col(qVecCol).cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val all = walkFanout(qs.map(_._2))
+        .map { case (qi, id, s) => (qs(qi)._1, id, s) }.toSeq
+      attachResident(chunksDf, handle.nBuckets,
+        all.toDF("query_id", "uid", "sim"), all.map(_._2))
+    }
+
+    // the walk fan-out already filtered the snapshot's marks
+    protected def dropTombstoned(spark: SparkSession, visited: DataFrame): DataFrame =
+      visited
+
+    /** Release the pinned shards (and the cached chunk sidecar). */
+    def cool(): Unit = {
+      shardRdd.unpersist()
+      if (chunksCached) { chunksDf.unpersist(); () }
+    }
+  }
+
+  /** Per-shard [[hotBytesEstimate]] for [[hotSharded]]'s budget guard:
+    * element i is shard i's estimated resident bytes, computed BEFORE
+    * any collect from sidecar row counts × dim grouped by the shard
+    * key (cell_id mod nShards). Cross-shard edges are excluded — they
+    * are dropped at shard build, so they never occupy shard RAM. */
+  def hotShardBytesEstimates(spark: SparkSession, h: Handle,
+                             nShards: Int): Array[Long] = {
+    require(nShards >= 1, s"hotSharded: nShards=$nShards must be >= 1")
+    val (nodes, intraEdges, _) = shardedFrames(spark, h, nShards)
+    val nChunks = nodes.count()
+    if (nChunks == 0L)
+      throw new IllegalStateException(
+        s"GraphIndex.hotSharded: the store at '${h.dir}' has no nodes — " +
+          "nothing to serve; build the index before loading a hot tier")
+    val dim = h.chunks(spark).select(size(col(h.vecCol))).head().getInt(0)
+    val nodeCounts = nodes.groupBy("_shard").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val edgeCounts = intraEdges.groupBy("_shard").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    (0 until nShards).map { s =>
+      nodeCounts.getOrElse(s, 0L) * (dim.toLong * 8 + 96) +
+        edgeCounts.getOrElse(s, 0L) * 48
+    }.toArray
+  }
+
+  /** The shard-keyed node and edge frames [[hotSharded]] builds from —
+    * nodes = chunk rows (shard from their OWN cell assignment) plus
+    * centroid-only rows (compacted-away structural marks keep routing;
+    * chunk version wins on overlap, the [[hot]] rule, here as a
+    * left-anti so the same uid can never land in two shards), edges
+    * split into the intra-shard set (kept) and the cross count. */
+  private def shardedFrames(spark: SparkSession, h: Handle, nShards: Int)
+      : (DataFrame, DataFrame, Long) = {
+    def shardOf(c: org.apache.spark.sql.Column) =
+      pmod(c.cast("long"), lit(nShards.toLong)).cast("int")
+    val chunkNodes = h.chunks(spark).select(
+      col("uid").cast("long").as("_nid"),
+      col(h.vecCol).cast("array<double>").as("_nvec"),
+      shardOf(col("cell_id")).as("_shard"))
+    val centNodes = h.centroids(spark).select(
+        col("centroid_id").cast("long").as("_nid"),
+        col("centroid_vec").cast("array<double>").as("_nvec"),
+        shardOf(col("centroid_id")).as("_shard"))
+      .join(chunkNodes.select("_nid"), Seq("_nid"), "left_anti")
+    val nodes = chunkNodes.unionByName(centNodes)
+    val nodeShard = nodes.select(col("_nid"), col("_shard"))
+    val edges = spark.read.parquet(h.edgesDir)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .join(nodeShard.select(col("_nid").as("src"), col("_shard").as("_sshard")), "src")
+      .join(nodeShard.select(col("_nid").as("dst"), col("_shard").as("_dshard")), "dst")
+    val crossDropped = edges.filter(col("_sshard") =!= col("_dshard")).count()
+    val intra = edges.filter(col("_sshard") === col("_dshard"))
+      .select(col("_sshard").as("_shard"), col("src"), col("dst"))
+    (nodes, intra, crossDropped)
+  }
+
+  /** Build the sharded tier from a built store (see [[HotSharded]]).
+    * SIZE-GUARDED PER SHARD: every shard's estimated resident layout
+    * must fit `budgetBytes` (the [[hot]] guard composed — budget now
+    * bounds ONE executor's pin, not the whole graph) or this refuses
+    * with the worst shard's numbers before any data moves. Reports the
+    * cross-shard edges dropped (zero for fresh cell-confined builds —
+    * only centroid-clique edges ever cross). */
+  def hotSharded(spark: SparkSession, h: Handle, nShards: Int,
+                 cacheChunks: Boolean = true,
+                 budgetBytes: Long = DefaultHotBudgetBytes): HotSharded = {
+    require(nShards >= 1, s"hotSharded: nShards=$nShards must be >= 1")
+    val ests = hotShardBytesEstimates(spark, h, nShards)
+    val worst = ests.indices.maxBy(i => ests(i))
+    if (ests(worst) > budgetBytes)
+      throw new IllegalStateException(
+        f"GraphIndex.hotSharded: shard $worst%d of $nShards%d estimates " +
+          f"${ests(worst)}%,d bytes (~${ests(worst) / (1L << 20)}%,d MiB) " +
+          f"resident — over the per-shard budget $budgetBytes%,d " +
+          f"(~${budgetBytes / (1L << 20)}%,d MiB). Refusing before any " +
+          "build work. Raise nShards (halves the worst shard roughly " +
+          "2×), serve from warm(), or raise budgetBytes deliberately.")
+    val (nodes, intra, crossDropped) = shardedFrames(spark, h, nShards)
+    if (crossDropped > 0)
+      System.err.println(s"[graph] hotSharded($nShards): dropped " +
+        s"$crossDropped cross-shard centroid-clique edge(s) — mid-walk " +
+        "re-routing outside a query's entry shards is confined; " +
+        "recall-gate the sharded tier like any confined build")
+    val part = new org.apache.spark.HashPartitioner(nShards)
+    val nodesRdd = nodes.rdd
+      .map(r => (r.getInt(2), (r.getLong(0), r.getSeq[Double](1).toArray)))
+      .partitionBy(part)
+    val edgesRdd = intra.rdd
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+      .partitionBy(part)
+    val shardRdd = nodesRdd.zipPartitions(edgesRdd, preservesPartitioning = true) {
+      (ns, es) =>
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val seen = new java.util.HashMap[java.lang.Long, Integer]()
+        var sid = -1
+        ns.foreach { case (s, (id, v)) =>
+          sid = s
+          if (!seen.containsKey(Long.box(id))) {
+            seen.put(Long.box(id), Int.box(ids.length))
+            ids += id
+            vecs += v
+          }
+        }
+        if (ids.isEmpty) Iterator.empty
+        else {
+          val norms = vecs.map { v =>
+            var s = 0.0; var i = 0
+            while (i < v.length) { s += v(i) * v(i); i += 1 }
+            math.sqrt(s)
+          }.toArray
+          val adjBuf = Array.fill(ids.length)(
+            scala.collection.mutable.ArrayBuffer.empty[Int])
+          es.foreach { case (_, (s, d)) =>
+            val si = seen.get(Long.box(s))
+            val di = seen.get(Long.box(d))
+            if (si != null && di != null) adjBuf(si.intValue()) += di.intValue()
+          }
+          Iterator.single((sid,
+            new GraphArrays(ids.toArray, vecs.toArray, norms,
+              adjBuf.map(_.toArray))))
+        }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shardRdd.count() // materialize: pin every shard before serving
+    val centRows = h.centroids(spark).orderBy("centroid_id")
+      .select(col("centroid_id").cast("long"),
+        col("centroid_vec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val tombPath = new org.apache.hadoop.fs.Path(h.tombstonesDir)
+    val tombFs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombs = new java.util.HashSet[java.lang.Long]()
+    if (tombFs.exists(tombPath))
+      spark.read.parquet(h.tombstonesDir).select(col("tomb_id").cast("long"))
+        .collect().foreach(r => tombs.add(Long.box(r.getLong(0))))
+    val chunksDf =
+      if (cacheChunks) {
+        val c = h.chunks(spark).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count(); c
+      } else h.chunks(spark)
+    new HotSharded(h, nShards, shardRdd, centRows.map(_._1),
+      centRows.map(_._2), tombs, chunksDf, cacheChunks)
   }
 
   /** Load a built store into executor memory for resident serving (the

@@ -66,44 +66,60 @@ object Retrieval {
     * — anything else refuses, and the caller keeps the DataFrame tail
     * (AskPipeline pre-checks nulls on the collected rows and falls
     * back rather than trip this). */
-  private[graft] def contextBlocksLocal(hits: Seq[(Any, Long, String, Double)]): Seq[String] = {
-    // Spark's double sort order: NaN compares greater than everything
-    // (and equal to itself); -0.0 == 0.0. Double.compare gives the NaN
-    // behavior; the zero-fold handles the -0.0 divergence.
-    def cmpSim(x: Double, y: Double): Int = {
-      val xn = if (x == 0.0d) 0.0d else x
-      val yn = if (y == 0.0d) 0.0d else y
-      java.lang.Double.compare(xn, yn)
-    }
-    def cmpDoc(a: Any, b: Any): Int = (a, b) match {
-      case (x: String, y: String) =>
-        val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        var i = 0
-        var c = 0
-        while (c == 0 && i < xb.length && i < yb.length) {
-          c = (xb(i) & 0xff) - (yb(i) & 0xff)
-          i += 1
-        }
-        if (c != 0) c else xb.length - yb.length
-      case (x: java.lang.Number, y: java.lang.Number) =>
-        java.lang.Long.compare(x.longValue, y.longValue)
-      case _ => throw new IllegalArgumentException(
-        s"contextBlocksLocal: unsupported doc id type ${a.getClass.getName}")
-    }
-    // a total Ordering (not sortWith with !=, which violates the
-    // strict-weak contract on NaN: NaN != NaN yet neither ranks above
-    // the other, leaving the sort's behavior undefined)
-    val ranked = hits.sorted(new Ordering[(Any, Long, String, Double)] {
+  /** Spark's double sort order, driver-side: NaN compares greater than
+    * everything (and equal to itself); -0.0 == 0.0. Double.compare
+    * gives the NaN behavior; the zero-fold handles the -0.0
+    * divergence. Shared by every fused driver tail that must order
+    * exactly like a Spark `desc`/`asc` sort. */
+  private[graft] def cmpSparkDouble(x: Double, y: Double): Int = {
+    val xn = if (x == 0.0d) 0.0d else x
+    val yn = if (y == 0.0d) 0.0d else y
+    java.lang.Double.compare(xn, yn)
+  }
+
+  /** Spark's StringType/integral sort order for doc ids, driver-side:
+    * strings compare as UTF-8 BINARY (Spark's UTF8String ordering —
+    * java String compareTo diverges past ASCII); integrals as longs.
+    * Anything else refuses — callers keep the DataFrame tail. */
+  private[graft] def cmpDocId(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) =>
+      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      var c = 0
+      while (c == 0 && i < xb.length && i < yb.length) {
+        c = (xb(i) & 0xff) - (yb(i) & 0xff)
+        i += 1
+      }
+      if (c != 0) c else xb.length - yb.length
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      java.lang.Long.compare(x.longValue, y.longValue)
+    case _ => throw new IllegalArgumentException(
+      s"cmpDocId: unsupported doc id type ${a.getClass.getName}")
+  }
+
+  /** The total (sim desc, doc_id asc, chunk_idx asc) ordering over
+    * (doc_id, chunk_idx, chunk_text, sim) hit tuples — the driver twin
+    * of `orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))`, used
+    * by [[contextBlocksLocal]] and [[GraphIndex.Hot]]'s resident-text
+    * top-k so the two fused tails cannot drift. */
+  private[graft] val hitOrdering: Ordering[(Any, Long, String, Double)] =
+    new Ordering[(Any, Long, String, Double)] {
       def compare(a: (Any, Long, String, Double), b: (Any, Long, String, Double)): Int = {
-        val s = cmpSim(b._4, a._4) // desc
+        val s = cmpSparkDouble(b._4, a._4) // desc
         if (s != 0) s
         else {
-          val c = cmpDoc(a._1, b._1)
+          val c = cmpDocId(a._1, b._1)
           if (c != 0) c else java.lang.Long.compare(a._2, b._2)
         }
       }
-    })
+    }
+
+  private[graft] def contextBlocksLocal(hits: Seq[(Any, Long, String, Double)]): Seq[String] = {
+    // a total Ordering (not sortWith with !=, which violates the
+    // strict-weak contract on NaN: NaN != NaN yet neither ranks above
+    // the other, leaving the sort's behavior undefined)
+    val ranked = hits.sorted(hitOrdering)
     val byDoc = scala.collection.mutable.LinkedHashMap
       .empty[Any, scala.collection.mutable.ArrayBuffer[String]]
     ranked.foreach { h =>

@@ -93,6 +93,46 @@ class AskPipelineSpec extends AnyFunSuite {
     } finally hot.cool()
   }
 
+  test("resident-text tier: zero-job retrieval tail is byte-identical to the DataFrame tail") {
+    import org.apache.spark.sql.functions._
+    val query = "spark join tuning"
+    val dir = java.nio.file.Files.createTempDirectory("graft_rtext").toString
+    val h = operators.GraphIndex.build(spark, index, Seq("doc_id", "chunk_idx"),
+      "embedding", dir, nCentroids = 4, m = 4, nBuckets = 4, beamWidth = 8, hops = 3)
+    val plain = operators.GraphIndex.hot(spark, h)
+    val withText = operators.GraphIndex.hot(spark, h, residentText = true)
+    try {
+      assert(!plain.hasResidentText && withText.hasResidentText)
+      // the local rows equal the DataFrame topK rows exactly (values
+      // AND order — the hitOrdering twin of orderBy(desc(sim), ...))
+      val qv = Embed.embedQuery(spark, query).toSeq
+      val dfRows = plain.topK(spark, qv, 3, tieBreak = Seq("doc_id", "chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx").cast("long"), col("chunk_text"), col("sim"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .toSeq
+      val localRows = withText.topKLocalRows(qv, 3).get
+        .map { case (d, ci, t, s) => (d.asInstanceOf[String], ci, t, s) }
+      assert(localRows == dfRows, "resident-text top-k diverged from the DataFrame tail")
+      assert(plain.topKLocalRows(qv, 3).isEmpty,
+        "a tier built without residentText must decline the local path")
+      // end to end through askStateless: prompts byte-identical
+      val (resPlain, _) = AskPipeline.askStateless(spark, index, emptyCache, query,
+        graph = Some(plain))
+      val (resText, _) = AskPipeline.askStateless(spark, index, emptyCache, query,
+        graph = Some(withText))
+      assert(resText.prompt == resPlain.prompt && resText.answer == resPlain.answer,
+        "resident-text ask diverged from the hot-tier ask")
+      // the budget guard refuses BEFORE collecting any text
+      val tEst = operators.GraphIndex.hotTextBytesEstimate(spark, h)
+      assert(tEst > 0)
+      val err = intercept[IllegalStateException] {
+        operators.GraphIndex.hot(spark, h, residentText = true,
+          textBudgetBytes = tEst - 1)
+      }
+      assert(err.getMessage.contains("textBudgetBytes"), err.getMessage)
+    } finally { plain.cool(); withText.cool() }
+  }
+
   test("empty hook answer is a failure: error answer, cache NOT poisoned") {
     // HttpGenerateClient degrades to "" on any transport/LLM error by
     // contract; the reference (app/main.py:541-548) answers an error and

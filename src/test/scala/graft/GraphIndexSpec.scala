@@ -265,6 +265,137 @@ class GraphIndexSpec extends AnyFunSuite {
     } finally { w.cool(); hotH.cool() }
   }
 
+  test("sharded hot at nShards=1 is bit-for-bit the single-JVM hot walk") {
+    val hotH = GraphIndex.hot(spark, handle)
+    val sh = GraphIndex.hotSharded(spark, handle, nShards = 1)
+    try {
+      demoQueries.foreach { q =>
+        val qv = Embed.embedQuery(spark, q).toSeq
+        val hotRows = hotH.search(spark, qv)
+          .select("uid", "sim").as[(Long, Double)].collect().toSet
+        val shRows = sh.search(spark, qv)
+          .select("uid", "sim").as[(Long, Double)].collect().toSet
+        assert(shRows == hotRows, s"sharded(1) visited set diverged for '$q'")
+      }
+      val qdf = demoQueries.zipWithIndex
+        .map { case (q, i) => (i.toLong, Embed.embedQuery(spark, q).toSeq) }
+        .toDF("query_id", "qvec")
+      val hotBatch = hotH.topKBatch(spark, qdf, "query_id", "qvec",
+          3, tieBreak = Seq("doc_id", "chunk_idx"))
+        .select("query_id", "rank", "doc_id", "chunk_idx")
+        .as[(Long, Int, String, Int)].collect().toSeq.sorted
+      val shBatch = sh.topKBatch(spark, qdf, "query_id", "qvec",
+          3, tieBreak = Seq("doc_id", "chunk_idx"))
+        .select("query_id", "rank", "doc_id", "chunk_idx")
+        .as[(Long, Int, String, Int)].collect().toSeq.sorted
+      assert(shBatch == hotBatch)
+    } finally { hotH.cool(); sh.cool() }
+  }
+
+  test("sharded hot: the distributed fan-out is bit-for-bit the in-JVM walk of the same shards") {
+    // the visited-set discipline for the sharded tier: the executor-side
+    // job must equal a driver-side walkArrays replay over shard arrays
+    // the SPEC builds independently from the store — the distributed
+    // execution mechanism adds nothing beyond the shard confinement
+    val nShards = 4
+    val sh = GraphIndex.hotSharded(spark, handle, nShards)
+    try {
+      def shardOf(cell: Long): Int = (((cell % nShards) + nShards) % nShards).toInt
+      val chunkRows = handle.chunks(spark)
+        .select(col("uid").cast("long"), col("embedding").cast("array<double>"),
+          col("cell_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+      val chunkIds = chunkRows.map(_._1).toSet
+      val centRows = handle.centroids(spark).orderBy("centroid_id")
+        .select(col("centroid_id").cast("long"),
+          col("centroid_vec").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      // nodes per shard: chunk rows by their own cell; centroid-only
+      // rows by their own id (chunk version wins on overlap)
+      val nodesByShard = (chunkRows.map { case (id, v, cell) => (shardOf(cell), id, v) } ++
+        centRows.filterNot(c => chunkIds.contains(c._1))
+          .map { case (id, v) => (shardOf(id), id, v) })
+        .groupBy(_._1)
+      val nodeShard = (chunkRows.map(c => c._1 -> shardOf(c._3)) ++
+        centRows.filterNot(c => chunkIds.contains(c._1))
+          .map(c => c._1 -> shardOf(c._1))).toMap
+      val edges = spark.read.parquet(handle.edgesDir)
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (s, d) => nodeShard.contains(s) && nodeShard.contains(d) &&
+          nodeShard(s) == nodeShard(d) }
+      val arraysByShard = nodesByShard.map { case (sid, ns) =>
+        val ids = ns.map(_._2)
+        val vecs = ns.map(_._3)
+        val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+        val idx = ids.zipWithIndex.toMap
+        val adj = Array.fill(ids.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+        edges.foreach { case (s, d) =>
+          if (idx.contains(s) && idx.contains(d)) adj(idx(s)) += idx(d)
+        }
+        sid -> (new GraphIndex.GraphArrays(ids, vecs, norms, adj.map(_.toArray)), idx)
+      }
+      def cosineOf(q: Array[Double], v: Array[Double]): Double = {
+        var qn = 0.0; var vn = 0.0; var dot = 0.0; var i = 0
+        while (i < q.length) { qn += q(i) * q(i); vn += v(i) * v(i); dot += q(i) * v(i); i += 1 }
+        if (qn == 0.0 || vn == 0.0) 0.0 else dot / (math.sqrt(qn) * math.sqrt(vn))
+      }
+      demoQueries.foreach { q =>
+        val qv = Embed.embedQuery(spark, q).toArray
+        // the routing rule: global top-beam centroids, grouped by shard
+        val entries = centRows.map { case (id, v) => (id, cosineOf(qv, v)) }
+          .sortBy { case (id, s) => (-s, id) }
+          .take(handle.beamWidth)
+          .groupBy { case (id, _) => shardOf(id) }
+        val expected = entries.flatMap { case (sid, es) =>
+          val (g, idx) = arraysByShard(sid)
+          val entryIdxs = es.map(_._1).flatMap(idx.get)
+          GraphIndex.walkArrays(g, entryIdxs, qv, handle.beamWidth, handle.hops)
+        }.toSet
+        val got = sh.search(spark, qv.toSeq)
+          .select("uid", "sim").as[(Long, Double)].collect().toSet
+        // attach drops non-chunk nodes; this store's centroids are all
+        // chunk rows, so nothing is lost and the sets compare whole
+        assert(got == expected, s"sharded fan-out diverged from the replay for '$q'")
+        // determinism: a second identical fan-out returns the same rows
+        val again = sh.search(spark, qv.toSeq)
+          .select("uid", "sim").as[(Long, Double)].collect().toSet
+        assert(again == got)
+      }
+      // quality statement on this fixture: beam >= |C| routes every
+      // cell, so sharded top-3 still equals exact top-3
+      demoQueries.foreach { q =>
+        val qv = Embed.embedQuery(spark, q).toSeq
+        val exact = Similarity.topK(embedded, "embedding", qv, 3,
+            tieBreak = Seq("doc_id", "chunk_idx"))
+          .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSeq
+        val viaShards = sh.topK(spark, qv, 3, tieBreak = Seq("doc_id", "chunk_idx"))
+          .select("doc_id", "chunk_idx").as[(String, Int)].collect().toSeq
+        assert(viaShards == exact, s"sharded top-k diverged from exact for '$q'")
+      }
+    } finally sh.cool()
+  }
+
+  test("sharded hot is size-guarded PER SHARD: refuses past the budget, serves at it") {
+    import operators.{GraphIndex => GI}
+    val ests = GI.hotShardBytesEstimates(spark, handle, nShards = 4)
+    assert(ests.length == 4 && ests.sum > 0)
+    val worst = ests.max
+    val err = intercept[IllegalStateException] {
+      GI.hotSharded(spark, handle, nShards = 4, budgetBytes = worst - 1)
+    }
+    assert(err.getMessage.contains("per-shard budget"), err.getMessage)
+    // sharding is the remedy the refusal names: the whole-graph hot
+    // estimate exceeds any single shard's (budget bounds ONE pin)
+    assert(GI.hotBytesEstimate(spark, handle) > worst,
+      "per-shard estimates must undercut the whole-graph estimate")
+    val sh = GI.hotSharded(spark, handle, nShards = 4, budgetBytes = worst)
+    try {
+      val qv = Embed.embedQuery(spark, demoQueries.head).toSeq
+      assert(sh.search(spark, qv).count() > 0)
+    } finally sh.cool()
+  }
+
   test("hot serving is a snapshot: deletes after hot() appear only on re-hot") {
     val h = freshHandle()
     val qv = Embed.embedQuery(spark, demoQueries.head).toSeq
