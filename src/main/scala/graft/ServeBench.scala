@@ -133,6 +133,65 @@ object ServeBench {
     val emptyCache = Seq.empty[(Long, Seq[Float], String, Int)]
       .toDF("entry_id", "embedding", "response", "freq")
 
+    // `retrieve`: pure retrieval-path throughput per tier, one shared
+    // setup — the batch fan-out comparison the sharded tier exists for.
+    // The 64-query workload runs as ONE topKBatch per tier (hot walks
+    // it sequentially in the driver; sharded fans it out as one job
+    // over K parallel shard tasks); 3 passes, min wall. This isolates
+    // walk parallelism from per-ask job scheduling — the quantity that
+    // transfers to a multi-executor cluster, where each shard task is
+    // a different machine (the http sweep on ONE box measures the
+    // opposite regime: per-ask dispatch overhead with no second JVM to
+    // scale to — see SCALE.md r17).
+    if (args.contains("retrieve")) {
+      coolServing() // tier-per-row below; the default tier is not used
+      val tiers: Seq[(String, () => operators.GraphIndex.Serving, () => Unit)] =
+        Seq(
+          ("hot", () => operators.GraphIndex.hot(spark, h), () => ()),
+          ("sharded2", () => operators.GraphIndex.hotSharded(spark, h, 2), () => ()),
+          ("sharded4", () => operators.GraphIndex.hotSharded(spark, h, 4), () => ()),
+          ("sharded8", () => operators.GraphIndex.hotSharded(spark, h, 8), () => ()))
+      val qdf = qWorkload.withColumnRenamed("qv", "qvec")
+      // quality column: per-query top-3 overlap vs the UNSHARDED hot
+      // tier — the measured price of the cross-shard clique confinement
+      // on the real corpus (1.0 = the sharding changed no answer)
+      var hotTop: Map[Long, Set[(String, Int)]] = Map.empty
+      val rows = tiers.map { case (name, mk, _) =>
+        val tier = mk()
+        def top(): Map[Long, Set[(String, Int)]] =
+          tier.topKBatch(spark, qdf, "query_id", "qvec", 3,
+              tieBreak = Seq("doc_id", "chunk_idx"))
+            .select("query_id", "doc_id", "chunk_idx")
+            .collect().groupBy(_.getLong(0))
+            .map { case (q, rs) =>
+              q -> rs.map(r => (r.getString(1), r.getInt(2))).toSet }
+        def pass(): Double = {
+          val t = System.nanoTime()
+          val n = tier.topKBatch(spark, qdf, "query_id", "qvec", 3,
+            tieBreak = Seq("doc_id", "chunk_idx")).count()
+          require(n == 64 * 3, s"retrieve[$name]: expected 192 rows, got $n")
+          (System.nanoTime() - t) / 1e9
+        }
+        val answers = top() // warmup pass doubles as the quality snapshot
+        if (name == "hot") hotTop = answers
+        val vsHot = answers.map { case (q, s) =>
+          s.intersect(hotTop.getOrElse(q, Set.empty)).size / 3.0 }.sum / answers.size
+        val best = (0 until 3).map(_ => pass()).min
+        val thr = queries.length / best
+        println(f"RETRIEVE $name%-9s 64-query batch min=$best%.3f s " +
+          f"throughput=$thr%.2f ask/s top3_vs_hot=$vsHot%.3f")
+        tier match {
+          case t: operators.GraphIndex.Hot => t.cool()
+          case t: operators.GraphIndex.HotSharded => t.cool()
+          case t: operators.GraphIndex.Warm => t.cool()
+          case _ => ()
+        }
+        f""""$name":{"batch64_s":$best%.3f,"ask_per_sec":$thr%.2f,"top3_vs_hot":$vsHot%.3f}"""
+      }
+      println(s"""{"bench":"serve_retrieve_batch","corpus":"PMC","chunks":$nChunks,${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+
     if (args.contains("http")) {
       httpConcurrencyBench(spark, index, wh, dfreq, nDocs, queries, nChunks, args, tierName)
       coolServing(); spark.stop(); return
