@@ -2527,16 +2527,19 @@ object SparkEntry {
     // edge build stays N^1.5 total instead of N²/8 (the pinned-|C|=8
     // build OOM'd at sf1; the reference, too, sizes HNSW params by
     // corpus — app/main.py:272-277). The EDGE stage rides
-    // GraphIndex.build's size-derived DEFAULT: plain in-cell join
+    // GraphIndex.build's size-derived DEFAULTS: plain in-cell join
     // below DefaultAutoBandAt nodes, OR-banded LSH-confined at/above
     // it (the sf10 decade measured the plain join at 22.2×/decade vs
-    // banded 9.7× — the scale-safe shape is the default, not a knob a
-    // caller must remember), and the oracle replays the SAME count
-    // gate so the flagship stays hash-green in either regime. The
-    // oracle replays EVERYTHING — embedding, uid derivation, graph
-    // construction incl. the band gate, and the hop-by-hop walk — so
-    // the full ingest+serve path is hash-checked, not just
-    // rows-counted.
+    // banded 9.7×), and — r17 — flat assignment below DefaultAutoHierAt
+    // nodes, two-level ⌊√|C|⌋-super routing at p=2 at/above it (the
+    // remaining N^1.5 term; hier measured 16.4× vs flat's predicted
+    // 31.6× at the sf10 decade). The scale-safe shapes are the
+    // default, not knobs a caller must remember, and the oracle
+    // replays the SAME count gates so the flagship stays hash-green
+    // in every regime. The oracle replays EVERYTHING — embedding, uid
+    // derivation, graph construction incl. both gates, and the
+    // hop-by-hop walk — so the full ingest+serve path is hash-checked,
+    // not just rows-counted.
     "q_rag_graph" -> ((s, dir) => {
       val chunks = Ingest.chunk(wide(s, dir, "documents").select("doc_id", "text"), "text", 32)
         .select("doc_id", "chunk_idx", "chunk_text")
@@ -2556,35 +2559,31 @@ object SparkEntry {
         .limit(5)
     }),
 
-    // The flagship at the 1000×-SCALE edge recipe: identical pipeline
-    // to q_rag_graph, but the in-cell edge build is OR-band-confined
-    // (Ann.knnGraphLshBanded via GraphIndex.build(lshBands) — two
-    // 2-plane sign-LSH bands; a pair is an edge candidate when EITHER
-    // band's sign bits fully agree). The sf10 decade measured the
-    // unbanded flagship's Σ|cell|² edge stage at ~N^1.35 while the
-    // banded edge build held 3.7× across 10× — this query makes that
-    // prescription itself hash-gated end to end. Band planes are the
-    // 4 lowest-uid chunk embeddings (data rows; the hashed-BoW space
-    // is sign-mixed, so raw sign buckets split ~evenly — no centering
-    // needed, and the oracle replays the plane pick by uid order, both
-    // bucket folds, and the OR'd pair condition inside the same
-    // chunk→embed→build→walk replay as q_rag_graph).
-    "q_rag_graph_banded" -> ((s, dir) => {
+    // The flagship at the FULL 1000×-SCALE recipe, both size-derived
+    // defaults FORCED past their crossovers (autoBandAt = autoHierAt =
+    // 1): two-level assignment through ⌊√|C|⌋ head-of-codebook supers
+    // at p=2 (the N^1.5 → ~N^1.25 assignment fix, q_ann_graph_hier's
+    // measured 16.4× vs flat's predicted 31.6× at the sf10 decade) AND
+    // the OR-band-confined in-cell edge build (two 2-plane data-row
+    // sign-LSH bands — the Σ|cell|² = N^1.5 → ~N^0.99 edge fix). This
+    // query hash-gates the composed recipe — exactly what the default
+    // build runs at/above 10^5 nodes — at every SF: the oracle replays
+    // the super pick by cid order, both two-level argmaxes, the plane
+    // pick by uid order, both bucket folds, and the OR'd pair condition
+    // inside the same chunk→embed→build→walk replay as q_rag_graph.
+    // (r17: replaces q_rag_graph_banded, whose bands-only plan the
+    // auto-banding default had made redundant with the flagship's.)
+    "q_rag_graph_recipe" -> ((s, dir) => {
       val chunks = Ingest.chunk(wide(s, dir, "documents").select("doc_id", "text"), "text", 32)
         .select("doc_id", "chunk_idx", "chunk_text")
       val embedded = Embed.withEmbedding(chunks, "chunk_text", "embedding")
       val nCents = math.max(1L, math.floor(math.sqrt(chunks.count().toDouble)).toLong)
-      val planeRows = embedded
-        .withColumn("_uid", GraphIndex.uidFor(Seq("doc_id", "chunk_idx")))
-        .orderBy("_uid").limit(4)
-        .select(col("embedding").cast("array<double>")).collect()
-        .map(_.getSeq[Double](0)).toSeq
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
       val gdir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_raggraphbnd$safe").getAbsolutePath
+        s"graft_raggraphrcp$safe").getAbsolutePath
       val h = GraphIndex.build(s, embedded, Seq("doc_id", "chunk_idx"), "embedding",
         gdir, nCentroids = nCents.toInt, m = 4, nBuckets = 16, beamWidth = 4,
-        hops = 3, lshBands = Seq(planeRows.take(2), planeRows.drop(2)))
+        hops = 3, autoBandAt = 1L, autoHierAt = 1L)
       GraphIndex.search(s, h, Embed.embedQuery(s, RagQueryText).toSeq)
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           stableRound(col("sim")).as("sim"))
@@ -5253,8 +5252,8 @@ object SparkEntry {
       // nearest-cell assignment, undirected in-cell top-4 edges +
       // up-links + centroid clique, and the 3-hop beam-4 walk (the
       // annGraphOracle CTE chain, re-keyed to chunk uids).
-      "q_rag_graph" -> ragGraphOracle(bandMode = "auto"),
-      "q_rag_graph_banded" -> ragGraphOracle(bandMode = "always"))
+      "q_rag_graph" -> ragGraphOracle(mode = "auto"),
+      "q_rag_graph_recipe" -> ragGraphOracle(mode = "always"))
   }
 
   /** The flagship chunk→embed→uid→build→walk replay. `bandMode`
@@ -5274,12 +5273,15 @@ object SparkEntry {
     *    the real sign buckets at/above it. One SQL template covers
     *    both regimes of the default, so the flagship stays hash-green
     *    at every SF the default build can encounter. */
-  private def ragGraphOracle(bandMode: String): String = {
-    require(Set("auto", "always")(bandMode), s"ragGraphOracle: $bandMode")
+  private def ragGraphOracle(mode: String): String = {
+    require(Set("auto", "always")(mode), s"ragGraphOracle: $mode")
     val uid = dMd5Long("doc_id || '#' || CAST(chunk_idx AS VARCHAR)")
-    val auto = bandMode == "auto"
-    // the size gate: in auto mode the fold is live only at/above the
-    // crossover the Spark default derives from the same count
+    val auto = mode == "auto"
+    // the size gates: in auto mode the band fold AND the two-level
+    // assignment are live only at/above the crossovers the Spark
+    // defaults derive from the same count (DefaultAutoBandAt /
+    // DefaultAutoHierAt); in always mode both run unconditionally —
+    // the composed 100 TB recipe, hash-gated end to end
     val ncCte = if (auto) "\nnc AS (SELECT count(*) AS n FROM u)," else ""
     val ncSrc = if (auto) ", nc" else ""
     val ncGrp = if (auto) ", nc.n" else ""
@@ -5291,8 +5293,10 @@ object SparkEntry {
       "THEN CAST(pow(2, pl.prn - 1) AS BIGINT) ELSE 0 END) AS BIGINT)")
     val lb1 = fold(s"CAST(sum(CASE WHEN pl.prn >= 3 AND ${dDot("c.nv", "pl.nv")} > 0 " +
       "THEN CAST(pow(2, pl.prn - 3) AS BIGINT) ELSE 0 END) AS BIGINT)")
+    // nc is defined once, up with cents (both the hier candidate gate
+    // and the band fold read it in auto mode)
     val bandCtes =
-      s"""$ncCte
+      s"""
          |pl AS MATERIALIZED (
          |  SELECT nv, prn FROM (
          |    SELECT nv, row_number() OVER (ORDER BY uid) AS prn FROM u)
@@ -5304,22 +5308,58 @@ object SparkEntry {
          |  FROM cells c, pl$ncSrc GROUP BY c.uid, c.nv, c.cell_id$ncGrp),""".stripMargin
     val pairSrc = "cb"
     val bandCond = "\n            AND (a.lb0 = b.lb0 OR a.lb1 = b.lb1)"
+    // the two-level assignment replay (GraphIndex.DefaultAutoHierAt /
+    // explicit hier): sup = head-⌊√|C|⌋ centroids in cid order (the
+    // codebook-index order hierRouting takes them in), c2s routes each
+    // centroid to its nearest super (ties → lowest sid, the strict->
+    // first-wins), v2s routes each vector to its TOP-2 supers (the
+    // build's superProbes default; ties → lowest sid), and the argmax
+    // candidate set is flat below the gate / the probed supers'
+    // members at/above it (always mode: hier only)
+    val candFlat =
+      s"SELECT u.uid AS uid, c.cid AS cid FROM u, cents c$ncSrc" +
+        (if (auto) s" WHERE nc.n < ${operators.GraphIndex.DefaultAutoHierAt}" else "")
+    val candHier =
+      s"SELECT v.uid AS uid, cs.cid AS cid FROM v2s v JOIN c2s cs USING (sid)$ncSrc" +
+        (if (auto) s" WHERE nc.n >= ${operators.GraphIndex.DefaultAutoHierAt}" else "")
+    val candCte =
+      if (auto) s"cand AS ($candFlat\n  UNION ALL\n  $candHier)"
+      else s"cand AS ($candHier)"
     s"""WITH u AS MATERIALIZED (
        |  WITH $dChunkOnlyCtes
        |  SELECT doc_id, chunk_idx, nv, $uid AS uid FROM cn),
        |qn AS MATERIALIZED (
        |  WITH ${dQueryEmbedCtes("qn0")}
        |  SELECT nv FROM qn0),
-       |cents AS (
+       |cents AS MATERIALIZED (
        |  SELECT uid AS cid, nv AS cv FROM (
        |    SELECT uid, nv, row_number() OVER (ORDER BY uid) AS crn,
        |           count(*) OVER () AS cn_total FROM u)
-       |  WHERE crn <= greatest(1, CAST(floor(sqrt(cn_total)) AS BIGINT))),
+       |  WHERE crn <= greatest(1, CAST(floor(sqrt(cn_total)) AS BIGINT))),$ncCte
+       |sup AS (
+       |  SELECT cid AS sid, cv AS sv FROM (
+       |    SELECT cid, cv, row_number() OVER (ORDER BY cid) AS srn,
+       |           count(*) OVER () AS c_total FROM cents)
+       |  WHERE srn <= greatest(1, CAST(floor(sqrt(c_total)) AS BIGINT))),
+       |c2s AS (
+       |  SELECT cid, sid FROM (
+       |    SELECT c.cid, s.sid,
+       |           row_number() OVER (PARTITION BY c.cid
+       |             ORDER BY ${dCosine("c.cv", "s.sv")} DESC, s.sid) AS rn
+       |    FROM cents c, sup s) WHERE rn = 1),
+       |v2s AS (
+       |  SELECT uid, sid FROM (
+       |    SELECT u.uid, s.sid,
+       |           row_number() OVER (PARTITION BY u.uid
+       |             ORDER BY ${dCosine("u.nv", "s.sv")} DESC, s.sid) AS rn
+       |    FROM u, sup s) WHERE rn <= 2),
+       |$candCte,
        |asg AS (
        |  SELECT uid, nv, cid,
        |         row_number() OVER (PARTITION BY uid ORDER BY csim DESC, cid) AS rn
        |  FROM (SELECT u.uid, u.nv, c.cid, ${dCosine("u.nv", "c.cv")} AS csim
-       |        FROM u, cents c)
+       |        FROM u JOIN cand ON cand.uid = u.uid
+       |               JOIN cents c ON c.cid = cand.cid)
        |),
        |cells AS MATERIALIZED (SELECT uid, nv, cid AS cell_id FROM asg WHERE rn = 1),$bandCtes
        |pair AS MATERIALIZED (

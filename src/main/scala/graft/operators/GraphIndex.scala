@@ -919,7 +919,7 @@ object GraphIndex {
   /** Node-count crossover at which the DEFAULT edge build switches
     * from the plain in-cell pair join to the OR-banded LSH-confined one
     * ([[Ann.knnGraphLshBanded]] over two 2-plane data-row bands — the
-    * q_rag_graph_banded recipe, oracle-replayable because the planes
+    * q_rag_graph_recipe recipe, oracle-replayable because the planes
     * are the 4 lowest-uid rows' own vectors).
     *
     * Why 100k and not the equal-cost point: the sf1→sf10 decade
@@ -938,10 +938,39 @@ object GraphIndex {
     * default. */
   val DefaultAutoBandAt: Long = 100000L
 
+  /** Node-count crossover at which the DEFAULT cell ASSIGNMENT switches
+    * from the flat argmax (N·|C| dots — N^1.5 at the √N codebook, the
+    * flagship's one remaining super-linear term after r16 banded the
+    * edge stage) to two-level routing through |S| = ⌊√|C|⌋
+    * head-of-codebook supers at the build's `superProbes`
+    * ([[Ann.assignCellsHier]] — |S| + p·|C|/|S| ≈ (1+p)·N^0.25 dots per
+    * row, ~N^1.25 corpus-wide; q_ann_graph_hier measured the two-level
+    * build at 16.4×/decade at sf10 where the flat form predicts 31.6×).
+    *
+    * Same crossover value and same asymmetric-penalty reasoning as
+    * [[DefaultAutoBandAt]] (SCALE.md): at 10^5 nodes the flat
+    * assignment term is a trivial 3·10^7 dots, so routing early costs
+    * ~nothing (and below the crossover the default is bit-for-bit the
+    * historical flat build, spec-pinned), while routing late compounds
+    * ~√10 ≈ 3.2× per decade without bound. Assignment becomes
+    * approximate past the crossover (IVF's nprobe trade — head-of-
+    * codebook supers at p = `superProbes`; pass TRAINED `superVecs`
+    * for recall-critical serving, the [[buildServing]] path, which
+    * derives its own supers and is unaffected by this default).
+    * Explicit `nSupers`/`superVecs` always win;
+    * `autoHierAt = Long.MaxValue` restores the always-flat default. */
+  val DefaultAutoHierAt: Long = 100000L
+
+  /** The size-derived default super count: 0 (flat, bit-for-bit the
+    * historical behavior) below the crossover; ⌊√|C|⌋ at/above it. */
+  private def deriveAutoSupers(n: Long, nCentroids: Int, autoHierAt: Long): Int =
+    if (n < autoHierAt) 0
+    else math.max(1, math.floor(math.sqrt(nCentroids.toDouble)).toInt)
+
   /** The size-derived default bands: above the crossover, two 2-plane
     * sign-LSH bands whose plane vectors are the 4 lowest-uid rows' own
     * vectors — deterministic in the row set alone (so [[rebuild]] ≡
-    * fresh [[build]] holds), and exactly what the q_rag_graph_banded
+    * fresh [[build]] holds), and exactly what the q_rag_graph_recipe
     * oracle replays by uid order. Below the crossover: none (the plain
     * build, bit-for-bit the pre-auto-band behavior). */
   private def deriveAutoBands(withUid: DataFrame, vecCol: String,
@@ -973,14 +1002,20 @@ object GraphIndex {
     * below the crossover it is the plain in-cell pair join, bit-for-bit
     * the historical behavior; at/above it the in-cell join is OR-band-
     * confined to two data-row sign-LSH bands — the measured scale-safe
-    * shape. Passing explicit `lshPlanes`/`lshBands` overrides. */
+    * shape. The DEFAULT assignment is size-derived the same way
+    * ([[DefaultAutoHierAt]]): flat argmax below the crossover,
+    * two-level routing through ⌊√|C|⌋ head-of-codebook supers at
+    * `superProbes` at/above it. Passing explicit `lshPlanes`/
+    * `lshBands` (edges) or `nSupers`/`superVecs` (assignment)
+    * overrides the respective derivation. */
   def build(spark: SparkSession, index: DataFrame, keyCols: Seq[String],
             vecCol: String, dir: String, nCentroids: Int = 8, m: Int = 4,
             nBuckets: Int = 16, beamWidth: Int = 8, hops: Int = 3,
             nSupers: Int = 0, lshPlanes: Seq[Seq[Double]] = Nil,
             superProbes: Int = 2, superVecs: Seq[Seq[Double]] = Nil,
             lshBands: Seq[Seq[Seq[Double]]] = Nil,
-            autoBandAt: Long = DefaultAutoBandAt): Handle = {
+            autoBandAt: Long = DefaultAutoBandAt,
+            autoHierAt: Long = DefaultAutoHierAt): Handle = {
     require(nCentroids >= 1 && m >= 1 && nBuckets >= 1 && beamWidth >= 1 && hops >= 0,
       s"GraphIndex.build: nCentroids=$nCentroids m=$m nBuckets=$nBuckets " +
         s"beamWidth=$beamWidth hops=$hops must all be positive (hops >= 0)")
@@ -1001,8 +1036,11 @@ object GraphIndex {
     val effBands =
       if (lshPlanes.nonEmpty || lshBands.nonEmpty) lshBands
       else deriveAutoBands(withUid, vecCol, n, autoBandAt)
+    val effSupers =
+      if (nSupers > 0 || superVecs.nonEmpty) nSupers
+      else deriveAutoSupers(n, nCentroids, autoHierAt)
     val h = buildFromUid(spark, withUid, vecCol, dir, nCentroids, m,
-      nBuckets, beamWidth, hops, nSupers, lshPlanes, superProbes, superVecs,
+      nBuckets, beamWidth, hops, effSupers, lshPlanes, superProbes, superVecs,
       effBands)
     withUid.unpersist() // no-op under localCheckpoint; frees the persist path
     h.copy(vecCol = vecCol)
@@ -1648,7 +1686,8 @@ object GraphIndex {
 
   def rebuild(spark: SparkSession, h: Handle, nCentroids: Int,
               m: Int, nBuckets: Int, beamWidth: Int,
-              hops: Int, autoBandAt: Long = DefaultAutoBandAt): Handle = {
+              hops: Int, autoBandAt: Long = DefaultAutoBandAt,
+              autoHierAt: Long = DefaultAutoHierAt): Handle = {
     val tombPath = new org.apache.hadoop.fs.Path(h.tombstonesDir)
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rows = {
@@ -1666,12 +1705,15 @@ object GraphIndex {
     rows.write.mode("overwrite").parquet(staging)
     val staged = spark.read.parquet(staging)
     // rebuild ≡ fresh build is THE invariant — a fresh build past the
-    // crossover auto-bands, so rebuild must derive the same bands from
-    // the same (surviving) rows or the invariant breaks exactly where
-    // the banding matters
-    val autoBands = deriveAutoBands(staged, h.vecCol, staged.count(), autoBandAt)
+    // crossovers auto-bands AND auto-routes assignment, so rebuild must
+    // derive the same bands and supers from the same (surviving) rows
+    // or the invariant breaks exactly where the derivations matter
+    val nStaged = staged.count()
+    val autoBands = deriveAutoBands(staged, h.vecCol, nStaged, autoBandAt)
+    val autoSupers = deriveAutoSupers(nStaged, nCentroids, autoHierAt)
     val out = buildFromUid(spark, staged, h.vecCol,
-      h.dir, nCentroids, m, nBuckets, beamWidth, hops, lshBands = autoBands)
+      h.dir, nCentroids, m, nBuckets, beamWidth, hops,
+      nSupers = autoSupers, lshBands = autoBands)
     val sp = new org.apache.hadoop.fs.Path(staging)
     sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
     if (fs.exists(tombPath)) fs.delete(tombPath, true)

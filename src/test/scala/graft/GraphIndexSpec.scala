@@ -797,6 +797,64 @@ class GraphIndexSpec extends AnyFunSuite {
       .select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].collect().toSeq.sorted
 
+  private def cellSnapshot(h: GraphIndex.Handle): Seq[(Long, Long)] =
+    h.chunks(spark)
+      .select(col("uid").cast("long"), col("cell_id").cast("long"))
+      .as[(Long, Long)].collect().toSeq.sorted
+
+  test("size-derived hier: small-corpus default ≡ flat bit-for-bit; past the crossover ≡ explicit two-level; composes with banding; rebuild invariant holds") {
+    import operators.{GraphIndex => GI}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    def snap(h: GraphIndex.Handle) = (cellSnapshot(h), edgeSnapshot(h))
+    // BELOW the crossover (fixture ≪ DefaultAutoHierAt): the default is
+    // the historical flat assignment, bit-for-bit
+    val hDefault = GI.build(spark, embedded, Seq("doc_id", "chunk_idx"), "embedding",
+      tmp("graft_gah_dflt"), nCentroids = 16, m = 16, nBuckets = 16,
+      beamWidth = 32, hops = 3)
+    val hFlat = GI.build(spark, embedded, Seq("doc_id", "chunk_idx"), "embedding",
+      tmp("graft_gah_flat"), nCentroids = 16, m = 16, nBuckets = 16,
+      beamWidth = 32, hops = 3, autoHierAt = Long.MaxValue)
+    assert(snap(hDefault) == snap(hFlat),
+      "below the crossover the default must equal the flat build bit-for-bit")
+    // AT/ABOVE the crossover (forced with autoHierAt = 1): the default
+    // must equal the EXPLICIT two-level build at |S| = ⌊√|C|⌋ = 4 and
+    // the shared superProbes default, bit-for-bit (cells AND edges)
+    val hAuto = GI.build(spark, embedded, Seq("doc_id", "chunk_idx"), "embedding",
+      tmp("graft_gah_auto"), nCentroids = 16, m = 16, nBuckets = 16,
+      beamWidth = 32, hops = 3, autoHierAt = 1L)
+    val hHier = GI.build(spark, embedded, Seq("doc_id", "chunk_idx"), "embedding",
+      tmp("graft_gah_expl"), nCentroids = 16, m = 16, nBuckets = 16,
+      beamWidth = 32, hops = 3, nSupers = 4)
+    assert(snap(hAuto) == snap(hHier),
+      "past the crossover the default must equal the explicit hier build")
+    assert(cellSnapshot(hAuto) != cellSnapshot(hFlat),
+      "fixture must actually route differently past the crossover " +
+        "(hier approximation visible on some rows)")
+    // BOTH derivations forced: the full scaled recipe (two-level
+    // assignment + OR-banded edge confinement) equals the explicit
+    // composition bit-for-bit
+    val planeRows = embedded
+      .withColumn("_uid", GI.uidFor(Seq("doc_id", "chunk_idx")))
+      .orderBy("_uid").limit(4)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0)).toSeq
+    val hBoth = GI.build(spark, embedded, Seq("doc_id", "chunk_idx"), "embedding",
+      tmp("graft_gah_both"), nCentroids = 16, m = 16, nBuckets = 16,
+      beamWidth = 32, hops = 3, autoHierAt = 1L, autoBandAt = 1L)
+    val hComposed = GI.build(spark, embedded, Seq("doc_id", "chunk_idx"), "embedding",
+      tmp("graft_gah_comp"), nCentroids = 16, m = 16, nBuckets = 16,
+      beamWidth = 32, hops = 3, nSupers = 4,
+      lshBands = Seq(planeRows.take(2), planeRows.drop(2)))
+    assert(snap(hBoth) == snap(hComposed),
+      "forced-both default must equal the explicit hier+banded composition")
+    // rebuild ≡ fresh build where the derivation matters: rebuilding
+    // the forced-crossover store reproduces it bit-for-bit
+    val hReb = GI.rebuild(spark, hAuto, nCentroids = 16, m = 16,
+      nBuckets = 16, beamWidth = 32, hops = 3, autoHierAt = 1L)
+    assert(snap(hReb) == snap(hHier),
+      "rebuild must derive the same auto-supers as a fresh build")
+  }
+
   test("size-derived banding: small-corpus default ≡ plain build bit-for-bit; past the crossover ≡ explicit bands") {
     import operators.{GraphIndex => GI}
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
