@@ -112,6 +112,44 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
 
+    // CALIBRATION (r17): two FIXED microbenches recorded per run so
+    // cross-round totals normalize against the box instead of being
+    // adjudicated by multi-run worktree experiments (the r11-r16
+    // playbook — ~5 full sweeps in r16 alone to prove a 1.33× total
+    // was host drift). jvm_scalar_s is a pure single-thread JVM loop
+    // (xorshift + rotate-fold, no allocation — tracks per-core speed
+    // and steal); spark_agg_s is one fixed in-memory 32-partition
+    // xxhash64 aggregate (tracks the whole codegen + task-schedule +
+    // parallel-compute path, no I/O). Policy (ROUND_NOTES): compare
+    // rounds as total/calibration; a raw-total flag whose per-query
+    // ratios track the calibration ratio is host drift, one number,
+    // no re-runs. Zero effect on query timings: both run before the
+    // measured passes, against warmed JIT.
+    def jvmCalib(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      var i = 0L
+      while (i < 200000000L) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        acc += java.lang.Long.rotateLeft(x, 17)
+        i += 1
+      }
+      // acc escapes so the loop cannot be dead-code-eliminated
+      if (acc == 42L) System.err.println("calib sentinel")
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sparkCalib(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: 2e8 xxhash64 longs overflow an ANSI sum
+      spark.range(0L, 200000000L, 1L, 32)
+        .selectExpr("bit_xor(xxhash64(id)) AS h").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    jvmCalib(); sparkCalib() // JIT/codegen warm, discarded
+    val calibJvm = (1 to 3).map(_ => jvmCalib()).min
+    val calibSpark = (1 to 3).map(_ => sparkCalib()).min
+
     // The action is a noop-format write, NOT count(): count() lets
     // Catalyst prune every projection it doesn't need, so map-heavy
     // queries would be measured as little more than a parquet row count.
@@ -196,6 +234,7 @@ object Bench {
       }.mkString("[", ",", "]")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",
          |"runs":$Passes,"policy":"warmup+min-of-$Passes-interleaved+subsec-min-of-${Passes + ExtraTrials}","steady_spread_p90":${r3(p90)},
+         |"calibration":{"jvm_scalar_s":${r3(calibJvm)},"spark_agg_s":${r3(calibSpark)}},
          |"regression_ratio_gate":$RegressionRatio,"baseline":"$baselineSrc",
          |"failed":[${failedQs.map("\"" + _ + "\"").mkString(",")}],
          |"regressions_vs_prev":${diffJson(regressions)},
@@ -214,6 +253,7 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsLine,""" +
       s""""runs":$Passes,"policy":"warmup+min-of-$Passes-interleaved+subsec-min-of-${Passes + ExtraTrials}","steady_spread_p90":${r3(p90)},""" +
+      s""""calibration":{"jvm_scalar_s":${r3(calibJvm)},"spark_agg_s":${r3(calibSpark)}},""" +
       s""""failed":[${failedQs.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""full_artifact":"$outFile","baseline":"$baselineSrc","sf":"$sfDir"}""")
     spark.stop()
