@@ -84,13 +84,22 @@ final class AskServer(spark: SparkSession, index: DataFrame,
                       threshold: Double = Schemas.CacheThreshold,
                       historyTurns: Int = 5,
                       bindPort: Int = 0,
-                      concurrency: Int = 8) {
+                      concurrency: Int = 8,
+                      residentCache: Boolean = false) {
   import spark.implicits._
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val lock = new Object
   private var cache: DataFrame = Seq.empty[(Long, Seq[Float], String, Int)]
     .toDF("entry_id", "embedding", "response", "freq")
+  // residentCache = the reference's Redis taken literally: the
+  // capacity-bounded cache lives in driver arrays (ResidentLfuCache —
+  // pinned bit-for-bit to the DataFrame ops), removing the cache-probe
+  // and effect-merge Spark jobs from every request. Semantics are the
+  // same concurrent-arrival contract: probes read some consistent
+  // state, effects merge atomically, Touch on an evicted id no-ops.
+  private val rcache: Option[operators.ResidentLfuCache] =
+    if (residentCache) Some(new operators.ResidentLfuCache(capacity)) else None
   private val memory = scala.collection.mutable.Map.empty[String, Vector[(String, String)]]
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
@@ -412,15 +421,25 @@ final class AskServer(spark: SparkSession, index: DataFrame,
     // (query side); default is the deterministic hashed-BoW embedder
     val qv = embedQuery.map(f => f(r.query))
       .getOrElse(Embed.embedQuery(spark, r.query, dim))
-    val (res, effect) = AskPipeline.askStateless(spark, index, cacheSnap, r.query,
-      history = history, topK = r.topK, threshold = threshold, dim = dim,
-      queryVec = Some(qv),
-      graph = graph, generate = gen)
+    val (res, effect) = rcache match {
+      case Some(rc) => AskPipeline.askStatelessResident(spark, index, rc, r.query,
+        history = history, topK = r.topK, threshold = threshold, dim = dim,
+        queryVec = Some(qv),
+        graph = graph, generate = gen)
+      case None => AskPipeline.askStateless(spark, index, cacheSnap, r.query,
+        history = history, topK = r.topK, threshold = threshold, dim = dim,
+        queryVec = Some(qv),
+        graph = graph, generate = gen)
+    }
     if (!res.failed) lock.synchronized {
       // merge against the CURRENT state, not the snapshot: a Touch on a
       // concurrently evicted entry no-ops, an Insert allocates its id here
-      cache = AskPipeline.applyCacheEffect(cache, effect, capacity)
-        .localCheckpoint() // capacity-bounded rows; lineage capped
+      rcache match {
+        case Some(rc) => rc.applyEffect(effect)
+        case None =>
+          cache = AskPipeline.applyCacheEffect(cache, effect, capacity)
+            .localCheckpoint() // capacity-bounded rows; lineage capped
+      }
       memory(r.chatId) = (memory.getOrElse(r.chatId, Vector.empty)
         :+ (r.query, res.answer)).takeRight(historyTurns)
     }

@@ -199,8 +199,13 @@ object ServeBench {
 
     // warmup: JIT + codegen + cached-batch touch, outside every timer
     (0 until 3).foreach { i =>
-      operators.AskPipeline.ask(spark, index, emptyCache, queries(i),
-        queryVec = Some(qvecs(i)), graph = Some(wh))
+      if (args.contains("rescache"))
+        operators.AskPipeline.askResident(spark, index,
+          new operators.ResidentLfuCache(), queries(i),
+          queryVec = Some(qvecs(i)), graph = Some(wh))
+      else
+        operators.AskPipeline.ask(spark, index, emptyCache, queries(i),
+          queryVec = Some(qvecs(i)), graph = Some(wh))
     }
 
     def stats(lat: Seq[Double]): (Double, Double, Double) = {
@@ -208,11 +213,19 @@ object ServeBench {
       (pct(s, 0.50), pct(s, 0.95), s.last)
     }
 
-    // batch=1: 64 solo asks, fresh cache each (retrieval, not cache hits)
+    // batch=1: 64 solo asks, fresh cache each (retrieval, not cache hits).
+    // `rescache` probes a fresh ResidentLfuCache instead (r17): with the
+    // hotText tier that makes the whole ask ZERO Spark jobs.
+    val useResidentCache = args.contains("rescache")
     val solo = queries.indices.map { i =>
       val t = System.nanoTime()
-      operators.AskPipeline.ask(spark, index, emptyCache, queries(i),
-        queryVec = Some(qvecs(i)), graph = Some(wh))
+      if (useResidentCache)
+        operators.AskPipeline.askResident(spark, index,
+          new operators.ResidentLfuCache(), queries(i),
+          queryVec = Some(qvecs(i)), graph = Some(wh))
+      else
+        operators.AskPipeline.ask(spark, index, emptyCache, queries(i),
+          queryVec = Some(qvecs(i)), graph = Some(wh))
       (System.nanoTime() - t) / 1e9
     }
     val (s50, s95, sMax) = stats(solo)
@@ -294,7 +307,8 @@ object ServeBench {
       val srv = new AskServer(spark, index, graph = Some(wh),
         embedQuery = Some(q =>
           operators.Embed.embedQueryTfIdf(spark, q, dfreq, nDocs, dim = 1024)),
-        dim = 1024, concurrency = poolOverride.getOrElse(math.max(c, 2)))
+        dim = 1024, concurrency = poolOverride.getOrElse(math.max(c, 2)),
+        residentCache = args.contains("rescache"))
       val port = srv.start()
       try {
         // warmup asks use throwaway queries so the measured 64 stay misses

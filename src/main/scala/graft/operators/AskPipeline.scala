@@ -125,6 +125,62 @@ object AskPipeline {
           TouchEffect(row.getLong(0)))
 
       case None =>
+        retrieveGenerate(spark, index, query, history, topK, qVec, graph, generate)
+    }
+  }
+
+  /** [[askStateless]] against a [[ResidentLfuCache]] — the fully
+    * resident serving shape (r17): the cache probe is a driver array
+    * scan (zero Spark jobs; with a resident-text hot tier the ENTIRE
+    * miss path is also job-free). Same contract: reads the cache,
+    * never mutates it — the effect merges via
+    * [[ResidentLfuCache.applyEffect]], immediately ([[askResident]])
+    * or under a serving lock ([[graft.AskServer]]'s concurrent-arrival
+    * merge). */
+  def askStatelessResident(spark: SparkSession, index: DataFrame,
+                           cache: ResidentLfuCache, query: String,
+                           history: Option[String] = None, topK: Int = Schemas.DefaultTopK,
+                           threshold: Double = Schemas.CacheThreshold,
+                           dim: Int = Schemas.EmbeddingDim,
+                           queryVec: Option[Array[Double]] = None,
+                           graph: Option[GraphIndex.Serving] = None,
+                           generate: Option[String => String] = None): (AskResult, CacheEffect) = {
+    val qVec = queryVec.getOrElse(Embed.embedQuery(spark, query, dim))
+    cache.lookup(qVec, threshold) match {
+      case Some((id, response)) =>
+        (AskResult(query, response, fromCache = true, prompt = ""), TouchEffect(id))
+      case None =>
+        retrieveGenerate(spark, index, query, history, topK, qVec, graph, generate)
+    }
+  }
+
+  /** [[ask]] on the resident medium: probe, compute, merge — mutating
+    * the cache in place like the reference mutates Redis. */
+  def askResident(spark: SparkSession, index: DataFrame,
+                  cache: ResidentLfuCache, query: String,
+                  history: Option[String] = None, topK: Int = Schemas.DefaultTopK,
+                  threshold: Double = Schemas.CacheThreshold,
+                  dim: Int = Schemas.EmbeddingDim,
+                  queryVec: Option[Array[Double]] = None,
+                  graph: Option[GraphIndex.Serving] = None,
+                  generate: Option[String => String] = None): AskResult = {
+    val (res, effect) = askStatelessResident(spark, index, cache, query, history,
+      topK, threshold, dim, queryVec, graph, generate)
+    cache.applyEffect(effect)
+    res
+  }
+
+  /** The shared MISS path — retrieval, context, prompt, generation,
+    * and the failure rule — identical whichever cache medium probed
+    * (the DataFrame [[askStateless]] or the resident
+    * [[askStatelessResident]]): the mediums can differ only in WHERE
+    * the cache lives, never in what a miss computes. */
+  private def retrieveGenerate(spark: SparkSession, index: DataFrame, query: String,
+                               history: Option[String], topK: Int,
+                               qVec: Array[Double],
+                               graph: Option[GraphIndex.Serving],
+                               generate: Option[String => String]): (AskResult, CacheEffect) = {
+    {
         // RESIDENT-TEXT fast path (r17): a hot tier carrying the text
         // map serves the ENTIRE retrieval tail driver-side — walk,
         // top-k ordering, context blocks — zero Spark jobs between the

@@ -133,6 +133,42 @@ class AskPipelineSpec extends AnyFunSuite {
     } finally { plain.cool(); withText.cool() }
   }
 
+  test("resident LFU cache medium is bit-for-bit the DataFrame cache loop") {
+    // the same ask sequence through both cache mediums: a miss, a
+    // second distinct miss at capacity 2, a third miss forcing the
+    // newest-min-freq eviction, then a repeat of the first query that
+    // must HIT — answers, fromCache flags, and the exported cache
+    // table itself must all match (the ResidentLfuCache contract)
+    val queries = Seq("spark join tuning", "pizza dough recipe",
+      "broadcast strategies", "spark join tuning")
+    var dfCache = emptyCache
+    val viaDf = queries.map { q =>
+      val (r, c) = AskPipeline.ask(spark, index, dfCache, q, capacity = 2)
+      dfCache = c
+      (r.answer, r.fromCache)
+    }
+    val rc = new operators.ResidentLfuCache(2)
+    val viaResident = queries.map { q =>
+      val r = AskPipeline.askResident(spark, index, rc, q)
+      (r.answer, r.fromCache)
+    }
+    assert(viaResident == viaDf,
+      s"resident medium diverged:\n df=$viaDf\n rc=$viaResident")
+    assert(viaResident.last._2, "the repeat ask must hit the cache")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("entry_id", "embedding", "response", "freq")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getString(2), r.getInt(3)))
+      .toSet
+    assert(snap(rc.toDF(spark)) == snap(dfCache),
+      "exported resident cache table must equal the DataFrame cache")
+    // round trip: loading the DataFrame cache back is identity
+    val reloaded = operators.ResidentLfuCache.fromDF(dfCache, 2)
+    assert(snap(reloaded.toDF(spark)) == snap(dfCache))
+    // and a hit against the reloaded cache touches the same entry
+    val r2 = AskPipeline.askResident(spark, index, reloaded, "spark join tuning")
+    assert(r2.fromCache)
+  }
+
   test("empty hook answer is a failure: error answer, cache NOT poisoned") {
     // HttpGenerateClient degrades to "" on any transport/LLM error by
     // contract; the reference (app/main.py:541-548) answers an error and

@@ -403,6 +403,30 @@ class AskServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("residentCache server: miss -> hit -> capacity-2 eviction, same contract as the DataFrame medium") {
+    // the r17 resident cache medium behind the live surface: the same
+    // miss/hit/evict sequence the DataFrame-backed server serves, with
+    // zero cache-probe/merge Spark jobs per request
+    val srv = new AskServer(spark, index, capacity = 2, residentCache = true)
+    val port = srv.start()
+    try {
+      def ask(q: String): com.fasterxml.jackson.databind.JsonNode =
+        mapper.readTree(post(port, "/ask",
+          s"""{"chat_id":"rc","query":${mapper.writeValueAsString(q)}}""").body())
+      val q1 = "broadcast hash join planner"
+      val r1 = ask(q1)
+      assert(!r1.path("from_cache").asBoolean(true), "first ask must miss")
+      assert(ask(q1).path("from_cache").asBoolean(false), "repeat must hit")
+      assert(ask(q1).path("answer").asText() == r1.path("answer").asText())
+      // two more distinct asks overflow capacity 2: q1 (freq 3) must
+      // SURVIVE the LFU eviction, the newest freq-1 entry goes
+      ask("vectors cosine scoring normalized")
+      ask("shuffle file map task reducers")
+      assert(ask(q1).path("from_cache").asBoolean(false),
+        "the frequent entry must survive eviction")
+    } finally srv.stop()
+  }
+
   test("validation: missing query is a 400, not a crash") {
     withServer { port =>
       val r = post(port, "/ask", """{"chat_id":"x"}""")
