@@ -303,10 +303,17 @@ object ServeBench {
       if (poolOverride.isDefined) Seq(16)
       else if (args.contains("wide")) Seq(1, 4, 8, 16, 24, 32, 48)
       else Seq(1, 4, 8, 16)
+    // rescache also swaps in the RESIDENT query embedder (df map
+    // collected once): with the resident-text tier + resident cache
+    // that makes the whole request path zero-Spark-jobs
+    val embedFn: String => Array[Double] =
+      if (args.contains("rescache"))
+        operators.Embed.tfIdfQueryEmbedder(dfreq, nDocs, dim = 1024)
+      else
+        (q: String) => operators.Embed.embedQueryTfIdf(spark, q, dfreq, nDocs, dim = 1024)
     val levels = clientLevels.map { c =>
       val srv = new AskServer(spark, index, graph = Some(wh),
-        embedQuery = Some(q =>
-          operators.Embed.embedQueryTfIdf(spark, q, dfreq, nDocs, dim = 1024)),
+        embedQuery = Some(embedFn),
         dim = 1024, concurrency = poolOverride.getOrElse(math.max(c, 2)),
         residentCache = args.contains("rescache"))
       val port = srv.start()

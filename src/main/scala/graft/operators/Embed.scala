@@ -161,6 +161,72 @@ object Embed {
 
   /** Embed a query in the TF-IDF space of a corpus (unseen tokens get the
     * maximum IDF, df=1). */
+  /** RESIDENT query embedder for the TF-IDF space (r17) — the zero-job
+    * twin of [[embedQueryTfIdf]] for serving processes: the document-
+    * frequency table collects ONCE into a driver map (vocab-scale —
+    * size-guarded by `maxVocab`, the hot()/resident-text refusal
+    * discipline) and each query embeds as pure driver compute. With the
+    * resident-text hot tier and the resident LFU cache this removes the
+    * LAST per-request Spark job from the serving path (measured: the
+    * c=1 HTTP p50 was ~0.33 s of which ~0.3 s was this embed's two
+    * jobs).
+    *
+    * Same pipeline as [[embedQueryTfIdf]]: cleanText → whitespace split
+    * → lowercase → [a-z0-9] strip → tf → md5 bucket/sign × ln(1+N/df)
+    * → per-bucket sum → L2 normalize (+1e-9). Token folds run in SORTED
+    * token order, so the resident embedder is deterministic; equality
+    * with the Spark form is ELEMENTWISE-APPROXIMATE (≤1e-12, spec-
+    * pinned) rather than bitwise because the Spark per-bucket sum's
+    * float order is partition-dependent — exactly the caveat
+    * [[withTfIdfEmbedding]]'s scaladoc already documents for the
+    * TF-IDF space (the oracle-gated queries use the exact ±1 embedder
+    * for this reason; serving quality is unaffected). */
+  def tfIdfQueryEmbedder(dfreq: DataFrame, nDocs: Long,
+                         dim: Int = graft.Schemas.EmbeddingDim,
+                         maxVocab: Long = 10L * 1000 * 1000): String => Array[Double] = {
+    val nVocab = dfreq.count()
+    if (nVocab > maxVocab)
+      throw new IllegalStateException(
+        f"tfIdfQueryEmbedder: vocabulary has $nVocab%,d terms — over " +
+          f"maxVocab $maxVocab%,d; refusing to collect it resident. Use " +
+          "embedQueryTfIdf (two small Spark jobs per query) or raise " +
+          "maxVocab deliberately.")
+    val dfMap: java.util.HashMap[String, Long] = {
+      val m = new java.util.HashMap[String, Long](nVocab.toInt * 2)
+      dfreq.select(col("_t"), col("_df").cast("long"))
+        .collect().foreach(r => m.put(r.getString(0), r.getLong(1)))
+      m
+    }
+    (query: String) => {
+      // driver twins of cleanText/tokens/alnumTokens (TextFunctions):
+      // strip newlines, trim, whitespace split, lowercase, [a-z0-9]
+      val cleaned = query.replaceAll("\n", " ").trim
+      val toks =
+        if (cleaned.isEmpty) Array.empty[String]
+        else cleaned.split("\\s+")
+          .map(_.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]", ""))
+          .filter(_.nonEmpty)
+      val tf = new java.util.TreeMap[String, Long]() // sorted fold order
+      toks.foreach(t => tf.merge(t, 1L, (a, b) => a + b))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val raw = new Array[Double](dim)
+      tf.forEach { (t, n) =>
+        md.reset()
+        val hex = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString
+        val bucket = Integer.parseInt(hex.substring(0, 4), 16) % dim
+        val sign = if (Integer.parseInt(hex.substring(2, 3), 16) % 2 == 0) 1.0 else -1.0
+        val dfT = dfMap.getOrDefault(t, 1L)
+        raw(bucket) += sign * n * math.log(1.0 + nDocs.toDouble / dfT)
+      }
+      var ss = 0.0
+      var i = 0
+      while (i < dim) { ss += raw(i) * raw(i); i += 1 }
+      val norm = math.sqrt(ss)
+      raw.map(_ / (norm + 1e-9))
+    }
+  }
+
   def embedQueryTfIdf(spark: org.apache.spark.sql.SparkSession, query: String,
                       dfreq: DataFrame, nDocs: Long,
                       dim: Int = graft.Schemas.EmbeddingDim): Array[Double] = {

@@ -41,6 +41,38 @@ class TfIdfSpec extends AnyFunSuite {
     assert(top.head == 1L, s"expected ghrelin doc first, got $top")
   }
 
+  test("resident query embedder matches the Spark embedder and its retrieval") {
+    val (embedded, dfreq, n) = Embed.withTfIdfEmbedding(docs, "text", "embedding", dim = 256)
+    val resident = Embed.tfIdfQueryEmbedder(dfreq, n, dim = 256)
+    // elementwise-approximate equality (the documented TF-IDF float
+    // caveat: per-bucket sums fold in different orders); retrieval
+    // ranks must be IDENTICAL on the fixture queries
+    Seq("what is ghrelin", "patient cohort", "Repeated? WORDS\nnewline   spaced",
+        "unseen novel tokens xyzzy").foreach { q =>
+      val viaSpark = Embed.embedQueryTfIdf(spark, q, dfreq, n, dim = 256)
+      val viaResident = resident(q)
+      assert(viaResident.length == viaSpark.length)
+      viaSpark.indices.foreach { j =>
+        assert(math.abs(viaSpark(j) - viaResident(j)) <= 1e-12,
+          s"dim $j diverged for '$q': ${viaSpark(j)} vs ${viaResident(j)}")
+      }
+      val topSpark = Similarity.topK(embedded.select("doc_id", "embedding"),
+          "embedding", viaSpark.toSeq, 2)
+        .select("doc_id").as[Long].collect().toSeq
+      val topResident = Similarity.topK(embedded.select("doc_id", "embedding"),
+          "embedding", viaResident.toSeq, 2)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(topResident == topSpark, s"retrieval diverged for '$q'")
+    }
+    // blank and whitespace-only queries embed to the zero-vector path
+    assert(resident("").forall(_ == 0.0) && resident("  \n ").forall(_ == 0.0))
+    // the vocab size guard refuses before collecting
+    val err = intercept[IllegalStateException] {
+      Embed.tfIdfQueryEmbedder(dfreq, n, dim = 256, maxVocab = 1L)
+    }
+    assert(err.getMessage.contains("maxVocab"), err.getMessage)
+  }
+
   test("common-term query does not dominate via term frequency alone") {
     val (embedded, dfreq, n) = Embed.withTfIdfEmbedding(docs, "text", "embedding", dim = 256)
     // 'patient cohort' appears in docs 1 and 3; doc 2's repeated common
