@@ -92,7 +92,15 @@ object Bench {
     // (older format) keep the min.
     val prev: Map[String, Double] =
       if (Files.exists(Paths.get(baselineSrc))) {
-        val txt = Files.readString(Paths.get(baselineSrc))
+        // whitespace-normalized before the regex: Bench writes the
+        // compact one-line shape, but a baseline refreshed through a
+        // pretty-printer (json.dump(indent=...)) is semantically
+        // identical JSON that the compact regex silently failed to
+        // match — prev parsed EMPTY and the regression gate ran
+        // against nothing (caught r17: every query reported "new").
+        // Names and numbers contain no whitespace, so stripping it is
+        // lossless for the fields the regex reads.
+        val txt = Files.readString(Paths.get(baselineSrc)).replaceAll("\\s+", "")
         """"([\w]+)":\{"min":([-0-9.eE+]+)(?:,"spread":[-0-9.eE+]+,"runs":\[([-0-9.eE+,]*)\])?""".r
           .findAllMatchIn(txt).map { m =>
             val min = m.group(2).toDouble

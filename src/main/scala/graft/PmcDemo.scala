@@ -103,6 +103,29 @@ object PmcDemo {
       graph = Some(hotH))
     println(f"HOT GRAPH ASK2 fromCache=${resH2.fromCache} in ${(System.nanoTime() - tHA2) / 1e9}%.1f s")
 
+    // FULLY-RESIDENT ASK — round 17, the reference's whole serving
+    // process replicated literally: in-process index (hot + resident
+    // chunk text), in-process Redis (ResidentLfuCache), in-process
+    // embedder (tfIdfQueryEmbedder's collected df map). ZERO Spark
+    // jobs per ask — the measured path behind the 391.9 ask/s HTTP
+    // knee (SCALE.md r17). Same store, same answers.
+    val tRes = System.nanoTime()
+    val hotT = operators.GraphIndex.hot(spark, h, residentText = true)
+    val resEmbed = operators.Embed.tfIdfQueryEmbedder(dfreq, nDocs2, dim = 1024)
+    println(f"GRAPH RESIDENT (text+cache+embed load) in ${(System.nanoTime() - tRes) / 1e9}%.1f s")
+    val rcache = new operators.ResidentLfuCache()
+    val tRA = System.nanoTime()
+    val resR = operators.AskPipeline.askResident(spark, index, rcache, query,
+      queryVec = Some(resEmbed(query)), graph = Some(hotT))
+    println(f"RESIDENT ASK fromCache=${resR.fromCache} in ${(System.nanoTime() - tRA) / 1e9}%.3f s " +
+      s"answerMatchesExact=${resR.answer == res.answer}")
+    val tRA2 = System.nanoTime()
+    val resR2 = operators.AskPipeline.askResident(spark, index, rcache, query,
+      queryVec = Some(resEmbed(query)), graph = Some(hotT))
+    println(f"RESIDENT ASK2 (cache HIT) fromCache=${resR2.fromCache} " +
+      f"in ${(System.nanoTime() - tRA2) / 1e9}%.3f s")
+    hotT.cool()
+
     // LIVE WS SERVING LOOP — the reference's README demo (ws/ask,
     // app/main.py:650-735; README "What is Ghrelin?") driven end-to-end
     // by a real JDK WebSocket client against the warm index: multi-turn
