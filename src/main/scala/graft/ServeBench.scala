@@ -234,8 +234,13 @@ object ServeBench {
     def batched(size: Int): (Seq[Double], Double, Double, Double) = {
       val lat = queries.indices.grouped(size).filter(_.length == size).map { g =>
         val t = System.nanoTime()
-        operators.AskPipeline.askBatch(spark, index, emptyCache,
-          g.map(queries), queryVecs = Some(g.map(qvecs)), graph = Some(wh))
+        if (useResidentCache)
+          operators.AskPipeline.askBatchResident(spark, index,
+            new operators.ResidentLfuCache(), g.map(queries),
+            queryVecs = Some(g.map(qvecs)), graph = Some(wh))
+        else
+          operators.AskPipeline.askBatch(spark, index, emptyCache,
+            g.map(queries), queryVecs = Some(g.map(qvecs)), graph = Some(wh))
         (System.nanoTime() - t) / 1e9
       }.toSeq
       val (p50, p95, mx) = stats(lat)

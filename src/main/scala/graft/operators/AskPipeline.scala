@@ -170,6 +170,55 @@ object AskPipeline {
     res
   }
 
+  /** [[askBatch]] on the resident medium (r17): every query probes ONE
+    * cache snapshot ([[ResidentLfuCache.probeBatch]], a single critical
+    * section), misses run the shared [[retrieveGenerate]] path (zero
+    * Spark jobs per miss on a resident-text hot tier — the whole batch
+    * is then job-free), and effects merge exactly like askBatch:
+    * hit-freq bumps in input order, then one insert per miss with ids
+    * allocated from the SNAPSHOT max (askBatch's rule — not the
+    * evolving max the sequential loop uses). Returns results in input
+    * order; the cache mutates in place. Spec-pinned equal to askBatch
+    * on answers, flags, AND the exported cache table. Note: misses
+    * retrieve ONE AT A TIME — right on the resident tier where each is
+    * sub-millisecond compute; on non-resident tiers askBatch's single
+    * batched retrieval amortizes better. */
+  def askBatchResident(spark: SparkSession, index: DataFrame,
+                       cache: ResidentLfuCache, queries: Seq[String],
+                       topK: Int = Schemas.DefaultTopK,
+                       threshold: Double = Schemas.CacheThreshold,
+                       dim: Int = Schemas.EmbeddingDim,
+                       queryVecs: Option[Seq[Array[Double]]] = None,
+                       graph: Option[GraphIndex.Serving] = None): Seq[AskResult] = {
+    require(queries.nonEmpty, "askBatchResident: empty query batch")
+    val qVecs = queryVecs.getOrElse(queries.map(q => Embed.embedQuery(spark, q, dim)))
+    require(qVecs.length == queries.length,
+      s"askBatchResident: ${queries.length} queries but ${qVecs.length} vectors")
+    val (hits, snapMax) = cache.probeBatch(qVecs, threshold)
+    val results = queries.indices.map { i =>
+      hits(i) match {
+        case Some((_, resp)) =>
+          AskResult(queries(i), resp, fromCache = true, prompt = "")
+        case None =>
+          retrieveGenerate(spark, index, queries(i), None, topK, qVecs(i),
+            graph, None)._1
+      }
+    }
+    // merge in input order: all hit bumps first, then one put per miss
+    // (askBatch's order), ids from the snapshot max
+    queries.indices.foreach(i =>
+      hits(i).foreach { case (id, _) => cache.applyEffect(TouchEffect(id)) })
+    var j = 0
+    queries.indices.foreach { i =>
+      if (hits(i).isEmpty) {
+        cache.insertAssigned(snapMax + 1 + j,
+          qVecs(i).map(_.toFloat), results(i).answer)
+        j += 1
+      }
+    }
+    results
+  }
+
   /** The shared MISS path — retrieval, context, prompt, generation,
     * and the failure rule — identical whichever cache medium probed
     * (the DataFrame [[askStateless]] or the resident

@@ -62,23 +62,58 @@ final class ResidentLfuCache(val capacity: Int = graft.Schemas.CacheCapacity) {
     if (sa == 0.0 || sb == 0.0) 0.0 else dot / (sa * sb)
   }
 
+  private def lookupUnsynced(queryVec: Array[Double],
+                             threshold: Double): Option[(Long, String)] = {
+    var best: Entry = null
+    var bestSim = 0.0
+    entries.foreach { e =>
+      val s = cosineOf(e.vec, queryVec)
+      if (best == null || Retrieval.cmpSparkDouble(s, bestSim) > 0 ||
+          (Retrieval.cmpSparkDouble(s, bestSim) == 0 && e.id > best.id)) {
+        best = e; bestSim = s
+      }
+    }
+    if (best != null && bestSim >= threshold) Some((best.id, best.response))
+    else None
+  }
+
   /** [[Similarity.cacheLookup]]'s argmax, zero Spark jobs: Some((id,
     * response)) iff the best cosine ≥ threshold (inclusive). */
   def lookup(queryVec: Array[Double],
              threshold: Double = graft.Schemas.CacheThreshold): Option[(Long, String)] =
-    synchronized {
-      var best: Entry = null
-      var bestSim = 0.0
-      entries.foreach { e =>
-        val s = cosineOf(e.vec, queryVec)
-        if (best == null || Retrieval.cmpSparkDouble(s, bestSim) > 0 ||
-            (Retrieval.cmpSparkDouble(s, bestSim) == 0 && e.id > best.id)) {
-          best = e; bestSim = s
-        }
+    synchronized(lookupUnsynced(queryVec, threshold))
+
+  /** The batch probe — every query against ONE consistent state (the
+    * [[AskPipeline.askBatch]] snapshot semantic, one critical section)
+    * plus the snapshot's max entry id (0 when empty — askBatch's
+    * insert-id base). */
+  def probeBatch(queryVecs: Seq[Array[Double]],
+                 threshold: Double = graft.Schemas.CacheThreshold)
+      : (Seq[Option[(Long, String)]], Long) = synchronized {
+    val hits = queryVecs.map(qv => lookupUnsynced(qv, threshold))
+    val maxId = (entries.iterator.map(_.id) ++ Iterator.single(0L)).max
+    (hits, maxId)
+  }
+
+  /** Insert with a CALLER-ASSIGNED id — [[AskPipeline.askBatchResident]]'s
+    * merge step, which (like askBatch) allocates every miss's id from
+    * the SNAPSHOT max rather than the evolving one. Same eviction rule
+    * as [[applyEffect]]'s insert. */
+  private[operators] def insertAssigned(id: Long, vec: Array[Float],
+                                        answer: String): Unit = synchronized {
+    if (entries.length >= capacity) {
+      var victim = 0
+      var i = 1
+      while (i < entries.length) {
+        val e = entries(i)
+        val v = entries(victim)
+        if (e.freq < v.freq || (e.freq == v.freq && e.id > v.id)) victim = i
+        i += 1
       }
-      if (best != null && bestSim >= threshold) Some((best.id, best.response))
-      else None
+      entries.remove(victim)
     }
+    entries += new Entry(id, vec, answer, 1)
+  }
 
   /** Merge one ask's [[AskPipeline.CacheEffect]] — the
     * [[AskPipeline.applyCacheEffect]] twin on this medium. */

@@ -169,6 +169,34 @@ class AskPipelineSpec extends AnyFunSuite {
     assert(r2.fromCache)
   }
 
+  test("askBatchResident equals askBatch: snapshot probes, merge order, insert-id rule") {
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("entry_id", "embedding", "response", "freq")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getString(2), r.getInt(3)))
+      .toSet
+    // batch 1: three distinct misses + an IN-BATCH duplicate (both
+    // duplicates must miss — snapshot semantics — and both insert)
+    val b1 = Seq("spark join tuning", "pizza dough recipe",
+      "broadcast strategies", "spark join tuning")
+    val (dfRes1, dfCache1) = AskPipeline.askBatch(spark, index, emptyCache, b1)
+    val rc = new operators.ResidentLfuCache()
+    val rcRes1 = AskPipeline.askBatchResident(spark, index, rc, b1)
+    assert(rcRes1.map(r => (r.answer, r.fromCache)) ==
+      dfRes1.map(r => (r.answer, r.fromCache)))
+    assert(rcRes1.count(_.fromCache) == 0, "snapshot probes: duplicate still misses")
+    assert(snap(rc.toDF(spark)) == snap(dfCache1),
+      "batch-1 cache tables diverged (insert-id rule)")
+    // batch 2 against the evolved caches: one HIT + one new miss
+    val b2 = Seq("spark join tuning", "columnar compression formats")
+    val (dfRes2, dfCache2) = AskPipeline.askBatch(spark, index, dfCache1, b2)
+    val rcRes2 = AskPipeline.askBatchResident(spark, index, rc, b2)
+    assert(rcRes2.map(r => (r.answer, r.fromCache)) ==
+      dfRes2.map(r => (r.answer, r.fromCache)))
+    assert(rcRes2.head.fromCache, "the repeat must hit across batches")
+    assert(snap(rc.toDF(spark)) == snap(dfCache2),
+      "batch-2 cache tables diverged (touch merge)")
+  }
+
   test("empty hook answer is a failure: error answer, cache NOT poisoned") {
     // HttpGenerateClient degrades to "" on any transport/LLM error by
     // contract; the reference (app/main.py:541-548) answers an error and
