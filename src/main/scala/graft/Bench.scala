@@ -11,9 +11,10 @@ import org.apache.spark.sql.SparkSession
   * Trial scheduling is INTERLEAVED (round-5 verdict item 1): an untimed
   * WARMUP pass runs every query once (codegen compiled, JIT settled),
   * then pass 1 runs all queries once in sorted name order, then pass 2,
-  * then pass 3, and each query reports the min across measured passes;
-  * queries whose min is sub-second get 2 extra back-to-back trials
-  * (min-of-5) because that's where single-draw JIT variance created
+  * then (budget permitting — see DefaultBudgetS) pass 3, and each query
+  * reports the min across measured passes; queries whose min is
+  * sub-second get 2 extra back-to-back trials when the budget allows,
+  * because that's where single-draw JIT variance created
   * phantom baseline flags (round-8 q_chunk 1.78x on byte-identical code). The previous schedule (3
   * back-to-back trials per query) let a single multi-minute host
   * disturbance land on ALL trials of whichever queries it overlapped —
@@ -42,6 +43,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val RegressionRatio = 1.6
+  // In-JVM wall-clock budget (seconds), env-overridable. Round 17's
+  // driver bench timed out (BENCH_r17.json rc=124, parsed:null) while
+  // the same commit benched green in 1096 s when run directly — the
+  // fixed warmup+3-pass+min-of-5 schedule simply didn't fit the
+  // harness envelope. The schedule is now ADAPTIVE under this budget:
+  // warmup + 2 measured passes always run (min-of-2 is the floor the
+  // spread-aware 1.6x gate was designed to absorb); pass 3 runs only
+  // if `elapsed + 1.15 * last_pass_time` fits, and the sub-second
+  // extra trials only if their projected cost (sum of sub-second mins
+  // x trials) fits after that. The emitted policy string records what
+  // actually ran, so cross-round artifacts stay self-describing.
+  private val DefaultBudgetS = 600.0
   // A baseline entry whose OWN runs disagree by more than this
   // (max/min - 1) has an untrustworthy min: with min-of-5 scheduling a
   // single favorable back-to-back draw can sit 40%+ under the steady
@@ -62,6 +75,11 @@ object Bench {
   private val ExtraTrials = 2
 
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(DefaultBudgetS)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
@@ -180,19 +198,39 @@ object Bench {
     // warming before measuring removes the cold/warm asymmetry that
     // makes such draws possible.
     named.foreach { case (n, f) => timeOne(n, f) }
-    // pass-major order: every query once per pass, min across passes
-    val passTimes: Seq[Seq[Double]] =
-      (1 to Passes).map(_ => named.map { case (n, f) => timeOne(n, f) })
+    // pass-major order: every query once per pass, min across passes.
+    // Two passes always run (the min-of-2 floor); each further pass up
+    // to Passes runs only if the budget projects room for it — see the
+    // DefaultBudgetS rationale. A pass is never aborted mid-flight:
+    // the decision is taken between passes, so every query always has
+    // the same number of draws within a run.
+    val passBuf = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
+    var passWall = 0.0
+    var p = 0
+    while (p < Passes &&
+           (p < 2 || elapsedS + 1.15 * passWall < budgetS)) {
+      val t0 = System.nanoTime()
+      passBuf += named.map { case (n, f) => timeOne(n, f) }
+      passWall = (System.nanoTime() - t0) / 1e9
+      p += 1
+    }
+    val passesRun = passBuf.length
+    val passTimes: Seq[Seq[Double]] = passBuf.toSeq
     val prelim = named.zipWithIndex.map { case ((name, fn), i) =>
       (name, fn, passTimes.map(_(i)))
     }
-    // extra back-to-back draws for sub-second queries: min-of-5 instead
-    // of min-of-3 where single-draw variance is largest relative to the
-    // measurement (costs ~ sum of sub-second mins — tens of seconds)
+    // extra back-to-back draws for sub-second queries — min-of-(N+2)
+    // where single-draw variance is largest relative to the
+    // measurement — budget-gated on their projected cost (the sum of
+    // sub-second mins times the extra-trial count)
+    val subsecCost = prelim
+      .collect { case (_, _, b) if b.min >= 0 && b.min < SubSecondCutoff => b.min }
+      .sum * ExtraTrials
+    val runExtras = elapsedS + 1.2 * subsecCost < budgetS
     val results = prelim.map { case (name, fn, base) =>
       val failed = base.exists(_ < 0)
       val times =
-        if (!failed && base.min < SubSecondCutoff)
+        if (!failed && runExtras && base.min < SubSecondCutoff)
           base ++ (1 to ExtraTrials).map(_ => timeOne(name, fn))
         else base
       val anyFailed = times.exists(_ < 0)
@@ -202,6 +240,9 @@ object Bench {
       }
       (name, if (anyFailed) -1.0 else times.min, spread, times)
     }
+    val policy = "warmup+min-of-" + passesRun + "-interleaved" +
+      (if (runExtras) "+subsec-min-of-" + (passesRun + ExtraTrials) else "") +
+      "+budget-" + math.round(budgetS) + "s"
 
     def r3(v: Double) = math.round(v * 1000).toDouble / 1000
     // failed queries (-1 sentinel) must not subtract from the total — a
@@ -241,7 +282,7 @@ object Bench {
         s"""{"query":"$n","prev_min":${r3(p)},"min":${r3(c)},"ratio":${r3(ratio)}}"""
       }.mkString("[", ",", "]")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",
-         |"runs":$Passes,"policy":"warmup+min-of-$Passes-interleaved+subsec-min-of-${Passes + ExtraTrials}","steady_spread_p90":${r3(p90)},
+         |"runs":$passesRun,"policy":"$policy","steady_spread_p90":${r3(p90)},"bench_wall_s":${r3(elapsedS)},
          |"calibration":{"jvm_scalar_s":${r3(calibJvm)},"spark_agg_s":${r3(calibSpark)}},
          |"regression_ratio_gate":$RegressionRatio,"baseline":"$baselineSrc",
          |"failed":[${failedQs.map("\"" + _ + "\"").mkString(",")}],
@@ -260,7 +301,7 @@ object Bench {
     val qsLine = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsLine,""" +
-      s""""runs":$Passes,"policy":"warmup+min-of-$Passes-interleaved+subsec-min-of-${Passes + ExtraTrials}","steady_spread_p90":${r3(p90)},""" +
+      s""""runs":$passesRun,"policy":"$policy","steady_spread_p90":${r3(p90)},"bench_wall_s":${r3(elapsedS)},""" +
       s""""calibration":{"jvm_scalar_s":${r3(calibJvm)},"spark_agg_s":${r3(calibSpark)}},""" +
       s""""failed":[${failedQs.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""full_artifact":"$outFile","baseline":"$baselineSrc","sf":"$sfDir"}""")
