@@ -73,9 +73,38 @@ final class ResidentLfuCache(val capacity: Int = graft.Schemas.CacheCapacity) {
         best = e; bestSim = s
       }
     }
-    if (best != null && bestSim >= threshold) Some((best.id, best.response))
+    // threshold test on the SPARK double ordering, same as the argmax
+    // above: Similarity.cacheLookup's `sim >= threshold` filter is
+    // Spark's nan-safe compare (NaN > any double), so a NaN cosine
+    // from a degenerate stored vector must hit on BOTH media — plain
+    // Java `>=` would miss here while the DataFrame medium hits
+    if (best != null && Retrieval.cmpSparkDouble(bestSim, threshold) >= 0)
+      Some((best.id, best.response))
     else None
   }
+
+  /** Index of the LFU eviction victim: minimum freq, ties → HIGHEST
+    * entry_id (the reference's newest-first Redis list scan keeping
+    * the first strict minimum — [[CacheLfu.evictionVictim]]). */
+  private def victimIndex(): Int = {
+    var victim = 0
+    var i = 1
+    while (i < entries.length) {
+      val e = entries(i)
+      val v = entries(victim)
+      if (e.freq < v.freq || (e.freq == v.freq && e.id > v.id)) victim = i
+      i += 1
+    }
+    victim
+  }
+
+  /** Snapshot max entry id with the DataFrame medium's
+    * `coalesce(max(entry_id), 0)` semantics: 0 substitutes ONLY for an
+    * empty cache — a non-empty cache reports its true max even if every
+    * id is negative (externally-constructed caches; pipeline ids are
+    * always ≥ 1). */
+  private def maxIdUnsynced: Long =
+    if (entries.isEmpty) 0L else entries.iterator.map(_.id).max
 
   /** [[Similarity.cacheLookup]]'s argmax, zero Spark jobs: Some((id,
     * response)) iff the best cosine ≥ threshold (inclusive). */
@@ -91,8 +120,7 @@ final class ResidentLfuCache(val capacity: Int = graft.Schemas.CacheCapacity) {
                  threshold: Double = graft.Schemas.CacheThreshold)
       : (Seq[Option[(Long, String)]], Long) = synchronized {
     val hits = queryVecs.map(qv => lookupUnsynced(qv, threshold))
-    val maxId = (entries.iterator.map(_.id) ++ Iterator.single(0L)).max
-    (hits, maxId)
+    (hits, maxIdUnsynced)
   }
 
   /** Insert with a CALLER-ASSIGNED id — [[AskPipeline.askBatchResident]]'s
@@ -101,17 +129,7 @@ final class ResidentLfuCache(val capacity: Int = graft.Schemas.CacheCapacity) {
     * as [[applyEffect]]'s insert. */
   private[operators] def insertAssigned(id: Long, vec: Array[Float],
                                         answer: String): Unit = synchronized {
-    if (entries.length >= capacity) {
-      var victim = 0
-      var i = 1
-      while (i < entries.length) {
-        val e = entries(i)
-        val v = entries(victim)
-        if (e.freq < v.freq || (e.freq == v.freq && e.id > v.id)) victim = i
-        i += 1
-      }
-      entries.remove(victim)
-    }
+    if (entries.length >= capacity) entries.remove(victimIndex())
     entries += new Entry(id, vec, answer, 1)
   }
 
@@ -123,21 +141,8 @@ final class ResidentLfuCache(val capacity: Int = graft.Schemas.CacheCapacity) {
       case AskPipeline.TouchEffect(id) =>
         entries.find(_.id == id).foreach(e => e.freq += 1)
       case AskPipeline.InsertEffect(vec, answer) =>
-        val nextId = (entries.iterator.map(_.id) ++ Iterator.single(0L)).max + 1
-        if (entries.length >= capacity) {
-          // victim: min freq, ties → highest id (newest) — the
-          // reference's newest-first list scan keeping the first
-          // strict minimum
-          var victim = 0
-          var i = 1
-          while (i < entries.length) {
-            val e = entries(i)
-            val v = entries(victim)
-            if (e.freq < v.freq || (e.freq == v.freq && e.id > v.id)) victim = i
-            i += 1
-          }
-          entries.remove(victim)
-        }
+        val nextId = maxIdUnsynced + 1
+        if (entries.length >= capacity) entries.remove(victimIndex())
         entries += new Entry(nextId, vec.toArray, answer, 1)
     }
   }
@@ -147,6 +152,16 @@ final class ResidentLfuCache(val capacity: Int = graft.Schemas.CacheCapacity) {
   private[operators] def load(id: Long, vec: Array[Float],
                               response: String, freq: Int): Unit = synchronized {
     entries += new Entry(id, vec, response, freq)
+  }
+
+  /** Drain an over-capacity load back to capacity by REPEATED
+    * application of the eviction rule — the survivor set is exactly
+    * what k sequential evictions on the DataFrame medium leave
+    * ([[CacheLfu.evictionVictim]] applied k times), because insert
+    * evicts exactly one per arrival and so can never drain a cache
+    * that was loaded over capacity. */
+  private[operators] def trimToCapacity(): Unit = synchronized {
+    while (entries.length > capacity) entries.remove(victimIndex())
   }
 
   /** Export as the exact cache table (entry_id, embedding, response,
@@ -161,7 +176,13 @@ final class ResidentLfuCache(val capacity: Int = graft.Schemas.CacheCapacity) {
 
 object ResidentLfuCache {
   /** Load an existing DataFrame cache (capacity-bounded rows by the
-    * schema's contract — one bounded collect). */
+    * schema's contract — one bounded collect). An over-capacity input
+    * is TRIMMED to capacity by repeated application of the eviction
+    * rule (min freq, ties → highest id): insert evicts exactly one
+    * entry per arrival, so an over-capacity load would otherwise stay
+    * over capacity for the life of the process. The survivors equal
+    * what k sequential [[CacheLfu.evictionVictim]] evictions leave on
+    * the DataFrame medium (ResidentCacheSpec pins this). */
   def fromDF(cache: DataFrame,
              capacity: Int = graft.Schemas.CacheCapacity): ResidentLfuCache = {
     val rc = new ResidentLfuCache(capacity)
@@ -169,6 +190,7 @@ object ResidentLfuCache {
       .collect().sortBy(_.getLong(0)).foreach { r =>
         rc.load(r.getLong(0), r.getSeq[Float](1).toArray, r.getString(2), r.getInt(3))
       }
+    rc.trimToCapacity()
     rc
   }
 }

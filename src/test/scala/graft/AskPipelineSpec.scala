@@ -169,6 +169,57 @@ class AskPipelineSpec extends AnyFunSuite {
     assert(r2.fromCache)
   }
 
+  test("fromDF trims an over-capacity load by the eviction rule; maxId floor is empty-only") {
+    import org.apache.spark.sql.functions.col
+    // 5 entries into capacity 3: the trimmed survivor set must equal
+    // what 2 SEQUENTIAL DataFrame-medium evictions leave (insert evicts
+    // exactly one per arrival, so an untrimmed over-capacity load
+    // would stay over capacity for the life of the process)
+    val df = Seq(
+      (1L, Seq(1f, 0f), "a", 2), (2L, Seq(0f, 1f), "b", 1),
+      (3L, Seq(1f, 1f), "c", 1), (4L, Seq(0.5f, 1f), "d", 3),
+      (5L, Seq(1f, 0.5f), "e", 1))
+      .toDF("entry_id", "embedding", "response", "freq")
+    var cur = df
+    (1 to 2).foreach { _ =>
+      val victim = operators.CacheLfu.evictionVictim(cur)
+        .select("entry_id").as[Long].head
+      cur = cur.filter(col("entry_id") =!= victim)
+    }
+    val expect = cur.select("entry_id").as[Long].collect().toSet
+    val rc = operators.ResidentLfuCache.fromDF(df, 3)
+    assert(rc.size == 3)
+    val got = rc.toDF(spark).select("entry_id").as[Long].collect().toSet
+    assert(got == expect, s"trim survivors $got != sequential evictions $expect")
+    // max-id floor: 0 substitutes ONLY for an empty cache — matching
+    // the DataFrame medium's coalesce(max(entry_id), 0), which reports
+    // a negative true max for externally-constructed caches
+    val neg = Seq((-5L, Seq(1f, 0f), "n", 1))
+      .toDF("entry_id", "embedding", "response", "freq")
+    val (_, maxNeg) = operators.ResidentLfuCache.fromDF(neg, 3)
+      .probeBatch(Seq(Array(0.0, 1.0)))
+    assert(maxNeg == -5L, "non-empty cache must report its true (negative) max id")
+    val (_, maxEmpty) = new operators.ResidentLfuCache(3)
+      .probeBatch(Seq(Array(0.0, 1.0)))
+    assert(maxEmpty == 0L)
+  }
+
+  test("NaN cosine hits on BOTH cache media (Spark nan-safe threshold compare)") {
+    // a stored vector containing NaN makes the cosine NaN; Spark's
+    // `sim >= threshold` filter orders NaN above every double, so the
+    // DataFrame medium HITS — the resident medium must hit identically
+    // (cmpSparkDouble on the threshold test, not Java >=)
+    val nan = Seq((1L, Seq(Float.NaN, 0f), "nan-entry", 1))
+      .toDF("entry_id", "embedding", "response", "freq")
+    val q = Seq(1.0, 0.0)
+    val dfHits = operators.Similarity.cacheLookup(nan, "embedding", q).count()
+    assert(dfHits == 1L,
+      "DataFrame medium: NaN sim must pass the nan-safe >= threshold filter")
+    val rcHit = operators.ResidentLfuCache.fromDF(nan, 3).lookup(q.toArray)
+    assert(rcHit.map(_._2) == Some("nan-entry"),
+      "resident medium must hit the same NaN-sim entry")
+  }
+
   test("askBatchResident equals askBatch: snapshot probes, merge order, insert-id rule") {
     def snap(df: org.apache.spark.sql.DataFrame) = df
       .select("entry_id", "embedding", "response", "freq")
