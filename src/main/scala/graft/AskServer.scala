@@ -85,7 +85,10 @@ final class AskServer(spark: SparkSession, index: DataFrame,
                       historyTurns: Int = 5,
                       bindPort: Int = 0,
                       concurrency: Int = 8,
-                      residentCache: Boolean = false) {
+                      residentCache: Boolean = false,
+                      staleCheck: String = "off") {
+  require(Set("off", "log", "refuse").contains(staleCheck),
+    s"AskServer: staleCheck='$staleCheck' must be off|log|refuse")
   import spark.implicits._
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -446,12 +449,46 @@ final class AskServer(spark: SparkSession, index: DataFrame,
     (res.answer, res.fromCache, turns.length, streamedLive, res.failed)
   }
 
+  // The resident tiers' staleness contract (r17 verdict item 5): a
+  // long-lived serving process holds point-in-time snapshots (hot
+  // arrays, resident text, the TF-IDF vocab the injected embedQuery
+  // closed over — all derived from the same store this server's graph
+  // tier mirrors) while the store carries on mutating underneath. The
+  // knob polls GraphIndex.storeStamp per request — pure filesystem
+  // metadata, zero Spark jobs: "log" warns ONCE (a tier, once stale,
+  // stays stale until rebuilt — per-request spam says nothing new),
+  // "refuse" answers 503 so an operator rebuilds the tier instead of
+  // serving silently-drifted answers. Default "off": single-writer
+  // deployments that rebuild tiers on their own cadence pay nothing.
+  private val staleLogged = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def staleGate(): Option[String] =
+    if (staleCheck == "off") None
+    else graph match {
+      case Some(g) if g.isStale(spark) =>
+        if (staleCheck == "refuse")
+          Some("serving snapshot is stale: the graph store mutated " +
+            "since this tier was loaded — rebuild the tier (cool() + " +
+            "re-hot()) before serving")
+        else {
+          if (staleLogged.compareAndSet(false, true))
+            System.err.println("[ask-server] WARNING: serving snapshot " +
+              "is stale — the graph store mutated since this tier was " +
+              "loaded; answers reflect the point-in-time snapshot")
+          None
+        }
+      case _ => None
+    }
+
   private def handleAsk(ex: HttpExchange): Unit = {
     val r = parseReq(ex)
-    val (answer, fromCache, nTurns, _, _) = askOnce(r)
-    respond(ex, 200,
-      s"""{"query":${quote(r.query)},"answer":${quote(answer)},""" +
-        s""""from_cache":$fromCache,"n_history_turns":$nTurns}""")
+    staleGate() match {
+      case Some(msg) => respond(ex, 503, s"""{"error":${quote(msg)}}""")
+      case None =>
+        val (answer, fromCache, nTurns, _, _) = askOnce(r)
+        respond(ex, 200,
+          s"""{"query":${quote(r.query)},"answer":${quote(answer)},""" +
+            s""""from_cache":$fromCache,"n_history_turns":$nTurns}""")
+    }
   }
 
   private def handleStream(ex: HttpExchange): Unit = {

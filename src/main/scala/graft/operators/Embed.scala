@@ -180,7 +180,15 @@ object Embed {
     * float order is partition-dependent — exactly the caveat
     * [[withTfIdfEmbedding]]'s scaladoc already documents for the
     * TF-IDF space (the oracle-gated queries use the exact ±1 embedder
-    * for this reason; serving quality is unaffected). */
+    * for this reason; serving quality is unaffected).
+    *
+    * STALENESS: the collected vocab map is a point-in-time copy of the
+    * corpus statistics. When the embedder serves alongside a graph
+    * tier over the SAME corpus (the [[graft.AskServer]] wiring), the
+    * tier's [[GraphIndex.Serving.isStale]] covers it — the store
+    * mutating implies the df table this map mirrors has moved too;
+    * rebuild both together (AskServer's `staleCheck` knob is the
+    * per-request poll). */
   def tfIdfQueryEmbedder(dfreq: DataFrame, nDocs: Long,
                          dim: Int = graft.Schemas.EmbeddingDim,
                          maxVocab: Long = 10L * 1000 * 1000): String => Array[Double] = {

@@ -47,6 +47,19 @@ object GraphIndex {
   sealed trait Serving {
     def handle: Handle
 
+    /** The [[storeStamp]] captured when this serving tier snapshotted
+      * the store — None for media that read the store live per query
+      * (the cold [[Handle]] path is never stale by construction). */
+    def loadStamp: Option[String] = None
+
+    /** True when the underlying store has mutated since this snapshot
+      * was taken (insert/delete/rebuild/compact all move the stamp —
+      * see [[storeStamp]]). Always false for live-reading media. A
+      * stale tier still serves its point-in-time answers correctly;
+      * this is the signal to rebuild it (`cool()` + re-`hot()`). */
+    def isStale(spark: SparkSession): Boolean =
+      loadStamp.exists(_ != storeStamp(spark, handle))
+
     /** Every node the beam walk visits, scored, re-joined to its chunk
       * row — shaped like the exact-retrieval candidate set (original
       * columns + `sim`), so downstream context assembly cannot tell
@@ -343,8 +356,11 @@ object GraphIndex {
       tombs: java.util.HashSet[java.lang.Long],
       idToIdx: java.util.HashMap[java.lang.Long, Integer],
       chunksDf: DataFrame, chunksCached: Boolean,
-      textMap: Option[java.util.HashMap[java.lang.Long, (Any, Long, String)]] = None)
+      textMap: Option[java.util.HashMap[java.lang.Long, (Any, Long, String)]] = None,
+      stamp: Option[String] = None)
       extends Serving {
+
+    override def loadStamp: Option[String] = stamp
 
     private val arrays =
       new GraphArrays(nodeIds, nodeVecs, nodeNorms, adj, idToIdx)
@@ -512,6 +528,11 @@ object GraphIndex {
             "(the attach join stays pruned + broadcast) or raise the " +
             "budget deliberately.")
     }
+    // staleness stamp captured BEFORE the collects: a mutation racing
+    // the load then moves the live stamp and the snapshot reads stale —
+    // the conservative direction (a spurious re-hot, never a
+    // silently-drifted tier)
+    val stamp = storeStamp(spark, h)
     val nodeRows = h.chunks(spark)
       .select(col("uid").cast("long"), col(h.vecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -591,7 +612,7 @@ object GraphIndex {
         Some(tm)
       }
     new Hot(h, ids.toArray, vecs.toArray, norms, adjBuf.map(_.toArray),
-      centIdxs, tombs, seen, chunksDf, cacheChunks, textMap)
+      centIdxs, tombs, seen, chunksDf, cacheChunks, textMap, Some(stamp))
   }
 
   /** The SHARDED executor-resident hot tier — [[Hot]]'s answer to both
@@ -636,8 +657,12 @@ object GraphIndex {
       shardRdd: org.apache.spark.rdd.RDD[(Int, GraphArrays)],
       centIds: Array[Long],
       centVecs: Array[Array[Double]],
+      centShards: Array[Int],
       tombs: java.util.HashSet[java.lang.Long],
-      chunksDf: DataFrame, chunksCached: Boolean) extends Serving {
+      chunksDf: DataFrame, chunksCached: Boolean,
+      stamp: Option[String] = None) extends Serving {
+
+    override def loadStamp: Option[String] = stamp
 
     private val centNorms: Array[Double] = centVecs.map { v =>
       var s = 0.0; var i = 0
@@ -663,12 +688,23 @@ object GraphIndex {
         while (j < v.length) { dot += q(j) * v(j); j += 1 }
         val s = if (qnorm == 0.0 || centNorms(ci) == 0.0) 0.0
                 else dot / (qnorm * centNorms(ci))
-        (centIds(ci), s)
+        (ci, s)
       }
-        .sortBy { case (id, s) => (-s, id) }
+        .sortBy { case (ci, s) => (-s, centIds(ci)) }
         .take(handle.beamWidth)
-        .map { case (id, _) =>
-          (id, (((id % nShards) + nShards) % nShards).toInt) }
+        .map {
+          // shard from the centroid's ACTUAL node placement (collected
+          // at build time from shardedFrames), NOT `id mod nShards`: a
+          // centroid that overlaps a chunk row is placed in shard
+          // `cell_id mod nShards` of ITS OWN assignment, which differs
+          // from `centroid_id mod nShards` whenever the row was
+          // assigned to another centroid's cell (duplicate-vector
+          // cosine ties; approximate two-level assignment past
+          // DefaultAutoHierAt). Recomputing the mod here routed such
+          // entries to a shard whose idToIdx lacks them — the entry
+          // silently contributed NOTHING, recall loss beyond the
+          // documented cross-shard-edge trade.
+          case (ci, _) => (centIds(ci), centShards(ci)) }
     }
 
     /** One fan-out job over the routed shards for a whole query batch:
@@ -739,7 +775,19 @@ object GraphIndex {
   def hotShardBytesEstimates(spark: SparkSession, h: Handle,
                              nShards: Int): Array[Long] = {
     require(nShards >= 1, s"hotSharded: nShards=$nShards must be >= 1")
-    val (nodes, intraEdges, _) = shardedFrames(spark, h, nShards)
+    val (nodes, intraEdges, _, release) = shardedFrames(spark, h, nShards)
+    try shardEstimatesFrom(spark, h, nodes, intraEdges, nShards)
+    finally release()
+  }
+
+  /** The estimate arithmetic over ALREADY-BUILT shard frames — split
+    * from [[hotShardBytesEstimates]] so [[hotSharded]] derives the
+    * budget guard and the build inputs from ONE [[shardedFrames]]
+    * computation (r17 advice: the node/edge shard joins and the
+    * cross-edge count used to execute twice per tier startup). */
+  private def shardEstimatesFrom(spark: SparkSession, h: Handle,
+                                 nodes: DataFrame, intraEdges: DataFrame,
+                                 nShards: Int): Array[Long] = {
     val nChunks = nodes.count()
     if (nChunks == 0L)
       throw new IllegalStateException(
@@ -763,7 +811,7 @@ object GraphIndex {
     * left-anti so the same uid can never land in two shards), edges
     * split into the intra-shard set (kept) and the cross count. */
   private def shardedFrames(spark: SparkSession, h: Handle, nShards: Int)
-      : (DataFrame, DataFrame, Long) = {
+      : (DataFrame, DataFrame, Long, () => Unit) = {
     def shardOf(c: org.apache.spark.sql.Column) =
       pmod(c.cast("long"), lit(nShards.toLong)).cast("int")
     val chunkNodes = h.chunks(spark).select(
@@ -775,16 +823,25 @@ object GraphIndex {
         col("centroid_vec").cast("array<double>").as("_nvec"),
         shardOf(col("centroid_id")).as("_shard"))
       .join(chunkNodes.select("_nid"), Seq("_nid"), "left_anti")
+    // both frames PERSIST for the lifetime of the tier startup: the
+    // estimates, the cross-edge count, the centroid placement map, and
+    // the shard build all consume them, and without the persist the
+    // node/edge shard joins re-executed once per consumer (r17
+    // advice). The caller releases via the returned thunk once the
+    // shards are pinned.
     val nodes = chunkNodes.unionByName(centNodes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodeShard = nodes.select(col("_nid"), col("_shard"))
     val edges = spark.read.parquet(h.edgesDir)
       .select(col("src").cast("long"), col("dst").cast("long"))
       .join(nodeShard.select(col("_nid").as("src"), col("_shard").as("_sshard")), "src")
       .join(nodeShard.select(col("_nid").as("dst"), col("_shard").as("_dshard")), "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val crossDropped = edges.filter(col("_sshard") =!= col("_dshard")).count()
     val intra = edges.filter(col("_sshard") === col("_dshard"))
       .select(col("_sshard").as("_shard"), col("src"), col("dst"))
-    (nodes, intra, crossDropped)
+    (nodes, intra, crossDropped,
+      () => { nodes.unpersist(); edges.unpersist(); () })
   }
 
   /** Build the sharded tier from a built store (see [[HotSharded]]).
@@ -793,12 +850,28 @@ object GraphIndex {
     * bounds ONE executor's pin, not the whole graph) or this refuses
     * with the worst shard's numbers before any data moves. Reports the
     * cross-shard edges dropped (zero for fresh cell-confined builds —
-    * only centroid-clique edges ever cross). */
+    * only centroid-clique edges ever cross), and with `recallFloor >
+    * 0` + `recallKeyCols` ENFORCES quality: the tier's own walk is
+    * measured against exact brute force ([[measureRecall]] — pass the
+    * real workload as `recallQueriesDf` when one exists) and a result
+    * under the floor releases the tier and throws, the
+    * [[buildServing]] gatedPublish discipline applied to serving. */
   def hotSharded(spark: SparkSession, h: Handle, nShards: Int,
                  cacheChunks: Boolean = true,
-                 budgetBytes: Long = DefaultHotBudgetBytes): HotSharded = {
+                 budgetBytes: Long = DefaultHotBudgetBytes,
+                 recallFloor: Double = 0.0,
+                 recallKeyCols: Seq[String] = Nil,
+                 recallQueriesDf: Option[DataFrame] = None,
+                 recallQueries: Int = 20, recallK: Int = 10): HotSharded = {
     require(nShards >= 1, s"hotSharded: nShards=$nShards must be >= 1")
-    val ests = hotShardBytesEstimates(spark, h, nShards)
+    require(recallFloor <= 0.0 || recallKeyCols.nonEmpty,
+      "hotSharded: a recallFloor needs recallKeyCols (the store's natural " +
+        "key columns) so measureRecall can compare walk hits to ground truth")
+    // stamp before any store read — see hot()'s rationale
+    val stamp = storeStamp(spark, h)
+    val (nodes, intra, crossDropped, release) = shardedFrames(spark, h, nShards)
+    try {
+    val ests = shardEstimatesFrom(spark, h, nodes, intra, nShards)
     val worst = ests.indices.maxBy(i => ests(i))
     if (ests(worst) > budgetBytes)
       throw new IllegalStateException(
@@ -808,12 +881,12 @@ object GraphIndex {
           f"(~${budgetBytes / (1L << 20)}%,d MiB). Refusing before any " +
           "build work. Raise nShards (halves the worst shard roughly " +
           "2×), serve from warm(), or raise budgetBytes deliberately.")
-    val (nodes, intra, crossDropped) = shardedFrames(spark, h, nShards)
     if (crossDropped > 0)
       System.err.println(s"[graph] hotSharded($nShards): dropped " +
         s"$crossDropped cross-shard centroid-clique edge(s) — mid-walk " +
         "re-routing outside a query's entry shards is confined; " +
-        "recall-gate the sharded tier like any confined build")
+        "recall-gate the sharded tier like any confined build " +
+        "(pass recallFloor + recallKeyCols to make that a refusal)")
     val part = new org.apache.spark.HashPartitioner(nShards)
     val nodesRdd = nodes.rdd
       .map(r => (r.getInt(2), (r.getLong(0), r.getSeq[Double](1).toArray)))
@@ -859,6 +932,19 @@ object GraphIndex {
       .select(col("centroid_id").cast("long"),
         col("centroid_vec").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // centroid → shard from the ACTUAL node placement (≤|C| rows),
+    // consumed by routeEntries — see its scaladoc for why recomputing
+    // `id mod nShards` there was a silent recall loss
+    val centShardMap = nodes
+      .join(h.centroids(spark).select(col("centroid_id").cast("long").as("_nid")),
+        Seq("_nid"))
+      .select(col("_nid"), col("_shard"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val centShards = centRows.map { case (id, _) =>
+      centShardMap.getOrElse(id, throw new IllegalStateException(
+        s"GraphIndex.hotSharded: centroid $id has no node placement — " +
+          "the store's centroid sidecar and node set disagree"))
+    }
     val tombPath = new org.apache.hadoop.fs.Path(h.tombstonesDir)
     val tombFs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tombs = new java.util.HashSet[java.lang.Long]()
@@ -871,8 +957,31 @@ object GraphIndex {
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         c.count(); c
       } else h.chunks(spark)
-    new HotSharded(h, nShards, shardRdd, centRows.map(_._1),
-      centRows.map(_._2), tombs, chunksDf, cacheChunks)
+    val tier = new HotSharded(h, nShards, shardRdd, centRows.map(_._1),
+      centRows.map(_._2), centShards, tombs, chunksDf, cacheChunks,
+      Some(stamp))
+    // the r17 posture gap: cross-shard drops only WARNED while every
+    // published store REFUSES below a floor (gatedPublish). With a
+    // floor, the sharded tier measures its own walk against exact
+    // brute force (measureRecall's leave-self-out probes, or the
+    // caller's real workload) and refuses under it, naming the
+    // dropped-edge count — the same discipline, applied to the tier.
+    if (recallFloor > 0.0) {
+      val idx = h.chunks(spark).drop("uid", "uid_bucket", "cell_id")
+      val recall = measureRecall(spark, tier, idx, recallKeyCols, h.vecCol,
+        recallQueries, recallK, recallQueriesDf)
+      if (recall < recallFloor) {
+        tier.cool()
+        throw new IllegalStateException(
+          f"GraphIndex.hotSharded: measured recall@$recallK = $recall%.3f " +
+            f"over the sharded walk is below the floor $recallFloor%.2f " +
+            f"($nShards shards, $crossDropped cross-shard edge(s) dropped) " +
+            "— the tier was released, not served. Lower nShards, serve " +
+            "from hot()/warm(), or lower the floor deliberately.")
+      }
+    }
+    tier
+    } finally release()
   }
 
   /** Load a built store into executor memory for resident serving (the
@@ -1365,6 +1474,40 @@ object GraphIndex {
   def driftStatus(spark: SparkSession, h: Handle): (Long, Option[Double]) = {
     val (inserts, recall, _) = driftStatusFull(spark, h)
     (inserts, recall)
+  }
+
+  /** Cheap point-in-time fingerprint of a store's MUTABLE surface —
+    * the staleness contract for resident snapshots (r17 verdict: hot /
+    * hotText / hotSharded and everything derived from the same corpus
+    * — the resident TF-IDF vocab, the resident chunk text — were
+    * point-in-time copies with no signal when the store they mirror
+    * moved on). Folds the `_drift` insert counter with one-level file
+    * listings (name, length, mtime) of the edge, chunk, and tombstone
+    * dirs: inserts bump the counter and the chunk listing, deletes add
+    * tombstone files, rebuild/compact rewrite the edge dir — each
+    * mutation class moves the stamp. Pure filesystem metadata + one
+    * tiny sidecar read; zero Spark jobs, so a serving process can poll
+    * it per-request ([[graft.AskServer]]'s `staleCheck` knob) or on a
+    * cadence. NOT a content hash: a byte-identical rewrite restamps
+    * (false staleness is a spurious re-hot, never a wrong answer). */
+  def storeStamp(spark: SparkSession, h: Handle): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fold(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p))
+        fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+          md.update((st.getPath.getName + "|" + st.getLen + "|" +
+            st.getModificationTime + ";")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+    }
+    val (inserts, _) = driftStatus(spark, h)
+    md.update(("drift=" + inserts + ";")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    fold(h.edgesDir); fold(h.chunksDir); fold(h.tombstonesDir)
+    md.digest().map(b => f"$b%02x").mkString
   }
 
   /** Explicit repair entry point for a `_drift` swap interrupted by a

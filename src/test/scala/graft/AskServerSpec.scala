@@ -45,6 +45,38 @@ class AskServerSpec extends AnyFunSuite {
       .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofString())
 
+  test("staleCheck=refuse answers 503 once the graph snapshot goes stale; log serves on") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_askstale").toString
+    val h = operators.GraphIndex.build(spark, index, Seq("doc_id", "chunk_idx"),
+      "embedding", dir, nCentroids = 2, m = 4, nBuckets = 4, beamWidth = 8, hops = 2)
+    def delete(n: Int): Unit = {
+      val victim = index.select("doc_id", "chunk_idx")
+        .orderBy("doc_id", "chunk_idx").as[(Long, Int)].collect()(n)
+      operators.GraphIndex.delete(spark, h,
+        Seq(victim).toDF("doc_id", "chunk_idx"), Seq("doc_id", "chunk_idx"))
+    }
+    val hot0 = operators.GraphIndex.hot(spark, h)
+    val srv0 = new AskServer(spark, index, graph = Some(hot0), staleCheck = "refuse")
+    val p0 = srv0.start()
+    try {
+      assert(post(p0, "/ask", """{"query":"broadcast join tables"}""").statusCode() == 200)
+      delete(0)
+      val stale = post(p0, "/ask", """{"query":"broadcast join tables"}""")
+      assert(stale.statusCode() == 503, s"${stale.statusCode()} ${stale.body()}")
+      assert(stale.body().contains("stale"), stale.body())
+    } finally { srv0.stop(); hot0.cool() }
+    // the log posture keeps serving the point-in-time snapshot
+    val hot1 = operators.GraphIndex.hot(spark, h)
+    val srv1 = new AskServer(spark, index, graph = Some(hot1), staleCheck = "log")
+    val p1 = srv1.start()
+    try {
+      delete(1)
+      assert(hot1.isStale(spark))
+      assert(post(p1, "/ask", """{"query":"broadcast join tables"}""").statusCode() == 200)
+    } finally { srv1.stop(); hot1.cool() }
+  }
+
   test("POST /ask answers; an identical repeat is served from the evolving cache") {
     withServer { port =>
       val q = """{"chat_id":"c0","query":"broadcast hash join planner"}"""

@@ -342,11 +342,14 @@ class GraphIndexSpec extends AnyFunSuite {
       }
       demoQueries.foreach { q =>
         val qv = Embed.embedQuery(spark, q).toArray
-        // the routing rule: global top-beam centroids, grouped by shard
+        // the routing rule: global top-beam centroids, each routed to
+        // the shard its node row ACTUALLY landed in (nodeShard — the
+        // placement map; `id mod nShards` diverges whenever a centroid
+        // chunk row was assigned to another centroid's cell)
         val entries = centRows.map { case (id, v) => (id, cosineOf(qv, v)) }
           .sortBy { case (id, s) => (-s, id) }
           .take(handle.beamWidth)
-          .groupBy { case (id, _) => shardOf(id) }
+          .groupBy { case (id, _) => nodeShard(id) }
         val expected = entries.flatMap { case (sid, es) =>
           val (g, idx) = arraysByShard(sid)
           val entryIdxs = es.map(_._1).flatMap(idx.get)
@@ -394,6 +397,81 @@ class GraphIndexSpec extends AnyFunSuite {
       val qv = Embed.embedQuery(spark, demoQueries.head).toSeq
       assert(sh.search(spark, qv).count() > 0)
     } finally sh.cool()
+  }
+
+  test("sharded hot recall gate: refuses under the floor naming the cross-shard drop; serves at the measured value") {
+    import operators.{GraphIndex => GI}
+    // a NARROW-beam store: the entry set is a strict subset of the
+    // cells, so dropped cross-shard clique edges genuinely cost recall
+    // (mid-walk re-routing into un-entered cells is confined away)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gshrec").toString
+    val h = GI.build(spark, embedded, Seq("doc_id", "chunk_idx"), "embedding",
+      dir, nCentroids = 16, m = 4, nBuckets = 16, beamWidth = 2, hops = 2)
+    val keys = Seq("doc_id", "chunk_idx")
+    val probe = GI.hotSharded(spark, h, nShards = 4)
+    val measured = try GI.measureRecall(spark, probe, embedded, keys, "embedding")
+      finally probe.cool()
+    // the narrow walk genuinely loses recall against exact brute force
+    // (measured 0.58 on this fixture — deterministic, no RNG anywhere)
+    assert(measured < 0.95,
+      s"fixture must measure imperfect recall for the gate to bite (got $measured)")
+    // a floor above the tier's measured quality: the gate REFUSES and
+    // the message names both the floor breach and the edge drop
+    val err = intercept[IllegalStateException] {
+      GI.hotSharded(spark, h, nShards = 4,
+        recallFloor = (measured + 1.0) / 2, recallKeyCols = keys)
+    }
+    assert(err.getMessage.contains("below the floor") &&
+      err.getMessage.contains("cross-shard"), err.getMessage)
+    // at the measured value the gated build serves
+    val ok = GI.hotSharded(spark, h, nShards = 4,
+      recallFloor = measured, recallKeyCols = keys)
+    try assert(ok.search(spark,
+      Embed.embedQuery(spark, demoQueries.head).toSeq).count() > 0)
+    finally ok.cool()
+    // a floor without key columns is a usage error, refused up front
+    intercept[IllegalArgumentException] {
+      GI.hotSharded(spark, h, nShards = 4, recallFloor = 0.5)
+    }
+  }
+
+  test("staleness contract: a delete after hot() flips isStale; re-hot clears; cold handle never stale") {
+    val h = freshHandle()
+    val hot0 = GraphIndex.hot(spark, h)
+    try {
+      assert(!hot0.isStale(spark), "a fresh snapshot must read current")
+      assert(!h.isStale(spark), "the cold handle reads the store live — never stale")
+      val victim = embedded.select("doc_id", "chunk_idx")
+        .orderBy("doc_id", "chunk_idx").as[(String, Int)].head()
+      GraphIndex.delete(spark, h, Seq(victim).toDF("doc_id", "chunk_idx"),
+        Seq("doc_id", "chunk_idx"))
+      assert(hot0.isStale(spark), "a delete must flip the snapshot stale")
+      assert(!h.isStale(spark))
+      val hot1 = GraphIndex.hot(spark, h)
+      try assert(!hot1.isStale(spark), "re-hot must clear staleness")
+      finally hot1.cool()
+      assert(hot0.isStale(spark), "the old snapshot stays stale")
+    } finally hot0.cool()
+  }
+
+  test("staleness: an insert after hot()/hotSharded() flips isStale via the drift counter") {
+    import operators.{GraphIndex => GI}
+    val held = embedded.select("doc_id").orderBy("doc_id").head().getString(0)
+    val base = embedded.filter(col("doc_id") =!= held)
+    val upload = embedded.filter(col("doc_id") === held)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gstale").toString
+    val h = GI.build(spark, base, Seq("doc_id", "chunk_idx"), "embedding",
+      dir, nCentroids = 16, m = 16, nBuckets = 16, beamWidth = 32, hops = 3)
+    val hot0 = GI.hot(spark, h)
+    val sh0 = GI.hotSharded(spark, h, nShards = 2)
+    try {
+      assert(!hot0.isStale(spark) && !sh0.isStale(spark))
+      GI.insert(spark, h, upload, Seq("doc_id", "chunk_idx"), "embedding")
+      assert(hot0.isStale(spark), "insert must flip the hot snapshot stale")
+      assert(sh0.isStale(spark), "insert must flip the sharded snapshot stale")
+      val re = GI.hot(spark, h)
+      try assert(!re.isStale(spark)) finally re.cool()
+    } finally { hot0.cool(); sh0.cool() }
   }
 
   test("hot serving is a snapshot: deletes after hot() appear only on re-hot") {
