@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata.
   *
   * The Spark-side plumbing here is real — schema, batched partition-wise
-  * processing, deterministic outputs; the actual media decode is STUBBED
-  * (no image/audio codecs in this environment) behind
+  * processing, deterministic outputs — and so is IMAGE decode: netpbm
+  * (P2/P3/P5/P6) via the pure-JVM [[PnmCodec]], PNG/JPEG/GIF/BMP via
+  * [[ImageIoCodec]] (`javax.imageio`, public JDK, headless-safe). Only
+  * audio/video decode is STUBBED (no codecs in this environment) behind
   * [[MediaCodecStub]], clearly marked. Swapping in a real decoder keeps
   * every signature unchanged.
   *
@@ -144,10 +146,102 @@ object Multimodal {
     }
   }
 
-  /** STUB decoder — the FALLBACK slot for formats the pure-JVM codec
-    * doesn't cover (jpeg/png/audio need an external library; this
-    * environment has none). Deterministic fake "decode" so the pipeline
-    * shape stays testable; [[PnmCodec]] is the real path. */
+  /** REAL codec for PNG/JPEG/GIF/BMP via `javax.imageio` — public JDK,
+    * bundled pure-Java readers, headless-safe (no display, no native
+    * libs). Decoding-to-pixels is deterministic: PNG/GIF/BMP are
+    * lossless (decoded samples equal the encoded ones bit-for-bit —
+    * what the q_multimodal_png oracle replays), JPEG decode is
+    * deterministic for a given JDK but lossy on encode, so JPEG parity
+    * is spec-gated with a tolerance rather than oracle-exact. Output
+    * uses the same [[PnmImage]] raster the netpbm codec produces, so
+    * every downstream stage (grayscale fold, histogram, resize) is
+    * codec-agnostic. */
+  object ImageIoCodec {
+    // per-call disk-cache files would dominate small-image decode time
+    javax.imageio.ImageIO.setUseCache(false)
+
+    private def looksDecodable(b: Array[Byte]): Boolean =
+      b != null && b.length >= 8 &&
+        (((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+         ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) ||
+         (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+         (b(0) == 'B' && b(1) == 'M'))
+
+    /** Decode a PNG/JPEG/GIF/BMP payload; None for anything else (the
+      * magic gate keeps ImageIO's reader search off junk payloads) or
+      * for malformed input — callers route those to the stub slot. */
+    def decode(bytes: Array[Byte]): Option[PnmImage] = {
+      if (!looksDecodable(bytes)) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) return None
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue / 3) return None
+        val isGray = img.getColorModel.getColorSpace.getType ==
+          java.awt.color.ColorSpace.TYPE_GRAY
+        if (isGray) {
+          val raster = img.getRaster
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          Some(PnmImage("imageio-gray", w, h, 255, 1, px))
+        } else {
+          // packed sRGB fold: 3 interleaved samples per pixel, the PPM shape
+          val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+          val px = new Array[Int](w * h * 3)
+          var i = 0
+          while (i < rgb.length) {
+            px(3 * i) = (rgb(i) >> 16) & 0xff
+            px(3 * i + 1) = (rgb(i) >> 8) & 0xff
+            px(3 * i + 2) = rgb(i) & 0xff
+            i += 1
+          }
+          Some(PnmImage("imageio-rgb", w, h, 255, 3, px))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    private def grayImage(width: Int, height: Int, gray: Array[Int]) = {
+      require(gray.length == width * height, "pixel count != w*h")
+      require(gray.forall(v => v >= 0 && v <= 255), "samples must fit a byte")
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { raster.setSample(x, y, 0, gray(y * width + x)); x += 1 }
+        y += 1
+      }
+      img
+    }
+
+    /** Encode a grayscale raster as PNG (lossless — decode returns the
+      * exact samples; the oracle fixture generator). */
+    def encodePng(width: Int, height: Int, gray: Array[Int]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(grayImage(width, height, gray), "png", bos)
+      bos.toByteArray
+    }
+
+    /** Encode a grayscale raster as JPEG (LOSSY — spec-gated with a
+      * tolerance, never oracle-replayed). */
+    def encodeJpeg(width: Int, height: Int, gray: Array[Int]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(grayImage(width, height, gray), "jpg", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** STUB decoder — the FALLBACK slot for formats neither real codec
+    * covers (audio/video need an external library; this environment has
+    * none). Deterministic fake "decode" so the pipeline shape stays
+    * testable; [[PnmCodec]] and [[ImageIoCodec]] are the real paths. */
   object MediaCodecStub {
     /** Fake dimensions derived from content length (deterministic). */
     def decodeDims(bytes: Array[Byte]): (Int, Int) =
@@ -181,16 +275,17 @@ object Multimodal {
   }
 
   /** Partition-batched decode + feature extraction. PNM payloads decode
-    * for REAL ([[PnmCodec]]): dims from the parsed header, features a
-    * 16-bin L2-normalized histogram of the grayscale pixels. Other
-    * formats fall back to [[MediaCodecStub]] — the slot an external
-    * jpeg/png codec plugs into. */
+    * for REAL ([[PnmCodec]]), as do PNG/JPEG/GIF/BMP ([[ImageIoCodec]]):
+    * dims from the parsed image, features a 16-bin L2-normalized
+    * histogram of the grayscale pixels. Remaining formats fall back to
+    * [[MediaCodecStub]] — the slot an external audio/video codec plugs
+    * into. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition setup would initialize an external codec context here
       rows.map { r =>
-        PnmCodec.decode(r.bytes) match {
+        PnmCodec.decode(r.bytes).orElse(ImageIoCodec.decode(r.bytes)) match {
           case Some(img) =>
             val hist = new Array[Double](16)
             img.gray.foreach(v => hist(v * 16 / (img.maxVal + 1)) += 1.0)
@@ -207,11 +302,11 @@ object Multimodal {
     }
   }
 
-  /** Nearest-neighbor resize to `targetW`×`targetH`. PNM payloads go
-    * through the REAL decode → sample → re-encode path (output pixels are
-    * a binary P5 grayscale image, round-trippable through
-    * [[PnmCodec.decode]]); other formats keep the deterministic stub
-    * buffer so the pipeline shape stays total. */
+  /** Nearest-neighbor resize to `targetW`×`targetH`. PNM and
+    * PNG/JPEG/GIF/BMP payloads go through the REAL decode → sample →
+    * re-encode path (output pixels are a binary P5 grayscale image,
+    * round-trippable through [[PnmCodec.decode]]); remaining formats
+    * keep the deterministic stub buffer so the pipeline stays total. */
   def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): DataFrame = {
     import media.sparkSession.implicits._
     require(targetW > 0 && targetH > 0)
@@ -233,7 +328,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition setup would initialize an external codec context here
       rows.map { r =>
-        PnmCodec.decode(r.bytes) match {
+        PnmCodec.decode(r.bytes).orElse(ImageIoCodec.decode(r.bytes)) match {
           case Some(img) =>
             val g = img.gray
             // rescale to 8-bit so the P5 re-encode is total for 16-bit inputs
