@@ -37,20 +37,53 @@ object ServeBench {
     sorted(math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1))
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // `cluster` swaps the in-process local[32] master for
+    // local-cluster[2,8,4096]: two REAL executor JVMs on this box —
+    // the sharded tier's GraphArrays actually serialize across a
+    // process boundary and the walk fan-out schedules onto remote
+    // cores. Honest framing: same box, same page cache, loopback
+    // shuffle — it measures process-boundary overhead and proves the
+    // shipping path, not multi-machine scaling (see ClusterCheck).
+    val clustered = args.contains("cluster")
+    val builder = SparkSession.builder()
+      .master(if (clustered) "local-cluster[2,8,4096]" else "local[32]")
+      .config("spark.sql.shuffle.partitions", if (clustered) "16" else "32")
       .config("spark.ui.enabled", "false")
       // serving sessions run FAIR so AskServer's per-request pools give
       // each in-flight ask a fair core share (FIFO convoys them)
       .config("spark.scheduler.mode", "FAIR")
-      .getOrCreate()
+    if (clustered) {
+      require(System.getenv("SPARK_SCALA_VERSION") != null,
+        "ServeBench cluster: run as SPARK_SCALA_VERSION=2.13 sbt \"runMain " +
+          "graft.ServeBench cluster ...\" — the standalone Worker's executor " +
+          "launcher needs the env load-spark-env.sh would export")
+      builder
+        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.extraJavaOptions", ClusterCheck.AddOpens)
+    }
+    val spark = builder.getOrCreate()
+    if (clustered) {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def n = spark.sparkContext.statusTracker.getExecutorInfos.length - 1
+      while (n < 2 && System.nanoTime() < deadline) Thread.sleep(200)
+      println(s"CLUSTER executors=$n (real JVMs)")
+    }
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
     val t0 = System.nanoTime()
-    val docs = sources.CorpusSource.scanWithCharsetFallback(
-      spark, "/root/reference/PMC", "PMC*.txt").toDF()
+    // `corpus=<dir>` serves a testdata-shaped documents.parquet instead
+    // of the PMC text corpus — the sf1 scale row (r17 verdict item 7)
+    // runs the SAME pipeline over /tmp/graft_sf1 (~3× the PMC chunk
+    // count, past both size-derived build gates)
+    val corpusDir = args.collectFirst { case a if a.startsWith("corpus=") => a.drop(7) }
+    val corpusName = corpusDir.map(d => d.split('/').last).getOrElse("PMC")
+    val docs = corpusDir match {
+      case Some(d) => spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      case None => sources.CorpusSource.scanWithCharsetFallback(
+        spark, "/root/reference/PMC", "PMC*.txt").toDF()
+    }
     val chunks = operators.Ingest.chunk(
         docs.filter(operators.Ingest.nonBlank(col("text"))), "text", Schemas.ChunkSize)
       .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
@@ -145,6 +178,15 @@ object ServeBench {
     // scale to — see SCALE.md r17).
     if (args.contains("retrieve")) {
       coolServing() // tier-per-row below; the default tier is not used
+      // per-shard budget behavior at each K (the sf1 scale row reads
+      // these against DefaultHotBudgetBytes — a refusal would name the
+      // worst shard; these lines show the headroom)
+      Seq(2, 4, 8).foreach { k =>
+        val e = operators.GraphIndex.hotShardBytesEstimates(spark, h, k)
+        println(f"SHARD-EST K=$k%d worst=${e.max / (1L << 20)}%,d MiB " +
+          f"total=${e.sum / (1L << 20)}%,d MiB " +
+          f"budget=${operators.GraphIndex.DefaultHotBudgetBytes / (1L << 20)}%,d MiB/shard")
+      }
       val tiers: Seq[(String, () => operators.GraphIndex.Serving, () => Unit)] =
         Seq(
           ("hot", () => operators.GraphIndex.hot(spark, h), () => ()),
@@ -188,12 +230,13 @@ object ServeBench {
         }
         f""""$name":{"batch64_s":$best%.3f,"ask_per_sec":$thr%.2f,"top3_vs_hot":$vsHot%.3f}"""
       }
-      println(s"""{"bench":"serve_retrieve_batch","corpus":"PMC","chunks":$nChunks,${rows.mkString(",")}}""")
+      println(s"""{"bench":"serve_retrieve_batch","corpus":"$corpusName","chunks":$nChunks,${rows.mkString(",")}}""")
       spark.stop(); return
     }
 
     if (args.contains("http")) {
-      httpConcurrencyBench(spark, index, wh, dfreq, nDocs, queries, nChunks, args, tierName)
+      httpConcurrencyBench(spark, index, wh, dfreq, nDocs, queries, nChunks,
+        args, tierName, corpusName)
       coolServing(); spark.stop(); return
     }
 
@@ -260,7 +303,7 @@ object ServeBench {
     println(f"SERVE batch64 n=${b64.length} p50=$b64p50%.3f p95=$b64p95%.3f max=$b64max%.3f s/batch " +
       f"(${b64p50 / 64}%.3f s/ask at p50)")
 
-    println(s"""{"bench":"serve_only","corpus":"PMC","tier":"$tierName","chunks":$nChunks,""" +
+    println(s"""{"bench":"serve_only","corpus":"$corpusName","tier":"$tierName","chunks":$nChunks,""" +
       f""""solo":{"n":${solo.length},"p50":$s50%.3f,"p95":$s95%.3f,"max":$sMax%.3f},""" +
       f""""batch8":{"n":${b8.length},"p50":$b8p50%.3f,"p95":$b8p95%.3f,"max":$b8max%.3f},""" +
       f""""batch32":{"n":${b32.length},"p50":$b32p50%.3f,"p95":$b32p95%.3f,"max":$b32max%.3f},""" +
@@ -280,7 +323,8 @@ object ServeBench {
                                    dfreq: org.apache.spark.sql.DataFrame,
                                    nDocs: Long, queries: Seq[String],
                                    nChunks: Long, args: Array[String],
-                                   tierName: String): Unit = {
+                                   tierName: String,
+                                   corpusName: String): Unit = {
     val http = java.net.http.HttpClient.newHttpClient()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def ask(port: Int, q: String): Unit = {
@@ -355,7 +399,7 @@ object ServeBench {
     val levelJson = levels.map { case (c, p50, p95, mx, wall, thr) =>
       f""""c$c":{"p50":$p50%.3f,"p95":$p95%.3f,"max":$mx%.3f,"wall":$wall%.1f,"ask_per_sec":$thr%.2f}"""
     }.mkString(",")
-    println(s"""{"bench":"serve_http_concurrent","corpus":"PMC","tier":"$tierName","chunks":$nChunks,$levelJson}""")
+    println(s"""{"bench":"serve_http_concurrent","corpus":"$corpusName","tier":"$tierName","chunks":$nChunks,$levelJson}""")
     // the sizing rule a deploy should copy instead of the default 8:
     // throughput rises to a KNEE (concurrent driver-side beam walks
     // contending on the one DAG-scheduler event loop, SCALE.md) and
