@@ -24,10 +24,17 @@ object VectorFunctions {
 
   /** Left-fold dot product in array order — deterministic across runs.
     * Backed by the codegen'd [[DotProduct]] expression; bitwise equal to
-    * the composable aggregate(zip_with(...)) form. */
+    * the composable aggregate(zip_with(...)) form.
+    *
+    * No cast is inserted (optimization r18): [[DotProduct]] reads
+    * array<float> in place with exact per-element widening, so parquet
+    * float32 embeddings no longer pay a fresh array<double> allocation
+    * per dot — which on similarity-join conditions was per candidate
+    * PAIR. Inputs must already be array<float|double>; anything else
+    * fails analysis loudly. */
   def dot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge._
-    column(DotProduct(expression(asDouble(a)), expression(asDouble(b))))
+    column(DotProduct(expression(a), expression(b)))
   }
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.cosine
+import graft.functions.VectorFunctions.{cosine, cosineGiven, l2Norm}
 
 /** Embedding-space semantic deduplication (the SemDeDup recipe,
   * Abbas et al. 2023): cluster the corpus with a small coarse codebook,
@@ -302,13 +302,21 @@ object SemanticDedup {
     val xSide = probeSide(keyed, cellProbes, probeCellCap, centroids, cIdCol, cVecCol)
     // each band's join projects only its own key columns, so the other
     // bands' bucket longs never ride the N^1.5-row in-cell term
+    // each side carries its vector's norm, computed ONCE per row in the
+    // projection below the join (guide §2.3: shuffle 8 more bytes to
+    // stop recomputing an O(d) norm per candidate PAIR in the join
+    // condition) — cosineGiven is the same doubles as cosine, so the
+    // tau cut is bitwise unchanged
     val candOf = (ks: Seq[String]) => {
-      val x = xSide.select(ks.map(col) :+ col("_id").as("_xid") :+ col("_vec").as("_xvec"): _*)
-      val y = keyed.select(ks.map(col) :+ col("_id").as("_yid") :+ col("_vec").as("_yvec"): _*)
+      val x = xSide.select(ks.map(col) :+ col("_id").as("_xid")
+        :+ col("_vec").as("_xvec") :+ l2Norm(col("_vec")).as("_xn"): _*)
+      val y = keyed.select(ks.map(col) :+ col("_id").as("_yid")
+        :+ col("_vec").as("_yvec") :+ l2Norm(col("_vec")).as("_yn"): _*)
+      val tauHit =
+        cosineGiven(col("_xvec"), col("_yvec"), col("_xn"), col("_yn")) >= tau
       if (cellProbes <= 1)
         x.join(y, ks)
-          .filter(col("_yid") < col("_xid") &&
-            cosine(col("_xvec"), col("_yvec")) >= tau)
+          .filter(col("_yid") < col("_xid") && tauHit)
           .select(col("_xid"), col("_yid"))
       else
         // multi-probe: the x side is EXPLODED over its top-p cells and
@@ -319,8 +327,7 @@ object SemanticDedup {
         // the direction/band/probe-overlap multiset equals min() over
         // the set, so no pre-distinct exchange is paid here either
         x.join(y, ks)
-          .filter(col("_yid") =!= col("_xid") &&
-            cosine(col("_xvec"), col("_yvec")) >= tau)
+          .filter(col("_yid") =!= col("_xid") && tauHit)
           .select(
             when(col("_xid") > col("_yid"), col("_xid")).otherwise(col("_yid")).as("_xid"),
             when(col("_xid") > col("_yid"), col("_yid")).otherwise(col("_xid")).as("_yid"))
@@ -361,20 +368,24 @@ object SemanticDedup {
     val keyed = withBandBuckets(cells, bands)
     val xSide = probeSide(keyed, cellProbes, probeCellCap, centroids, cIdCol, cVecCol)
     // per-band key projection, like dedup: nothing extra rides the wire
+    // per-row norms below the join, one dot per candidate pair — the
+    // dedup() discipline, same doubles
     val candOf = (ks: Seq[String]) => {
-      val x = xSide.select(ks.map(col) :+ col("_id").as("id_a") :+ col("_vec").as("_xvec"): _*)
-      val y = keyed.select(ks.map(col) :+ col("_id").as("id_b") :+ col("_vec").as("_yvec"): _*)
+      val x = xSide.select(ks.map(col) :+ col("_id").as("id_a")
+        :+ col("_vec").as("_xvec") :+ l2Norm(col("_vec")).as("_xn"): _*)
+      val y = keyed.select(ks.map(col) :+ col("_id").as("id_b")
+        :+ col("_vec").as("_yvec") :+ l2Norm(col("_vec")).as("_yn"): _*)
+      val tauHit =
+        cosineGiven(col("_xvec"), col("_yvec"), col("_xn"), col("_yn")) >= tau
       if (cellProbes <= 1)
         x.join(y, ks)
-          .filter(col("id_a") < col("id_b") &&
-            cosine(col("_xvec"), col("_yvec")) >= tau)
+          .filter(col("id_a") < col("id_b") && tauHit)
           .select(col("id_a"), col("id_b"))
       else
         // multi-probe (see dedup): exploded x side × primary y side,
         // both directions normalized to (id_a < id_b)
         x.join(y, ks)
-          .filter(col("id_a") =!= col("id_b") &&
-            cosine(col("_xvec"), col("_yvec")) >= tau)
+          .filter(col("id_a") =!= col("id_b") && tauHit)
           .select(
             when(col("id_a") < col("id_b"), col("id_a")).otherwise(col("id_b")).as("id_a"),
             when(col("id_a") < col("id_b"), col("id_b")).otherwise(col("id_a")).as("id_b"))
@@ -461,29 +472,34 @@ object SemanticDedup {
     // min() over the band/probe-overlap multiset equals min() over the
     // set — no pre-distinct exchange needed in either probe; each
     // band's join projects only its own key columns so nothing extra
-    // rides the wire
+    // rides the wire. Both probes carry per-row norms below the join
+    // so the tau test is ONE dot per candidate pair (the dedup()
+    // discipline — same doubles via cosineGiven).
     val corpusCandOf = (ks: Seq[String]) =>
-      batchProbed.select((ks.map(col) :+ col("_id") :+ col("_vec")): _*)
-        .join(idxKeyed.select((ks.map(col) :+ col("_cid") :+ col("_cvec")): _*), ks)
-        .filter(cosine(col("_vec"), col("_cvec")) >= tau)
+      batchProbed.select((ks.map(col) :+ col("_id") :+ col("_vec")
+          :+ l2Norm(col("_vec")).as("_bn")): _*)
+        .join(idxKeyed.select((ks.map(col) :+ col("_cid") :+ col("_cvec")
+          :+ l2Norm(col("_cvec")).as("_in")): _*), ks)
+        .filter(cosineGiven(col("_vec"), col("_cvec"), col("_bn"), col("_in")) >= tau)
         .select(col("_id"), col("_cid"))
     val corpusHit = keySets(bands).map(corpusCandOf).reduce(_ unionByName _)
       .groupBy(col("_id"))
       .agg(min(col("_cid")).as("_corpus_of"))
     val batchCandOf = (ks: Seq[String]) => {
-      val l = batchProbed.select(ks.map(col) :+ col("_id").as("_ida") :+ col("_vec").as("_va"): _*)
-      val r = batchKeyed.select(ks.map(col) :+ col("_id").as("_idb") :+ col("_vec").as("_vb"): _*)
+      val l = batchProbed.select(ks.map(col) :+ col("_id").as("_ida")
+        :+ col("_vec").as("_va") :+ l2Norm(col("_vec")).as("_na"): _*)
+      val r = batchKeyed.select(ks.map(col) :+ col("_id").as("_idb")
+        :+ col("_vec").as("_vb") :+ l2Norm(col("_vec")).as("_nb"): _*)
+      val tauHit = cosineGiven(col("_va"), col("_vb"), col("_na"), col("_nb")) >= tau
       if (cellProbes <= 1)
         l.join(r, ks)
-          .filter(col("_ida") < col("_idb") &&
-            cosine(col("_va"), col("_vb")) >= tau)
+          .filter(col("_ida") < col("_idb") && tauHit)
           .select(col("_ida"), col("_idb"))
       else
         // exploded l side × primary r side, both directions normalized
         // to (_ida < _idb) — the dedup() multi-probe shape
         l.join(r, ks)
-          .filter(col("_ida") =!= col("_idb") &&
-            cosine(col("_va"), col("_vb")) >= tau)
+          .filter(col("_ida") =!= col("_idb") && tauHit)
           .select(
             when(col("_ida") < col("_idb"), col("_ida")).otherwise(col("_idb")).as("_ida"),
             when(col("_ida") < col("_idb"), col("_idb")).otherwise(col("_ida")).as("_idb"))
@@ -521,10 +537,15 @@ object SemanticDedup {
                     idCol: String, vecCol: String,
                     benchIdCol: String, benchVecCol: String,
                     tau: Double): DataFrame = {
-    val c = corpus.select(col(idCol), col(vecCol).as("_cv"))
-    val b = bench.select(col(benchIdCol).as("_bid"), col(benchVecCol).as("_bv"))
+    // norms below the join (corpus side once per row, bench side once
+    // per broadcast row) — the per-pair fan-out pays ONE dot, and
+    // cosineGiven reproduces cosine's doubles bitwise
+    val c = corpus.select(col(idCol), col(vecCol).as("_cv"),
+      l2Norm(col(vecCol)).as("_cn"))
+    val b = bench.select(col(benchIdCol).as("_bid"), col(benchVecCol).as("_bv"),
+      l2Norm(col(benchVecCol)).as("_bn"))
     c.crossJoin(broadcast(b))
-      .withColumn("_sim", cosine(col("_cv"), col("_bv")))
+      .withColumn("_sim", cosineGiven(col("_cv"), col("_bv"), col("_cn"), col("_bn")))
       .filter(col("_sim") >= tau)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bench_hits"),
@@ -569,13 +590,17 @@ object SemanticDedup {
                             probeCellCap: Int = Int.MaxValue): DataFrame = {
     val cAssigned = assign(corpus, idCol, vecCol, centroids, cIdCol, cVecCol,
       nSupers, superProbes, superVecs, cellProbes, probeMargin)
+    // per-row norms below the cell join — one dot per candidate pair,
+    // same doubles (the contamination() discipline)
     val cSide = probeSide(cAssigned, cellProbes, probeCellCap, centroids, cIdCol, cVecCol)
-      .select(col("_id").as(idCol), col("_vec").as("_cv"), col("cell_id"))
+      .select(col("_id").as(idCol), col("_vec").as("_cv"),
+        l2Norm(col("_vec")).as("_cn"), col("cell_id"))
     val bSide = assign(bench, benchIdCol, benchVecCol,
         centroids, cIdCol, cVecCol, nSupers, superProbes, superVecs)
-      .select(col("_id").as("_bid"), col("_vec").as("_bv"), col("cell_id"))
+      .select(col("_id").as("_bid"), col("_vec").as("_bv"),
+        l2Norm(col("_vec")).as("_bn"), col("cell_id"))
     cSide.join(bSide, "cell_id")
-      .withColumn("_sim", cosine(col("_cv"), col("_bv")))
+      .withColumn("_sim", cosineGiven(col("_cv"), col("_bv"), col("_cn"), col("_bn")))
       .filter(col("_sim") >= tau)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bench_hits"),
