@@ -63,7 +63,7 @@ object ProfileQueries {
           s"== $name ($suffix) warm=$warm timed=${timed.mkString(",")} ==\n\n" +
             planned + "\n=== AQE FINAL ===\n" + aqe)
         println(f"PROFILE $name warm=$warm%.3f timed=[${timed.map(t => f"$t%.3f").mkString(",")}]")
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
         println(s"PROFILE $name FAILED: ${e.getMessage}")
       } finally spark.sparkContext.setJobDescription(null)
     }

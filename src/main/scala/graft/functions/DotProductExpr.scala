@@ -4,9 +4,9 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, ShortType}
 
-/** Codegen'd dot product over two array<float|double> columns.
+/** Codegen'd dot product over two array<float|double|byte|short|int> columns.
   *
   * The composable form (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`) is
   * semantically identical but interpreted: Spark's higher-order functions
@@ -53,19 +53,36 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def foldable: Boolean = children.forall(_.foldable)
 
-  private def isFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  /** Per-element reader for each accepted element type. Every accepted
+    * type widens to double EXACTLY in IEEE 754 (float, and any integer
+    * up to 32 bits — int8 SQ codes included), so reading in place is
+    * bitwise what the old cast-to-array<double> path produced. Long is
+    * deliberately NOT accepted: long→double widening rounds past 2^53,
+    * which would silently break the cross-engine bitwise contract. */
+  private def elemReader(e: Expression): (ArrayData, Int) => Double = e.dataType match {
+    case ArrayType(FloatType, _)   => (x, i) => x.getFloat(i).toDouble
+    case ArrayType(ByteType, _)    => (x, i) => x.getByte(i).toDouble
+    case ArrayType(ShortType, _)   => (x, i) => x.getShort(i).toDouble
+    case ArrayType(IntegerType, _) => (x, i) => x.getInt(i).toDouble
+    case _                         => (x, i) => x.getDouble(i)
+  }
+
+  private def elemJava(e: Expression, arr: String, i: String): String = e.dataType match {
+    case ArrayType(FloatType, _)   => s"(double) $arr.getFloat($i)"
+    case ArrayType(ByteType, _)    => s"(double) $arr.getByte($i)"
+    case ArrayType(ShortType, _)   => s"(double) $arr.getShort($i)"
+    case ArrayType(IntegerType, _) => s"(double) $arr.getInt($i)"
+    case _                         => s"$arr.getDouble($i)"
   }
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(FloatType | DoubleType | ByteType | ShortType | IntegerType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot needs array<float|double> inputs, got " +
+      s"graft_dot needs array<float|double|byte|short|int> inputs, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
@@ -73,14 +90,12 @@ case class DotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = DotProduct.checkedLength(x.numElements(), y.numElements())
-    val xf = isFloat(left)
-    val yf = isFloat(right)
+    val xr = elemReader(left)
+    val yr = elemReader(right)
     var s = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-      s += xv * yv
+      s += xr(x, i) * yr(y, i)
       i += 1
     }
     s
@@ -90,9 +105,9 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
-      // Java widens float to double exactly in the multiplication
-      val ax = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
-      val bx = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      // Java widens float/byte/short/int to double exactly in the multiplication
+      val ax = elemJava(left, a, i)
+      val bx = elemJava(right, b, i)
       s"""
          |int $n = graft.functions.DotProduct$$.MODULE$$.checkedLength(
          |  $a.numElements(), $b.numElements());

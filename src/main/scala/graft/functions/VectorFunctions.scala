@@ -30,7 +30,10 @@ object VectorFunctions {
     * array<float> in place with exact per-element widening, so parquet
     * float32 embeddings no longer pay a fresh array<double> allocation
     * per dot — which on similarity-join conditions was per candidate
-    * PAIR. Inputs must already be array<float|double>; anything else
+    * PAIR. Same for int8 SQ codes (r19): byte/short/int widen to double
+    * exactly, so the quantized tier scans its 1-byte codes in place.
+    * Inputs must already be array<float|double|byte|short|int>;
+    * anything else (including array<long>, whose widening is inexact)
     * fails analysis loudly. */
   def dot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge._
