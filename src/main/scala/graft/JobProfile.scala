@@ -16,14 +16,21 @@ object JobProfile {
     val names = args.toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .getOrCreate()
+    // ad-hoc conf experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -37,8 +44,18 @@ object JobProfile {
       val rows = scala.collection.mutable.ArrayBuffer[(Int, Double, String, Int)]()
       val listener = new SparkListener {
         override def onJobStart(js: SparkListenerJobStart): Unit = {
-          val site = Option(js.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          // stage names carry the action's call site (e.g. "parquet at
+          // Retrieval.scala:277"); fold every stage's name + task count
+          // so a slow multi-stage job names what it materialized
+          val site = js.stageInfos
+            .map { si =>
+              // the async SQL-exec thread's callsite is useless; dig the
+              // first graft/SparkEntry frame out of the stage details
+              val frame = si.details.linesIterator
+                .find(l => l.contains("graft.") && !l.contains("JobProfile"))
+                .map(_.trim.stripPrefix("at ")).getOrElse(si.name)
+              s"$frame[${si.numTasks}]"
+            }.mkString(" | ")
           starts(js.jobId) = (System.nanoTime(), site,
             js.stageInfos.map(_.numTasks).sum)
         }

@@ -903,8 +903,12 @@ object SparkEntry {
     val nSemSupers = math.max(1L, math.floor(math.sqrt(nSemCents.toDouble)).toLong)
     val cents = emb.filter(col("vec_id") < nSemCents)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-    def semPlanesIn(lo: Long, hi: Long) = emb
-      .filter(col("vec_id") >= lo && col("vec_id") < hi).orderBy("vec_id")
+    // ONE collect for both bands' planes (r19): the two semPlanesIn
+    // calls each ran their own filter+sort+collect job over the
+    // embeddings — the four plane rows come back in one job and slice
+    // driver-side into the same two 2-plane bands
+    val semPlanes = emb
+      .filter(col("vec_id") >= 0 && col("vec_id") < 4).orderBy("vec_id")
       .select(col("embedding").cast("array<double>")).collect()
       .map(_.getSeq[Double](0)).toSeq
     val semDrops = SemanticDedup.dedup(
@@ -912,7 +916,7 @@ object SparkEntry {
           .select(col("doc_id"), col("embedding")),
         "doc_id", "embedding", cents, "centroid_id", "cvec", tau = 0.9,
         nSupers = nSemSupers.toInt,
-        bands = Seq(semPlanesIn(0, 2), semPlanesIn(2, 4)))
+        bands = Seq(semPlanes.take(2), semPlanes.drop(2)))
       .filter(!col("is_kept")).select("doc_id")
     val kept = surv.join(semDrops, Seq("doc_id"), "left_anti")
     CurationStages(all, gated, exactDeduped, surv, kept)
@@ -2670,14 +2674,15 @@ object SparkEntry {
       val chunks = Ingest.chunk(wide(s, dir, "documents").select("doc_id", "text"), "text", 32)
         .select("doc_id", "chunk_idx", "chunk_text")
       val embedded = Embed.withEmbedding(chunks, "chunk_text", "embedding")
-      // |C| = ⌊√N⌋ over the node count — the count runs on the chunk
-      // frame (no embedding computation), one cheap pre-pass
-      val nCents = math.max(1L, math.floor(math.sqrt(chunks.count().toDouble)).toLong)
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
       val gdir = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_raggraph$safe").getAbsolutePath
+      // |C| = ⌊√N⌋ derived INSIDE the build from the uid guard's count
+      // (r19) — the explicit chunks.count() pre-pass re-tokenized the
+      // whole corpus once per execution just to size the codebook
       val h = GraphIndex.build(s, embedded, Seq("doc_id", "chunk_idx"), "embedding",
-        gdir, nCentroids = nCents.toInt, m = 4, nBuckets = 16, beamWidth = 4, hops = 3)
+        gdir, nCentroids = GraphIndex.DeriveSqrtN, m = 4, nBuckets = 16,
+        beamWidth = 4, hops = 3)
       GraphIndex.search(s, h, Embed.embedQuery(s, RagQueryText).toSeq)
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           stableRound(col("sim")).as("sim"))
@@ -2703,13 +2708,13 @@ object SparkEntry {
       val chunks = Ingest.chunk(wide(s, dir, "documents").select("doc_id", "text"), "text", 32)
         .select("doc_id", "chunk_idx", "chunk_text")
       val embedded = Embed.withEmbedding(chunks, "chunk_text", "embedding")
-      val nCents = math.max(1L, math.floor(math.sqrt(chunks.count().toDouble)).toLong)
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
       val gdir = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_raggraphrcp$safe").getAbsolutePath
+      // |C| = ⌊√N⌋ derived inside the build (r19) — see q_rag_graph
       val h = GraphIndex.build(s, embedded, Seq("doc_id", "chunk_idx"), "embedding",
-        gdir, nCentroids = nCents.toInt, m = 4, nBuckets = 16, beamWidth = 4,
-        hops = 3, autoBandAt = 1L, autoHierAt = 1L)
+        gdir, nCentroids = GraphIndex.DeriveSqrtN, m = 4, nBuckets = 16,
+        beamWidth = 4, hops = 3, autoBandAt = 1L, autoHierAt = 1L)
       GraphIndex.search(s, h, Embed.embedQuery(s, RagQueryText).toSeq)
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           stableRound(col("sim")).as("sim"))

@@ -772,8 +772,16 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     val allKeys = joinKeySets.flatten.distinct
     val keyCols = allKeys.map(col)
+    // norms are computed ONCE PER ROW before the key join (r19): the
+    // pair stage is the quadratic term of every graph build, and
+    // cosine-per-pair recomputes both operands' O(d) norms per
+    // CANDIDATE — cosineGiven over row-materialized norms is the same
+    // doubles (VectorFunctions scaladoc pins it) at 1 dot per pair
+    // instead of 3. One extra double per row rides the key exchange.
     val a = assigned.select(keyCols :+ col(idCol).as("src") :+ col(vecCol).as("_sv"): _*)
+      .withColumn("_sn", l2Norm(col("_sv")))
     val b = assigned.select(keyCols :+ col(idCol).as("dst") :+ col(vecCol).as("_dv"): _*)
+      .withColumn("_dn", l2Norm(col("_dv")))
     val w = Window.partitionBy("src").orderBy(desc("_sim"), col("dst"))
     // the QUADRATIC pair set is projected to (src, dst, sim) triples
     // BEFORE the window's src-shuffle — only ~24-byte rows ride the
@@ -791,7 +799,8 @@ object Ann {
     val pairsOf = (ks: Seq[String]) =>
       a.join(b, ks)
         .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"), cosine(col("_sv"), col("_dv")).as("_sim"))
+        .select(col("src"), col("dst"),
+          cosineGiven(col("_sv"), col("_dv"), col("_sn"), col("_dn")).as("_sim"))
     val pairs = joinKeySets.map(pairsOf).reduce(_ unionByName _)
     val rank = if (joinKeySets.length > 1) dense_rank() else row_number()
     val topm = pairs
@@ -879,9 +888,13 @@ object Ann {
     for (_ <- 0 until hops) {
       val frontier = visited.toSeq.sortBy { case (id, s) => (-s, id) }
         .take(beamWidth).map(_._1)
+      // no dropDuplicates before the collect (optimization r19): the
+      // candidate set is beam·degree rows — KB-scale by contract — and
+      // the `++` into the visited Map already deduplicates by id with
+      // identical (deterministic) scores, so the distinct added a
+      // full shuffle per hop for nothing. One hop = one stage now.
       val cand = lookup(frontier)
         .select(col("dst").cast("long"), cosine(col("dst_vec"), q).as("_sim"))
-        .dropDuplicates("dst")
         .collect().map(r => r.getLong(0) -> r.getDouble(1))
       visited = visited ++ cand // re-scored ids recompute the same value
     }
@@ -985,12 +998,15 @@ object Ann {
       }
       val srcs = frontierPairs.map(_._2).distinct
       val fDf = frontierPairs.toDF("query_id", "src")
+      // no dropDuplicates before the collect (optimization r19): the
+      // per-query visited Map below deduplicates (query_id, id) with
+      // identical deterministic scores — the distinct was one extra
+      // shuffle per hop over a ≤ queries·beam·degree-row frame
       val cand = lookup(srcs) // ONE read for ALL queries' frontiers
         .join(broadcast(fDf), "src")
         .join(broadcast(q), "query_id")
         .select(col("query_id"), col("dst").cast("long").as("id"),
           cosine(col("dst_vec"), col("_qv")).as("sim"))
-        .dropDuplicates("query_id", "id")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       val byQid = cand.groupBy(_._1)
       visited = visited.map { case (qid, vs) =>
@@ -1043,12 +1059,17 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     val all = existingAssigned.select(col("cell_id"), col(idCol), col(vecCol))
       .unionByName(newAssigned.select(col("cell_id"), col(idCol), col(vecCol)))
+    // per-row norms before the cell join (r19) — same cosineGiven
+    // discipline as knnGraphKeyed: 1 dot per candidate pair, not 3
     val b = newAssigned.select(col("cell_id"), col(idCol).as("src"), col(vecCol).as("_sv"))
+      .withColumn("_sn", l2Norm(col("_sv")))
     val cand = all.select(col("cell_id"), col(idCol).as("dst"), col(vecCol).as("_dv"))
+      .withColumn("_dn", l2Norm(col("_dv")))
     val w = Window.partitionBy("src").orderBy(desc("_sim"), col("dst"))
     val topm = b.join(cand, Seq("cell_id"))
       .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), cosine(col("_sv"), col("_dv")).as("_sim"))
+      .select(col("src"), col("dst"),
+        cosineGiven(col("_sv"), col("_dv"), col("_sn"), col("_dn")).as("_sim"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= m)
       .select("src", "dst")
@@ -1117,9 +1138,10 @@ object Ann {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return visited
     // the walk's result is a driver-local collection (beamWalk), so
-    // this collect re-reads KBs, never the index
-    val ids = visited.select(col(idCol).cast("long")).distinct()
-      .collect().map(_.getLong(0))
+    // this collect re-reads KBs, never the index; dedup happens driver-
+    // side (r19) — the .distinct() was a full shuffle over a KB frame
+    val ids = visited.select(col(idCol).cast("long"))
+      .collect().map(_.getLong(0)).distinct
     val buckets = ids.map(id => Long.box(((id % nBuckets) + nBuckets) % nBuckets)).distinct
     val tombs = spark.read.parquet(tombDir)
       .filter(col("tomb_bucket").isin(buckets: _*))
@@ -1169,8 +1191,13 @@ object Ann {
         // src side), so AQE can plan them shuffle-light; the dst side
         // is the one genuine corpus-sized shuffle, and it runs in the
         // amortized maintenance pass, not on the serve path.
-        val dead = spark.read.parquet(tombDir).select(col("tomb_id"))
-          .filter(!col("tomb_id").isin(protectedIds.map(Long.box): _*))
+        // Materialized once (r19): the plan below references `dead`
+        // four times (two anti-joins + two sides of `lost`) — without
+        // the checkpoint each reference re-read and re-filtered the
+        // tombstone store; the mark set is delete-sized by contract.
+        val dead = graft.Materialize(
+          spark.read.parquet(tombDir).select(col("tomb_id"))
+            .filter(!col("tomb_id").isin(protectedIds.map(Long.box): _*)))
         if (dead.isEmpty) edges // only protected marks: nothing to drop
         else {
           val dropped = edges
@@ -1218,8 +1245,10 @@ object Ann {
     if (fs.exists(tombPath)) {
       val protTombs = spark.read.parquet(tombDir)
         .filter(col("tomb_id").isin(protectedIds.map(Long.box): _*))
-      if (protTombs.isEmpty) fs.delete(tombPath, true)
-      else rewriteStore(spark, protTombs, tombDir, "tomb_bucket")
+      // no isEmpty pre-check (r19): rewriteStore's staged-empty case
+      // deletes the store dir, which IS the old empty branch — the
+      // pre-check just computed the filter twice
+      rewriteStore(spark, protTombs, tombDir, "tomb_bucket")
     }
   }
 
@@ -1237,18 +1266,31 @@ object Ann {
     * the next append recreates the partitioned layout cleanly. */
   private[graft] def rewriteStore(spark: SparkSession, rows: DataFrame,
                                   dir: String, partitionCol: String): Unit = {
-    if (rows.isEmpty) {
-      val dp = new org.apache.hadoop.fs.Path(dir)
-      dp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dp, true)
-      return
-    }
+    // emptiness is decided AFTER the staging write from the staged
+    // FILES (r19): the old `rows.isEmpty` pre-check executed the
+    // caller's full surviving-rows DAG once just to branch, then the
+    // staging write executed it again — for graph compaction that was
+    // the whole anti-join + repair plan twice. The staged dir always
+    // carries the schema (a non-partitioned empty write still emits
+    // one schema-only part file), so the emptiness probe reads a
+    // materialized footer, never the input DAG; a pathological
+    // zero-part staging (nothing to read) is the same empty state.
     val staging = dir.stripSuffix("/") + "__compact"
     rows.repartition(col(partitionCol))
       .write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging)
-      .write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
     val sp = new org.apache.hadoop.fs.Path(staging)
-    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasParts = fs.listStatus(sp)
+      .exists(_.getPath.getName.startsWith("part-"))
+    val stagedEmpty = !hasParts || spark.read.parquet(staging).isEmpty
+    if (stagedEmpty) {
+      val dp = new org.apache.hadoop.fs.Path(dir)
+      dp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dp, true)
+    } else {
+      spark.read.parquet(staging)
+        .write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+    }
+    fs.delete(sp, true)
   }
 
   // ------------------------------------------------------------------ //

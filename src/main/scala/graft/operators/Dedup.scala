@@ -203,6 +203,7 @@ object Dedup {
     var labels = graft.Materialize(
       edges.select(col("src").as("id")).distinct()
         .withColumn("cluster_id", col("id")))
+    var materialized = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -210,21 +211,29 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = graft.Materialize(
+      // the changed flag rides INSIDE the materialized round (r19): the
+      // old shape re-joined `next` against `labels` purely to detect
+      // convergence — one extra join + shuffle per round over two
+      // checkpointed frames. Comparing old vs new label in the same
+      // projection costs nothing, and the convergence probe becomes a
+      // filter scan of the already-checkpointed round.
+      val round = graft.Materialize(
         labels
           .join(neighborMin, labels("id") === neighborMin("nid"), "left")
           .select(col("id"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-              .as("cluster_id")))
-      converged = next
-        .join(labels.withColumnRenamed("cluster_id", "_prev"), "id")
-        .filter(col("cluster_id") =!= col("_prev"))
-        .isEmpty
+              .as("cluster_id"),
+            (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
+              .as("_chg")))
+      converged = round.filter(col("_chg")).isEmpty
       // release the superseded round's blocks: under the `persist`
       // strategy each round otherwise accumulates a DISK_ONLY cache
-      // entry for the session lifetime (no-op for localCheckpoint)
-      labels.unpersist()
-      labels = next
+      // entry for the session lifetime (no-op for localCheckpoint).
+      // `materialized` is the handle the cache entry is keyed on — the
+      // `drop` projection below would not sameResult-match it.
+      materialized.unpersist()
+      materialized = round
+      labels = round.drop("_chg")
       iter += 1
     }
     require(converged, s"label propagation did not converge in $maxIter rounds")

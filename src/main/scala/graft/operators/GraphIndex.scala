@@ -1070,6 +1070,12 @@ object GraphIndex {
     * `autoHierAt = Long.MaxValue` restores the always-flat default. */
   val DefaultAutoHierAt: Long = 100000L
 
+  /** Sentinel for [[build]]'s `nCentroids`: derive |C| = ⌊√N⌋ from the
+    * row count the build's uid guard already aggregates — callers that
+    * want the production codebook discipline no longer pre-count the
+    * (often chunk→embed-expensive) input themselves. */
+  val DeriveSqrtN: Int = -1
+
   /** The size-derived default super count: 0 (flat, bit-for-bit the
     * historical behavior) below the crossover; ⌊√|C|⌋ at/above it. */
   private def deriveAutoSupers(n: Long, nCentroids: Int, autoHierAt: Long): Int =
@@ -1125,8 +1131,11 @@ object GraphIndex {
             lshBands: Seq[Seq[Seq[Double]]] = Nil,
             autoBandAt: Long = DefaultAutoBandAt,
             autoHierAt: Long = DefaultAutoHierAt): Handle = {
-    require(nCentroids >= 1 && m >= 1 && nBuckets >= 1 && beamWidth >= 1 && hops >= 0,
-      s"GraphIndex.build: nCentroids=$nCentroids m=$m nBuckets=$nBuckets " +
+    require(nCentroids == DeriveSqrtN || nCentroids >= 1,
+      s"GraphIndex.build: nCentroids=$nCentroids must be >= 1 (or " +
+        s"DeriveSqrtN to size-derive the codebook)")
+    require(m >= 1 && nBuckets >= 1 && beamWidth >= 1 && hops >= 0,
+      s"GraphIndex.build: m=$m nBuckets=$nBuckets " +
         s"beamWidth=$beamWidth hops=$hops must all be positive (hops >= 0)")
     // build takes three actions over the input (key guard, centroid
     // pick, sidecar write) — materialize the uid'd index ONCE so an
@@ -1142,13 +1151,21 @@ object GraphIndex {
     require(n == nDistinct,
       s"GraphIndex.build: ${n - nDistinct} duplicate uid(s) — keyCols " +
         s"${keyCols.mkString("(", ",", ")")} are not unique over the index")
+    // |C| = ⌊√N⌋ derivation rides the guard aggregate's n (r19): the
+    // callers that want the production codebook discipline previously
+    // pre-counted the input themselves — one extra full pass over the
+    // (chunk → embed) upstream that this build was already counting.
+    val effCents =
+      if (nCentroids == DeriveSqrtN)
+        math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+      else nCentroids
     val effBands =
       if (lshPlanes.nonEmpty || lshBands.nonEmpty) lshBands
       else deriveAutoBands(withUid, vecCol, n, autoBandAt)
     val effSupers =
       if (nSupers > 0 || superVecs.nonEmpty) nSupers
-      else deriveAutoSupers(n, nCentroids, autoHierAt)
-    val h = buildFromUid(spark, withUid, vecCol, dir, nCentroids, m,
+      else deriveAutoSupers(n, effCents, autoHierAt)
+    val h = buildFromUid(spark, withUid, vecCol, dir, effCents, m,
       nBuckets, beamWidth, hops, effSupers, lshPlanes, superProbes, superVecs,
       effBands)
     withUid.unpersist() // no-op under localCheckpoint; frees the persist path

@@ -183,7 +183,15 @@ object Retrieval {
       .filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "query has no terms")
     val toked = docs.select(col(idCol), alnumTokens(col(textCol)).as("_toks"))
-    val dl = toked.select(col(idCol), size(col("_toks")).cast("long").as("_dl"))
+    // dl is materialized (r19): it feeds BOTH the corpus stats aggregate
+    // and the per-doc join, and each branch otherwise re-tokenizes the
+    // whole corpus (the tokenize is the dominant map cost of the ad-hoc
+    // form). The checkpoint is (id, long) — 16 bytes/doc, never tokens.
+    // Tokenize passes per call drop 3 → 2 (the tf explode still pays
+    // its own — fusing it with dl would turn the map-only dl derivation
+    // into a corpus-token-sized shuffle, strictly worse).
+    val dl = graft.Materialize(
+      toked.select(col(idCol), size(col("_toks")).cast("long").as("_dl")))
     val stats = dl.agg(count(lit(1)).as("_N"), sum(col("_dl")).as("_sumdl"))
     val tf = toked
       .select(col(idCol), explode(col("_toks")).as("_t"))
@@ -319,15 +327,35 @@ object Retrieval {
     val idCol = meta.getAs[String]("id_col")
     require(ids.columns.contains(idCol),
       s"deleteBm25Docs: ids must carry the store's id column '$idCol'")
+    // one annotated pass instead of three (r19): the old shape ran the
+    // distinct + unknown-check anti-join, then RE-RAN the distinct for
+    // the freshness anti-join's isEmpty, then a third time for the
+    // append — three actions over the same delete batch. Flag both
+    // sidecar memberships in one materialized frame; the guard and the
+    // emptiness probe become local scans of the checkpointed batch.
+    // Semantics unchanged: unknown ⇔ no docs row; fresh ⇔ no tombstone.
     val req = ids.select(col(idCol)).distinct()
-    val unknown = req.join(spark.read.parquet(dir + "/docs"), Seq(idCol), "left_anti").count()
+    // the docs sidecar carries one row per doc by construction
+    // (writeBm25Index/compactBm25Index write it from the unique corpus),
+    // so the left join cannot fan out; the tombstone side CAN carry
+    // duplicates (append-only retries) and is distinct'd — it is
+    // delete-sized, never corpus-sized
+    val docsFlag = spark.read.parquet(dir + "/docs")
+      .withColumn("_known", lit(true))
+    val tombFlag = bm25Tombstones(spark, dir)
+      .map(_.select(col(idCol)).distinct().withColumn("_dead", lit(true)))
+    val annotated = graft.Materialize(
+      tombFlag.foldLeft(req.join(docsFlag, Seq(idCol), "left"))(
+        (d, t) => d.join(t, Seq(idCol), "left")))
+    val unknown = annotated.filter(col("_known").isNull).count()
     require(unknown == 0,
       s"deleteBm25Docs: $unknown id(s) not present in the store at '$dir' — " +
         "deleting unknown docs is a caller bug, not a no-op")
-    val fresh = bm25Tombstones(spark, dir)
-      .map(t => req.join(t, Seq(idCol), "left_anti")).getOrElse(req)
+    val fresh =
+      if (annotated.columns.contains("_dead")) annotated.filter(col("_dead").isNull)
+      else annotated
     if (!fresh.isEmpty)
-      fresh.write.mode("append").parquet(dir + "/tombstones")
+      fresh.select(col(idCol)).write.mode("append").parquet(dir + "/tombstones")
   }
 
   /** Fold a store's tombstones into a fresh monolithic store at
@@ -356,17 +384,25 @@ object Retrieval {
     val survTf = spark.read.parquet(dir + "/postings")
       .join(broadcast(tombs), Seq(idCol), "left_anti")
       .select(col(idCol), col("_dl"), col("_t"), col("_tf"))
+    // ONE action computes both sidecar aggregates (r19): the doc
+    // fingerprint (from the docs sidecar) and Σdl (from the surviving
+    // postings) previously ran as two separate head() jobs — a crossJoin
+    // of the two one-row aggregates folds them into a single job, and
+    // each one-row side is planned as a broadcast. Values are the same
+    // aggregates over the same inputs.
+    // N counts every surviving doc (token-less ones contribute dl = 0
+    // and have no posting rows — the sidecar is the authority)
     val survMeta = survDocs.agg(
-      count(lit(1)).cast("long").as("n_docs"),
-      sum(xxhash64(col(idCol)).cast("decimal(38,0)")).cast("string").as("id_hash")).head()
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(xxhash64(col(idCol)).cast("decimal(38,0)")).cast("string").as("id_hash"))
+      .crossJoin(survTf.select(col(idCol), col("_dl")).distinct()
+        .agg(coalesce(sum(col("_dl")), lit(0L)).as("_sumdl")))
+      .head()
+    val sumdl = survMeta.getLong(2)
     spark.range(1)
       .select(lit(nBuckets).as("n_buckets"), lit(idCol).as("id_col"),
         lit(survMeta.getLong(0)).as("n_docs"), lit(survMeta.getString(1)).as("id_hash"))
       .coalesce(1).write.mode("overwrite").parquet(outDir + "/meta")
-    // N counts every surviving doc (token-less ones contribute dl = 0
-    // and have no posting rows — the sidecar is the authority)
-    val sumdl = survTf.select(col(idCol), col("_dl")).distinct()
-      .agg(coalesce(sum(col("_dl")), lit(0L))).head().getLong(0)
     spark.range(1)
       .select(lit(survMeta.getLong(0)).as("_N"), lit(sumdl).as("_sumdl"))
       .coalesce(1).write.mode("overwrite").parquet(outDir + "/stats")

@@ -174,14 +174,32 @@ object TextAnalysis {
     * independent float order). Returns (idCol, n_tokens, mean_lp). */
   def scoreUnigram(docs: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String, vocab: org.apache.spark.sql.DataFrame):
-      org.apache.spark.sql.DataFrame = {
-    val stats = vocab.agg(
-      sum(col("_cnt")).cast("double").as("_n"),
-      (count(lit(1)) + 1).cast("double").as("_v1"))
+      org.apache.spark.sql.DataFrame =
+    scoreUnigramFromCounts(docTokenCounts(docs, idCol, textCol), idCol, vocab)
+
+  /** Per-(doc, token) instance counts — the shared intermediate of
+    * unigram scoring and model building (r19): one tokenize + one
+    * wordcount-shaped shuffle, from which both a [[unigramVocab]]-equal
+    * model (sum the per-doc counts) and any number of
+    * [[scoreUnigramFromCounts]] passes derive without re-reading text. */
+  def docTokenCounts(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame =
     docs.select(col(idCol),
         explode(tokens(lower(cleanText(col(textCol))))).as("_tok"))
       .groupBy(col(idCol), col("_tok"))
       .agg(count(lit(1)).as("_dcnt"))
+
+  /** [[scoreUnigram]] over precomputed [[docTokenCounts]] — same rows,
+    * same doubles (the per-doc fold and the smoothing arithmetic are
+    * untouched); exists so multi-model scorers pay the tokenize once. */
+  def scoreUnigramFromCounts(counts: org.apache.spark.sql.DataFrame,
+                             idCol: String,
+                             vocab: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val stats = vocab.agg(
+      sum(col("_cnt")).cast("double").as("_n"),
+      (count(lit(1)) + 1).cast("double").as("_v1"))
+    counts
       .join(broadcast(vocab), Seq("_tok"), "left")
       .crossJoin(broadcast(stats))
       .withColumn("_lp",
@@ -209,11 +227,22 @@ object TextAnalysis {
                         textCol: String,
                         target: org.apache.spark.sql.DataFrame,
                         vocabSize: Int = 65536): org.apache.spark.sql.DataFrame = {
-    val tScore = scoreUnigram(docs, idCol, textCol,
+    // ONE tokenize of the scoring corpus (r19): both model scorings and
+    // the corpus model itself derive from the materialized per-(doc,
+    // token) counts — the old shape re-tokenized `docs` in every branch
+    // (two scorings + the corpus vocab; zero exchange reuse measured).
+    // The corpus model from summed per-doc counts is value-identical to
+    // unigramVocab(docs, ...): instance count == Σ per-doc counts, and
+    // the (desc count, token) cut is unchanged. `target` keeps its own
+    // tokenize — the API allows a model corpus disjoint from `docs`.
+    val counts = graft.Materialize(docTokenCounts(docs, idCol, textCol))
+    val corpusVocab = counts.groupBy(col("_tok"))
+      .agg(sum(col("_dcnt")).as("_cnt"))
+      .orderBy(desc("_cnt"), col("_tok")).limit(vocabSize)
+    val tScore = scoreUnigramFromCounts(counts, idCol,
         unigramVocab(target, textCol, vocabSize))
       .select(col(idCol), col("n_tokens"), col("mean_lp").as("target_lp"))
-    val cScore = scoreUnigram(docs, idCol, textCol,
-        unigramVocab(docs, textCol, vocabSize))
+    val cScore = scoreUnigramFromCounts(counts, idCol, corpusVocab)
       .select(col(idCol), col("mean_lp").as("corpus_lp"))
     tScore.join(cScore, idCol)
       .withColumn("weight",
